@@ -1,0 +1,245 @@
+package graft.ext
+
+import graft.operators.Queries.Q
+
+/** LLM-data-pipeline operators that are SQL-expressible in both dialects and
+  * therefore DuckDB-oracle-checkable (driver mandate; the reference has no
+  * analytics surface of its own — see SURVEY.md §0, §2.2 B68-B73).
+  *
+  * Scale notes (100 TB posture):
+  *  - every op is a single scan + hash shuffle on a grouping key, or a
+  *    blocked pairwise join (lang blocks for near-dup, label blocks / a
+  *    broadcast query side for similarity) — never an unblocked cross join;
+  *  - all lambdas use builtin higher-order functions (codegen'd, no UDFs);
+  *  - the non-SQL-expressible scale paths (MinHash-LSH, SimHash, LSH-ANN)
+  *    live in [[Dedup]] / [[Similarity]] and are property-tested instead.
+  */
+object Extensions {
+
+  private val enStops = "'the','and','of','to','in','is','it','that'"
+  private val esStops = "'el','la','de','que','y','en','los','se'"
+  private val deStops = "'der','die','und','den','von','zu','das','mit'"
+  private val frStops = "'le','les','des','et','une','du','au','dans'"
+
+  private def langIdSql(sizeFn: String, filterFn: String, splitFn: String) =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |             $filterFn($splitFn(LOWER(text), ' '), x -> x <> '') AS toks
+       |           FROM documents),
+       |h AS (SELECT doc_id, lang,
+       |        CAST($sizeFn($filterFn(toks, x -> x IN ($enStops))) AS INT) AS en_hits,
+       |        CAST($sizeFn($filterFn(toks, x -> x IN ($esStops))) AS INT) AS es_hits,
+       |        CAST($sizeFn($filterFn(toks, x -> x IN ($deStops))) AS INT) AS de_hits,
+       |        CAST($sizeFn($filterFn(toks, x -> x IN ($frStops))) AS INT) AS fr_hits
+       |      FROM t)
+       |SELECT doc_id, lang, en_hits, es_hits, de_hits, fr_hits,
+       |       CASE WHEN en_hits >= es_hits AND en_hits >= de_hits
+       |                 AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+       |            WHEN es_hits >= de_hits AND es_hits >= fr_hits
+       |                 AND es_hits > 0 THEN 'es'
+       |            WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+       |            WHEN fr_hits > 0 THEN 'fr'
+       |            ELSE 'und' END AS lang_pred
+       |FROM h ORDER BY doc_id""".stripMargin
+
+  private def qualitySql(sizeFn: String, filterFn: String, splitFn: String,
+                         reReplace: String) =
+    s"""WITH t AS (SELECT doc_id, text, CAST(LENGTH(text) AS INT) AS nchars,
+       |             $filterFn($splitFn(text, ' '), x -> x <> '') AS toks
+       |           FROM documents),
+       |m AS (SELECT doc_id, nchars, CAST($sizeFn(toks) AS INT) AS ntoks,
+       |        CAST($sizeFn($filterFn(toks,
+       |          x -> x IN ($enStops,'a','for'))) AS INT) AS stop_hits,
+       |        CAST(LENGTH($reReplace) AS INT) AS punct
+       |      FROM t)
+       |SELECT doc_id, nchars, ntoks,
+       |  CAST(ROUND(CAST(stop_hits AS DOUBLE)/CAST(GREATEST(ntoks,1) AS DOUBLE), 4)
+       |       AS DECIMAL(18,4)) AS stop_ratio,
+       |  CAST(ROUND(CAST(punct AS DOUBLE)/CAST(GREATEST(nchars,1) AS DOUBLE), 4)
+       |       AS DECIMAL(18,4)) AS punct_ratio,
+       |  CAST(ROUND(0.4*(CAST(stop_hits AS DOUBLE)/CAST(GREATEST(ntoks,1) AS DOUBLE))
+       |      + 0.3*LEAST(CAST(ntoks AS DOUBLE)/50.0, 1.0)
+       |      + 0.3*(1.0 - CAST(punct AS DOUBLE)/CAST(GREATEST(nchars,1) AS DOUBLE)), 4)
+       |       AS DECIMAL(18,4)) AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    // x49 (B73) language identification via per-language stopword hit counts
+    // — pure higher-order-function pipeline, one scan, no shuffle.
+    Q("x49_lang_id",
+      langIdSql("size", "filter", "split"),
+      langIdSql("len", "list_filter", "string_split")),
+
+    // x50 (B73) document quality scoring: length, stopword ratio,
+    // punctuation ratio → weighted score.
+    Q("x50_quality",
+      qualitySql("size", "filter", "split",
+        "regexp_replace(text, '[a-zA-Z0-9 ]', '')"),
+      qualitySql("len", "list_filter", "string_split",
+        "regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')")),
+
+    // x51 (B70,B73) token counting: whitespace tokens + a BPE-ish regex
+    // tokenizer (word pieces and single punctuation marks).
+    Q("x51_tokens",
+      """SELECT doc_id,
+        |       CAST(size(filter(split(text, ' '), t -> t <> '')) AS INT) AS ws_toks,
+        |       CAST(size(regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)) AS INT) AS re_toks
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id,
+        |       CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS ws_toks,
+        |       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INT) AS re_toks
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // x52 (B71) bag-of-words fingerprint dedup: md5 over the sorted distinct
+    // token set catches word-order-shuffled near-duplicates that exact text
+    // grouping (q46) misses. One scan + one hash shuffle on the fingerprint.
+    Q("x52_fingerprint",
+      """WITH f AS (SELECT doc_id,
+        |             md5(CAST(array_join(array_sort(array_distinct(
+        |               filter(split(LOWER(text), ' '), t -> t <> ''))), ' ')
+        |               AS BINARY)) AS fp
+        |           FROM documents)
+        |SELECT fp, COUNT(*) AS n, MIN(doc_id) AS keeper
+        |FROM f GROUP BY fp HAVING COUNT(*) > 1 ORDER BY keeper""".stripMargin,
+      """WITH f AS (SELECT doc_id,
+        |             md5(array_to_string(list_sort(list_distinct(
+        |               list_filter(string_split(LOWER(text), ' '), t -> t <> ''))), ' ')) AS fp
+        |           FROM documents)
+        |SELECT fp, COUNT(*) AS n, MIN(doc_id) AS keeper
+        |FROM f GROUP BY fp HAVING COUNT(*) > 1 ORDER BY keeper""".stripMargin),
+
+    // x53 (B71) exact-dedup cardinality stats over normalized text —
+    // the count-distinct-of-hash pattern that scales to 100 TB (the hash
+    // shuffles instead of the full document payload).
+    Q("x53_dedup_stats",
+      """SELECT COUNT(*) AS total_docs,
+        |       COUNT(DISTINCT md5(CAST(regexp_replace(TRIM(LOWER(text)), ' +', ' ')
+        |         AS BINARY))) AS distinct_norm,
+        |       COUNT(DISTINCT text) AS distinct_raw
+        |FROM documents""".stripMargin,
+      """SELECT COUNT(*) AS total_docs,
+        |       COUNT(DISTINCT md5(regexp_replace(TRIM(LOWER(text)), ' +', ' ', 'g')))
+        |         AS distinct_norm,
+        |       COUNT(DISTINCT text) AS distinct_raw
+        |FROM documents""".stripMargin),
+
+    // x54 (B71) n-gram Jaccard near-dup pairs, lang-blocked. j1 = unigram
+    // (bag) Jaccard, j3 = word-trigram Jaccard; threshold on j1 catches
+    // word-shuffled duplicates. Blocking bounds the pair space; the
+    // unblocked scale path is MinHash-LSH in [[Dedup]].
+    // Spark side is the *distributed* set-similarity join: explode tokens,
+    // equi-join on (lang, token), count co-occurrences, and derive Jaccard
+    // as c/(na+nb-c). No pairwise array intersections — the shuffle key is
+    // the token, partial aggregation runs map-side, and the pair space never
+    // materializes beyond co-occurring pairs. The DuckDB oracle keeps the
+    // direct pairwise formulation; both compute identical values.
+    Q("x54_ngram_jaccard",
+      """WITH d AS (SELECT doc_id, lang,
+        |             filter(split(LOWER(text), ' '), t -> t <> '') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id, lang, array_distinct(toks) AS w1,
+        |        CASE WHEN size(toks) >= 3 THEN
+        |          array_distinct(transform(sequence(1, size(toks)-2),
+        |            i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1),
+        |                           element_at(toks, i+2))))
+        |        ELSE CAST(array() AS ARRAY<STRING>) END AS w3
+        |      FROM d),
+        |n AS (SELECT doc_id, lang, w1, w3, size(w1) AS n1, size(w3) AS n3 FROM s),
+        |t1 AS (SELECT lang, doc_id, n1, tok FROM n LATERAL VIEW explode(w1) AS tok),
+        |c1 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |              a.n1 AS na, b.n1 AS nb, COUNT(*) AS c
+        |       FROM t1 a JOIN t1 b
+        |         ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |       GROUP BY a.doc_id, b.doc_id, a.n1, b.n1),
+        |p AS (SELECT doc_a, doc_b,
+        |             CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE) AS j1
+        |      FROM c1
+        |      WHERE CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE) >= 0.8),
+        |t3 AS (SELECT lang, doc_id, n3, tok FROM n LATERAL VIEW explode(w3) AS tok),
+        |c3 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |              a.n3 AS n3a, b.n3 AS n3b, COUNT(*) AS c3
+        |       FROM t3 a JOIN t3 b
+        |         ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |       GROUP BY a.doc_id, b.doc_id, a.n3, b.n3)
+        |SELECT p.doc_a, p.doc_b,
+        |  CAST(ROUND(p.j1, 4) AS DECIMAL(18,4)) AS j1,
+        |  CAST(ROUND(CASE WHEN sa.n3 + sb.n3 - COALESCE(c3.c3, 0) > 0 THEN
+        |         CAST(COALESCE(c3.c3, 0) AS DOUBLE)
+        |         / CAST(sa.n3 + sb.n3 - COALESCE(c3.c3, 0) AS DOUBLE)
+        |       ELSE 0.0 END, 4) AS DECIMAL(18,4)) AS j3
+        |FROM p
+        |JOIN n sa ON sa.doc_id = p.doc_a
+        |JOIN n sb ON sb.doc_id = p.doc_b
+        |LEFT JOIN c3 ON c3.doc_a = p.doc_a AND c3.doc_b = p.doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
+      """WITH d AS (SELECT doc_id, lang,
+        |             list_filter(string_split(LOWER(text), ' '), t -> t <> '') AS toks
+        |           FROM documents),
+        |g AS (SELECT doc_id, lang, list_distinct(toks) AS w1,
+        |        CASE WHEN len(toks) >= 3 THEN
+        |          list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                         for i in range(1, len(toks)-1)])
+        |        ELSE [] END AS w3
+        |      FROM d)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(ROUND(CAST(len(list_intersect(a.w1, b.w1)) AS DOUBLE)
+        |       / CAST(len(list_distinct(a.w1 || b.w1)) AS DOUBLE), 4) AS DECIMAL(18,4)) AS j1,
+        |  CAST(ROUND(CASE WHEN len(list_distinct(a.w3 || b.w3)) > 0 THEN
+        |         CAST(len(list_intersect(a.w3, b.w3)) AS DOUBLE)
+        |         / CAST(len(list_distinct(a.w3 || b.w3)) AS DOUBLE)
+        |       ELSE 0.0 END, 4) AS DECIMAL(18,4)) AS j3
+        |FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.w1, b.w1)) AS DOUBLE)
+        |      / CAST(len(list_distinct(a.w1 || b.w1)) AS DOUBLE) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // x55 (B68,B72) brute-force cosine top-k ANN baseline: 10 query vectors
+    // joined against the corpus. The tiny query side broadcasts (one scan of
+    // the corpus, no shuffle of the big side) — exactly the 100 TB plan; the
+    // sub-linear path is LSH bucketing in [[Similarity]].
+    Q("x55_ann_topk",
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |s AS (
+        |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+        |         AGGREGATE(ZIP_WITH(q.embedding, n.embedding,
+        |            (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |            CAST(0.0 AS DOUBLE), (a, v) -> a + v)
+        |         / (SQRT(AGGREGATE(q.embedding, CAST(0.0 AS DOUBLE),
+        |              (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        |          * SQRT(AGGREGATE(n.embedding, CAST(0.0 AS DOUBLE),
+        |              (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cosim
+        |  FROM embeddings n JOIN q ON q.vec_id <> n.vec_id)
+        |SELECT qid, nid, CAST(ROUND(cosim, 4) AS DECIMAL(18,4)) AS cosim, rn FROM (
+        |  SELECT qid, nid, cosim,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |                            ORDER BY ROUND(cosim, 6) DESC, nid) AS rn
+        |  FROM s) t
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        |s AS (
+        |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+        |         list_sum(list_transform(list_zip(q.embedding, n.embedding),
+        |            s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+        |         / (SQRT(list_sum(list_transform(q.embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |          * SQRT(list_sum(list_transform(n.embedding,
+        |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosim
+        |  FROM embeddings n JOIN q ON q.vec_id <> n.vec_id)
+        |SELECT qid, nid, CAST(ROUND(cosim, 4) AS DECIMAL(18,4)) AS cosim, rn FROM (
+        |  SELECT qid, nid, cosim,
+        |         ROW_NUMBER() OVER (PARTITION BY qid
+        |                            ORDER BY ROUND(cosim, 6) DESC, nid) AS rn
+        |  FROM s) t
+        |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
+
+    // x56 multimodal metadata plumbing: opaque payload as a binary column
+    // with typed metadata (byte length + content hash). The decode/transform
+    // stubs over real binary batches live in [[Multimodal]].
+    Q("x56_mm_meta",
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BINARY)) AS INT) AS n_bytes,
+        |       md5(CAST(text AS BINARY)) AS content_hash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        |       md5(text) AS content_hash
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+}

@@ -1,0 +1,75 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Approximate nearest-neighbor search over the embeddings table
+  * (SURVEY.md §2.2 B68/B72).
+  *
+  * The exact baseline (brute-force cosine with a broadcast query side) is
+  * the oracle-checked x55_ann_topk; this module adds the sub-linear scale
+  * path: multi-table random-hyperplane LSH. Hyperplane weights are
+  * deterministic pseudo-random signs derived from murmur3(table, plane,
+  * dim) — no RNG state to ship, any executor can recompute them, which is
+  * what makes the scheme driver-free at 1000 executors.
+  *
+  * Scale: one scan to bucket the corpus (shuffle key = (table, bucket)),
+  * query vectors broadcast-joined to their buckets, cosine only within
+  * candidate buckets. Recall/cost tunes via tables × planes.
+  */
+object Similarity {
+  val NumTables = 8
+  val PlanesPerTable = 4
+
+  private def cosineCol = {
+    expr(
+      """aggregate(zip_with(qe, ne, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |          CAST(0.0 AS DOUBLE), (a, v) -> a + v)
+        |/ (sqrt(aggregate(qe, CAST(0.0 AS DOUBLE),
+        |          (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+        | * sqrt(aggregate(ne, CAST(0.0 AS DOUBLE),
+        |          (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin)
+  }
+
+  /** Bucket ids per LSH table: bit j of table t = sign of the projection on
+    * a pseudo-random ±1 hyperplane (sign from murmur3(t, j, dim)). */
+  private[ext] def withBuckets(vecs: DataFrame): DataFrame =
+    vecs.withColumn("bucket", explode(expr(
+      s"""transform(sequence(0, ${NumTables - 1}), t ->
+         |  struct(t AS tbl,
+         |    aggregate(sequence(0, ${PlanesPerTable - 1}), 0, (acc, j) ->
+         |      acc + CASE WHEN
+         |        aggregate(sequence(1, size(embedding)), CAST(0.0 AS DOUBLE),
+         |          (s, i) -> s + CAST(element_at(embedding, i) AS DOUBLE) *
+         |            (CASE WHEN pmod(hash(t, j, i), 2) = 0
+         |                  THEN 1.0D ELSE -1.0D END)) > 0D
+         |        THEN shiftleft(1, j) ELSE 0 END) AS bv))""".stripMargin)))
+      .select(col("*") ,col("bucket.tbl").as("tbl"), col("bucket.bv").as("bv"))
+      .drop("bucket")
+
+  /** LSH-bucketed approximate top-k neighbors for query vecs (vec_id < 10).
+    * Candidates = corpus vectors sharing any (table, bucket) with the query. */
+  def lshTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    Tables.ensure(spark, dir)
+    val vecs = spark.table("embeddings").select(col("vec_id"), col("embedding"))
+    val bucketed = withBuckets(vecs)
+    val queries = bucketed.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("tbl"), col("bv"))
+    val cands = bucketed
+      .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+        col("tbl"), col("bv"))
+      .join(broadcast(queries), Seq("tbl", "bv"))
+      .filter(col("qid") =!= col("nid"))
+      .dropDuplicates("qid", "nid")
+    import org.apache.spark.sql.expressions.Window
+    val scored = cands.withColumn("cosim", cosineCol)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(round(col("cosim"), 6).desc, col("nid"))))
+      .filter(col("rn") <= k)
+    scored.select(col("qid"), col("nid"),
+        expr("CAST(ROUND(cosim, 4) AS DECIMAL(18,4))").as("cosim"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+}

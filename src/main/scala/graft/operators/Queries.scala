@@ -1,0 +1,373 @@
+package graft.operators
+
+/** The declared relational query set from SURVEY.md §2.3 (Q01–Q48).
+  *
+  * Each query covers one or more operator rows from SURVEY.md §2.2 (B-ids in
+  * the name comments). The Spark text is executed through Catalyst; the duck
+  * text is the DuckDB oracle the driver runs over the same parquet tables.
+  * Where the dialects agree the two strings are identical.
+  *
+  * Determinism conventions (SURVEY.md §2.3): every query ends in a total
+  * ORDER BY; every aggregate/computed output is CAST to a pinned concrete
+  * type in BOTH dialects so values and schemas hash-compare equal.
+  */
+object Queries {
+
+  final case class Q(name: String, spark: String, duck: String)
+  object Q { def same(name: String, sql: String): Q = Q(name, sql, sql) }
+
+  val all: Seq[Q] = Seq(
+    // Q01 (B1,B9) full scan + projection — analog of dust's
+    // `SELECT * FROM foo` golden (reference db/src/db.rs:413).
+    Q.same("q01_scan",
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"),
+
+    // Q02 (B8) parquet scan with column pruning
+    Q.same("q02_prune",
+      "SELECT n_name FROM nation ORDER BY n_name"),
+
+    // Q03 (B11,B12) equality filter (reference db/src/db.rs:420-425)
+    Q.same("q03_filter",
+      """SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin),
+
+    // Q04 (B10) int||text concat (reference db/src/db.rs:499-504)
+    Q.same("q04_concat",
+      """SELECT CAST(o_orderkey AS STRING) || '_bar' AS k FROM orders
+        |WHERE o_orderkey <= 20 ORDER BY k""".stripMargin),
+
+    // Q05 (B13) range + boolean predicates
+    Q.same("q05_pred",
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20 AND l_discount > 0.05
+        |  AND NOT l_returnflag = 'A'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // Q06 (B13) IN + IS NULL
+    Q.same("q06_in_null",
+      """SELECT o_orderkey FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT','2-HIGH') AND o_custkey IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // Q07 (B14) LIKE
+    Q.same("q07_like",
+      """SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%widget%'
+        |ORDER BY p_partkey""".stripMargin),
+
+    // Q08 (B15,B16,B55) CASE + CAST + coalesce/nullif.
+    // FLOOR before BIGINT cast: Spark truncates double->bigint, DuckDB
+    // rounds — FLOOR pins both to the same value.
+    Q.same("q08_case_cast",
+      """SELECT o_orderkey,
+        |       CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS sz,
+        |       COALESCE(NULLIF(o_orderstatus,'O'), 'open') AS st,
+        |       CAST(FLOOR(o_totalprice) AS BIGINT) AS tp
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // Q09 (B17) inner equi-join (reference db/src/db.rs:465-490)
+    Q.same("q09_join",
+      """SELECT c.c_custkey, c.c_name, n.n_name
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY c.c_custkey""".stripMargin),
+
+    // Q10 (B18) left outer join
+    Q.same("q10_left_join",
+      """SELECT n.n_nationkey, n.n_name, s.s_suppkey
+        |FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+        |ORDER BY n.n_nationkey, s.s_suppkey NULLS FIRST""".stripMargin),
+
+    // Q11 (B19) cross join
+    Q.same("q11_cross",
+      """SELECT r.r_name, s.s_suppkey FROM region r CROSS JOIN supplier s
+        |ORDER BY r.r_name, s.s_suppkey""".stripMargin),
+
+    // Q12 (B20) theta/range join
+    Q.same("q12_theta",
+      """SELECT a.s_suppkey AS s1, b.s_suppkey AS s2
+        |FROM supplier a JOIN supplier b ON a.s_acctbal < b.s_acctbal
+        |ORDER BY s1, s2""".stripMargin),
+
+    // Q13 (B21) semi join via EXISTS
+    Q.same("q13_semi",
+      """SELECT p.p_partkey FROM part p
+        |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
+        |              AND l.l_quantity > 45)
+        |ORDER BY p.p_partkey""".stripMargin),
+
+    // Q14 (B22) anti join via NOT EXISTS (the totalprice predicate keeps the
+    // result non-empty at every SF — plain "customer with no orders" has 0
+    // matches in this testdata)
+    Q.same("q14_anti",
+      """SELECT c.c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_totalprice > 300000)
+        |ORDER BY c.c_custkey""".stripMargin),
+
+    // Q15 (B23) self join
+    Q.same("q15_self_join",
+      """SELECT a.c_custkey AS c1, b.c_custkey AS c2
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE a.c_acctbal > 9000 AND b.c_acctbal > 9000
+        |ORDER BY c1, c2""".stripMargin),
+
+    // Q16 (B24,B50) 4-way join through derived table
+    Q.same("q16_multiway",
+      """SELECT t.r_name, t.n_name, COUNT(*) AS suppliers
+        |FROM (SELECT r.r_name, n.n_name, s.s_suppkey
+        |      FROM region r
+        |      JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |      JOIN supplier s ON s.s_nationkey = n.n_nationkey) t
+        |GROUP BY t.r_name, t.n_name ORDER BY t.r_name, t.n_name""".stripMargin),
+
+    // Q17 (B25,B32) counts + exact distinct (oracle twin of approx_count_distinct)
+    Q.same("q17_count_distinct",
+      """SELECT COUNT(*) AS n, COUNT(DISTINCT l_partkey) AS d_parts,
+        |       COUNT(DISTINCT l_suppkey) AS d_supps
+        |FROM lineitem""".stripMargin),
+
+    // Q18 (B26,B27) TPC-H Q1-style hash aggregation (decimal-pinned)
+    Q.same("q18_tpch_q1",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        |       CAST(AVG(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS avg_disc,
+        |       COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // Q19 (B28) HAVING
+    Q.same("q19_having",
+      """SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+        |HAVING COUNT(*) >= 3 ORDER BY o_custkey""".stripMargin),
+
+    // Q20 (B29) DISTINCT
+    Q.same("q20_distinct",
+      "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority"),
+
+    // Q21 (B30) ordered string aggregation ◊
+    Q("q21_string_agg",
+      """SELECT n_regionkey,
+        |       array_join(sort_array(collect_list(n_name)), ',') AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+      """SELECT n_regionkey,
+        |       string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+
+    // Q22 (B31) ROLLUP; GROUPING() pinned to INT in both dialects
+    Q.same("q22_rollup",
+      """SELECT n_regionkey, n_nationkey, COUNT(*) AS c,
+        |       CAST(GROUPING(n_regionkey) AS INT) AS g1,
+        |       CAST(GROUPING(n_nationkey) AS INT) AS g2
+        |FROM nation GROUP BY ROLLUP(n_regionkey, n_nationkey)
+        |ORDER BY g1, g2, n_regionkey NULLS FIRST, n_nationkey NULLS FIRST""".stripMargin),
+
+    // Q23 (B31) CUBE
+    Q.same("q23_cube",
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS c,
+        |       CAST(GROUPING(l_returnflag) AS INT) AS g1,
+        |       CAST(GROUPING(l_linestatus) AS INT) AS g2
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY g1, g2, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+
+    // Q24 (B33) filtered aggregation
+    Q.same("q24_filter_agg",
+      """SELECT o_custkey,
+        |       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS done,
+        |       COUNT(*) FILTER (WHERE o_orderstatus <> 'F') AS open
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin),
+
+    // Q25 (B34,B38) ranking windows
+    Q.same("q25_rank",
+      """SELECT c_custkey, c_nationkey,
+        |       ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rk,
+        |       DENSE_RANK() OVER w AS drk, NTILE(4) OVER w AS nt
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_nationkey, rn""".stripMargin),
+
+    // Q26 (B35) lag/lead
+    Q.same("q26_lag_lead",
+      """SELECT o_custkey, o_orderkey,
+        |       LAG(o_orderkey)  OVER w AS prev_o,
+        |       LEAD(o_orderkey) OVER w AS next_o
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    // Q27 (B36) first/last value with explicit frame. (l_orderkey,
+    // l_linenumber) is NOT unique in the testdata, so the window order
+    // carries partkey+suppkey tiebreaks to stay deterministic.
+    Q.same("q27_first_last",
+      """SELECT l_orderkey, l_linenumber,
+        |       FIRST_VALUE(l_partkey) OVER w AS fv,
+        |       LAST_VALUE(l_partkey)  OVER (PARTITION BY l_orderkey
+        |         ORDER BY l_linenumber, l_partkey, l_suppkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_orderkey
+        |             ORDER BY l_linenumber, l_partkey, l_suppkey)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // Q28 (B37) running sum with ROWS frame (decimal-pinned)
+    Q.same("q28_running_sum",
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    // Q29 (B39) top-3 per group
+    Q.same("q29_topk_group",
+      """SELECT * FROM (
+        |  SELECT s_nationkey, s_suppkey,
+        |         ROW_NUMBER() OVER (PARTITION BY s_nationkey
+        |                            ORDER BY s_acctbal DESC, s_suppkey) AS rn
+        |  FROM supplier) t
+        |WHERE rn <= 3 ORDER BY s_nationkey, rn""".stripMargin),
+
+    // Q30 (B40,B43) multi-key sort, explicit null order
+    Q.same("q30_sort",
+      """SELECT c_custkey, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC""".stripMargin),
+
+    // Q31 (B41,B42) top-k + offset
+    Q.same("q31_limit_offset",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5""".stripMargin),
+
+    // Q32 (B44,B45) union / union all
+    Q.same("q32_union",
+      """SELECT x FROM (
+        |  SELECT c_nationkey AS x FROM customer
+        |  UNION SELECT s_nationkey AS x FROM supplier) t ORDER BY x""".stripMargin),
+
+    // Q33 (B46,B47) intersect / except
+    Q.same("q33_except",
+      """SELECT x FROM (
+        |  SELECT c_nationkey AS x FROM customer
+        |  EXCEPT SELECT s_nationkey FROM supplier) t ORDER BY x""".stripMargin),
+
+    // Q34 (B48) scalar subquery
+    Q.same("q34_scalar_subq",
+      """SELECT o_orderkey FROM orders
+        |WHERE o_totalprice > (SELECT AVG(CAST(o_totalprice AS DECIMAL(18,2))) * 1.5
+        |                      FROM orders)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // Q35 (B49) correlated scalar subquery
+    Q.same("q35_corr_subq",
+      """SELECT c.c_custkey,
+        |       (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n
+        |FROM customer c ORDER BY c.c_custkey""".stripMargin),
+
+    // Q36 (B51) CTE
+    Q.same("q36_cte",
+      """WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+        |SELECT c.c_custkey FROM customer c JOIN big b ON b.o_custkey = c.c_custkey
+        |GROUP BY c.c_custkey ORDER BY c.c_custkey""".stripMargin),
+
+    // Q37 (B53) VALUES inline relation
+    Q.same("q37_values",
+      """SELECT v.id, v.tag FROM (VALUES (1,'a'), (2,'b'), (3,'c')) AS v(id, tag)
+        |ORDER BY v.id""".stripMargin),
+
+    // Q38 (B54) string functions
+    Q.same("q38_strings",
+      """SELECT p_partkey, LOWER(p_brand) AS lb, UPPER(p_type) AS ut,
+        |       SUBSTR(p_name, 1, 5) AS s5, CAST(LENGTH(p_name) AS BIGINT) AS len,
+        |       REPLACE(p_brand, '#', '-') AS rep, TRIM(p_name) AS tr
+        |FROM part ORDER BY p_partkey""".stripMargin),
+
+    // Q39 (B56) math functions (decimal/bigint-pinned outputs)
+    Q.same("q39_math",
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(ABS(CAST(l_discount - 0.05 AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS adev,
+        |       CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS rp,
+        |       CAST(FLOOR(l_quantity) AS BIGINT) AS fq,
+        |       CAST(CEIL(l_quantity) AS BIGINT) AS cq,
+        |       CAST(l_linenumber % 2 AS INT) AS parity
+        |FROM lineitem WHERE l_orderkey <= 50 ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // Q40 (B57) date/time
+    Q.same("q40_datetime",
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS y,
+        |       CAST(EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS m,
+        |       COUNT(*) AS n,
+        |       MIN(CAST(date_trunc('DAY', o_orderdate) AS DATE)) AS first_day
+        |FROM orders GROUP BY 1, 2
+        |ORDER BY y, m""".stripMargin),
+
+    // Q41 (B58) JSON extraction ◊
+    Q("q41_json",
+      """SELECT event_id, get_json_object(props, '$.device') AS device
+        |FROM events ORDER BY event_id""".stripMargin,
+      """SELECT event_id, json_extract_string(props, '$.device') AS device
+        |FROM events ORDER BY event_id""".stripMargin),
+
+    // Q42 (B60) array ops over embeddings ◊
+    Q("q42_array",
+      """SELECT vec_id, CAST(SIZE(embedding) AS INT) AS dim,
+        |       CAST(ROUND(AGGREGATE(embedding, CAST(0.0 AS DOUBLE),
+        |            (acc, x) -> acc + CAST(x AS DOUBLE)), 4) AS DECIMAL(18,4)) AS vsum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+        |       CAST(ROUND(list_sum(list_transform(embedding,
+        |            x -> CAST(x AS DOUBLE))), 4) AS DECIMAL(18,4)) AS vsum
+        |FROM embeddings ORDER BY vec_id""".stripMargin),
+
+    // Q43 (B62) tumbling-window batch twin over events
+    Q.same("q43_tumbling",
+      """SELECT CAST(date_trunc('HOUR', ts) AS TIMESTAMP) AS h, event_type,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+        |FROM events GROUP BY 1, 2
+        |ORDER BY h, event_type""".stripMargin),
+
+    // Q44 (B63) sliding-window twin — 3-row moving average per user
+    Q.same("q44_sliding",
+      """SELECT user_id, event_id,
+        |       CAST(AVG(CAST(value AS DECIMAL(18,4))) OVER
+        |         (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS mavg
+        |FROM events ORDER BY user_id, event_id""".stripMargin),
+
+    // Q45 (B68,B72) embedding dot product within label blocks ◊
+    Q("q45_dot",
+      """SELECT a.vec_id AS qa, b.vec_id AS qb,
+        |       CAST(ROUND(AGGREGATE(ZIP_WITH(a.embedding, b.embedding,
+        |            (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+        |            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 4) AS DECIMAL(18,4)) AS dot
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE a.vec_id <= 25 ORDER BY qa, qb""".stripMargin,
+      """SELECT a.vec_id AS qa, b.vec_id AS qb,
+        |       CAST(ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |            s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))), 4)
+        |            AS DECIMAL(18,4)) AS dot
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE a.vec_id <= 25 ORDER BY qa, qb""".stripMargin),
+
+    // Q46 (B69,B71) exact-duplicate detection twin of MinHash dedup
+    Q.same("q46_exact_dup",
+      """SELECT text, COUNT(*) AS n, MIN(doc_id) AS keeper
+        |FROM documents GROUP BY text HAVING COUNT(*) > 1 ORDER BY keeper""".stripMargin),
+
+    // Q47 (B70,B73) tokenize (generator) + token counts ◊
+    Q("q47_tokenize",
+      """SELECT tok, COUNT(*) AS n FROM (
+        |  SELECT EXPLODE(SPLIT(LOWER(text), ' ')) AS tok FROM documents
+        |  WHERE lang = 'en') t
+        |WHERE tok <> '' GROUP BY tok HAVING COUNT(*) >= 10 ORDER BY n DESC, tok""".stripMargin,
+      """SELECT tok, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(LOWER(text), ' ')) AS tok FROM documents
+        |  WHERE lang = 'en') t
+        |WHERE tok <> '' GROUP BY tok HAVING COUNT(*) >= 10 ORDER BY n DESC, tok""".stripMargin),
+
+    // Q48 (B73) text stats per source/lang
+    Q.same("q48_text_stats",
+      """SELECT source, lang, COUNT(*) AS docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS chars, MAX(n_chars) AS maxlen
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin)
+  )
+}

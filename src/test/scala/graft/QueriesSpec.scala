@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Queries
+import graft.ext.Extensions
+
+/** Every declared query runs, returns its expected shape, and the physical
+  * plans carry the scale-critical properties (pushdown, pruning, broadcast).
+  * Value-level correctness is the driver's DuckDB oracle (CORRECTNESS_r*);
+  * these specs pin what the oracle can't see: plan shape.
+  */
+class QueriesSpec extends SparkSpec {
+
+  private def run(name: String) = {
+    val q = (Queries.all ++ Extensions.all).find(_.name == name).get
+    Tables.ensure(spark, sfDir)
+    spark.sql(q.spark)
+  }
+
+  test("all declared queries execute and are non-empty (except known-empty)") {
+    val knownEmpty = Set("q46_exact_dup") // no exact text dups in testdata
+    (Queries.all ++ Extensions.all).foreach { q =>
+      val n = run(q.name).count()
+      if (knownEmpty(q.name)) assert(n >= 0, q.name)
+      else assert(n > 0, s"${q.name} returned 0 rows")
+    }
+  }
+
+  test("q02: column pruning reaches the parquet scan") {
+    val plan = run("q02_prune").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains("n_nationkey"), "pruned column still read:\n" + plan)
+  }
+
+  test("q03: filter is pushed down to the scan") {
+    val plan = run("q03_filter").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("c_mktsegment"),
+      plan)
+  }
+
+  test("q09: dimension join broadcasts the small side") {
+    val plan = run("q09_join").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q31: top-k uses TakeOrderedAndProject (no global sort)") {
+    val plan = run("q31_limit_offset").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q18: aggregation is partial (map-side) then final") {
+    val plan = run("q18_tpch_q1").queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan)
+    assert(plan.contains("partial"), "no map-side partial aggregation:\n" + plan)
+  }
+
+  test("x55: ANN scores the corpus against a broadcast query side") {
+    val plan = run("x55_ann_topk").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q17 approx twin: approx_count_distinct within 5% of exact") {
+    Tables.ensure(spark, sfDir)
+    val exact = spark.sql(
+      "SELECT COUNT(DISTINCT l_partkey) FROM lineitem").head.getLong(0)
+    val approx = spark.sql(
+      "SELECT approx_count_distinct(l_partkey) FROM lineitem").head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+}
