@@ -1,0 +1,143 @@
+package graft.engine
+
+import org.apache.spark.sql.types._
+
+/** CREATE TABLE interpretation with SQLite type affinity.
+  *
+  * SQLite accepts any declared column type and collapses it to one of five
+  * affinities (reference behavior exercised at `db/src/db.rs:453-463`,
+  * where VARCHAR(36)/JSON/NCHAR/NVARCHAR/CLOB all become TEXT). We map
+  * affinities onto Spark types: INTEGER→LongType, REAL→DoubleType,
+  * TEXT→StringType, BLOB→BinaryType, NUMERIC→DoubleType.
+  */
+object Affinity extends Enumeration {
+  val Integer, Real, Text, Blob, Numeric = Value
+
+  /** SQLite's affinity rules (public SQLite documentation §3.1). */
+  def of(declared: String): Affinity.Value = {
+    val t = declared.toUpperCase
+    if (t.isEmpty) Blob
+    else if (t.contains("INT")) Integer
+    else if (t.contains("CHAR") || t.contains("CLOB") || t.contains("TEXT") ||
+      t.contains("JSON")) Text
+    else if (t.contains("BLOB")) Blob
+    else if (t.contains("REAL") || t.contains("FLOA") || t.contains("DOUB")) Real
+    else Numeric
+  }
+
+  def sparkType(a: Affinity.Value): DataType = a match {
+    case Integer => LongType
+    case Real | Numeric => DoubleType
+    case Text => StringType
+    case Blob => BinaryType
+  }
+
+  /** Envelope type tag (lowercase vocabulary of the reference's DataType,
+    * `command/src/lib.rs:67-75`). */
+  def tagOf(dt: DataType): String = dt match {
+    case LongType | IntegerType | ShortType | ByteType | BooleanType => "integer"
+    case DoubleType | FloatType | _: DecimalType => "real"
+    case StringType => "text"
+    case BinaryType => "blob"
+    case NullType => "null"
+    case _ => "text"
+  }
+}
+
+final case class ColDef(
+    name: String,
+    affinity: Affinity.Value,
+    notNull: Boolean,
+    pk: Boolean,
+    unique: Boolean,
+    ref: Option[(String, String)]) {
+  def sparkType: DataType = Affinity.sparkType(affinity)
+  /** SQLite: `INTEGER PRIMARY KEY` is an alias of the rowid. */
+  def isRowidAlias: Boolean = pk && affinity == Affinity.Integer
+}
+
+final case class TableDef(name: String, cols: Seq[ColDef]) {
+  def schema: StructType =
+    StructType(cols.map(c => StructField(c.name, c.sparkType, nullable = true)))
+  def rowidAlias: Option[ColDef] = cols.find(_.isRowidAlias)
+  def colIndex(n: String): Int = cols.indexWhere(_.name.equalsIgnoreCase(n))
+}
+
+object Ddl {
+  private val createRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*\((.*)\)\s*;?\s*$""".r
+  private val dropRe =
+    """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*;?\s*$""".r
+  private val refRe =
+    """(?is).*REFERENCES\s+["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*(?:\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\))?.*""".r
+
+  final case class Create(ifNotExists: Boolean, table: TableDef)
+  final case class Drop(ifExists: Boolean, name: String)
+
+  def parseCreate(sql: String): Option[Create] = sql match {
+    case createRe(ine, name, body) =>
+      val items = SqlText.splitTopLevel(body).map(_.trim).filter(_.nonEmpty)
+      val cols = Seq.newBuilder[ColDef]
+      var tablePk: Option[String] = None
+      var tableUnique: Set[String] = Set.empty
+      var tableFk: Map[String, (String, String)] = Map.empty
+      items.foreach { item =>
+        val u = item.toUpperCase
+        if (u.startsWith("PRIMARY KEY")) {
+          tablePk = "\\(([^)]*)\\)".r.findFirstMatchIn(item)
+            .map(_.group(1).split(",")(0).trim)
+        } else if (u.startsWith("UNIQUE")) {
+          "\\(([^)]*)\\)".r.findFirstMatchIn(item)
+            .foreach(m => tableUnique ++= m.group(1).split(",").map(_.trim.toLowerCase))
+        } else if (u.startsWith("FOREIGN KEY")) {
+          val c = "\\(([^)]*)\\)".r.findFirstMatchIn(item).map(_.group(1).trim)
+          item match {
+            case refRe(rt, rc) =>
+              c.foreach(cc => tableFk += cc.toLowerCase -> (rt, Option(rc).getOrElse("")))
+            case _ =>
+          }
+        } else if (u.startsWith("CHECK")) {
+          // CHECK constraints are accepted and ignored (documented gap)
+        } else {
+          val toks = item.split("\\s+", 2)
+          val cname = toks(0).stripPrefix("\"").stripSuffix("\"")
+            .stripPrefix("`").stripSuffix("`")
+          val tail = if (toks.length > 1) toks(1) else ""
+          val tu = tail.toUpperCase
+          // declared type = tokens before any constraint keyword
+          val constraintIdx = Seq("PRIMARY ", "NOT ", "UNIQUE", "REFERENCES",
+            "DEFAULT", "CHECK").map(k => tu.indexOf(k)).filter(_ >= 0)
+          val declared =
+            (if (constraintIdx.nonEmpty) tail.take(constraintIdx.min) else tail).trim
+          val ref = tail match {
+            case refRe(rt, rc) => Some((rt, Option(rc).getOrElse("")))
+            case _ => None
+          }
+          cols += ColDef(
+            name = cname,
+            affinity = Affinity.of(declared),
+            notNull = tu.contains("NOT NULL"),
+            pk = tu.contains("PRIMARY KEY"),
+            unique = tu.contains("UNIQUE"),
+            ref = ref)
+        }
+      }
+      var defs = cols.result()
+      tablePk.foreach { pkc =>
+        defs = defs.map(c => if (c.name.equalsIgnoreCase(pkc)) c.copy(pk = true) else c)
+      }
+      if (tableUnique.nonEmpty)
+        defs = defs.map(c =>
+          if (tableUnique.contains(c.name.toLowerCase)) c.copy(unique = true) else c)
+      if (tableFk.nonEmpty)
+        defs = defs.map(c => tableFk.get(c.name.toLowerCase)
+          .map(r => c.copy(ref = Some(r))).getOrElse(c))
+      Some(Create(ine != null, TableDef(name, defs)))
+    case _ => None
+  }
+
+  def parseDrop(sql: String): Option[Drop] = sql match {
+    case dropRe(ie, name) => Some(Drop(ie != null, name))
+    case _ => None
+  }
+}

@@ -1,0 +1,116 @@
+package graft.engine
+
+import graft.command.Parameter
+
+/** Text-level SQL utilities for the engine envelope path: positional
+  * parameter binding, top-level splitting, and the SQLite-ism shims
+  * (double-quoted identifiers after keywords; verbatim expression column
+  * names). The analytics path (SparkEntry) never goes through these —
+  * Catalyst parses that SQL directly.
+  */
+object SqlText {
+
+  /** Scan positions that are outside '...'/"..." quotes. */
+  private def scan(sql: String)(f: (Char, Int, Boolean) => Unit): Unit = {
+    var i = 0; var inS = false; var inD = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' && !inD) inS = !inS
+      else if (c == '"' && !inS) inD = !inD
+      f(c, i, inS || inD)
+      i += 1
+    }
+  }
+
+  /** Replace `?` placeholders positionally with rendered literals
+    * (reference `db/src/db.rs:312-321` binds via rusqlite; we inline —
+    * values join the statement text exactly as the journal requires). */
+  def bind(sql: String, params: Seq[Parameter]): String = {
+    if (params.isEmpty) return sql
+    val out = new StringBuilder
+    var n = 0
+    scan(sql) { (c, _, quoted) =>
+      if (c == '?' && !quoted && n < params.length) {
+        out.append(render(params(n))); n += 1
+      } else out.append(c)
+    }
+    out.toString
+  }
+
+  def render(p: Parameter): String = p match {
+    case Parameter.Integer(v) => v.toString
+    case Parameter.Real(v) => if (v.isWhole && math.abs(v) < 1e15) s"${v.toLong}.0" else v.toString
+    case Parameter.Text(v) => "'" + v.replace("'", "''") + "'"
+  }
+
+  /** Split on top-level commas (not inside parens or quotes). */
+  def splitTopLevel(s: String, sep: Char = ','): Seq[String] = {
+    val parts = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    scan(s) { (c, _, quoted) =>
+      if (!quoted) {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+      }
+      if (c == sep && depth == 0 && !quoted) { parts += cur.toString; cur.clear() }
+      else cur.append(c)
+    }
+    parts += cur.toString
+    parts.result()
+  }
+
+  /** Find a top-level standalone keyword (e.g. WHERE) outside quotes/parens;
+    * returns its index or -1. */
+  def findKeyword(s: String, kw: String): Int = {
+    val u = s.toUpperCase
+    var depth = 0; var found = -1
+    scan(s) { (c, i, quoted) =>
+      if (!quoted) {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        else if (found < 0 && depth == 0 && u.startsWith(kw, i) &&
+          (i == 0 || !Character.isLetterOrDigit(u.charAt(i - 1))) &&
+          (i + kw.length >= u.length ||
+            !Character.isLetterOrDigit(u.charAt(i + kw.length))))
+          found = i
+      }
+    }
+    found
+  }
+
+  private val identRe = "^[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)?$".r
+  private val starRe = "^(\\*|[A-Za-z_][A-Za-z0-9_]*\\.\\*)$".r
+
+  /** SQLite reports an expression column under its verbatim source text
+    * (golden `db/src/db.rs:499-504`: `SELECT id || "_bar"` → column name
+    * `id || "_bar"`). Alias every non-trivial un-aliased SELECT item with
+    * its raw text so the envelope matches. */
+  def aliasSelectList(sql: String): String = {
+    val selIdx = findKeyword(sql, "SELECT")
+    if (selIdx != 0 && sql.take(selIdx).trim.nonEmpty) return sql
+    if (selIdx < 0) return sql
+    val fromIdx = findKeyword(sql, "FROM")
+    val (list, rest) =
+      if (fromIdx >= 0) (sql.substring(selIdx + 6, fromIdx), sql.substring(fromIdx))
+      else (sql.substring(selIdx + 6), "")
+    val items = splitTopLevel(list).map { raw =>
+      val t = raw.trim
+      val isPlain = identRe.matches(t) || starRe.matches(t)
+      val hasAlias = findKeyword(t, "AS") >= 0
+      if (isPlain || hasAlias || t.isEmpty) raw
+      else s" $t AS `${t.replace("`", "``")}`"
+    }
+    sql.take(selIdx) + "SELECT" + items.mkString(",") + " " + rest
+  }
+
+  /** Rewrite double-quoted identifiers right after structural keywords
+    * (INTO/FROM/JOIN/UPDATE/TABLE) to backticks — SQLite allows `INSERT
+    * INTO "names"` (golden `db/src/db.rs:475`), while Spark reads "..."
+    * as a string literal. Other double-quoted tokens stay literals, which
+    * matches SQLite's fallback behavior for non-identifier positions. */
+  def fixQuotedIdents(sql: String): String =
+    sql.replaceAll(
+      """(?i)\b(INTO|FROM|JOIN|UPDATE|TABLE)\s+"([A-Za-z_][A-Za-z0-9_]*)"""",
+      "$1 `$2`")
+}

@@ -1,0 +1,68 @@
+package graft.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.command.Json
+import graft.engine.GraftDb
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.Executors
+
+/** HTTP API in front of the engine — same surface as the reference's hyper
+  * service (`http/src/service.rs:111-148`): `GET /ping` → "pong",
+  * `POST /db/execute`, 404 elsewhere, 400 on bad JSON — plus the
+  * `POST /db/query` route the reference designed but never wired (its
+  * `DB::query` exists at `db/src/db.rs:223` with no route). Store access
+  * serializes inside GraftDb's lock, the analog of the reference's global
+  * `Arc<Mutex<store>>` (`http/src/service.rs:31`).
+  */
+final class HttpApi(db: GraftDb, port: Int = 0, threads: Int = 4) {
+
+  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  server.setExecutor(Executors.newFixedThreadPool(threads))
+
+  server.createContext("/", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val (method, path) = (ex.getRequestMethod, ex.getRequestURI.getPath)
+      (method, path) match {
+        case ("GET", "/ping") => respond(ex, 200, "pong")
+        case ("POST", "/db/execute") => handleExecute(ex)
+        case ("POST", "/db/query") => handleQuery(ex)
+        case _ => respond(ex, 404, "")
+      }
+    }
+  })
+
+  private def body(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+  private def handleExecute(ex: HttpExchange): Unit =
+    Json.parseRequest(body(ex)) match {
+      case Left(err) => respond(ex, 400, err)
+      case Right(req) => db.execute(req) match {
+        case Right(rs) => respond(ex, 200, Json.responses(rs))
+        case Left(err) => respond(ex, 400, err)
+      }
+    }
+
+  private def handleQuery(ex: HttpExchange): Unit =
+    Json.parseRequest(body(ex)) match {
+      case Left(err) => respond(ex, 400, err)
+      case Right(req) => db.query(req) match {
+        case Right(rs) => respond(ex, 200, Json.rowsSeq(rs))
+        case Left(err) => respond(ex, 400, err)
+      }
+    }
+
+  private def respond(ex: HttpExchange, code: Int, text: String): Unit = {
+    val bytes = text.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+    if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  def start(): Unit = server.start()
+  def stop(): Unit = server.stop(0)
+  /** Bound port (use port=0 in tests — same trick as the reference's
+    * ephemeral-port tests, `http/src/service.rs:104-108`). */
+  def listeningPort: Int = server.getAddress.getPort
+}

@@ -1,0 +1,240 @@
+package graft.engine
+
+import graft.SparkSpec
+import graft.command._
+
+/** 1:1 port of the reference's golden-JSON test suite
+  * (/root/reference/db/src/db.rs:328-827): same SQL, same expected JSON
+  * envelope byte-for-byte.
+  */
+class GoldenParitySpec extends SparkSpec {
+
+  private def memDb: GraftDb = GraftDb.openInMemory(spark)
+
+  private def exec(db: GraftDb, sql: String): String =
+    Json.responses(db.executeStringStmt(sql).fold(e => fail(e), identity))
+  private def query(db: GraftDb, sql: String): String =
+    Json.rowsSeq(db.queryStringStmt(sql).fold(e => fail(e), identity))
+
+  test("initialise db: open/close/double-close (db.rs:332-348)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftdb").toString
+    val db = GraftDb.open(spark, s"$tmp/sample.db").fold(e => fail(e), identity)
+    assert(db.close().isRight)
+    assert(db.close() == Left("db connection is already closed"))
+    assert(GraftDb.open(spark, s"$tmp/etc/nope/sample.db") ==
+      Left(s"unable to open database file: $tmp/etc/nope/sample.db"))
+  }
+
+  test("fk constraints toggle (db.rs:350-376)") {
+    val db = memDb
+    exec(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, ref INTEGER REFERENCES foo(id))")
+    db.enableFkConstraints(false)
+    assert(!db.fkConstraints())
+    assert(exec(db, "INSERT INTO foo(id, ref) VALUES(1, 2)") ==
+      """[{"last_insert_id":1,"rows_affected":1}]""")
+    db.enableFkConstraints(true)
+    assert(db.fkConstraints())
+    assert(exec(db, "INSERT INTO foo(id, ref) VALUES(1, 3)") ==
+      """[{"error":"UNIQUE constraint failed: foo.id"}]""")
+  }
+
+  test("empty statement ok (db.rs:378-382)") {
+    val db = memDb
+    assert(db.executeStringStmt("").isRight)
+  }
+
+  test("execute success: insert + update responses (db.rs:384-402)") {
+    val db = memDb
+    exec(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    assert(exec(db, """INSERT INTO foo(name) VALUES("fiona")""") ==
+      """[{"last_insert_id":1,"rows_affected":1}]""")
+    assert(exec(db, """UPDATE foo SET name="dana" WHERE ID=1""") ==
+      """[{"last_insert_id":1,"rows_affected":1}]""")
+  }
+
+  test("simple string stmts: select/filter/order/dup columns (db.rs:404-447)") {
+    val db = memDb
+    exec(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    exec(db, """INSERT INTO foo(name) VALUES("fiona")""")
+    exec(db, """INSERT INTO foo(name) VALUES("aoife")""")
+
+    assert(query(db, "SELECT * FROM foo") ==
+      """[{"columns":["id","name"],"types":["integer","text"],"values":[[1,"fiona"],[2,"aoife"]]}]""")
+    assert(query(db, """SELECT * FROM foo WHERE name="aoife"""") ==
+      """[{"columns":["id","name"],"types":["integer","text"],"values":[[2,"aoife"]]}]""")
+    assert(query(db, """SELECT * FROM foo WHERE name="unknown"""") ==
+      """[{"columns":[],"types":[],"values":[]}]""")
+    assert(query(db, "SELECT * FROM foo ORDER BY name") ==
+      """[{"columns":["id","name"],"types":["integer","text"],"values":[[2,"aoife"],[1,"fiona"]]}]""")
+    assert(query(db, "SELECT *,name FROM foo") ==
+      """[{"columns":["id","name","name"],"types":["integer","text","text"],"values":[[1,"fiona","fiona"],[2,"aoife","aoife"]]}]""")
+  }
+
+  test("type affinity ddl accepted (db.rs:449-463)") {
+    val db = memDb
+    exec(db, "CREATE TABLE foo (c0 VARCHAR(36), c1 JSON, c2 NCHAR, c3 NVARCHAR, c4 CLOB)")
+    assert(exec(db,
+      """INSERT INTO foo(c0, c1, c2, c3, c4) VALUES("fiona", '{"mittens": "foobar"}', "bob", "dana", "declan")""")
+      .contains("rows_affected"))
+    assert(query(db, "SELECT c0, c2 FROM foo") ==
+      """[{"columns":["c0","c2"],"types":["text","text"],"values":[["fiona","bob"]]}]""")
+  }
+
+  test("inner join golden (db.rs:465-490)") {
+    val db = memDb
+    exec(db, "CREATE TABLE names (id INTEGER NOT NULL PRIMARY KEY, name TEXT, ssn TEXT)")
+    exec(db, "CREATE TABLE staff (id INTEGER NOT NULL PRIMARY KEY, employer TEXT, ssn TEXT)")
+    val req = Request(transaction = false, Seq(
+      Statement("""INSERT INTO "names" VALUES(1,'bob','123-45-678')"""),
+      Statement("""INSERT INTO "names" VALUES(2,'tom','111-22-333')"""),
+      Statement("""INSERT INTO "names" VALUES(3,'matt','222-22-333')""")))
+    assert(db.execute(req).isRight)
+    exec(db, """INSERT INTO "staff" VALUES(1,'acme','222-22-333')""")
+    assert(query(db,
+      "SELECT names.id,name,names.ssn,employer FROM names INNER JOIN staff ON staff.ssn = names.ssn") ==
+      """[{"columns":["id","name","ssn","employer"],"types":["integer","text","text","text"],"values":[[3,"matt","222-22-333","acme"]]}]""")
+  }
+
+  test("concat with verbatim column name (db.rs:492-505)") {
+    val db = memDb
+    exec(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    exec(db, """INSERT INTO foo(name) VALUES("fiona")""")
+    assert(query(db, """SELECT id || "_bar", name FROM foo""") ==
+      """[{"columns":["id || \"_bar\"","name"],"types":["text","text"],"values":[["1_bar","fiona"]]}]""")
+  }
+
+  test("multi-statement batches (db.rs:507-550)") {
+    val db = memDb
+    exec(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    val r = db.execute(Request(transaction = false, Seq(
+      Statement("""INSERT INTO foo(name) VALUES("fiona")"""),
+      Statement("""INSERT INTO foo(name) VALUES("dana")""")))).fold(e => fail(e), identity)
+    assert(Json.responses(r) ==
+      """[{"last_insert_id":1,"rows_affected":1},{"last_insert_id":2,"rows_affected":1}]""")
+    val q = db.query(Request(transaction = false, Seq(
+      Statement("SELECT * FROM foo"), Statement("SELECT * FROM foo")))).fold(e => fail(e), identity)
+    assert(Json.rowsSeq(q) ==
+      """[{"columns":["id","name"],"types":["integer","text"],"values":[[1,"fiona"],[2,"dana"]]},""" +
+      """{"columns":["id","name"],"types":["integer","text"],"values":[[1,"fiona"],[2,"dana"]]}]""")
+  }
+
+  test("multiline statement (db.rs:552-587)") {
+    val db = memDb
+    exec(db,
+      """
+        CREATE TABLE foo (
+        id INTEGER NOT NULL PRIMARY KEY,
+        name TEXT
+        )""")
+    val r = db.execute(Request(transaction = false, Seq(
+      Statement("""INSERT INTO foo(name) VALUES("fiona")"""),
+      Statement("""INSERT INTO foo(name) VALUES("dana")""")))).fold(e => fail(e), identity)
+    assert(Json.responses(r) ==
+      """[{"last_insert_id":1,"rows_affected":1},{"last_insert_id":2,"rows_affected":1}]""")
+  }
+
+  test("parameterized all types (db.rs:589-616)") {
+    val db = memDb
+    exec(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT, age INT, money FLOAT)")
+    val r = db.execute(Request(transaction = false, Seq(
+      Statement("INSERT INTO foo(name, age, money) VALUES(?, ?, ?)", Seq(
+        Parameter.Text("fiona"), Parameter.Integer(20), Parameter.Real(100.75))))))
+    assert(r.isRight)
+    assert(query(db, "SELECT * FROM foo") ==
+      """[{"columns":["id","name","age","money"],"types":["integer","text","integer","real"],"values":[[1,"fiona",20,100.75]]}]""")
+  }
+
+  test("parameterized statements round trip (db.rs:618-687)") {
+    val db = memDb
+    exec(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    db.execute(Request(transaction = false, Seq(
+      Statement("INSERT INTO foo(name) VALUES(?)", Seq(Parameter.Text("fiona"))))))
+    db.execute(Request(transaction = false, Seq(
+      Statement("INSERT INTO foo(name) VALUES(?)", Seq(Parameter.Text("aoife"))))))
+    assert(query(db, "SELECT * FROM foo") ==
+      """[{"columns":["id","name"],"types":["integer","text"],"values":[[1,"fiona"],[2,"aoife"]]}]""")
+    val q = db.query(Request(transaction = false, Seq(
+      Statement("SELECT * FROM foo WHERE NAME=?", Seq(Parameter.Text("fiona"))),
+      Statement("SELECT * FROM foo WHERE NAME=?", Seq(Parameter.Text("aoife"))))))
+      .fold(e => fail(e), identity)
+    assert(Json.rowsSeq(q) ==
+      """[{"columns":["id","name"],"types":["integer","text"],"values":[[1,"fiona"]]},""" +
+      """{"columns":["id","name"],"types":["integer","text"],"values":[[2,"aoife"]]}]""")
+  }
+
+  test("simple transaction commits all (db.rs:689-730)") {
+    val db = memDb
+    query(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    val r = db.execute(Request(transaction = true, Seq(
+      Statement("""INSERT INTO foo(id, name) VALUES(1, "fiona")"""),
+      Statement("""INSERT INTO foo(id, name) VALUES(2, "fiona")"""),
+      Statement("""INSERT INTO foo(id, name) VALUES(3, "fiona")"""),
+      Statement("""INSERT INTO foo(id, name) VALUES(4, "fiona")""")))).fold(e => fail(e), identity)
+    assert(Json.responses(r) ==
+      """[{"last_insert_id":1,"rows_affected":1},{"last_insert_id":2,"rows_affected":1},{"last_insert_id":3,"rows_affected":1},{"last_insert_id":4,"rows_affected":1}]""")
+    assert(query(db, "SELECT * FROM foo") ==
+      """[{"columns":["id","name"],"types":["integer","text"],"values":[[1,"fiona"],[2,"fiona"],[3,"fiona"],[4,"fiona"]]}]""")
+  }
+
+  test("transaction rolls back on partial failure (db.rs:732-791)") {
+    val db = memDb
+    query(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    val r = db.execute(Request(transaction = true, Seq(
+      Statement("""INSERT INTO foo(id, name) VALUES(1, "fiona")"""),
+      Statement("""INSERT INTO foo(id, name) VALUES(2, "fiona")"""),
+      Statement("""INSERT INTO foo(id, name) VALUES(1, "fiona")"""),
+      Statement("""INSERT INTO foo(id, name) VALUES(4, "fiona")""")))).fold(e => fail(e), identity)
+    assert(Json.responses(r) ==
+      """[{"last_insert_id":1,"rows_affected":1},{"last_insert_id":2,"rows_affected":1},{"error":"UNIQUE constraint failed: foo.id"}]""")
+    assert(query(db, "SELECT * FROM FOO") ==
+      """[{"columns":[],"types":[],"values":[]}]""")
+    assert(db.execute(Request(transaction = true, Seq(
+      Statement("""INSERT INTO foo(id, name) VALUES(1, "fiona")""")))).isRight)
+    assert(query(db, "SELECT * FROM FOO") ==
+      """[{"columns":["id","name"],"types":["integer","text"],"values":[[1,"fiona"]]}]""")
+  }
+
+  test("without transaction continues past failure (db.rs:793-826)") {
+    val db = memDb
+    query(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    val r = db.execute(Request(transaction = false, Seq(
+      Statement("""INSERT INTO foo(id, name) VALUES(1, "fiona")"""),
+      Statement("""INSERT INTO foo(id, name) VALUES(2, "fiona")"""),
+      Statement("""INSERT INTO foo(id, name) VALUES(1, "fiona")"""),
+      Statement("""INSERT INTO foo(id, name) VALUES(4, "fiona")""")))).fold(e => fail(e), identity)
+    assert(Json.responses(r) ==
+      """[{"last_insert_id":1,"rows_affected":1},{"last_insert_id":2,"rows_affected":1},{"error":"UNIQUE constraint failed: foo.id"},{"last_insert_id":4,"rows_affected":1}]""")
+  }
+
+  test("DELETE and rows_affected (B5)") {
+    val db = memDb
+    exec(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    exec(db, "INSERT INTO foo VALUES(1,'fiona'),(2,'aoife'),(3,'dana')")
+    assert(exec(db, "DELETE FROM foo WHERE id >= 2") ==
+      """[{"last_insert_id":3,"rows_affected":2}]""")
+    assert(query(db, "SELECT * FROM foo") ==
+      """[{"columns":["id","name"],"types":["integer","text"],"values":[[1,"fiona"]]}]""")
+  }
+
+  test("determinism guard rejects random() in execute batches (README.md:30)") {
+    val db = memDb
+    exec(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    val r = db.execute(Request(transaction = false, Seq(
+      Statement("INSERT INTO foo(id, name) VALUES(random(), 'x')"))))
+    assert(r.isLeft)
+    assert(r.swap.toOption.get.contains("non-deterministic"))
+  }
+
+  test("file-backed db persists and recovers (journal + manifest)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftdb").toString
+    val db = GraftDb.open(spark, s"$tmp/d1").fold(e => fail(e), identity)
+    exec(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    exec(db, "INSERT INTO foo VALUES(1,'fiona'),(2,'aoife')")
+    db.close()
+    val db2 = GraftDb.open(spark, s"$tmp/d1").fold(e => fail(e), identity)
+    assert(query(db2, "SELECT * FROM foo ORDER BY id") ==
+      """[{"columns":["id","name"],"types":["integer","text"],"values":[[1,"fiona"],[2,"aoife"]]}]""")
+    assert(exec(db2, "INSERT INTO foo VALUES(3,'dana')") ==
+      """[{"last_insert_id":3,"rows_affected":1}]""")
+  }
+}

@@ -1,0 +1,92 @@
+package graft.server
+
+import graft.SparkSpec
+import graft.engine.GraftDb
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** Service-level tests over a real socket on an ephemeral port — mirrors
+  * the reference's hyper tests (/root/reference/http/src/service.rs:222-316)
+  * plus the /db/query route the reference designed but never wired.
+  */
+class HttpApiSpec extends SparkSpec {
+
+  private def withServer(f: (HttpClient, String) => Unit): Unit = {
+    val db = GraftDb.openInMemory(spark)
+    val api = new HttpApi(db, port = 0)
+    api.start()
+    try f(HttpClient.newHttpClient(), s"http://127.0.0.1:${api.listeningPort}")
+    finally api.stop()
+  }
+
+  private def get(c: HttpClient, url: String) =
+    c.send(HttpRequest.newBuilder(URI.create(url)).GET.build(),
+      HttpResponse.BodyHandlers.ofString())
+  private def post(c: HttpClient, url: String, body: String) =
+    c.send(HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("GET /ping returns pong (service.rs:243-252)") {
+    withServer { (c, base) =>
+      val r = get(c, s"$base/ping")
+      assert(r.statusCode() == 200 && r.body() == "pong")
+    }
+  }
+
+  test("unknown route returns 404 (service.rs:254-262)") {
+    withServer { (c, base) =>
+      assert(get(c, s"$base/nope").statusCode() == 404)
+    }
+  }
+
+  test("POST /db/execute round trip (service.rs:282-311)") {
+    withServer { (c, base) =>
+      val ddl = """{"request":{"transaction":false,"statements":[
+        {"sql":"CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)","parameters":[]}]}}"""
+      assert(post(c, s"$base/db/execute", ddl).statusCode() == 200)
+      val ins = """{"request":{"transaction":false,"statements":[
+        {"sql":"INSERT INTO foo(id, name) VALUES(1, \"fiona\")","parameters":[]}]}}"""
+      val r = post(c, s"$base/db/execute", ins)
+      assert(r.statusCode() == 200)
+      assert(r.body() == """[{"last_insert_id":1,"rows_affected":1}]""")
+    }
+  }
+
+  test("POST /db/execute with bad json returns 400 (service.rs:264-280)") {
+    withServer { (c, base) =>
+      assert(post(c, s"$base/db/execute", "{not json").statusCode() == 400)
+    }
+  }
+
+  test("POST /db/query returns the rows envelope (the unwired route)") {
+    withServer { (c, base) =>
+      post(c, s"$base/db/execute",
+        """{"request":{"transaction":false,"statements":[
+          {"sql":"CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)"},
+          {"sql":"INSERT INTO foo(id, name) VALUES(1, \"fiona\")"}]}}""")
+      val r = post(c, s"$base/db/query",
+        """{"request":{"transaction":false,"statements":[{"sql":"SELECT * FROM foo"}]}}""")
+      assert(r.statusCode() == 200)
+      assert(r.body() ==
+        """[{"columns":["id","name"],"types":["integer","text"],"values":[[1,"fiona"]]}]""")
+    }
+  }
+
+  test("parameterized statement over the wire (serde enum encoding)") {
+    withServer { (c, base) =>
+      post(c, s"$base/db/execute",
+        """{"request":{"transaction":false,"statements":[
+          {"sql":"CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT, age INT)"}]}}""")
+      val r = post(c, s"$base/db/execute",
+        """{"request":{"transaction":false,"statements":[
+          {"sql":"INSERT INTO foo(name, age) VALUES(?, ?)",
+           "parameters":[{"Text":"fiona"},{"Integer":20}]}]}}""")
+      assert(r.body() == """[{"last_insert_id":1,"rows_affected":1}]""")
+      val q = post(c, s"$base/db/query",
+        """{"request":{"transaction":false,"statements":[{"sql":"SELECT * FROM foo"}]}}""")
+      assert(q.body() ==
+        """[{"columns":["id","name","age"],"types":["integer","text","integer"],"values":[[1,"fiona",20]]}]""")
+    }
+  }
+}
