@@ -1,0 +1,137 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Streaming operators verified against their batch twins on the same rows
+  * (MemoryStream → transform → memory sink vs the identical DataFrame
+  * transform over the batch events table).
+  */
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double, props: String)
+
+class EventStreamsSpec extends SparkSpec {
+
+  private lazy val batchEvents = {
+    Tables.ensure(spark, sfDir)
+    spark.table("events")
+  }
+
+  private lazy val eventRows: Seq[Ev] = {
+    batchEvents.collect().toSeq.map { r =>
+      Ev(r.getAs[Long]("event_id"), r.getAs[Timestamp]("ts"),
+        r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Double]("value"), r.getAs[String]("props"))
+    }
+  }
+
+  private def runComplete(name: String)(
+      f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      mode: String = "complete"): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val (a, b) = eventRows.splitAt(eventRows.size / 2)
+    val q = f(mem.toDF()).writeStream.format("memory")
+      .queryName(name).outputMode(mode).start()
+    mem.addData(a: _*); q.processAllAvailable()
+    mem.addData(b: _*); q.processAllAvailable()
+    val out = spark.table(name)
+    q.stop()
+    out
+  }
+
+  test("B62 tumbling window agg matches the batch twin (q43 semantics)") {
+    val streamed = runComplete("tumbling")(EventStreams.tumblingCounts)
+      .orderBy("h", "event_type").collect().map(_.toString)
+    val batch = EventStreams.tumblingCounts(batchEvents)
+      .orderBy("h", "event_type").collect().map(_.toString)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("B63 sliding window agg matches the batch twin") {
+    val streamed = runComplete("sliding")(EventStreams.slidingAvg)
+      .orderBy("ws").collect().map(_.toString)
+    val batch = EventStreams.slidingAvg(batchEvents)
+      .orderBy("ws").collect().map(_.toString)
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("B64 session window merges events within the gap") {
+    import spark.implicits._
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+    val rows = Seq(
+      Ev(1, at(0), 7, "a", 1.0, "{}"),
+      Ev(2, at(10), 7, "a", 1.0, "{}"),   // same session (gap 30m)
+      Ev(3, at(120), 7, "a", 1.0, "{}"))  // new session
+    val out = EventStreams.sessionCounts(rows.toDF(), "30 minutes")
+      .orderBy("ws").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n") == 2 && out(1).getAs[Long]("n") == 1)
+  }
+
+  test("B66 streaming dedup drops repeated event_ids across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.dedupEvents(mem.toDF()).writeStream.format("memory")
+      .queryName("dedup").outputMode("append").start()
+    val dupes = eventRows.take(50)
+    mem.addData(dupes: _*); q.processAllAvailable()
+    mem.addData(dupes: _*); q.processAllAvailable() // same ids again
+    val n = spark.table("dedup").count()
+    q.stop()
+    assert(n == 50, s"expected 50 distinct events, got $n")
+  }
+
+  test("B67 mapGroupsWithState keeps running per-user state across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.runningUserStats(spark, mem.toDF())
+      .writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    val (a, b) = eventRows.splitAt(eventRows.size / 2)
+    mem.addData(a: _*); q.processAllAvailable()
+    mem.addData(b: _*); q.processAllAvailable()
+    // latest state per user must equal the batch totals over ALL rows
+    val latest = spark.table("running")
+      .groupBy("user_id").agg(max("events").as("events"))
+    val batch = batchEvents.groupBy("user_id").agg(count(lit(1)).as("events"))
+    val diff = latest.join(batch, "user_id")
+      .filter(latest("events") =!= batch("events")).count()
+    q.stop()
+    assert(diff == 0)
+  }
+
+  test("B65 watermark finalizes windows and drops too-late events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.tumblingCountsWatermarked(mem.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("wm").outputMode("append").start()
+    val t0 = Timestamp.valueOf("2024-01-01 10:05:00")
+    def at(min: Int) = new Timestamp(t0.getTime + min * 60000L)
+    mem.addData(Ev(1, at(0), 1, "a", 1.0, "{}"),
+      Ev(2, at(20), 1, "a", 1.0, "{}"))
+    q.processAllAvailable()
+    // advance event time far past the 10:00 window + watermark → finalize
+    mem.addData(Ev(3, at(180), 1, "a", 1.0, "{}"))
+    q.processAllAvailable()
+    // this event is hours late; its window already finalized → dropped
+    mem.addData(Ev(4, at(1), 1, "a", 99.0, "{}"))
+    q.processAllAvailable()
+    val rows = spark.table("wm").collect()
+    q.stop()
+    val tenOClock = rows.filter(_.getAs[Timestamp]("h") ==
+      Timestamp.valueOf("2024-01-01 10:00:00"))
+    assert(tenOClock.length == 1, rows.mkString(";"))
+    assert(tenOClock.head.getAs[Long]("n") == 2,
+      "late event must not re-open the finalized window")
+  }
+}
