@@ -24,14 +24,36 @@ object SparkEntry {
 
   private val sqlBacked = Queries.all ++ Extensions.all
 
+  /** x61: same ANN contract as x55 but scored by the native codegen'd
+    * CosineSim expression instead of higher-order functions — so it shares
+    * x55's DuckDB oracle. */
+  private val annExprSql =
+    """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+      |s AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+      |        cosine_sim(q.embedding, n.embedding) AS cosim
+      |      FROM embeddings n JOIN q ON q.vec_id <> n.vec_id)
+      |SELECT qid, nid, CAST(ROUND(cosim, 4) AS DECIMAL(18,4)) AS cosim, rn FROM (
+      |  SELECT qid, nid, cosim,
+      |         ROW_NUMBER() OVER (PARTITION BY qid
+      |                            ORDER BY ROUND(cosim, 6) DESC, nid) AS rn
+      |  FROM s) t
+      |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     sqlBacked.map(q => q.name -> Tables.sql(q.spark)).toMap ++ Map(
       "x57_minhash_lsh" -> (Dedup.minhashPairs _),
       "x58_simhash"     -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
       "x59_ann_lsh"     -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
-      "x60_mm_decode"   -> (Multimodal.decodeQuery _)
+      "x60_mm_decode"   -> (Multimodal.decodeQuery _),
+      "x61_ann_expr"    -> ((s: SparkSession, d: String) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.ensure(s, d)
+        s.sql(annExprSql)
+      })
     )
 
   def oracleSql: Map[String, String] =
-    sqlBacked.map(q => q.name -> q.duck).toMap
+    sqlBacked.map(q => q.name -> q.duck).toMap +
+      ("x61_ann_expr" ->
+        Extensions.all.find(_.name == "x55_ann_topk").get.duck)
 }

@@ -35,7 +35,7 @@ object Dedup {
   val RowsPerBand: Int = NumPerms / Bands
 
   /** doc_id + distinct lowercase word set (the shingle universe). */
-  private[ext] def docWords(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def docWords(spark: SparkSession, dir: String): DataFrame = {
     Tables.ensure(spark, dir)
     spark.table("documents").select(col("doc_id"),
       array_distinct(filter(split(lower(col("text")), " "), t => t =!= ""))
@@ -49,7 +49,7 @@ object Dedup {
     * columns: all whole-stage-codegen'd, one hash shuffle on doc_id. (The
     * lambda formulation — transform/array_min over the word array — is
     * ~10× slower because higher-order functions evaluate interpreted.) */
-  private[ext] def signatures(docs: DataFrame): DataFrame = {
+  private[graft] def signatures(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(col("words")).as("tok"))
     val aggs = (0 until NumPerms).map(i => min(hash(col("tok"), lit(i))).as(s"m$i"))
     toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)

@@ -1,0 +1,45 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration of graft's native functions.
+  *
+  * Two paths, same registry entries:
+  *  - [[GraftExtensions]] for `spark.sql.extensions=graft.functions.
+  *    GraftExtensions` (cluster-wide install),
+  *  - [[GraftFunctions.register]] for runtime registration into an
+  *    existing session (the driver harness builds its own SparkSession,
+  *    so the queries() entries use this).
+  */
+object GraftFunctions {
+
+  private def cosineBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "cosine_sim takes exactly 2 arguments")
+    CosineSim(args.head, args(1))
+  }
+
+  private val cosineInfo = new ExpressionInfo(
+    classOf[CosineSim].getName, null, "cosine_sim",
+    "cosine_sim(a, b) - cosine similarity of two float arrays", "")
+
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("cosine_sim"), cosineInfo, cosineBuilder _)
+    spark.udf.register("minhash_sig",
+      org.apache.spark.sql.functions.udaf(MinHashAgg))
+  }
+}
+
+/** `SparkSessionExtensions` hook — inject with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, null, "cosine_sim",
+        "cosine_sim(a, b) - cosine similarity of two float arrays", ""),
+      (args: Seq[Expression]) => CosineSim(args.head, args(1))))
+  }
+}
