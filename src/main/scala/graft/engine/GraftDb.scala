@@ -103,7 +103,12 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
     req.statements.foreach { s =>
       val sql = SqlText.bind(s.sql, s.parameters)
       if (sql.trim.nonEmpty) {
-        if (isRowReturning(sql)) {
+        if (sql.trim.toUpperCase.startsWith("PRAGMA FOREIGN_KEYS") &&
+          !sql.contains("=")) {
+          // PRAGMA read: one row, SQLite reports 0/1 (db/src/db.rs:133-140)
+          out += RowsResult(Seq("foreign_keys"), Seq("integer"),
+            Seq(Seq(Value.Integer(if (fkEnabled) 1 else 0))))
+        } else if (isRowReturning(sql)) {
           runSelect(sql) match {
             case Right(r) => out += r
             case Left(err) => return Left(err)

@@ -225,6 +225,17 @@ class GoldenParitySpec extends SparkSpec {
     assert(r.swap.toOption.get.contains("non-deterministic"))
   }
 
+  test("PRAGMA foreign_keys query returns the flag as a row (A4)") {
+    val db = memDb
+    assert(query(db, "PRAGMA foreign_keys") ==
+      """[{"columns":["foreign_keys"],"types":["integer"],"values":[[0]]}]""")
+    db.enableFkConstraints(true)
+    assert(query(db, "PRAGMA foreign_keys") ==
+      """[{"columns":["foreign_keys"],"types":["integer"],"values":[[1]]}]""")
+    assert(db.executeStringStmt("PRAGMA foreign_keys=OFF").isRight)
+    assert(!db.fkConstraints())
+  }
+
   test("file-backed db persists and recovers (journal + manifest)") {
     val tmp = java.nio.file.Files.createTempDirectory("graftdb").toString
     val db = GraftDb.open(spark, s"$tmp/d1").fold(e => fail(e), identity)
