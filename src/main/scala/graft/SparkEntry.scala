@@ -45,6 +45,7 @@ object SparkEntry {
       "x58_simhash"     -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
       "x59_ann_lsh"     -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
       "x60_mm_decode"   -> (Multimodal.decodeQuery _),
+      "x62_ann_ivf"     -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
       "x61_ann_expr"    -> ((s: SparkSession, d: String) => {
         graft.functions.GraftFunctions.register(s)
         Tables.ensure(s, d)

@@ -48,6 +48,78 @@ object Similarity {
       .select(col("*") ,col("bucket.tbl").as("tbl"), col("bucket.bv").as("bv"))
       .drop("bucket")
 
+  /** IVF (inverted-file) ANN: partition the corpus into `nlist` cells
+    * around data-sampled centroids (optionally Lloyd-refined), index each
+    * vector under its nearest centroid, and at query time probe only the
+    * `nprobe` nearest cells — the classic sub-linear trade: scan
+    * nprobe/nlist of the corpus for approximate results.
+    *
+    * Spark shape: centroids are tiny (nlist × dim floats) and live as
+    * literal arrays inside codegen'd [[graft.functions.CosineSim]] calls —
+    * no join for assignment, one scan indexes the corpus, the probe join is
+    * an equi-join on cell id. With `iters = 0` the whole pipeline is
+    * bitwise deterministic (no FP-sum-order dependence), which is what the
+    * driver-facing query uses.
+    */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = 5, nlist: Int = 16,
+              nprobe: Int = 4, iters: Int = 0): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.ensure(spark, dir)
+    val vecs = spark.table("embeddings").select(col("vec_id"), col("embedding"))
+      .cache()
+    val n = vecs.count()
+    val step = math.max(n / nlist, 1L)
+    var centroids: Array[Seq[Float]] = vecs
+      .filter(pmod(col("vec_id"), lit(step)) === 0)
+      .orderBy("vec_id").limit(nlist)
+      .collect().map(_.getSeq[Float](1))
+
+    def assign(df: DataFrame): DataFrame =
+      df.withColumn("scores", array(centroids.toIndexedSeq.map(c =>
+          expr(s"cosine_sim(embedding, ${floatArraySql(c)})")): _*))
+        .withColumn("cell",
+          (expr("array_position(scores, array_max(scores))") - 1).cast("int"))
+
+    for (_ <- 0 until iters) {
+      val updated = assign(vecs)
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy("cell", "pos").agg(avg("col").as("v"))
+        .collect().groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+        }
+      centroids = centroids.indices
+        .map(i => updated.getOrElse(i, centroids(i))).toArray
+    }
+
+    val indexed = assign(vecs).select(col("vec_id"), col("embedding"),
+      col("cell")).cache()
+    // probe cells per query: indices of the nprobe best centroid scores
+    val queries = assign(vecs.filter(col("vec_id") < 10))
+      .withColumn("probe", expr(
+        s"""transform(slice(array_sort(
+           |  transform(sequence(0, ${centroids.length - 1}),
+           |    j -> struct(-element_at(scores, j + 1) AS negs, j AS idx))),
+           |  1, $nprobe), s -> s.idx)""".stripMargin))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(col("probe")).as("cell"))
+    import org.apache.spark.sql.expressions.Window
+    indexed
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("qid") =!= col("vec_id"))
+      .withColumn("cosim", expr("cosine_sim(qe, embedding)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid")
+          .orderBy(round(col("cosim"), 6).desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id").as("nid"),
+        expr("CAST(ROUND(cosim, 4) AS DECIMAL(18,4))").as("cosim"), col("rn"))
+      .orderBy("qid", "rn")
+  }
+
+  private def floatArraySql(c: Seq[Float]): String =
+    c.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
+
   /** LSH-bucketed approximate top-k neighbors for query vecs (vec_id < 10).
     * Candidates = corpus vectors sharing any (table, bucket) with the query. */
   def lshTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {

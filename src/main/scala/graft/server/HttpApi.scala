@@ -15,7 +15,8 @@ import java.util.concurrent.Executors
   * serializes inside GraftDb's lock, the analog of the reference's global
   * `Arc<Mutex<store>>` (`http/src/service.rs:31`).
   */
-final class HttpApi(db: GraftDb, port: Int = 0, threads: Int = 4) {
+final class HttpApi(db: GraftDb, port: Int = 0, threads: Int = 4,
+                    cluster: Option[graft.engine.ClusterControl] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
   server.setExecutor(Executors.newFixedThreadPool(threads))
@@ -25,6 +26,7 @@ final class HttpApi(db: GraftDb, port: Int = 0, threads: Int = 4) {
       val (method, path) = (ex.getRequestMethod, ex.getRequestURI.getPath)
       (method, path) match {
         case ("GET", "/ping") => respond(ex, 200, "pong")
+        case ("GET", "/status") => handleStatus(ex)
         case ("POST", "/db/execute") => handleExecute(ex)
         case ("POST", "/db/query") => handleQuery(ex)
         case _ => respond(ex, 404, "")
@@ -34,6 +36,16 @@ final class HttpApi(db: GraftDb, port: Int = 0, threads: Int = 4) {
 
   private def body(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+
+  /** Cluster diagnostics — the reference's RaftControl surface
+    * (`store/src/lib.rs:18-28`) mapped onto Spark's cluster manager via
+    * [[graft.engine.SparkClusterControl]]. */
+  private def handleStatus(ex: HttpExchange): Unit = {
+    val leader = Json.escape(cluster.map(_.leaderId).getOrElse("unknown"))
+    val members = cluster.map(_.members).getOrElse(Nil)
+      .map(m => "\"" + Json.escape(m) + "\"").mkString("[", ",", "]")
+    respond(ex, 200, s"""{"leader":"$leader","members":$members}""")
+  }
 
   private def handleExecute(ex: HttpExchange): Unit =
     Json.parseRequest(body(ex)) match {

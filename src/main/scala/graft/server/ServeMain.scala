@@ -19,7 +19,8 @@ object ServeMain {
       case Some(dir) => GraftDb.open(spark, dir).fold(e => sys.error(e), identity)
       case None => GraftDb.openInMemory(spark)
     }
-    val api = new HttpApi(db, port)
+    val api = new HttpApi(db, port,
+      cluster = Some(new graft.engine.SparkClusterControl(spark)))
     api.start()
     println(s"graft-serve listening on :${api.listeningPort}")
     Thread.currentThread().join()

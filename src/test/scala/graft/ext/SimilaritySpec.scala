@@ -22,6 +22,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivf probe achieves nontrivial recall vs brute force top-5") {
+    val ivf = Similarity.ivfTopK(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val brute = bruteTop5
+    val recalls = brute.toSeq.map { case (q, truth) =>
+      ivf.get(q).map(c => (c & truth).size.toDouble / truth.size).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.25, s"mean ivf recall $mean too low: $recalls")
+  }
+
+  test("ivf with iters=0 is deterministic across runs") {
+    val a = Similarity.ivfTopK(spark, sfDir).collect().map(_.toString).toSeq
+    val b = Similarity.ivfTopK(spark, sfDir).collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("lsh candidates achieve nontrivial recall vs brute force top-5") {
     val lsh = Similarity.lshTopK(spark, sfDir).collect()
       .groupBy(_.getLong(0))

@@ -27,6 +27,19 @@ class HttpApiSpec extends SparkSpec {
       .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
       HttpResponse.BodyHandlers.ofString())
 
+  test("GET /status reports leader + members (A14/A16 surface)") {
+    val db = graft.engine.GraftDb.openInMemory(spark)
+    val api = new HttpApi(db, port = 0,
+      cluster = Some(new graft.engine.SparkClusterControl(spark)))
+    api.start()
+    try {
+      val r = get(HttpClient.newHttpClient(),
+        s"http://127.0.0.1:${api.listeningPort}/status")
+      assert(r.statusCode() == 200)
+      assert(r.body().contains("\"leader\"") && r.body().contains("\"members\""))
+    } finally api.stop()
+  }
+
   test("GET /ping returns pong (service.rs:243-252)") {
     withServer { (c, base) =>
       val r = get(c, s"$base/ping")

@@ -109,6 +109,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("file-based streaming source reads event parquet incrementally") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evsrc").toString
+    eventRows.take(100).toDF().write.mode("overwrite").parquet(dir)
+    val q = EventStreams.tumblingCounts(
+        EventStreams.readEventStream(spark, dir))
+      .writeStream.format("memory").queryName("filesrc")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val n1 = spark.table("filesrc").agg(sum("n")).head.getLong(0)
+    // drop another file into the directory — the source must pick it up
+    eventRows.slice(100, 150).toDF().write.mode("append").parquet(dir)
+    q.processAllAvailable()
+    val n2 = spark.table("filesrc").agg(sum("n")).head.getLong(0)
+    q.stop()
+    assert(n1 == 100 && n2 == 150, s"got $n1 then $n2")
+  }
+
   test("B65 watermark finalizes windows and drops too-late events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
