@@ -131,27 +131,50 @@ object Dedup {
     * bit_count(xor) ≤ maxHamming. */
   def simhashPairs(spark: SparkSession, dir: String,
                    maxHamming: Int = 3): DataFrame = {
-    // Narrow (doc_id, simhash) before the self-join so the shuffle carries
-    // 16 bytes/row, not the word arrays.
+    // Dedup identical signatures FIRST: exact duplicates (the dominant
+    // case) collapse to one representative per distinct simhash, so the
+    // pairwise chunk join runs over representatives — the giant
+    // identical-signature buckets that would otherwise go quadratic
+    // through the shuffle never reach it. Hamming-0 pairs are generated
+    // combinatorially from the group membership lists instead.
     val sigs = simhashes(docWords(spark, dir))
-    val chunks = sigs.select(col("doc_id"), col("simhash"),
-        explode(expr(
-          """transform(sequence(0, 3), j ->
-            |  struct(j AS chunk_id,
-            |         (shiftright(simhash, j * 16) & 65535) AS cv))""".stripMargin))
-          .as("c"))
-      .select(col("doc_id"), col("simhash"),
-        col("c.chunk_id").as("chunk_id"), col("c.cv").as("cv"))
-    // The Hamming bound lives INSIDE the join condition: similar corpora
-    // make chunk buckets collide broadly, so candidates must die during the
-    // join, not in a post-join dedup shuffle.
-    chunks.as("a").join(chunks.as("b"),
-        col("a.chunk_id") === col("b.chunk_id") && col("a.cv") === col("b.cv") &&
-          col("a.doc_id") < col("b.doc_id") &&
-          expr("bit_count(a.simhash ^ b.simhash)") <= maxHamming)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
-      .orderBy("doc_a", "doc_b")
+    val groups = sigs.groupBy("simhash")
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .cache()
+    val zero = groups
+      .select(col("docs"), explode(col("docs")).as("doc_a"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", lit(0))
+    val pairs =
+      if (maxHamming == 0) zero
+      else {
+        val chunks = groups.select(col("simhash"), col("docs"),
+            explode(expr(
+              """transform(sequence(0, 3), j ->
+                |  struct(j AS chunk_id,
+                |         (shiftright(simhash, j * 16) & 65535) AS cv))""".stripMargin))
+              .as("c"))
+          .select(col("simhash"), col("docs"),
+            col("c.chunk_id").as("chunk_id"), col("c.cv").as("cv"))
+        // Hamming bound INSIDE the join condition so candidates die during
+        // the join, not in a post-join shuffle; simhash < simhash dedups
+        // the 4 chunk matches down to unordered group pairs.
+        val repPairs = chunks.as("a").join(chunks.as("b"),
+            col("a.chunk_id") === col("b.chunk_id") &&
+              col("a.cv") === col("b.cv") &&
+              col("a.simhash") < col("b.simhash") &&
+              expr("bit_count(a.simhash ^ b.simhash)") <= maxHamming)
+          .select(col("a.docs").as("da"), col("b.docs").as("db"),
+            expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+          .dropDuplicates("da", "db", "hamming")
+        val cross = repPairs
+          .select(col("db"), col("hamming"), explode(col("da")).as("x"))
+          .select(col("x"), col("hamming"), explode(col("db")).as("y"))
+          .select(least(col("x"), col("y")).as("doc_a"),
+            greatest(col("x"), col("y")).as("doc_b"), col("hamming"))
+        zero.unionByName(cross)
+      }
+    pairs.orderBy("doc_a", "doc_b")
   }
 }
