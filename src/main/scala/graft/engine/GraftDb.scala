@@ -186,6 +186,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
     else Right(0)
   }
 
+  private val ctasRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s+AS\s+((?:SELECT|WITH)\s.+?)\s*;?\s*$""".r
+
   private def doCreate(work: Tables, sql: String): Either[String, Long] =
     Ddl.parseCreate(sql) match {
       case Some(Ddl.Create(ine, td)) =>
@@ -196,8 +199,49 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
           work(key) = new TableState(td, sql, Vector.empty, 1L)
           Right(0)
         }
-      case None => Left(s"near \"CREATE\": syntax error")
+      case None => sql match {
+        case ctasRe(ine, name, select) => doCreateAs(work, ine != null, name, select)
+        case _ => Left(s"near \"CREATE\": syntax error")
+      }
     }
+
+  /** CREATE TABLE ... AS SELECT (SQLite surface): schema inferred from the
+    * result, column affinities from the Spark types. */
+  private def doCreateAs(work: Tables, ine: Boolean, name: String,
+                         select: String): Either[String, Long] = {
+    val key = name.toLowerCase
+    if (work.contains(key))
+      return if (ine) Right(0) else Left(s"table $name already exists")
+    registerViews(work)
+    val df = session.sql(SqlText.fixQuotedIdents(select))
+    val cols = df.schema.fields.map { f =>
+      val aff = f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType | BooleanType =>
+          Affinity.Integer
+        case DoubleType | FloatType | _: DecimalType => Affinity.Real
+        case BinaryType => Affinity.Blob
+        case _ => Affinity.Text
+      }
+      ColDef(f.name, aff, notNull = false, pk = false, unique = false, ref = None)
+    }.toSeq
+    val td = TableDef(name, cols)
+    val casts = cols.zipWithIndex.map { case (c, i) =>
+      s"CAST(`${df.columns(i).replace("`", "``")}` AS ${sparkTypeName(c)})"
+    }
+    val rows = df.selectExpr(casts: _*).collect().toVector
+      .zipWithIndex.map { case (r, i) =>
+        ((i + 1).toLong, (0 until r.length).map(r.get).toIndexedSeq)
+      }
+    val createSql = "CREATE TABLE " + name + " (" +
+      cols.map(c => s"${c.name} ${c.affinity match {
+        case Affinity.Integer => "INTEGER"
+        case Affinity.Real | Affinity.Numeric => "REAL"
+        case Affinity.Blob => "BLOB"
+        case _ => "TEXT"
+      }}").mkString(", ") + ")"
+    work(key) = new TableState(td, createSql, rows, rows.size + 1L)
+    Right(0)
+  }
 
   private def doDrop(work: Tables, sql: String): Either[String, Long] =
     Ddl.parseDrop(sql) match {
@@ -210,10 +254,22 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
 
   private val insertRe =
     """(?is)^\s*INSERT\s+INTO\s+[`"]?([A-Za-z_][A-Za-z0-9_]*)[`"]?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+?)\s*;?\s*$""".r
+  private val insertSelRe =
+    """(?is)^\s*INSERT\s+INTO\s+[`"]?([A-Za-z_][A-Za-z0-9_]*)[`"]?\s*(?:\(([^)]*)\))?\s*((?:SELECT|WITH)\s.+?)\s*;?\s*$""".r
 
   private def doInsert(work: Tables, sql: String): Either[String, Long] =
     sql match {
       case insertRe(tname, colList, tail) =>
+        insertRows(work, tname, colList, Left(tail))
+      case insertSelRe(tname, colList, select) =>
+        insertRows(work, tname, colList, Right(select))
+      case _ => Left("near \"INSERT\": syntax error")
+    }
+
+  /** Shared INSERT pipeline: `source` is either a VALUES tail or a SELECT
+    * text; both evaluate through Catalyst and cast to column affinities. */
+  private def insertRows(work: Tables, tname: String, colList: String,
+                         source: Either[String, String]): Either[String, Long] = {
         val ts = work.getOrElse(tname.toLowerCase,
           return Left(s"no such table: $tname"))
         val td = ts.d
@@ -230,18 +286,27 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
               case None => idx.toSeq
             }
           }
-        val tuples = SqlText.splitTopLevel(tail).map(_.trim).filter(_.nonEmpty)
-        val arity = SqlText.splitTopLevel(
-          tuples.head.stripPrefix("(").stripSuffix(")")).size
-        if (arity != targetCols.size)
-          return Left(s"table $tname has ${td.cols.size} columns but $arity values were supplied")
-        // Evaluate the VALUES relation through Catalyst, cast to affinities.
-        val alias = (1 to arity).map(i => s"c$i").mkString(",")
+        val raw = source match {
+          case Left(tail) =>
+            val tuples = SqlText.splitTopLevel(tail).map(_.trim).filter(_.nonEmpty)
+            val arity = SqlText.splitTopLevel(
+              tuples.head.stripPrefix("(").stripSuffix(")")).size
+            if (arity != targetCols.size)
+              return Left(s"table $tname has ${td.cols.size} columns but $arity values were supplied")
+            val alias = (1 to arity).map(i => s"c$i").mkString(",")
+            session.sql(
+              s"SELECT * FROM (VALUES ${tuples.mkString(",")}) AS __v($alias)")
+          case Right(select) =>
+            registerViews(work)
+            val df = session.sql(SqlText.fixQuotedIdents(select))
+            if (df.columns.length != targetCols.size)
+              return Left(s"table $tname has ${td.cols.size} columns but ${df.columns.length} values were supplied")
+            df.toDF((1 to df.columns.length).map(i => s"c$i"): _*)
+        }
         val casts = targetCols.zipWithIndex.map { case (ci, i) =>
           s"CAST(c${i + 1} AS ${sparkTypeName(td.cols(ci))}) AS c${i + 1}"
-        }.mkString(", ")
-        val df = session.sql(
-          s"SELECT $casts FROM (VALUES ${tuples.mkString(",")}) AS __v($alias)")
+        }
+        val df = raw.selectExpr(casts: _*)
         val incoming = df.collect().toIndexedSeq
         // Build candidate full rows + rowids.
         var nextId = ts.nextRowId
@@ -266,8 +331,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
             lastRowId = lastId
             candidates.size.toLong
           }
-      case _ => Left("near \"INSERT\": syntax error")
-    }
+  }
 
   private val updateRe =
     """(?is)^\s*UPDATE\s+[`"]?([A-Za-z_][A-Za-z0-9_]*)[`"]?\s+SET\s+(.+?)\s*;?\s*$""".r

@@ -236,6 +236,29 @@ class GoldenParitySpec extends SparkSpec {
     assert(!db.fkConstraints())
   }
 
+  test("INSERT INTO ... SELECT copies rows through Catalyst (B3)") {
+    val db = memDb
+    exec(db, "CREATE TABLE src (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    exec(db, "INSERT INTO src VALUES(1,'fiona'),(2,'aoife'),(3,'dana')")
+    exec(db, "CREATE TABLE dst (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    assert(exec(db, "INSERT INTO dst SELECT id, upper(name) FROM src WHERE id >= 2") ==
+      """[{"last_insert_id":3,"rows_affected":2}]""")
+    assert(query(db, "SELECT * FROM dst ORDER BY id") ==
+      """[{"columns":["id","name"],"types":["integer","text"],"values":[[2,"AOIFE"],[3,"DANA"]]}]""")
+  }
+
+  test("CREATE TABLE AS SELECT infers schema + affinity (B2)") {
+    val db = memDb
+    exec(db, "CREATE TABLE src (id INTEGER NOT NULL PRIMARY KEY, name TEXT, bal FLOAT)")
+    exec(db, "INSERT INTO src VALUES(1,'fiona',10.5),(2,'aoife',20.25)")
+    // last_insert_id is connection-level and persists from the prior
+    // INSERT, exactly like conn.last_insert_rowid() in the reference
+    assert(exec(db, "CREATE TABLE big AS SELECT name, bal * 2 AS dbl FROM src WHERE bal > 15")
+      == """[{"last_insert_id":2}]""")
+    assert(query(db, "SELECT * FROM big") ==
+      """[{"columns":["name","dbl"],"types":["text","real"],"values":[["aoife",40.5]]}]""")
+  }
+
   test("file-backed db persists and recovers (journal + manifest)") {
     val tmp = java.nio.file.Files.createTempDirectory("graftdb").toString
     val db = GraftDb.open(spark, s"$tmp/d1").fold(e => fail(e), identity)
