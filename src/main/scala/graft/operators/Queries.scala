@@ -376,6 +376,16 @@ object Queries {
         |  SELECT 0 UNION ALL SELECT n + 1 FROM seq WHERE n < 9)
         |SELECT CAST(s.n AS INT) AS n, r.r_name FROM seq s
         |JOIN region r ON s.n % 5 = r.r_regionkey
-        |ORDER BY n, r_name""".stripMargin)
+        |ORDER BY n, r_name""".stripMargin),
+
+    // Q50 (B38) percent_rank / cume_dist (deterministic rank-derived
+    // doubles, pinned at 6 decimals)
+    Q.same("q50_pct_rank",
+      """SELECT c_custkey,
+        |       CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DECIMAL(18,6)) AS pr,
+        |       CAST(ROUND(CUME_DIST() OVER w, 6) AS DECIMAL(18,6)) AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin)
   )
 }
