@@ -41,6 +41,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     sqlBacked.map(q => q.name -> Tables.sql(q.spark)).toMap ++ Map(
+      // overrides the SQL-text variant in Extensions: same oracle, but the
+      // unigram side runs on dictionary-encoded bitset masks (see Scaladoc)
+      "x54_ngram_jaccard" -> (Dedup.ngramJaccard _),
       "x57_minhash_lsh" -> (Dedup.minhashPairs _),
       "x58_simhash"     -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
       "x59_ann_lsh"     -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),

@@ -74,9 +74,13 @@ object Similarity {
       .orderBy("vec_id").limit(nlist)
       .collect().map(_.getSeq[Float](1))
 
+    // centroids ship as ONE 2-D array literal + a transform lambda — nlist
+    // separate literal-array expressions bloat the plan and its codegen
+    // (measured multi-second JIT spikes at nlist×dim = 1024 literal nodes)
     def assign(df: DataFrame): DataFrame =
-      df.withColumn("scores", array(centroids.toIndexedSeq.map(c =>
-          expr(s"cosine_sim(embedding, ${floatArraySql(c)})")): _*))
+      df.withColumn("scores",
+          transform(typedLit(centroids.map(_.toIndexedSeq).toIndexedSeq),
+            c => call_function("cosine_sim", col("embedding"), c)))
         .withColumn("cell",
           (expr("array_position(scores, array_max(scores))") - 1).cast("int"))
 
@@ -117,8 +121,6 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
-  private def floatArraySql(c: Seq[Float]): String =
-    c.map(v => s"CAST($v AS FLOAT)").mkString("array(", ",", ")")
 
   /** LSH-bucketed approximate top-k neighbors for query vecs (vec_id < 10).
     * Candidates = corpus vectors sharing any (table, bucket) with the query. */
