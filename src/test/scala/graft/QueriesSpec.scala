@@ -25,6 +25,14 @@ class QueriesSpec extends SparkSpec {
     }
   }
 
+  test("driver contract: entry() returns rows and every query has unique name") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    val qs = SparkEntry.queries
+    assert(qs.size == 64, s"expected 64 queries (q01-q50 + x49-x62), got ${qs.size}")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet),
+      "oracle entries without a matching query")
+  }
+
   test("q02: column pruning reaches the parquet scan") {
     val plan = run("q02_prune").queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema"), plan)
