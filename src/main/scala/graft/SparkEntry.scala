@@ -32,7 +32,7 @@ object SparkEntry {
       |s AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
       |        cosine_sim(q.embedding, n.embedding) AS cosim
       |      FROM embeddings n JOIN q ON q.vec_id <> n.vec_id)
-      |SELECT qid, nid, CAST(ROUND(cosim, 4) AS DECIMAL(18,4)) AS cosim, rn FROM (
+      |SELECT qid, nid, CAST(CAST(ROUND(cosim, 4) AS DECIMAL(18,4)) AS DOUBLE) AS cosim, rn FROM (
       |  SELECT qid, nid, cosim,
       |         ROW_NUMBER() OVER (PARTITION BY qid
       |                            ORDER BY ROUND(cosim, 6) DESC, nid) AS rn

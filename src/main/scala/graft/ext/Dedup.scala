@@ -167,11 +167,11 @@ object Dedup {
          |         ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
          |       GROUP BY a.doc_id, b.doc_id)
          |SELECT p.doc_a, p.doc_b,
-         |  CAST(ROUND(p.j1, 4) AS DECIMAL(18,4)) AS j1,
-         |  CAST(ROUND(CASE WHEN sa.n3 + sb.n3 - COALESCE(c3.c3, 0) > 0 THEN
+         |  CAST(CAST(ROUND(p.j1, 4) AS DECIMAL(18,4)) AS DOUBLE) AS j1,
+         |  CAST(CAST(ROUND(CASE WHEN sa.n3 + sb.n3 - COALESCE(c3.c3, 0) > 0 THEN
          |         CAST(COALESCE(c3.c3, 0) AS DOUBLE)
          |         / CAST(sa.n3 + sb.n3 - COALESCE(c3.c3, 0) AS DOUBLE)
-         |       ELSE 0.0 END, 4) AS DECIMAL(18,4)) AS j3
+         |       ELSE 0.0 END, 4) AS DECIMAL(18,4)) AS DOUBLE) AS j3
          |FROM p
          |JOIN n sa ON sa.doc_id = p.doc_a
          |JOIN n sb ON sb.doc_id = p.doc_b

@@ -52,14 +52,14 @@ object Extensions {
        |        CAST(LENGTH($reReplace) AS INT) AS punct
        |      FROM t)
        |SELECT doc_id, nchars, ntoks,
-       |  CAST(ROUND(CAST(stop_hits AS DOUBLE)/CAST(GREATEST(ntoks,1) AS DOUBLE), 4)
-       |       AS DECIMAL(18,4)) AS stop_ratio,
-       |  CAST(ROUND(CAST(punct AS DOUBLE)/CAST(GREATEST(nchars,1) AS DOUBLE), 4)
-       |       AS DECIMAL(18,4)) AS punct_ratio,
-       |  CAST(ROUND(0.4*(CAST(stop_hits AS DOUBLE)/CAST(GREATEST(ntoks,1) AS DOUBLE))
+       |  CAST(CAST(ROUND(CAST(stop_hits AS DOUBLE)/CAST(GREATEST(ntoks,1) AS DOUBLE), 4)
+       |       AS DECIMAL(18,4)) AS DOUBLE) AS stop_ratio,
+       |  CAST(CAST(ROUND(CAST(punct AS DOUBLE)/CAST(GREATEST(nchars,1) AS DOUBLE), 4)
+       |       AS DECIMAL(18,4)) AS DOUBLE) AS punct_ratio,
+       |  CAST(CAST(ROUND(0.4*(CAST(stop_hits AS DOUBLE)/CAST(GREATEST(ntoks,1) AS DOUBLE))
        |      + 0.3*LEAST(CAST(ntoks AS DOUBLE)/50.0, 1.0)
        |      + 0.3*(1.0 - CAST(punct AS DOUBLE)/CAST(GREATEST(nchars,1) AS DOUBLE)), 4)
-       |       AS DECIMAL(18,4)) AS quality
+       |       AS DECIMAL(18,4)) AS DOUBLE) AS quality
        |FROM m ORDER BY doc_id""".stripMargin
 
   val all: Seq[Q] = Seq(
@@ -161,11 +161,11 @@ object Extensions {
         |         ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
         |       GROUP BY a.doc_id, b.doc_id, a.n3, b.n3)
         |SELECT p.doc_a, p.doc_b,
-        |  CAST(ROUND(p.j1, 4) AS DECIMAL(18,4)) AS j1,
-        |  CAST(ROUND(CASE WHEN sa.n3 + sb.n3 - COALESCE(c3.c3, 0) > 0 THEN
+        |  CAST(CAST(ROUND(p.j1, 4) AS DECIMAL(18,4)) AS DOUBLE) AS j1,
+        |  CAST(CAST(ROUND(CASE WHEN sa.n3 + sb.n3 - COALESCE(c3.c3, 0) > 0 THEN
         |         CAST(COALESCE(c3.c3, 0) AS DOUBLE)
         |         / CAST(sa.n3 + sb.n3 - COALESCE(c3.c3, 0) AS DOUBLE)
-        |       ELSE 0.0 END, 4) AS DECIMAL(18,4)) AS j3
+        |       ELSE 0.0 END, 4) AS DECIMAL(18,4)) AS DOUBLE) AS j3
         |FROM p
         |JOIN n sa ON sa.doc_id = p.doc_a
         |JOIN n sb ON sb.doc_id = p.doc_b
@@ -181,12 +181,12 @@ object Extensions {
         |        ELSE [] END AS w3
         |      FROM d)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(ROUND(CAST(len(list_intersect(a.w1, b.w1)) AS DOUBLE)
-        |       / CAST(len(list_distinct(a.w1 || b.w1)) AS DOUBLE), 4) AS DECIMAL(18,4)) AS j1,
-        |  CAST(ROUND(CASE WHEN len(list_distinct(a.w3 || b.w3)) > 0 THEN
+        |  CAST(CAST(ROUND(CAST(len(list_intersect(a.w1, b.w1)) AS DOUBLE)
+        |       / CAST(len(list_distinct(a.w1 || b.w1)) AS DOUBLE), 4) AS DECIMAL(18,4)) AS DOUBLE) AS j1,
+        |  CAST(CAST(ROUND(CASE WHEN len(list_distinct(a.w3 || b.w3)) > 0 THEN
         |         CAST(len(list_intersect(a.w3, b.w3)) AS DOUBLE)
         |         / CAST(len(list_distinct(a.w3 || b.w3)) AS DOUBLE)
-        |       ELSE 0.0 END, 4) AS DECIMAL(18,4)) AS j3
+        |       ELSE 0.0 END, 4) AS DECIMAL(18,4)) AS DOUBLE) AS j3
         |FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.w1, b.w1)) AS DOUBLE)
         |      / CAST(len(list_distinct(a.w1 || b.w1)) AS DOUBLE) >= 0.8
@@ -208,7 +208,7 @@ object Extensions {
         |          * SQRT(AGGREGATE(n.embedding, CAST(0.0 AS DOUBLE),
         |              (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cosim
         |  FROM embeddings n JOIN q ON q.vec_id <> n.vec_id)
-        |SELECT qid, nid, CAST(ROUND(cosim, 4) AS DECIMAL(18,4)) AS cosim, rn FROM (
+        |SELECT qid, nid, CAST(CAST(ROUND(cosim, 4) AS DECIMAL(18,4)) AS DOUBLE) AS cosim, rn FROM (
         |  SELECT qid, nid, cosim,
         |         ROW_NUMBER() OVER (PARTITION BY qid
         |                            ORDER BY ROUND(cosim, 6) DESC, nid) AS rn
@@ -224,7 +224,7 @@ object Extensions {
         |          * SQRT(list_sum(list_transform(n.embedding,
         |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosim
         |  FROM embeddings n JOIN q ON q.vec_id <> n.vec_id)
-        |SELECT qid, nid, CAST(ROUND(cosim, 4) AS DECIMAL(18,4)) AS cosim, rn FROM (
+        |SELECT qid, nid, CAST(CAST(ROUND(cosim, 4) AS DECIMAL(18,4)) AS DOUBLE) AS cosim, rn FROM (
         |  SELECT qid, nid, cosim,
         |         ROW_NUMBER() OVER (PARTITION BY qid
         |                            ORDER BY ROUND(cosim, 6) DESC, nid) AS rn

@@ -117,7 +117,7 @@ object Similarity {
           .orderBy(round(col("cosim"), 6).desc, col("vec_id"))))
       .filter(col("rn") <= k)
       .select(col("qid"), col("vec_id").as("nid"),
-        expr("CAST(ROUND(cosim, 4) AS DECIMAL(18,4))").as("cosim"), col("rn"))
+        expr("CAST(CAST(ROUND(cosim, 4) AS DECIMAL(18,4)) AS DOUBLE)").as("cosim"), col("rn"))
       .orderBy("qid", "rn")
   }
 
@@ -143,7 +143,7 @@ object Similarity {
         Window.partitionBy("qid").orderBy(round(col("cosim"), 6).desc, col("nid"))))
       .filter(col("rn") <= k)
     scored.select(col("qid"), col("nid"),
-        expr("CAST(ROUND(cosim, 4) AS DECIMAL(18,4))").as("cosim"), col("rn"))
+        expr("CAST(CAST(ROUND(cosim, 4) AS DECIMAL(18,4)) AS DOUBLE)").as("cosim"), col("rn"))
       .orderBy("qid", "rn")
   }
 }

@@ -126,12 +126,15 @@ object Queries {
         |       COUNT(DISTINCT l_suppkey) AS d_supps
         |FROM lineitem""".stripMargin),
 
-    // Q18 (B26,B27) TPC-H Q1-style hash aggregation (decimal-pinned)
+    // Q18 (B26,B27) TPC-H Q1-style hash aggregation. Decimal arithmetic
+    // inside (cross-engine determinism), final outputs cast to DOUBLE so the
+    // driver's canonical rendering agrees between parquet and DuckDB
+    // (decimal `x.00` vs float `x.0` hash-mismatch otherwise).
     Q.same("q18_tpch_q1",
       """SELECT l_returnflag, l_linestatus,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
-        |       CAST(AVG(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS avg_disc,
+        |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
+        |       CAST(CAST(AVG(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS avg_disc,
         |       COUNT(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
@@ -211,9 +214,9 @@ object Queries {
     // Q28 (B37) running sum with ROWS frame (decimal-pinned)
     Q.same("q28_running_sum",
       """SELECT o_custkey, o_orderkey,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
         |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS run
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
 
     // Q29 (B39) top-3 per group
@@ -281,7 +284,7 @@ object Queries {
     // Q39 (B56) math functions (decimal/bigint-pinned outputs)
     Q.same("q39_math",
       """SELECT l_orderkey, l_linenumber,
-        |       CAST(ABS(CAST(l_discount - 0.05 AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS adev,
+        |       CAST(CAST(ABS(CAST(l_discount - 0.05 AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS adev,
         |       CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS rp,
         |       CAST(FLOOR(l_quantity) AS BIGINT) AS fq,
         |       CAST(CEIL(l_quantity) AS BIGINT) AS cq,
@@ -307,43 +310,43 @@ object Queries {
     // Q42 (B60) array ops over embeddings ◊
     Q("q42_array",
       """SELECT vec_id, CAST(SIZE(embedding) AS INT) AS dim,
-        |       CAST(ROUND(AGGREGATE(embedding, CAST(0.0 AS DOUBLE),
-        |            (acc, x) -> acc + CAST(x AS DOUBLE)), 4) AS DECIMAL(18,4)) AS vsum
+        |       CAST(CAST(ROUND(AGGREGATE(embedding, CAST(0.0 AS DOUBLE),
+        |            (acc, x) -> acc + CAST(x AS DOUBLE)), 4) AS DECIMAL(18,4)) AS DOUBLE) AS vsum
         |FROM embeddings ORDER BY vec_id""".stripMargin,
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
-        |       CAST(ROUND(list_sum(list_transform(embedding,
-        |            x -> CAST(x AS DOUBLE))), 4) AS DECIMAL(18,4)) AS vsum
+        |       CAST(CAST(ROUND(list_sum(list_transform(embedding,
+        |            x -> CAST(x AS DOUBLE))), 4) AS DECIMAL(18,4)) AS DOUBLE) AS vsum
         |FROM embeddings ORDER BY vec_id""".stripMargin),
 
     // Q43 (B62) tumbling-window batch twin over events
     Q.same("q43_tumbling",
       """SELECT CAST(date_trunc('HOUR', ts) AS TIMESTAMP) AS h, event_type,
         |       COUNT(*) AS n,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS v
         |FROM events GROUP BY 1, 2
         |ORDER BY h, event_type""".stripMargin),
 
     // Q44 (B63) sliding-window twin — 3-row moving average per user
     Q.same("q44_sliding",
       """SELECT user_id, event_id,
-        |       CAST(AVG(CAST(value AS DECIMAL(18,4))) OVER
+        |       CAST(CAST(AVG(CAST(value AS DECIMAL(18,4))) OVER
         |         (PARTITION BY user_id ORDER BY ts, event_id
-        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS mavg
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS DOUBLE) AS mavg
         |FROM events ORDER BY user_id, event_id""".stripMargin),
 
     // Q45 (B68,B72) embedding dot product within label blocks ◊
     Q("q45_dot",
       """SELECT a.vec_id AS qa, b.vec_id AS qb,
-        |       CAST(ROUND(AGGREGATE(ZIP_WITH(a.embedding, b.embedding,
+        |       CAST(CAST(ROUND(AGGREGATE(ZIP_WITH(a.embedding, b.embedding,
         |            (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-        |            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 4) AS DECIMAL(18,4)) AS dot
+        |            CAST(0.0 AS DOUBLE), (acc, v) -> acc + v), 4) AS DECIMAL(18,4)) AS DOUBLE) AS dot
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE a.vec_id <= 25 ORDER BY qa, qb""".stripMargin,
       """SELECT a.vec_id AS qa, b.vec_id AS qb,
-        |       CAST(ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |       CAST(CAST(ROUND(list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |            s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))), 4)
-        |            AS DECIMAL(18,4)) AS dot
+        |            AS DECIMAL(18,4)) AS DOUBLE) AS dot
         |FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE a.vec_id <= 25 ORDER BY qa, qb""".stripMargin),
@@ -382,8 +385,8 @@ object Queries {
     // doubles, pinned at 6 decimals)
     Q.same("q50_pct_rank",
       """SELECT c_custkey,
-        |       CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DECIMAL(18,6)) AS pr,
-        |       CAST(ROUND(CUME_DIST() OVER w, 6) AS DECIMAL(18,6)) AS cd
+        |       CAST(CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DECIMAL(18,6)) AS DOUBLE) AS pr,
+        |       CAST(CAST(ROUND(CUME_DIST() OVER w, 6) AS DECIMAL(18,6)) AS DOUBLE) AS cd
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin)
