@@ -69,12 +69,15 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
 
   def execute(req: Request): Either[String, Seq[Response]] = lock.synchronized {
     if (closed) return Left("db connection is already closed")
-    val bound = req.statements.map(s => SqlText.bind(s.sql, s.parameters))
-    bound.filter(_.trim.nonEmpty).foreach { sql =>
-      nonDeterministic(sql).foreach(f => return Left(
+    // Guard the RAW statement text, before parameter binding — bound Text
+    // data must never trip the determinism check (a document containing
+    // "now(" is legitimate data, not a function call).
+    req.statements.filter(_.sql.trim.nonEmpty).foreach { s =>
+      nonDeterministic(s.sql).foreach(f => return Left(
         s"non-deterministic function $f is not allowed in an execute batch " +
           "(statement-log replication requires deterministic SQL)"))
     }
+    val bound = req.statements.map(s => SqlText.bind(s.sql, s.parameters))
     journalAppend(req.transaction, bound)
     val work: Tables = if (req.transaction) snapshot() else tables
     val results = Seq.newBuilder[Response]
@@ -141,13 +144,17 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
       sql.trim.toUpperCase.startsWith("PRAGMA FOREIGN_KEYS") &&
         !sql.contains("=")
 
-  private val nonDetFns =
-    Seq("random(", "rand(", "randomblob(", "uuid(", "current_timestamp",
-      "current_date", "current_time", "now(")
+  // Word-boundary matches only (substring matching flagged identifiers like
+  // `brand(` via `rand(`); literals are stripped first so quoted data can
+  // never match.
+  private val nonDetRe =
+    """(?i)\b(random|randomblob|rand|uuid|now)\s*\(|\b(current_timestamp|current_date|current_time)\b""".r
 
   private def nonDeterministic(sql: String): Option[String] = {
-    val l = sql.toLowerCase
-    nonDetFns.find(l.contains)
+    val noLiterals = sql.replaceAll("'(?:[^']|'')*'", "''")
+    nonDetRe.findFirstMatchIn(noLiterals).map { m =>
+      Option(m.group(1)).getOrElse(m.group(2)).toLowerCase
+    }
   }
 
   /** Execute one mutating statement against `work`. Returns rows_affected;
@@ -396,16 +403,23 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
           .collect().map(_.getLong(0)).toSet
         val remaining = ts.rows.filterNot(r => doomed.contains(r._1))
         if (fkEnabled) {
-          // children of this table must not reference removed parents
-          val pkIdx = ts.d.rowidAlias.map(c => ts.d.colIndex(c.name)).getOrElse(-1)
-          if (pkIdx >= 0) {
-            val remainingIds = remaining.map(_._2(pkIdx)).toSet
-            work.values.foreach { child =>
-              child.d.cols.zipWithIndex.foreach { case (c, i) =>
-                c.ref.foreach { case (rt, _) =>
-                  if (rt.equalsIgnoreCase(ts.d.name)) {
+          // children of this table must not reference removed parents;
+          // resolve each ref's target column the same way validate() does
+          // (named column, else the rowid alias) so REFERENCES parent(code)
+          // is enforced on DELETE too.
+          work.values.foreach { child =>
+            child.d.cols.zipWithIndex.foreach { case (c, i) =>
+              c.ref.foreach { case (rt, refColOpt) =>
+                if (rt.equalsIgnoreCase(ts.d.name)) {
+                  val refCol =
+                    if (refColOpt.nonEmpty) refColOpt
+                    else ts.d.rowidAlias.map(_.name).getOrElse("")
+                  val pIdx = ts.d.colIndex(refCol)
+                  if (pIdx >= 0) {
+                    val remainingVals =
+                      remaining.map(_._2(pIdx)).filter(_ != null).toSet
                     val dangling = child.rows.exists { case (rid, vals) =>
-                      vals(i) != null && !remainingIds.contains(vals(i)) &&
+                      vals(i) != null && !remainingVals.contains(vals(i)) &&
                         (child.d.name != ts.d.name || !doomed.contains(rid))
                     }
                     if (dangling) return Left("FOREIGN KEY constraint failed")
@@ -619,17 +633,24 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
     val jf = r.resolve("journal.jsonl")
     if (Files.exists(jf)) {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      Files.readAllLines(jf).forEach { line =>
+      val it = Files.readAllLines(jf).iterator()
+      var torn = false
+      while (it.hasNext && !torn) {
+        val line = it.next()
         if (line.trim.nonEmpty) {
-          val n = om.readTree(line)
-          val id = n.path("id").asLong(0)
-          if (id > appliedBatch) {
-            journalSeq = math.max(journalSeq, id) - 1 // re-append below
-            val stmts = Seq.newBuilder[Statement]
-            n.path("statements").forEach(s => stmts += Statement(s.asText))
-            val _ = executeReplay(n.path("transaction").asBoolean(false),
-              stmts.result())
-          }
+          // A crash mid-append leaves a torn trailing line; the manifest is
+          // still intact, so stop replay there instead of failing open().
+          try {
+            val n = om.readTree(line)
+            val id = n.path("id").asLong(0)
+            if (id > appliedBatch) {
+              journalSeq = math.max(journalSeq, id) - 1 // re-append below
+              val stmts = Seq.newBuilder[Statement]
+              n.path("statements").forEach(s => stmts += Statement(s.asText))
+              val _ = executeReplay(n.path("transaction").asBoolean(false),
+                stmts.result())
+            }
+          } catch { case _: Exception => torn = true }
         }
       }
     }

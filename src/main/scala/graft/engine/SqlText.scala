@@ -40,7 +40,14 @@ object SqlText {
   def render(p: Parameter): String = p match {
     case Parameter.Integer(v) => v.toString
     case Parameter.Real(v) => if (v.isWhole && math.abs(v) < 1e15) s"${v.toLong}.0" else v.toString
-    case Parameter.Text(v) => "'" + v.replace("'", "''") + "'"
+    // Spark's default parser treats backslash as an escape inside string
+    // literals (unlike SQLite/rusqlite binding): double backslashes FIRST,
+    // then quotes, or text containing \n / trailing \ is corrupted and a
+    // trailing backslash swallows the closing quote (literal breakout in
+    // the journaled replay text). `''` quote-doubling works in this mode;
+    // escapedStringLiterals=true would break it ('don''t' stays two chars).
+    case Parameter.Text(v) =>
+      "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
   }
 
   /** Split on top-level commas (not inside parens or quotes). */

@@ -259,6 +259,67 @@ class GoldenParitySpec extends SparkSpec {
       """[{"columns":["name","dbl"],"types":["text","real"],"values":[["aoife",40.5]]}]""")
   }
 
+  test("backslash-containing text binds uncorrupted incl. trailing backslash") {
+    val db = memDb
+    exec(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    val weird = "C:\\tmp\\new\\"
+    val r = db.execute(Request(transaction = false, Seq(
+      Statement("INSERT INTO foo(id, name) VALUES(?, ?)",
+        Seq(Parameter.Integer(1), Parameter.Text(weird))))))
+    assert(r.isRight && !Json.responses(r.toOption.get).contains("error"), r)
+    val rows = db.queryStringStmt("SELECT name FROM foo WHERE id = 1")
+      .fold(e => fail(e), identity)
+    assert(rows.head.values.head.head == Value.Text(weird))
+  }
+
+  test("determinism guard ignores function names inside bound text and literals") {
+    val db = memDb
+    exec(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    // data that merely CONTAINS now( / current_date must not be rejected
+    val r1 = db.execute(Request(transaction = false, Seq(
+      Statement("INSERT INTO foo(id, name) VALUES(?, ?)",
+        Seq(Parameter.Integer(1), Parameter.Text("see you now(ish) current_date"))))))
+    assert(r1.isRight && !Json.responses(r1.toOption.get).contains("error"), r1)
+    // a literal typed directly in the SQL text must not be rejected either
+    val r2 = db.executeStringStmt(
+      "INSERT INTO foo(id, name) VALUES(2, 'brand(new) now(')")
+    assert(r2.isRight && !Json.responses(r2.toOption.get).contains("error"), r2)
+    // the actual function call still is
+    assert(db.executeStringStmt("INSERT INTO foo(id, name) VALUES(random(), 'x')")
+      .swap.toOption.get.contains("non-deterministic"))
+  }
+
+  test("torn trailing journal line does not brick open()") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftdb").toString
+    val db = GraftDb.open(spark, s"$tmp/d1").fold(e => fail(e), identity)
+    exec(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    exec(db, "INSERT INTO foo VALUES(1,'fiona')")
+    db.close()
+    // simulate a crash mid-append: partial JSON on the last journal line
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$tmp/d1/journal.jsonl"),
+      "{\"id\":99,\"transaction\":false,\"statem".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    val db2 = GraftDb.open(spark, s"$tmp/d1").fold(e => fail(e), identity)
+    assert(query(db2, "SELECT * FROM foo") ==
+      """[{"columns":["id","name"],"types":["integer","text"],"values":[[1,"fiona"]]}]""")
+    assert(exec(db2, "INSERT INTO foo VALUES(2,'aoife')") ==
+      """[{"last_insert_id":2,"rows_affected":1}]""")
+  }
+
+  test("DELETE enforces FK against named non-rowid parent columns") {
+    val db = memDb
+    exec(db, "CREATE TABLE parent (id INTEGER NOT NULL PRIMARY KEY, code TEXT UNIQUE)")
+    exec(db, "CREATE TABLE child (id INTEGER NOT NULL PRIMARY KEY, pcode TEXT REFERENCES parent(code))")
+    exec(db, "INSERT INTO parent VALUES(1,'A'),(2,'B')")
+    exec(db, "INSERT INTO child VALUES(10,'A')")
+    db.enableFkConstraints(true)
+    assert(exec(db, "DELETE FROM parent WHERE code = 'A'") ==
+      """[{"error":"FOREIGN KEY constraint failed"}]""")
+    assert(exec(db, "DELETE FROM parent WHERE code = 'B'") ==
+      """[{"last_insert_id":10,"rows_affected":1}]""")
+  }
+
   test("file-backed db persists and recovers (journal + manifest)") {
     val tmp = java.nio.file.Files.createTempDirectory("graftdb").toString
     val db = GraftDb.open(spark, s"$tmp/d1").fold(e => fail(e), identity)
