@@ -31,9 +31,17 @@ object Bench {
         SparkEntry.queries.filter { case (k, _) => keep.contains(k) }
       } else SparkEntry.queries
 
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = wanted.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // Full materialization through the noop sink: under count() Catalyst
+      // eliminates the final global ORDER BY and output projection, so the
+      // timed plan omitted work the DuckDB baseline pays for.
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case e: Throwable =>
+        failures(name) = Option(e.getMessage).getOrElse(e.toString)
+          .linesIterator.take(1).mkString.take(200)
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // isolate queries: drop any DataFrame caches a query materialized so
       // storage memory from one query can't starve the next one's joins
@@ -42,8 +50,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fj = failures.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -43,7 +43,7 @@ object SparkEntry {
     sqlBacked.map(q => q.name -> Tables.sql(q.spark)).toMap ++ Map(
       // overrides the SQL-text variant in Extensions: same oracle, but the
       // unigram side runs on dictionary-encoded bitset masks (see Scaladoc)
-      "x54_ngram_jaccard" -> (Dedup.ngramJaccard _),
+      "x54_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
       "x57_minhash_lsh" -> (Dedup.minhashPairs _),
       "x58_simhash"     -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
       "x59_ann_lsh"     -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),

@@ -23,11 +23,12 @@ import org.apache.spark.sql.functions._
 object Dedup {
   val NumPerms = 64
   // 4 bands × 16 rows: this corpus has a 31-word vocabulary, so *random*
-  // pairs sit near Jaccard 0.55 — short bands would admit nearly every
-  // pair (0.55^4 ≈ 9% per band), while 16-row bands keep the candidate
-  // rate at 0.55^16 ≈ 7e-5 per band yet still catch j≈1 duplicates with
-  // probability ~1 (0.9-similar pairs drop to ~56% recall — acceptable
-  // here because the true duplicates are word-order shuffles with j=1).
+  // pairs sit near Jaccard 0.65 (measured: mean 0.62, median 0.66 at
+  // sf0.01) — short bands would admit nearly every pair (0.65^4 ≈ 18% per
+  // band), while 16-row bands keep the candidate rate at 0.65^16 ≈ 1e-3
+  // per band yet still catch j≈1 duplicates with probability ~1
+  // (0.9-similar pairs drop to ~56% recall — acceptable here because the
+  // true duplicates are word-order shuffles with j=1).
   // At 100 TB the band shape is the knob that trades shuffle volume vs
   // recall; it must be chosen against the similarity distribution, not
   // defaulted.
@@ -57,10 +58,11 @@ object Dedup {
         array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** MinHash-LSH candidate pairs (8 bands × 8 rows) with the MinHash
-    * Jaccard estimate and the exact word-set Jaccard for verification.
-    * The word arrays are only joined back for the few pairs that survive
-    * the sketch filter — the band shuffle carries (doc_id, sig) alone. */
+  /** MinHash-LSH candidate pairs ([[Bands]] × [[RowsPerBand]], see the
+    * band-shape note on [[Bands]]) with the MinHash Jaccard estimate and
+    * the exact word-set Jaccard for verification. The word arrays are only
+    * joined back for the pairs that survive the sketch filter — the band
+    * shuffle carries (doc_id, band_id, band_hash) alone. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // Both intermediates are tiny (one row per doc) but feed three joins
     // each — caching stops the 64-column signature aggregation from being
@@ -77,11 +79,11 @@ object Dedup {
               lit(RowsPerBand))).as("bh")))).as("band"))
       .select(col("doc_id"),
         col("band.band_id").as("band_id"), col("band.bh").as("bh"))
-    // Candidate = pairs sharing ≥2 of 4 bands. This corpus sits near
-    // Jaccard 0.8 for RANDOM pairs (31-word vocabulary), so single-band
-    // matches still admit ~10% of all pairs (measured: 1.47M candidates at
-    // sf0.1); requiring a second independent band match cuts that ~20×
-    // while keeping j≈1 duplicates at probability ~1.
+    // Candidate = pairs sharing ≥2 of 4 bands. RANDOM pairs on this corpus
+    // sit near Jaccard 0.65 (see the band-shape note on Bands), so
+    // single-band matches still admit ~10% of all pairs (measured: 1.47M
+    // candidates at sf0.1); requiring a second independent band match cuts
+    // that ~20× while keeping j≈1 duplicates at probability ~1.
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -107,75 +109,165 @@ object Dedup {
   }
 
   /** n-gram Jaccard near-dup pairs (the driver query behind
-    * x54_ngram_jaccard): unigram Jaccard via dictionary-encoded BITSET
-    * masks, trigram Jaccard via a co-occurrence count join.
+    * x54_ngram_jaccard), via PPJoin-style prefix filtering — an EXACT
+    * set-similarity join (recall 1 at the threshold, so the output is
+    * value-identical to the all-pairs oracle) with no all-pairs stage.
     *
-    * The unigram side dictionary-encodes each (lang, token) to a bit index
-    * and packs every document's word set into `nMaskWords` BIGINT masks, so
-    * a pair's intersection/union are codegen'd `bit_count(a & b)` /
-    * `bit_count(a | b)` sums — no array comparisons, no 50M-row exploded
-    * join (which the previous formulation needed and which dominated the
-    * suite at ~25 s; this runs the same pair space in integer ops). The
-    * mask width adapts to the data: one tiny driver aggregate reads the
-    * per-lang vocabulary size, so a real corpus with a large vocabulary
-    * gets more mask words (or falls back gracefully — the width is data-
-    * derived, not assumed). Values are identical to the pairwise oracle:
-    * popcount(A∩B)/popcount(A∪B) over the same distinct-token sets.
+    * Plan, all codegen'd builtins:
+    *  1. dictionary-encode each (lang, token) to an integer rank ordered by
+    *     ascending document frequency (rarest first), and pack each doc's
+    *     rank set into data-adaptive BIGINT bitset masks (width from one
+    *     tiny scalar aggregate over per-lang vocabulary sizes);
+    *  2. a doc's PREFIX is its ⌊(1−t)·n⌋+1 rarest ranks (PPJoin theorem:
+    *     two sets with Jaccard ≥ t must collide on ≥1 prefix token), so the
+    *     candidate join is an equi-join on (lang, rank) over prefix rows
+    *     only — shuffle keyed by the rarest tokens, never an all-pairs
+    *     block. A length filter (min ≥ t·max) prunes inside the join;
+    *  3. verify is inline in the join stage: j1 = popcount(A∩B)/|A∪B| via
+    *     `bit_count(ma & mb)` sums over the masks — integer codegen, no
+    *     array materialization, no join-back for the unigram side. Each
+    *     qualifying pair is emitted exactly ONCE with zero dedup shuffle:
+    *     a pair is kept only at its lowest shared prefix rank
+    *     (`rank-1 = trailing_zeros(prefix_mask_a & prefix_mask_b)`, where
+    *     trailing zeros = `bit_count((s & -s) - 1)`);
+    *  4. j3 (word-trigram Jaccard, vocabulary too wide for masks — 26k+
+    *     trigrams/lang at sf0.1 and growing) joins trigram INT-rank arrays
+    *     back for SURVIVING pairs only and intersects integers (OpenHashSet
+    *     codegen) — the previous global trigram co-occurrence join priced
+    *     every co-occurring pair in the corpus for values only needed on
+    *     the j1 ≥ 0.8 output rows.
+    *
+    * At 100 TB: stages shuffle on (lang, rank) / doc_id only; candidate
+    * volume is data-dependent (tiny on a real Zipfian vocabulary; this
+    * 31-word test corpus is the degenerate worst case where most pairs
+    * collide — yet each candidate costs only a few bit_count words). The
+    * per-lang dictionary window partitions by lang; mask width is derived
+    * from the data, not assumed.
     */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, dir: String,
+                   threshold: Double = 0.8): DataFrame = {
     Tables.ensure(spark, dir)
-    // one scalar job: widest per-lang vocabulary → number of 64-bit masks
-    val maxVocab = spark.sql(
-      """SELECT MAX(v) FROM (
-        |  SELECT COUNT(DISTINCT tok) AS v FROM (
-        |    SELECT lang, explode(filter(split(LOWER(text), ' '), t -> t <> '')) AS tok
-        |    FROM documents) GROUP BY lang)""".stripMargin).head.getLong(0)
-    val nMask = ((maxVocab + 63) / 64).toInt.max(1)
-    val maskCols = (0 until nMask).map(k =>
-      s"SUM(CASE WHEN CAST(bit / 64 AS INT) = $k THEN shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT)) ELSE CAST(0 AS BIGINT) END) AS mask$k")
-      .mkString(", ")
-    val interSum = (0 until nMask)
-      .map(k => s"bit_count(a.mask$k & b.mask$k)").mkString(" + ")
-    val unionSum = (0 until nMask)
-      .map(k => s"bit_count(a.mask$k | b.mask$k)").mkString(" + ")
+    // Each intermediate below is localCheckpoint()ed: (a) the lineage
+    // truncation keeps Spark's DeduplicateRelations from flakily throwing
+    // UnresolvedException when a windowed+joined subtree is referenced
+    // multiple times through CTE inlining, and (b) each stage is computed
+    // exactly once (the monolithic-CTE formulation recomputed the
+    // interpreted-lambda tokenization per referencing branch — 3× cost).
+    // On a cluster these would be checkpoint/bucketed intermediate tables.
+    def ckpt(sql: String, view: String): Unit =
+      spark.sql(sql).localCheckpoint().createOrReplaceTempView(view)
+
+    // ordered token positions per doc (codegen posexplode, no lambdas).
+    // Plain view: referenced once each by the t1 and trigram builds, and a
+    // straight scan recomputes cheaper than a checkpoint materializes.
     spark.sql(
-      s"""WITH d AS (SELECT doc_id, lang,
-         |             filter(split(LOWER(text), ' '), t -> t <> '') AS toks
-         |           FROM documents),
-         |g AS (SELECT doc_id, lang, array_distinct(toks) AS w1,
-         |        CASE WHEN size(toks) >= 3 THEN
-         |          array_distinct(transform(sequence(1, size(toks)-2),
-         |            i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1),
-         |                           element_at(toks, i+2))))
-         |        ELSE CAST(array() AS ARRAY<STRING>) END AS w3
-         |      FROM d),
-         |n AS (SELECT doc_id, lang, w3, size(w3) AS n3 FROM g),
-         |t1 AS (SELECT lang, doc_id, tok FROM g LATERAL VIEW explode(w1) AS tok),
-         |v AS (SELECT lang, tok,
-         |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tok) - 1 AS bit
-         |      FROM (SELECT DISTINCT lang, tok FROM t1)),
-         |m AS (SELECT t1.doc_id, t1.lang, $maskCols
-         |      FROM t1 JOIN v ON t1.lang = v.lang AND t1.tok = v.tok
-         |      GROUP BY t1.doc_id, t1.lang),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |             CAST($interSum AS DOUBLE) / CAST($unionSum AS DOUBLE) AS j1
-         |      FROM m a JOIN m b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |      WHERE CAST($interSum AS DOUBLE) / CAST($unionSum AS DOUBLE) >= 0.8),
-         |t3 AS (SELECT lang, doc_id, tok FROM n LATERAL VIEW explode(w3) AS tok),
-         |c3 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c3
-         |       FROM t3 a JOIN t3 b
-         |         ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
-         |       GROUP BY a.doc_id, b.doc_id)
-         |SELECT p.doc_a, p.doc_b,
-         |  CAST(CAST(ROUND(p.j1, 4) AS DECIMAL(18,4)) AS DOUBLE) AS j1,
-         |  CAST(CAST(ROUND(CASE WHEN sa.n3 + sb.n3 - COALESCE(c3.c3, 0) > 0 THEN
-         |         CAST(COALESCE(c3.c3, 0) AS DOUBLE)
-         |         / CAST(sa.n3 + sb.n3 - COALESCE(c3.c3, 0) AS DOUBLE)
-         |       ELSE 0.0 END, 4) AS DECIMAL(18,4)) AS DOUBLE) AS j3
-         |FROM p
-         |JOIN n sa ON sa.doc_id = p.doc_a
-         |JOIN n sb ON sb.doc_id = p.doc_b
-         |LEFT JOIN c3 ON c3.doc_a = p.doc_a AND c3.doc_b = p.doc_b
+      """SELECT doc_id, lang, pos, tok
+        |FROM (SELECT doc_id, lang,
+        |        filter(split(LOWER(text), ' '), t -> t <> '') AS toks
+        |      FROM documents)
+        |LATERAL VIEW posexplode(toks) AS pos, tok""".stripMargin)
+      .createOrReplaceTempView("__x54_tp")
+    // (doc, token-rank) rows: per-lang df-ascending dictionary ranks, each
+    // token's position in its own doc's rarest-first order (pos) and the
+    // doc's distinct-set size (n1) — feeds the width probe, the mask build
+    // and the prefix explode.
+    ckpt(
+      """WITH t1 AS (SELECT DISTINCT doc_id, lang, tok FROM __x54_tp),
+        |v1 AS (SELECT lang, tok,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*), tok)
+        |           AS rank
+        |       FROM t1 GROUP BY lang, tok)
+        |SELECT t1.doc_id, t1.lang, v1.rank,
+        |       ROW_NUMBER() OVER (PARTITION BY t1.doc_id ORDER BY v1.rank)
+        |         AS pos,
+        |       COUNT(*) OVER (PARTITION BY t1.doc_id) AS n1
+        |FROM t1 JOIN v1 ON t1.lang = v1.lang AND t1.tok = v1.tok""".stripMargin,
+      "__x54_t1")
+    // one scalar job: widest per-lang vocabulary → number of 64-bit words
+    val maxVocab = spark.sql("SELECT MAX(rank) FROM __x54_t1").head.getInt(0)
+    val nMask = ((maxVocab + 63) / 64).max(1)
+    // distinct word-trigram set per doc, built with a codegen'd window
+    // lead() over token positions (the transform(sequence…) lambda
+    // formulation evaluates interpreted), dictionary-encoded per lang to
+    // INT rank arrays for the j3 join-back (trigram vocabulary is too wide
+    // for masks — 26k+/lang at sf0.1 and growing with the corpus).
+    ckpt(
+      """WITH tri AS (SELECT DISTINCT doc_id, lang, tok FROM (
+        |  SELECT doc_id, lang,
+        |    concat_ws(' ', tok,
+        |      lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+        |      lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS tok,
+        |    pos, COUNT(*) OVER (PARTITION BY doc_id) AS ntok
+        |  FROM __x54_tp) WHERE pos + 2 < ntok),
+        |v3 AS (SELECT lang, tok,
+        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tok) AS rank
+        |       FROM (SELECT DISTINCT lang, tok FROM tri))
+        |SELECT tri.doc_id, collect_list(v3.rank) AS ranks3, COUNT(*) AS n3
+        |FROM tri JOIN v3 ON tri.lang = v3.lang AND tri.tok = v3.tok
+        |GROUP BY tri.doc_id""".stripMargin, "__x54_r3")
+    def maskSum(pred: String, k: Int) =
+      s"SUM(CASE WHEN CAST((rank - 1) / 64 AS INT) = $k $pred THEN " +
+        s"shiftleft(CAST(1 AS BIGINT), CAST((rank - 1) % 64 AS INT)) " +
+        "ELSE CAST(0 AS BIGINT) END)"
+    val prefixPred = s"AND pos <= n1 - CEIL($threshold * n1) + 1"
+    val maskCols = (0 until nMask).map(k =>
+      s"${maskSum("", k)} AS m$k, ${maskSum(prefixPred, k)} AS p$k")
+      .mkString(", ")
+    // per-doc features: full + prefix bitset masks + trigram rank array
+    ckpt(
+      s"""WITH f AS (SELECT doc_id, lang, MAX(n1) AS n1, $maskCols
+         |           FROM __x54_t1 GROUP BY doc_id, lang)
+         |SELECT f.*, COALESCE(r3.ranks3, CAST(array() AS ARRAY<INT>)) AS ranks3,
+         |       COALESCE(r3.n3, 0) AS n3
+         |FROM f LEFT JOIN __x54_r3 r3 ON r3.doc_id = f.doc_id""".stripMargin,
+      "__x54_feat")
+    val interSum = (0 until nMask)
+      .map(k => s"bit_count(a.m$k & b.m$k)").mkString(" + ")
+    // keep this pair only at the LOWEST shared prefix rank → exactly one
+    // emission per pair, no DISTINCT/groupBy shuffle. trailing_zeros(s) =
+    // bit_count((s & -s) - 1).
+    val lowBitIdx = {
+      val whens = (0 until nMask).map { k =>
+        val s = s"(a.p$k & b.p$k)"
+        s"WHEN $s <> 0 THEN ${k * 64} + bit_count(($s & -$s) - 1)"
+      }.mkString(" ")
+      s"CASE $whens ELSE -1 END"
+    }
+    val maskList = (0 until nMask).map(k => s"f.m$k, f.p$k").mkString(", ")
+    spark.sql(
+      s"""SELECT t.lang, t.doc_id, t.rank AS prank, f.n1, $maskList
+         |FROM (SELECT * FROM __x54_t1
+         |      WHERE pos <= n1 - CEIL($threshold * n1) + 1) t
+         |JOIN __x54_feat f ON f.doc_id = t.doc_id""".stripMargin)
+      .createOrReplaceTempView("__x54_pf")
+    // inter/j1 computed ONCE in an inner projection (repeating the popcount
+    // sum per reference defeats codegen subexpression reuse), dedup + j1
+    // filters applied in the same codegen stage — no extra shuffle.
+    spark.sql(
+      s"""WITH q AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS j1
+         |  FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |          a.n1 AS na, b.n1 AS nb, $interSum AS inter,
+         |          a.prank AS prank, $lowBitIdx AS lowbit
+         |        FROM __x54_pf a JOIN __x54_pf b
+         |          ON a.lang = b.lang AND a.prank = b.prank
+         |         AND a.doc_id < b.doc_id
+         |         AND LEAST(a.n1, b.n1) >= $threshold * GREATEST(a.n1, b.n1))
+         |  WHERE prank - 1 = lowbit
+         |    AND CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)
+         |          >= $threshold)
+         |SELECT doc_a, doc_b,
+         |  CAST(CAST(ROUND(j1, 4) AS DECIMAL(18,4)) AS DOUBLE) AS j1,
+         |  CAST(CAST(ROUND(CASE WHEN n3a + n3b - i3 > 0 THEN
+         |           CAST(i3 AS DOUBLE) / CAST(n3a + n3b - i3 AS DOUBLE)
+         |         ELSE 0.0 END, 4) AS DECIMAL(18,4)) AS DOUBLE) AS j3
+         |FROM (SELECT q.doc_a, q.doc_b, q.j1,
+         |        size(array_intersect(fa.ranks3, fb.ranks3)) AS i3,
+         |        fa.n3 AS n3a, fb.n3 AS n3b
+         |      FROM q
+         |      JOIN __x54_feat fa ON fa.doc_id = q.doc_a
+         |      JOIN __x54_feat fb ON fb.doc_id = q.doc_b)
          |ORDER BY doc_a, doc_b""".stripMargin)
   }
 
