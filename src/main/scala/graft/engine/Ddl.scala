@@ -50,7 +50,8 @@ final case class ColDef(
     notNull: Boolean,
     pk: Boolean,
     unique: Boolean,
-    ref: Option[(String, String)]) {
+    ref: Option[(String, String)],
+    default: Option[String] = None) {
   def sparkType: DataType = Affinity.sparkType(affinity)
   /** SQLite: `INTEGER PRIMARY KEY` is an alias of the rowid. */
   def isRowidAlias: Boolean = pk && affinity == Affinity.Integer
@@ -99,27 +100,7 @@ object Ddl {
         } else if (u.startsWith("CHECK")) {
           // CHECK constraints are accepted and ignored (documented gap)
         } else {
-          val toks = item.split("\\s+", 2)
-          val cname = toks(0).stripPrefix("\"").stripSuffix("\"")
-            .stripPrefix("`").stripSuffix("`")
-          val tail = if (toks.length > 1) toks(1) else ""
-          val tu = tail.toUpperCase
-          // declared type = tokens before any constraint keyword
-          val constraintIdx = Seq("PRIMARY ", "NOT ", "UNIQUE", "REFERENCES",
-            "DEFAULT", "CHECK").map(k => tu.indexOf(k)).filter(_ >= 0)
-          val declared =
-            (if (constraintIdx.nonEmpty) tail.take(constraintIdx.min) else tail).trim
-          val ref = tail match {
-            case refRe(rt, rc) => Some((rt, Option(rc).getOrElse("")))
-            case _ => None
-          }
-          cols += ColDef(
-            name = cname,
-            affinity = Affinity.of(declared),
-            notNull = tu.contains("NOT NULL"),
-            pk = tu.contains("PRIMARY KEY"),
-            unique = tu.contains("UNIQUE"),
-            ref = ref)
+          cols += parseColDef(item)
         }
       }
       var defs = cols.result()
@@ -138,6 +119,81 @@ object Ddl {
 
   def parseDrop(sql: String): Option[Drop] = sql match {
     case dropRe(ie, name) => Some(Drop(ie != null, name))
+    case _ => None
+  }
+
+  private val defaultRe =
+    """(?is)\bDEFAULT\s+('(?:[^']|'')*'|\([^)]*\)|[^\s,]+)""".r
+
+  /** One column definition item (`name TYPE [constraints]`), shared by
+    * CREATE TABLE and ALTER TABLE ADD COLUMN. */
+  def parseColDef(item: String): ColDef = {
+    val toks = item.trim.split("\\s+", 2)
+    val cname = toks(0).stripPrefix("\"").stripSuffix("\"")
+      .stripPrefix("`").stripSuffix("`")
+    val tail = if (toks.length > 1) toks(1) else ""
+    val tu = tail.toUpperCase
+    // declared type = tokens before any constraint keyword
+    val constraintIdx = Seq("PRIMARY ", "NOT ", "UNIQUE", "REFERENCES",
+      "DEFAULT", "CHECK").map(k => tu.indexOf(k)).filter(_ >= 0)
+    val declared =
+      (if (constraintIdx.nonEmpty) tail.take(constraintIdx.min) else tail).trim
+    val ref = tail match {
+      case refRe(rt, rc) => Some((rt, Option(rc).getOrElse("")))
+      case _ => None
+    }
+    ColDef(
+      name = cname,
+      affinity = Affinity.of(declared),
+      notNull = tu.contains("NOT NULL"),
+      pk = tu.contains("PRIMARY KEY"),
+      unique = tu.contains("UNIQUE"),
+      ref = ref,
+      default = defaultRe.findFirstMatchIn(tail).map(_.group(1)))
+  }
+
+  /** Canonical CREATE TABLE text for a TableDef — used when ALTER TABLE
+    * rewrites the stored createSql (parseCreate ∘ renderCreate must
+    * round-trip the TableDef; NUMERIC affinity collapses to REAL, same
+    * Spark type and envelope tag). */
+  def renderCreate(td: TableDef): String =
+    "CREATE TABLE " + td.name + " (" + td.cols.map { c =>
+      val ty = c.affinity match {
+        case Affinity.Integer => "INTEGER"
+        case Affinity.Real | Affinity.Numeric => "REAL"
+        case Affinity.Blob => "BLOB"
+        case _ => "TEXT"
+      }
+      c.name + " " + ty +
+        (if (c.notNull) " NOT NULL" else "") +
+        (if (c.pk) " PRIMARY KEY" else "") +
+        (if (c.unique) " UNIQUE" else "") +
+        c.default.map(d => s" DEFAULT $d").getOrElse("") +
+        c.ref.map { case (rt, rc) =>
+          s" REFERENCES $rt" + (if (rc.nonEmpty) s"($rc)" else "")
+        }.getOrElse("")
+    }.mkString(", ") + ")"
+
+  private val createIndexRe =
+    """(?is)^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(IF\s+NOT\s+EXISTS\s+)?["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s+ON\s+["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*\(([^)]*)\)\s*;?\s*$""".r
+  private val dropIndexRe =
+    """(?is)^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*;?\s*$""".r
+
+  final case class CreateIndex(unique: Boolean, ifNotExists: Boolean,
+      name: String, table: String, cols: Seq[String], sql: String)
+  final case class DropIndex(ifExists: Boolean, name: String)
+
+  def parseCreateIndex(sql: String): Option[CreateIndex] = sql match {
+    case createIndexRe(uniq, ine, name, table, colList) =>
+      val cols = colList.split(",").map(_.trim
+        .stripPrefix("\"").stripSuffix("\"")
+        .stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
+      Some(CreateIndex(uniq != null, ine != null, name, table, cols, sql))
+    case _ => None
+  }
+
+  def parseDropIndex(sql: String): Option[DropIndex] = sql match {
+    case dropIndexRe(ie, name) => Some(DropIndex(ie != null, name))
     case _ => None
   }
 }

@@ -50,11 +50,23 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
 
   private type Tables = mutable.LinkedHashMap[String, TableState]
   private var tables: Tables = mutable.LinkedHashMap.empty
+  // secondary-index catalog (SQLite pass-through surface): metadata only —
+  // Catalyst plans the scans — except UNIQUE indexes, which add uniqueness
+  // constraints enforced through validate()/the conflict policies.
+  private var indexes: mutable.LinkedHashMap[String, Ddl.CreateIndex] =
+    mutable.LinkedHashMap.empty
   private var fkEnabled = false
   private var lastRowId = 0L
   private var appliedBatch = 0L
   private var closed = false
   private val lock = new Object
+  // last committed snapshot version, published for lock-free `none` reads
+  // (rows vectors are immutable; the volatile swap selects the version)
+  @volatile private var committed
+    : Vector[(TableDef, Vector[(Long, IndexedSeq[Any])])] = Vector.empty
+
+  private def publishCommitted(): Unit =
+    committed = tables.values.toVector.map(ts => (ts.d, ts.rows))
 
   // ---------- public API (the store seam, reference store/src/lib.rs:7-28) --
 
@@ -80,6 +92,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
     val bound = req.statements.map(s => SqlText.bind(s.sql, s.parameters))
     journalAppend(req.transaction, bound)
     val work: Tables = if (req.transaction) snapshot() else tables
+    // index DDL mutates the catalog directly; snapshot it for tx rollback
+    val idxBackup =
+      if (req.transaction) Some(mutable.LinkedHashMap(indexes.toSeq: _*))
+      else None
     val results = Seq.newBuilder[Response]
     var rolledBack = false
     val it = bound.iterator
@@ -96,34 +112,81 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
       }
     }
     if (req.transaction && !rolledBack) tables = work
+    if (rolledBack) idxBackup.foreach(indexes = _)
     if (!req.transaction || !rolledBack) persist()
     Right(results.result())
   }
 
-  def query(req: Request): Either[String, Seq[RowsResult]] = lock.synchronized {
-    if (closed) return Left("db connection is already closed")
-    val out = Seq.newBuilder[RowsResult]
-    req.statements.foreach { s =>
-      val sql = SqlText.bind(s.sql, s.parameters)
-      if (sql.trim.nonEmpty) {
-        if (sql.trim.toUpperCase.startsWith("PRAGMA FOREIGN_KEYS") &&
-          !sql.contains("=")) {
-          // PRAGMA read: one row, SQLite reports 0/1 (db/src/db.rs:133-140)
-          out += RowsResult(Seq("foreign_keys"), Seq("integer"),
-            Seq(Seq(Value.Integer(if (fkEnabled) 1 else 0))))
-        } else if (isRowReturning(sql)) {
-          runSelect(sql) match {
-            case Right(r) => out += r
-            case Left(err) => return Left(err)
-          }
-        } else {
-          // the reference's _query prepares+steps any statement — DDL/DML
-          // executes and yields the empty envelope (db/src/db.rs:764-768)
-          executeOne(tables, sql) match {
-            case Right(_) => persist(); out += RowsResult(Nil, Nil, Nil)
-            case Left(err) => return Left(err)
+  def query(req: Request): Either[String, Seq[RowsResult]] =
+    query(req, ReadLevel.Weak)
+
+  /** Query at a read-consistency level (rqlite's none/weak/strong vocabulary,
+    * SURVEY §3.2, degenerating to snapshot-version selection in this
+    * single-writer engine):
+    *  - `strong`: serialized behind the write lock AND asserts the journal
+    *    is fully applied before reading (the analog of a consensus read);
+    *  - `weak` (default): leader-local read behind the lock — sees every
+    *    committed write, no journal assertion;
+    *  - `none`: lock-free read of the last COMMITTED snapshot version on a
+    *    private session — never blocks behind a writer, may trail an
+    *    in-flight batch (stale-tolerant follower read).
+    */
+  def query(req: Request, level: ReadLevel): Either[String, Seq[RowsResult]] =
+    level match {
+      case ReadLevel.None => queryCommitted(req)
+      case _ => lock.synchronized {
+        if (closed) return Left("db connection is already closed")
+        if (level == ReadLevel.Strong && journalSeq != appliedBatch)
+          return Left("strong read failed: journal not fully applied")
+        val out = Seq.newBuilder[RowsResult]
+        req.statements.foreach { s =>
+          val sql = SqlText.bind(s.sql, s.parameters)
+          if (sql.trim.nonEmpty) {
+            if (sql.trim.toUpperCase.startsWith("PRAGMA FOREIGN_KEYS") &&
+              !sql.contains("=")) {
+              // PRAGMA read: one row, SQLite reports 0/1 (db/src/db.rs:133-140)
+              out += RowsResult(Seq("foreign_keys"), Seq("integer"),
+                Seq(Seq(Value.Integer(if (fkEnabled) 1 else 0))))
+            } else if (isRowReturning(sql)) {
+              runSelect(sql) match {
+                case Right(r) => out += r
+                case Left(err) => return Left(err)
+              }
+            } else {
+              // the reference's _query prepares+steps any statement — DDL/DML
+              // executes and yields the empty envelope (db/src/db.rs:764-768)
+              executeOne(tables, sql) match {
+                case Right(_) => persist(); out += RowsResult(Nil, Nil, Nil)
+                case Left(err) => return Left(err)
+              }
+            }
           }
         }
+        Right(out.result())
+      }
+    }
+
+  /** Lock-free `none`-level read: registers the last committed snapshot's
+    * (immutable) row vectors on a fresh session, so a long write batch never
+    * blocks it. Row-returning statements only — stale reads can't mutate. */
+  private def queryCommitted(req: Request): Either[String, Seq[RowsResult]] = {
+    if (closed) return Left("db connection is already closed")
+    val snap = committed // volatile read: one consistent version
+    val s = parent.newSession()
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    snap.foreach { case (td, rows) =>
+      val data = rows.map { case (_, vals) => Row.fromSeq(vals) }.asJava
+      s.createDataFrame(data, td.schema).createOrReplaceTempView(td.name)
+    }
+    val out = Seq.newBuilder[RowsResult]
+    req.statements.foreach { st =>
+      val sql = SqlText.bind(st.sql, st.parameters)
+      if (sql.trim.nonEmpty) {
+        if (!isRowReturning(sql))
+          return Left("level=none supports read statements only")
+        try out += envelope(
+          s.sql(SqlText.aliasSelectList(SqlText.fixQuotedIdents(sql))))
+        catch { case e: Exception => return Left(friendlyError(e)) }
       }
     }
     Right(out.result())
@@ -163,11 +226,15 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
     val sql = SqlText.fixQuotedIdents(sql0)
     val kw = firstWord(sql)
     try kw match {
-      case "CREATE" => doCreate(work, sql0)
+      case "CREATE" => Ddl.parseCreateIndex(sql0) match {
+        case Some(ci) => doCreateIndex(work, ci)
+        case None => doCreate(work, sql0)
+      }
       case "DROP" => doDrop(work, sql)
-      case "INSERT" => doInsert(work, sql)
+      case "INSERT" | "REPLACE" => doInsert(work, sql)
       case "UPDATE" => doUpdate(work, sql)
       case "DELETE" => doDelete(work, sql)
+      case "ALTER" => doAlter(work, sql)
       case "PRAGMA" => doPragma(sql)
       case "SELECT" | "VALUES" | "WITH" =>
         Left("Execute returned results - did you mean to call query?")
@@ -255,28 +322,264 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
       case Some(Ddl.Drop(ie, name)) =>
         val key = name.toLowerCase
         if (work.remove(key).isEmpty && !ie) Left(s"no such table: $name")
-        else Right(0)
-      case None => Left("near \"DROP\": syntax error")
+        else {
+          // SQLite drops a table's indexes with it
+          indexes.filterInPlace((_, ix) => !ix.table.equalsIgnoreCase(name))
+          Right(0)
+        }
+      case None => Ddl.parseDropIndex(sql) match {
+        case Some(Ddl.DropIndex(ie, name)) =>
+          if (indexes.remove(name.toLowerCase).isEmpty && !ie)
+            Left(s"no such index: $name")
+          else Right(0)
+        case None => Left("near \"DROP\": syntax error")
+      }
     }
 
-  private val insertRe =
-    """(?is)^\s*INSERT\s+INTO\s+[`"]?([A-Za-z_][A-Za-z0-9_]*)[`"]?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+?)\s*;?\s*$""".r
-  private val insertSelRe =
-    """(?is)^\s*INSERT\s+INTO\s+[`"]?([A-Za-z_][A-Za-z0-9_]*)[`"]?\s*(?:\(([^)]*)\))?\s*((?:SELECT|WITH)\s.+?)\s*;?\s*$""".r
+  /** CREATE [UNIQUE] INDEX: catalog metadata (Catalyst plans the scans);
+    * a UNIQUE index additionally enforces tuple uniqueness — existing rows
+    * are validated now, future writes via [[uniqueSpecs]]. SQLite surface
+    * per the reference's pass-through (`db/src/db.rs:176`). */
+  private def doCreateIndex(work: Tables,
+                            ci: Ddl.CreateIndex): Either[String, Long] = {
+    if (indexes.contains(ci.name.toLowerCase))
+      return if (ci.ifNotExists) Right(0)
+        else Left(s"index ${ci.name} already exists")
+    val ts = work.getOrElse(ci.table.toLowerCase,
+      return Left(s"no such table: ${ci.table}"))
+    ci.cols.find(c => ts.d.colIndex(c) < 0)
+      .foreach(c => return Left(s"no such column: $c"))
+    if (ci.unique) {
+      val idxs = ci.cols.map(ts.d.colIndex)
+      val desc = ci.cols.map(c => s"${ts.d.name}.$c").mkString(", ")
+      val seen = mutable.HashSet[Seq[Any]]()
+      ts.rows.foreach { case (_, r) =>
+        val key = idxs.map(r(_))
+        if (!key.contains(null) && !seen.add(key))
+          return Left(s"UNIQUE constraint failed: $desc")
+      }
+    }
+    indexes(ci.name.toLowerCase) = ci
+    Right(0)
+  }
 
-  private def doInsert(work: Tables, sql: String): Either[String, Long] =
+  private val alterRenameTableRe =
+    """(?is)^\s*ALTER\s+TABLE\s+["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s+RENAME\s+TO\s+["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*;?\s*$""".r
+  private val alterRenameColRe =
+    """(?is)^\s*ALTER\s+TABLE\s+["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s+RENAME\s+(?:COLUMN\s+)?["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s+TO\s+["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*;?\s*$""".r
+  private val alterDropColRe =
+    """(?is)^\s*ALTER\s+TABLE\s+["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s+DROP\s+(?:COLUMN\s+)?["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*;?\s*$""".r
+  private val alterAddColRe =
+    """(?is)^\s*ALTER\s+TABLE\s+["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s+ADD\s+(?:COLUMN\s+)?(.+?)\s*;?\s*$""".r
+
+  /** ALTER TABLE: RENAME TO / RENAME COLUMN / ADD COLUMN / DROP COLUMN,
+    * with SQLite's restrictions on added columns. Indexes and FK references
+    * follow renames the way SQLite rewrites them. */
+  private def doAlter(work: Tables, sql: String): Either[String, Long] = {
+    def replaceEntry(oldKey: String, newKey: String, st: TableState): Unit = {
+      val entries = work.toSeq.map { case (k, v) =>
+        if (k == oldKey) (newKey, st) else (k, v)
+      }
+      work.clear()
+      entries.foreach { case (k, v) => work(k) = v }
+    }
     sql match {
-      case insertRe(tname, colList, tail) =>
-        insertRows(work, tname, colList, Left(tail))
-      case insertSelRe(tname, colList, select) =>
-        insertRows(work, tname, colList, Right(select))
+      case alterRenameTableRe(oldName, newName) =>
+        val key = oldName.toLowerCase
+        val ts = work.getOrElse(key, return Left(s"no such table: $oldName"))
+        if (work.contains(newName.toLowerCase) && key != newName.toLowerCase)
+          return Left(
+            s"there is already another table or index with this name: $newName")
+        val td = ts.d.copy(name = newName)
+        replaceEntry(key, newName.toLowerCase,
+          new TableState(td, Ddl.renderCreate(td), ts.rows, ts.nextRowId))
+        // indexes and child FK references follow the rename
+        indexes.mapValuesInPlace { (_, ix) =>
+          if (ix.table.equalsIgnoreCase(oldName)) ix.copy(table = newName) else ix
+        }
+        work.keys.toSeq.foreach { k =>
+          val st = work(k)
+          if (st.d.cols.exists(_.ref.exists(_._1.equalsIgnoreCase(oldName)))) {
+            val td2 = st.d.copy(cols = st.d.cols.map { c =>
+              c.ref match {
+                case Some((rt, rc)) if rt.equalsIgnoreCase(oldName) =>
+                  c.copy(ref = Some((newName, rc)))
+                case _ => c
+              }
+            })
+            work(k) = new TableState(td2, Ddl.renderCreate(td2), st.rows, st.nextRowId)
+          }
+        }
+        Right(0)
+      case alterRenameColRe(tname, oldCol, newCol) =>
+        val ts = work.getOrElse(tname.toLowerCase,
+          return Left(s"no such table: $tname"))
+        val idx = ts.d.colIndex(oldCol)
+        if (idx < 0) return Left(s"""no such column: "$oldCol"""")
+        if (ts.d.colIndex(newCol) >= 0 && !oldCol.equalsIgnoreCase(newCol))
+          return Left(s"duplicate column name: $newCol")
+        val td = ts.d.copy(cols = ts.d.cols.updated(idx,
+          ts.d.cols(idx).copy(name = newCol)))
+        replaceEntry(tname.toLowerCase, tname.toLowerCase,
+          new TableState(td, Ddl.renderCreate(td), ts.rows, ts.nextRowId))
+        indexes.mapValuesInPlace { (_, ix) =>
+          if (ix.table.equalsIgnoreCase(tname) &&
+            ix.cols.exists(_.equalsIgnoreCase(oldCol)))
+            ix.copy(cols = ix.cols.map(c =>
+              if (c.equalsIgnoreCase(oldCol)) newCol else c))
+          else ix
+        }
+        work.keys.toSeq.foreach { k =>
+          val st = work(k)
+          if (st.d.cols.exists(_.ref.exists { case (rt, rc) =>
+            rt.equalsIgnoreCase(tname) && rc.equalsIgnoreCase(oldCol) })) {
+            val td2 = st.d.copy(cols = st.d.cols.map { c =>
+              c.ref match {
+                case Some((rt, rc)) if rt.equalsIgnoreCase(tname) &&
+                  rc.equalsIgnoreCase(oldCol) => c.copy(ref = Some((rt, newCol)))
+                case _ => c
+              }
+            })
+            work(k) = new TableState(td2, Ddl.renderCreate(td2), st.rows, st.nextRowId)
+          }
+        }
+        Right(0)
+      case alterDropColRe(tname, cname) =>
+        val ts = work.getOrElse(tname.toLowerCase,
+          return Left(s"no such table: $tname"))
+        val idx = ts.d.colIndex(cname)
+        if (idx < 0) return Left(s"no such column: $cname")
+        val cd = ts.d.cols(idx)
+        if (cd.pk) return Left(s"""cannot drop PRIMARY KEY column: "$cname"""")
+        if (cd.unique) return Left(s"""cannot drop UNIQUE column: "$cname"""")
+        indexes.values.find(ix => ix.table.equalsIgnoreCase(tname) &&
+          ix.cols.exists(_.equalsIgnoreCase(cname))).foreach(ix =>
+          return Left(s"error in index ${ix.name} after drop column: " +
+            s"no such column: $cname"))
+        val td = ts.d.copy(cols =
+          ts.d.cols.take(idx) ++ ts.d.cols.drop(idx + 1))
+        val rows = ts.rows.map { case (rid, vals) =>
+          (rid, (vals.take(idx) ++ vals.drop(idx + 1)).toIndexedSeq)
+        }
+        replaceEntry(tname.toLowerCase, tname.toLowerCase,
+          new TableState(td, Ddl.renderCreate(td), rows, ts.nextRowId))
+        Right(0)
+      case alterAddColRe(tname, defText) =>
+        val ts = work.getOrElse(tname.toLowerCase,
+          return Left(s"no such table: $tname"))
+        val cd = Ddl.parseColDef(defText)
+        if (ts.d.colIndex(cd.name) >= 0)
+          return Left(s"duplicate column name: ${cd.name}")
+        if (cd.pk) return Left("Cannot add a PRIMARY KEY column")
+        if (cd.unique) return Left("Cannot add a UNIQUE column")
+        if (cd.notNull && cd.default.isEmpty)
+          return Left("Cannot add a NOT NULL column with default value NULL")
+        // SQLite backfills existing rows with the (constant) default
+        val defVal: Any = cd.default match {
+          case Some(d) =>
+            session.sql(s"SELECT CAST(($d) AS ${sparkTypeName(cd)})").head.get(0)
+          case None => null
+        }
+        val td = ts.d.copy(cols = ts.d.cols :+ cd)
+        val rows = ts.rows.map { case (rid, vals) =>
+          (rid, (vals :+ defVal).toIndexedSeq)
+        }
+        replaceEntry(tname.toLowerCase, tname.toLowerCase,
+          new TableState(td, Ddl.renderCreate(td), rows, ts.nextRowId))
+        Right(0)
+      case _ => Left("near \"ALTER\": syntax error")
+    }
+  }
+
+  private val insertRe =
+    """(?is)^\s*(INSERT(?:\s+OR\s+(REPLACE|IGNORE))?|REPLACE)\s+INTO\s+[`"]?([A-Za-z_][A-Za-z0-9_]*)[`"]?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+?)\s*;?\s*$""".r
+  private val insertSelRe =
+    """(?is)^\s*(INSERT(?:\s+OR\s+(REPLACE|IGNORE))?|REPLACE)\s+INTO\s+[`"]?([A-Za-z_][A-Za-z0-9_]*)[`"]?\s*(?:\(([^)]*)\))?\s*((?:SELECT|WITH)\s.+?)\s*;?\s*$""".r
+  private val onConflictRe =
+    """(?is)^(.*?)\s+ON\s+CONFLICT\s*(?:\(([^)]*)\))?\s*DO\s+(NOTHING|UPDATE\s+SET\s+.+)\s*$""".r
+
+  /** How an INSERT resolves uniqueness conflicts (SQLite upsert surface:
+    * INSERT OR REPLACE / OR IGNORE / REPLACE INTO / ON CONFLICT DO). */
+  private sealed trait Conflict
+  private object Conflict {
+    case object Abort extends Conflict
+    case object Ignore extends Conflict
+    case object Replace extends Conflict
+    final case class Upsert(cols: Option[Seq[String]],
+                            sets: Seq[(String, String)]) extends Conflict
+  }
+
+  private def doInsert(work: Tables, sql: String): Either[String, Long] = {
+    def headPolicy(head: String, mod: String): Conflict =
+      if (head.trim.toUpperCase.startsWith("REPLACE")) Conflict.Replace
+      else if (mod == null) Conflict.Abort
+      else if (mod.equalsIgnoreCase("REPLACE")) Conflict.Replace
+      else Conflict.Ignore
+    sql match {
+      case insertRe(head, mod, tname, colList, tail0) =>
+        // the ON CONFLICT clause rides on the VALUES tail
+        val (tail, policy) = tail0 match {
+          case onConflictRe(t, confCols, action) =>
+            val p =
+              if (action.equalsIgnoreCase("NOTHING"))
+                Conflict.Upsert(Option(confCols).map(_.split(",")
+                  .map(_.trim.stripPrefix("\"").stripSuffix("\"")
+                    .stripPrefix("`").stripSuffix("`")).toSeq), Nil)
+              else {
+                val setText = action.replaceAll("(?is)^UPDATE\\s+SET\\s+", "")
+                val sets = SqlText.splitTopLevel(setText).map { a =>
+                  val eq = a.indexOf('=')
+                  if (eq < 0) return Left("near \"SET\": syntax error")
+                  a.take(eq).trim.stripPrefix("\"").stripSuffix("\"")
+                    .stripPrefix("`").stripSuffix("`") ->
+                    a.substring(eq + 1).trim
+                }
+                Conflict.Upsert(Option(confCols).map(_.split(",")
+                  .map(_.trim.stripPrefix("\"").stripSuffix("\"")
+                    .stripPrefix("`").stripSuffix("`")).toSeq), sets)
+              }
+            (t, p)
+          case t => (t, headPolicy(head, mod))
+        }
+        insertRows(work, tname, colList, Left(tail), policy)
+      case insertSelRe(head, mod, tname, colList, select) =>
+        insertRows(work, tname, colList, Right(select), headPolicy(head, mod))
       case _ => Left("near \"INSERT\": syntax error")
+    }
+  }
+
+  /** Uniqueness constraints of a table as (column indexes, error text):
+    * PK / UNIQUE columns in declaration order, then UNIQUE indexes. */
+  private def uniqueSpecs(td: TableDef): Seq[(Seq[Int], String)] = {
+    val colSpecs = td.cols.zipWithIndex.collect {
+      case (c, i) if c.pk || c.unique => (Seq(i), s"${td.name}.${c.name}")
+    }
+    val idxSpecs = indexes.values.toSeq
+      .filter(ix => ix.unique && ix.table.equalsIgnoreCase(td.name))
+      .flatMap { ix =>
+        val idxs = ix.cols.map(td.colIndex)
+        if (idxs.forall(_ >= 0))
+          Some((idxs, ix.cols.map(c => s"${td.name}.$c").mkString(", ")))
+        else None
+      }
+    colSpecs ++ idxSpecs
+  }
+
+  /** Does `vals` conflict with `row` on any spec? (SQLite: NULLs in any
+    * indexed column never conflict.) */
+  private def conflicts(specs: Seq[(Seq[Int], String)],
+                        row: IndexedSeq[Any], vals: IndexedSeq[Any]): Boolean =
+    specs.exists { case (idxs, _) =>
+      val key = idxs.map(vals(_))
+      !key.contains(null) && idxs.map(row(_)) == key
     }
 
   /** Shared INSERT pipeline: `source` is either a VALUES tail or a SELECT
-    * text; both evaluate through Catalyst and cast to column affinities. */
+    * text; both evaluate through Catalyst and cast to column affinities.
+    * `policy` resolves uniqueness conflicts (abort/ignore/replace/upsert). */
   private def insertRows(work: Tables, tname: String, colList: String,
-                         source: Either[String, String]): Either[String, Long] = {
+                         source: Either[String, String],
+                         policy: Conflict = Conflict.Abort): Either[String, Long] = {
         val ts = work.getOrElse(tname.toLowerCase,
           return Left(s"no such table: $tname"))
         val td = ts.d
@@ -319,8 +622,17 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
         var nextId = ts.nextRowId
         var lastId = lastRowId
         val rowidIdx = td.rowidAlias.map(c => td.colIndex(c.name)).getOrElse(-1)
+        // unspecified columns take their declared DEFAULT (constant,
+        // evaluated once through Catalyst), else NULL — SQLite semantics
+        val defaults: Map[Int, Any] = td.cols.zipWithIndex.collect {
+          case (c, i) if !targetCols.contains(i) && c.default.isDefined =>
+            i -> session.sql(
+              s"SELECT CAST((${c.default.get}) AS ${sparkTypeName(c)})")
+              .head.get(0)
+        }.toMap
         val candidates = incoming.map { r =>
           val full = Array.fill[Any](td.cols.size)(null)
+          defaults.foreach { case (i, v) => full(i) = v }
           targetCols.zipWithIndex.foreach { case (ci, i) => full(ci) = r.get(i) }
           val rid =
             if (rowidIdx >= 0 && full(rowidIdx) != null)
@@ -331,13 +643,113 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
           lastId = rid
           (rid, full.toIndexedSeq)
         }
-        validate(work, td, ts.rows ++ candidates, candidates.map(_._2))
-          .map { _ =>
-            ts.rows ++= candidates
-            ts.nextRowId = nextId
-            lastRowId = lastId
-            candidates.size.toLong
-          }
+        policy match {
+          case Conflict.Abort =>
+            validate(work, td, ts.rows ++ candidates, candidates.map(_._2))
+              .map { _ =>
+                ts.rows ++= candidates
+                ts.nextRowId = nextId
+                lastRowId = lastId
+                candidates.size.toLong
+              }
+          case Conflict.Ignore =>
+            // skip candidates violating NOT NULL or any uniqueness spec
+            // (SQLite: FK violations still abort — validate() below)
+            val specs = uniqueSpecs(td)
+            var cur = ts.rows
+            val kept = Vector.newBuilder[(Long, IndexedSeq[Any])]
+            candidates.foreach { case (rid, vals) =>
+              val nn = td.cols.zipWithIndex.exists { case (c, i) =>
+                c.notNull && !c.isRowidAlias && vals(i) == null
+              }
+              val uq = cur.exists { case (_, r) => conflicts(specs, r, vals) }
+              if (!nn && !uq) { cur :+= ((rid, vals)); kept += ((rid, vals)) }
+            }
+            val ins = kept.result()
+            validate(work, td, cur, ins.map(_._2)).map { _ =>
+              ts.rows = cur
+              ts.nextRowId = nextId
+              ins.lastOption.foreach { case (rid, _) => lastRowId = rid }
+              ins.size.toLong
+            }
+          case Conflict.Replace =>
+            // each candidate deletes the rows it conflicts with, then lands
+            val specs = uniqueSpecs(td)
+            var cur = ts.rows
+            candidates.foreach { case (rid, vals) =>
+              cur = cur.filterNot { case (_, r) => conflicts(specs, r, vals) }
+              cur :+= ((rid, vals))
+            }
+            validate(work, td, cur, candidates.map(_._2)).map { _ =>
+              ts.rows = cur
+              ts.nextRowId = nextId
+              lastRowId = lastId
+              candidates.size.toLong
+            }
+          case Conflict.Upsert(confCols, sets) =>
+            val all = uniqueSpecs(td)
+            val specs = confCols match {
+              case Some(cs) =>
+                val want = cs.map(_.toLowerCase).toSet
+                val m = all.filter { case (idxs, _) =>
+                  idxs.map(i => td.cols(i).name.toLowerCase).toSet == want
+                }
+                if (m.isEmpty) return Left(
+                  "ON CONFLICT clause does not match any PRIMARY KEY or " +
+                    "UNIQUE constraint")
+                m
+              case None => all
+            }
+            // resolve SET expressions: excluded.col pulls the incoming row,
+            // anything else must be a constant (evaluated once via Catalyst)
+            val excludedRe =
+              """(?is)^excluded\s*\.\s*["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?$""".r
+            val resolved: Seq[(Int, Either[Int, Any])] = sets.map { case (c, e) =>
+              val ci = td.colIndex(c)
+              if (ci < 0) return Left(s"no such column: $c")
+              e match {
+                case excludedRe(src) =>
+                  val si = td.colIndex(src)
+                  if (si < 0) return Left(s"no such column: excluded.$src")
+                  ci -> Left(si)
+                case lit =>
+                  ci -> Right(session.sql(
+                    s"SELECT CAST(($lit) AS ${sparkTypeName(td.cols(ci))})")
+                    .head.get(0))
+              }
+            }
+            var cur = ts.rows
+            var affected = 0L
+            var lastInserted: Option[Long] = None
+            val touched = Vector.newBuilder[IndexedSeq[Any]]
+            candidates.foreach { case (rid, vals) =>
+              val hit = cur.indexWhere { case (_, r) => conflicts(specs, r, vals) }
+              if (hit >= 0) {
+                if (resolved.nonEmpty) { // DO UPDATE; DO NOTHING skips
+                  val (orid, orow) = cur(hit)
+                  val upd = orow.toArray
+                  resolved.foreach {
+                    case (ci, Left(si)) => upd(ci) = vals(si)
+                    case (ci, Right(v)) => upd(ci) = v
+                  }
+                  cur = cur.updated(hit, (orid, upd.toIndexedSeq))
+                  touched += upd.toIndexedSeq
+                  affected += 1
+                }
+              } else {
+                cur :+= ((rid, vals))
+                touched += vals
+                lastInserted = Some(rid)
+                affected += 1
+              }
+            }
+            validate(work, td, cur, touched.result()).map { _ =>
+              ts.rows = cur
+              ts.nextRowId = nextId
+              lastInserted.foreach(lastRowId = _)
+              affected
+            }
+        }
   }
 
   private val updateRe =
@@ -448,14 +860,12 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
             return Left(s"NOT NULL constraint failed: ${td.name}.${c.name}")
         }
     }
-    td.cols.zipWithIndex.foreach { case (c, i) =>
-      if (c.pk || c.unique) {
-        val seen = mutable.HashSet[Any]()
-        allRows.foreach { case (_, r) =>
-          val v = r(i)
-          if (v != null && !seen.add(v))
-            return Left(s"UNIQUE constraint failed: ${td.name}.${c.name}")
-        }
+    uniqueSpecs(td).foreach { case (idxs, desc) =>
+      val seen = mutable.HashSet[Seq[Any]]()
+      allRows.foreach { case (_, r) =>
+        val key = idxs.map(r(_))
+        if (!key.contains(null) && !seen.add(key))
+          return Left(s"UNIQUE constraint failed: $desc")
       }
     }
     if (fkEnabled) {
@@ -554,12 +964,20 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
     m
   }
 
-  // ---------- durability: journal + snapshot manifest ----------------------
+  // ---------- durability: journal + versioned parquet snapshots ------------
   // The statement journal is the functional analog of dust's Raft log
-  // (DOC/DESIGN.md:49): an ordered, durable record of committed batches.
-  // The manifest is the snapshot/log-truncation point (DOC/DESIGN.md:54-55).
+  // (DOC/DESIGN.md:49): an ordered, durable record of committed batches,
+  // appended BEFORE apply. The snapshot (SURVEY §7.4) is columnar: every
+  // checkpoint writes each table to root/v{N}/{table}.parquet, then
+  // atomically swaps manifest.json — a POINTER (version + table meta), not
+  // the data — and truncates the journal. Recovery = read the manifest's
+  // snapshot version, replay the journal suffix. Per-commit durability is
+  // the journal append alone; checkpoint cadence is a knob
+  // ([[CheckpointEvery]] batches, or explicit [[checkpoint]]).
 
   private var journalSeq = 0L
+  private var version = 0L
+  private val CheckpointEvery = 64L
 
   private def journalAppend(tx: Boolean, stmts: Seq[String]): Unit =
     root.foreach { r =>
@@ -570,31 +988,68 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     }
 
-  private def persist(): Unit = root.foreach { r =>
+  private def persist(): Unit = {
+    publishCommitted()
+    // the journal append already made this batch durable; snapshot on cadence
+    root.foreach { _ =>
+      if (journalSeq - appliedBatch >= CheckpointEvery) checkpointLocked()
+    }
+  }
+
+  /** Force a snapshot checkpoint (parquet version + manifest swap + journal
+    * truncation). No-op for in-memory databases. */
+  def checkpoint(): Either[String, Unit] = lock.synchronized {
+    if (closed) Left("db connection is already closed")
+    else { checkpointLocked(); Right(()) }
+  }
+
+  private def checkpointLocked(): Unit = root.foreach { r =>
+    version += 1
+    val vdir = r.resolve(s"v$version")
+    Files.createDirectories(vdir)
+    tables.values.foreach { ts =>
+      // __ord preserves the engine's row order (insertion/update order is
+      // observable through SELECT *); __rowid is the SQLite rowid.
+      val schema = StructType(
+        StructField("__ord", LongType, nullable = false) +:
+          StructField("__rowid", LongType, nullable = false) +:
+          ts.d.schema.fields)
+      val rows = ts.rows.zipWithIndex.map { case ((rid, vals), i) =>
+        Row.fromSeq(i.toLong +: rid +: vals)
+      }.asJava
+      session.createDataFrame(rows, schema).coalesce(1)
+        .write.mode("overwrite")
+        .parquet(vdir.resolve(ts.d.name.toLowerCase + ".parquet").toString)
+    }
     appliedBatch = journalSeq
     val sb = new StringBuilder
-    sb.append(s"""{"appliedBatch":$appliedBatch,"lastRowId":$lastRowId,"fk":$fkEnabled,"tables":[""")
+    sb.append(s"""{"appliedBatch":$appliedBatch,"version":$version,""")
+    sb.append(s""""lastRowId":$lastRowId,"fk":$fkEnabled,"tables":[""")
     sb.append(tables.values.map { ts =>
-      val rowsJson = ts.rows.map { case (rid, vals) =>
-        val cells = vals.zip(ts.d.cols).map {
-          case (null, _) => "null"
-          case (v: Long, _) => v.toString
-          case (v: Double, _) => Json.real(v)
-          case (v: String, _) => "\"" + Json.escape(v) + "\""
-          case (v: Array[Byte], _) =>
-            "\"" + java.util.Base64.getEncoder.encodeToString(v) + "\""
-          case (v, _) => "\"" + Json.escape(v.toString) + "\""
-        }
-        s"""[$rid,${cells.mkString("[", ",", "]")}]"""
-      }.mkString("[", ",", "]")
-      s"""{"createSql":"${Json.escape(ts.createSql)}","nextRowId":${ts.nextRowId},"rows":$rowsJson}"""
+      s"""{"createSql":"${Json.escape(ts.createSql)}","nextRowId":${ts.nextRowId}}"""
     }.mkString(","))
+    sb.append("""],"indexes":[""")
+    sb.append(indexes.values.map(ix =>
+      "\"" + Json.escape(ix.sql) + "\"").mkString(","))
     sb.append("]}")
+    // pointer swap: readers always see a complete version
     val tmp = r.resolve("manifest.json.tmp")
     Files.write(tmp, sb.toString.getBytes("UTF-8"))
     Files.move(tmp, r.resolve("manifest.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // journal truncation: everything ≤ appliedBatch is in the snapshot
+    Files.deleteIfExists(r.resolve("journal.jsonl"))
+    // GC: keep the previous version for readers mid-swap, drop older ones
+    deleteRecursively(r.resolve(s"v${version - 2}"))
   }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
 
   private def load(): Unit = root.foreach { r =>
     val mf = r.resolve("manifest.json")
@@ -603,30 +1058,30 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
       val n = om.readTree(Files.readString(mf))
       appliedBatch = n.path("appliedBatch").asLong(0)
       journalSeq = appliedBatch
+      version = n.path("version").asLong(0)
       lastRowId = n.path("lastRowId").asLong(0)
       fkEnabled = n.path("fk").asBoolean(false)
       n.path("tables").forEach { t =>
         Ddl.parseCreate(t.path("createSql").asText()).foreach { c =>
           val td = c.table
-          val rows = Vector.newBuilder[(Long, IndexedSeq[Any])]
-          t.path("rows").forEach { rr =>
-            val rid = rr.get(0).asLong
-            val vals = td.cols.zipWithIndex.map { case (cd, i) =>
-              val v = rr.get(1).get(i)
-              if (v == null || v.isNull) null
-              else cd.sparkType match {
-                case LongType => v.asLong: Any
-                case DoubleType => v.asDouble: Any
-                case BinaryType => java.util.Base64.getDecoder.decode(v.asText): Any
-                case _ => v.asText: Any
+          val pq = r.resolve(s"v$version")
+            .resolve(td.name.toLowerCase + ".parquet")
+          val rows: Vector[(Long, IndexedSeq[Any])] =
+            if (!Files.exists(pq)) Vector.empty
+            else session.read.parquet(pq.toString)
+              .collect().toVector
+              .sortBy(_.getLong(0)) // __ord: the engine's row order
+              .map { row =>
+                (row.getLong(1), td.cols.indices.map(i => row.get(i + 2)))
               }
-            }.toIndexedSeq
-            rows += rid -> vals
-          }
           tables(td.name.toLowerCase) =
-            new TableState(td, t.path("createSql").asText(), rows.result(),
+            new TableState(td, t.path("createSql").asText(), rows,
               t.path("nextRowId").asLong(1))
         }
+      }
+      n.path("indexes").forEach { s =>
+        Ddl.parseCreateIndex(s.asText()).foreach(ci =>
+          indexes(ci.name.toLowerCase) = ci)
       }
     }
     // crash recovery: replay journal entries after the manifest point
@@ -654,6 +1109,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
         }
       }
     }
+    publishCommitted()
   }
 
   private def executeReplay(tx: Boolean, stmts: Seq[Statement]): Unit = {

@@ -16,6 +16,22 @@ trait Database {
   def query(req: Request): Either[String, Seq[RowsResult]]
 }
 
+/** Read-consistency level for queries (rqlite's none/weak/strong vocabulary;
+  * SURVEY §3.2 maps them onto snapshot-version selection — see the
+  * level-taking overload of GraftDb.query). */
+sealed trait ReadLevel
+object ReadLevel {
+  case object None extends ReadLevel
+  case object Weak extends ReadLevel
+  case object Strong extends ReadLevel
+  def parse(s: String): Option[ReadLevel] = s.trim.toLowerCase match {
+    case "none" => Some(None)
+    case "weak" => Some(Weak)
+    case "strong" => Some(Strong)
+    case _ => scala.None
+  }
+}
+
 trait ClusterControl {
   /** The reference's join/remove mutate Raft membership; on Spark the
     * resource manager owns membership, so these are diagnostics. */

@@ -56,14 +56,28 @@ final class HttpApi(db: GraftDb, port: Int = 0, threads: Int = 4,
       }
     }
 
-  private def handleQuery(ex: HttpExchange): Unit =
+  /** `?level=none|weak|strong` selects the read-consistency level
+    * (rqlite's query-parameter surface; default weak). */
+  private def handleQuery(ex: HttpExchange): Unit = {
+    val levelParam = Option(ex.getRequestURI.getQuery).toSeq
+      .flatMap(_.split("&")).map(_.split("=", 2))
+      .collectFirst { case Array("level", v) => v }
+    val level = levelParam match {
+      case None => graft.engine.ReadLevel.Weak
+      case Some(v) => graft.engine.ReadLevel.parse(v) match {
+        case Some(l) => l
+        case None =>
+          respond(ex, 400, s"invalid consistency level: $v"); return
+      }
+    }
     Json.parseRequest(body(ex)) match {
       case Left(err) => respond(ex, 400, err)
-      case Right(req) => db.query(req) match {
+      case Right(req) => db.query(req, level) match {
         case Right(rs) => respond(ex, 200, Json.rowsSeq(rs))
         case Left(err) => respond(ex, 400, err)
       }
     }
+  }
 
   private def respond(ex: HttpExchange, code: Int, text: String): Unit = {
     val bytes = text.getBytes(StandardCharsets.UTF_8)

@@ -320,6 +320,194 @@ class GoldenParitySpec extends SparkSpec {
       """[{"last_insert_id":10,"rows_affected":1}]""")
   }
 
+  // ---- delegated-SQLite surface: index DDL / ALTER / upsert -------------
+  // Expected strings captured from SQLite 3.40 (the reference passes these
+  // statements straight through, db/src/db.rs:176).
+
+  test("CREATE/DROP INDEX: catalog, dup name, bad column, missing drop") {
+    val db = memDb
+    exec(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT, qty INTEGER)")
+    assert(exec(db, "CREATE INDEX idx_name ON foo(name)") ==
+      """[{}]""")
+    assert(exec(db, "CREATE INDEX idx_name ON foo(id)") ==
+      """[{"error":"index idx_name already exists"}]""")
+    assert(exec(db, "CREATE INDEX IF NOT EXISTS idx_name ON foo(id)") ==
+      """[{}]""")
+    assert(exec(db, "CREATE INDEX ix ON foo(nocol)") ==
+      """[{"error":"no such column: nocol"}]""")
+    assert(exec(db, "DROP INDEX nope") ==
+      """[{"error":"no such index: nope"}]""")
+    assert(exec(db, "DROP INDEX IF EXISTS nope") ==
+      """[{}]""")
+    assert(exec(db, "DROP INDEX idx_name") ==
+      """[{}]""")
+  }
+
+  test("UNIQUE INDEX enforces uniqueness incl. composite and existing dups") {
+    val db = memDb
+    exec(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    exec(db, "INSERT INTO foo VALUES(1,'fiona'),(2,'aoife')")
+    exec(db, "CREATE UNIQUE INDEX idx_name ON foo(name)")
+    assert(exec(db, "INSERT INTO foo VALUES(3,'fiona')") ==
+      """[{"error":"UNIQUE constraint failed: foo.name"}]""")
+    exec(db, "CREATE TABLE t2 (a INTEGER, b INTEGER)")
+    exec(db, "CREATE UNIQUE INDEX uab ON t2(a,b)")
+    exec(db, "INSERT INTO t2 VALUES(1,2)")
+    assert(exec(db, "INSERT INTO t2 VALUES(1,2)") ==
+      """[{"error":"UNIQUE constraint failed: t2.a, t2.b"}]""")
+    // NULLs never conflict
+    assert(exec(db, "INSERT INTO t2 VALUES(1,NULL),(1,NULL)") ==
+      """[{"last_insert_id":3,"rows_affected":2}]""")
+    exec(db, "CREATE TABLE t3 (a INTEGER)")
+    exec(db, "INSERT INTO t3 VALUES(1),(1)")
+    assert(exec(db, "CREATE UNIQUE INDEX ua ON t3(a)") ==
+      """[{"error":"UNIQUE constraint failed: t3.a"}]""")
+  }
+
+  test("INSERT OR REPLACE / OR IGNORE / REPLACE INTO") {
+    val db = memDb
+    exec(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT, qty INTEGER)")
+    exec(db, "INSERT INTO foo VALUES(1,'fiona',5),(2,'aoife',3)")
+    assert(exec(db, "INSERT OR REPLACE INTO foo VALUES(2,'aoife2',7)") ==
+      """[{"last_insert_id":2,"rows_affected":1}]""")
+    // OR IGNORE: dup row skipped, new row lands; changes counts the insert
+    assert(exec(db, "INSERT OR IGNORE INTO foo VALUES(2,'zz',9),(4,'dana',2)") ==
+      """[{"last_insert_id":4,"rows_affected":1}]""")
+    assert(query(db, "SELECT id, name, qty FROM foo ORDER BY id") ==
+      """[{"columns":["id","name","qty"],"types":["integer","text","integer"],"values":[[1,"fiona",5],[2,"aoife2",7],[4,"dana",2]]}]""")
+    assert(exec(db, "REPLACE INTO foo VALUES(4,'dana2',8)") ==
+      """[{"last_insert_id":4,"rows_affected":1}]""")
+    assert(query(db, "SELECT name FROM foo WHERE id = 4") ==
+      """[{"columns":["name"],"types":["text"],"values":[["dana2"]]}]""")
+  }
+
+  test("ON CONFLICT DO NOTHING / DO UPDATE SET excluded") {
+    val db = memDb
+    exec(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT, qty INTEGER)")
+    exec(db, "INSERT INTO foo VALUES(1,'fiona',5),(2,'aoife',3)")
+    assert(exec(db,
+      "INSERT INTO foo VALUES(2,'x',1) ON CONFLICT(id) DO UPDATE SET qty=excluded.qty") ==
+      """[{"last_insert_id":2,"rows_affected":1}]""")
+    assert(query(db, "SELECT id, name, qty FROM foo ORDER BY id") ==
+      """[{"columns":["id","name","qty"],"types":["integer","text","integer"],"values":[[1,"fiona",5],[2,"aoife",1]]}]""")
+    assert(exec(db, "INSERT INTO foo VALUES(5,'eve',1) ON CONFLICT DO NOTHING") ==
+      """[{"last_insert_id":5,"rows_affected":1}]""")
+    assert(exec(db, "INSERT INTO foo VALUES(5,'other',2) ON CONFLICT DO NOTHING") ==
+      """[{"last_insert_id":5}]""")
+    assert(exec(db,
+      "INSERT INTO foo VALUES(5,'o',0) ON CONFLICT(name) DO NOTHING") ==
+      """[{"error":"ON CONFLICT clause does not match any PRIMARY KEY or UNIQUE constraint"}]""")
+  }
+
+  test("ALTER TABLE RENAME / RENAME COLUMN / ADD / DROP COLUMN") {
+    val db = memDb
+    exec(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT, qty INTEGER)")
+    exec(db, "INSERT INTO foo VALUES(1,'fiona',5)")
+    exec(db, "CREATE INDEX idx_name ON foo(name)")
+    exec(db, "CREATE TABLE t2 (a INTEGER)")
+    assert(exec(db, "ALTER TABLE foo RENAME TO t2") ==
+      """[{"error":"there is already another table or index with this name: t2"}]""")
+    assert(exec(db, "ALTER TABLE foo RENAME TO bar") ==
+      """[{"last_insert_id":1}]""")
+    assert(query(db, "SELECT name FROM bar") ==
+      """[{"columns":["name"],"types":["text"],"values":[["fiona"]]}]""")
+    assert(exec(db, "ALTER TABLE bar RENAME COLUMN nope TO x") ==
+      """[{"error":"no such column: \"nope\""}]""")
+    assert(exec(db, "ALTER TABLE bar RENAME COLUMN qty TO amount") ==
+      """[{"last_insert_id":1}]""")
+    assert(exec(db, "ALTER TABLE bar ADD COLUMN c2 INTEGER PRIMARY KEY") ==
+      """[{"error":"Cannot add a PRIMARY KEY column"}]""")
+    assert(exec(db, "ALTER TABLE bar ADD COLUMN c2 INTEGER UNIQUE") ==
+      """[{"error":"Cannot add a UNIQUE column"}]""")
+    assert(exec(db, "ALTER TABLE bar ADD COLUMN c2 INTEGER NOT NULL") ==
+      """[{"error":"Cannot add a NOT NULL column with default value NULL"}]""")
+    exec(db, "ALTER TABLE bar ADD COLUMN c2 INTEGER NOT NULL DEFAULT 7")
+    assert(query(db, "SELECT id, name, amount, c2 FROM bar") ==
+      """[{"columns":["id","name","amount","c2"],"types":["integer","text","integer","integer"],"values":[[1,"fiona",5,7]]}]""")
+    assert(exec(db, "ALTER TABLE bar DROP COLUMN id") ==
+      """[{"error":"cannot drop PRIMARY KEY column: \"id\""}]""")
+    assert(exec(db, "ALTER TABLE bar DROP COLUMN name") ==
+      """[{"error":"error in index idx_name after drop column: no such column: name"}]""")
+    exec(db, "ALTER TABLE bar DROP COLUMN amount")
+    assert(query(db, "SELECT * FROM bar") ==
+      """[{"columns":["id","name","c2"],"types":["integer","text","integer"],"values":[[1,"fiona",7]]}]""")
+  }
+
+  test("column DEFAULT fills unspecified INSERT columns") {
+    val db = memDb
+    exec(db, "CREATE TABLE t4 (a INTEGER, b INTEGER DEFAULT 42)")
+    exec(db, "INSERT INTO t4(a) VALUES(1)")
+    assert(query(db, "SELECT a, b FROM t4") ==
+      """[{"columns":["a","b"],"types":["integer","integer"],"values":[[1,42]]}]""")
+  }
+
+  test("index DDL and ALTER survive persist + recover") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftdb").toString
+    val db = GraftDb.open(spark, s"$tmp/d1").fold(e => fail(e), identity)
+    exec(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    exec(db, "CREATE UNIQUE INDEX idx_name ON foo(name)")
+    exec(db, "ALTER TABLE foo ADD COLUMN qty INTEGER DEFAULT 3")
+    exec(db, "INSERT INTO foo(name) VALUES('fiona')")
+    db.close()
+    val db2 = GraftDb.open(spark, s"$tmp/d1").fold(e => fail(e), identity)
+    assert(query(db2, "SELECT id, name, qty FROM foo") ==
+      """[{"columns":["id","name","qty"],"types":["integer","text","integer"],"values":[[1,"fiona",3]]}]""")
+    // the unique index came back with the manifest
+    assert(exec(db2, "INSERT INTO foo(name) VALUES('fiona')") ==
+      """[{"error":"UNIQUE constraint failed: foo.name"}]""")
+  }
+
+  test("checkpoint writes parquet snapshot version, truncates journal (§7.4)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftdb").toString
+    val db = GraftDb.open(spark, s"$tmp/d1").fold(e => fail(e), identity)
+    exec(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    exec(db, "INSERT INTO foo VALUES(1,'fiona'),(2,'aoife')")
+    val root = java.nio.file.Paths.get(s"$tmp/d1")
+    assert(java.nio.file.Files.exists(root.resolve("journal.jsonl")))
+    assert(db.checkpoint().isRight)
+    // columnar snapshot + pointer exist; journal truncated
+    assert(java.nio.file.Files.exists(root.resolve("v1/foo.parquet")))
+    assert(java.nio.file.Files.exists(root.resolve("manifest.json")))
+    assert(!java.nio.file.Files.exists(root.resolve("journal.jsonl")))
+    val manifest = java.nio.file.Files.readString(root.resolve("manifest.json"))
+    assert(manifest.contains("\"version\":1") && !manifest.contains("\"rows\""))
+    // writes after the checkpoint land in the new journal
+    exec(db, "INSERT INTO foo VALUES(3,'dana')")
+    db.close()
+    val db2 = GraftDb.open(spark, s"$tmp/d1").fold(e => fail(e), identity)
+    assert(query(db2, "SELECT * FROM foo") ==
+      """[{"columns":["id","name"],"types":["integer","text"],"values":[[1,"fiona"],[2,"aoife"],[3,"dana"]]}]""")
+    // a second checkpoint advances the version and GCs v1 eventually
+    assert(db2.checkpoint().isRight)
+    assert(java.nio.file.Files.exists(root.resolve("v2/foo.parquet")))
+    assert(db2.checkpoint().isRight)
+    assert(!java.nio.file.Files.exists(root.resolve("v1")))
+  }
+
+  test("journal-replay convergence: two instances over one journal agree") {
+    // the multi-node argument (SURVEY §2.1): the journal plays the Raft
+    // log's role, so two replicas replaying it must reach the same state
+    val tmp = java.nio.file.Files.createTempDirectory("graftdb").toString
+    val db = GraftDb.open(spark, s"$tmp/d1").fold(e => fail(e), identity)
+    exec(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    (1 to 9).foreach(i => exec(db, s"INSERT INTO foo(name) VALUES('n$i')"))
+    exec(db, "UPDATE foo SET name='x' WHERE id <= 3")
+    exec(db, "DELETE FROM foo WHERE id = 9")
+    db.close()
+    // replicate the log to a second directory; both replicas replay it
+    val src = java.nio.file.Paths.get(s"$tmp/d1/journal.jsonl")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/d2"))
+    java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$tmp/d2/journal.jsonl"))
+    val a = GraftDb.open(spark, s"$tmp/d1").fold(e => fail(e), identity)
+    val b = GraftDb.open(spark, s"$tmp/d2").fold(e => fail(e), identity)
+    val q = "SELECT * FROM foo ORDER BY id"
+    assert(query(a, q) == query(b, q))
+    // and convergence survives each replica checkpointing independently
+    assert(a.checkpoint().isRight)
+    val a2 = GraftDb.open(spark, s"$tmp/d1").fold(e => fail(e), identity)
+    assert(query(a2, q) == query(b, q))
+  }
+
   test("file-backed db persists and recovers (journal + manifest)") {
     val tmp = java.nio.file.Files.createTempDirectory("graftdb").toString
     val db = GraftDb.open(spark, s"$tmp/d1").fold(e => fail(e), identity)

@@ -86,6 +86,33 @@ class HttpApiSpec extends SparkSpec {
     }
   }
 
+  test("/db/query read-consistency levels: none/weak/strong + invalid (§3.2)") {
+    withServer { (c, base) =>
+      post(c, s"$base/db/execute",
+        """{"request":{"transaction":false,"statements":[
+          {"sql":"CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)"},
+          {"sql":"INSERT INTO foo(id, name) VALUES(1, \"fiona\")"}]}}""")
+      val body =
+        """{"request":{"transaction":false,"statements":[{"sql":"SELECT * FROM foo"}]}}"""
+      val expected =
+        """[{"columns":["id","name"],"types":["integer","text"],"values":[[1,"fiona"]]}]"""
+      Seq("none", "weak", "strong").foreach { level =>
+        val r = post(c, s"$base/db/query?level=$level", body)
+        assert(r.statusCode() == 200, s"level=$level: ${r.body()}")
+        assert(r.body() == expected, s"level=$level")
+      }
+      val bad = post(c, s"$base/db/query?level=chaotic", body)
+      assert(bad.statusCode() == 400)
+      assert(bad.body() == "invalid consistency level: chaotic")
+      // none-level reads are read-only: mutating statements are rejected
+      val mut = post(c, s"$base/db/query?level=none",
+        """{"request":{"transaction":false,"statements":[
+          {"sql":"DELETE FROM foo"}]}}""")
+      assert(mut.statusCode() == 400)
+      assert(mut.body() == "level=none supports read statements only")
+    }
+  }
+
   test("parameterized statement over the wire (serde enum encoding)") {
     withServer { (c, base) =>
       post(c, s"$base/db/execute",
