@@ -30,4 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // codegen classes + shuffle buffers across ~60 queries in one JVM; 8g
   // leaves late queries GC-bound (measured 10-20x per-query swings).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
+  // ~65 queries of whole-stage-codegen classes overflow the JDK-17 default
+  // 240m JIT code cache mid-suite; once "CodeCache is full" hits, the
+  // compiler disables and late compute-heavy queries run interpreted
+  // (measured: x57 12s fresh -> 29-58s after the 50 relational queries).
+  "-XX:ReservedCodeCacheSize=1g",
 )

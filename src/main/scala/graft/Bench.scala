@@ -44,8 +44,12 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       // isolate queries: drop any DataFrame caches a query materialized so
-      // storage memory from one query can't starve the next one's joins
+      // storage memory from one query can't starve the next one's joins,
+      // and nudge GC so the ContextCleaner reclaims localCheckpoint blocks
+      // (clearCache does not free those — only dropping the last RDD
+      // reference does, which the gc makes prompt instead of eventual)
       spark.catalog.clearCache()
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -243,7 +243,7 @@ object Dedup {
     // inter/j1 computed ONCE in an inner projection (repeating the popcount
     // sum per reference defeats codegen subexpression reuse), dedup + j1
     // filters applied in the same codegen stage — no extra shuffle.
-    spark.sql(
+    val out = spark.sql(
       s"""WITH q AS (
          |  SELECT doc_a, doc_b,
          |         CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS j1
@@ -269,6 +269,13 @@ object Dedup {
          |      JOIN __x54_feat fa ON fa.doc_id = q.doc_a
          |      JOIN __x54_feat fb ON fb.doc_id = q.doc_b)
          |ORDER BY doc_a, doc_b""".stripMargin)
+    // drop the scaffolding views: the returned plan holds the checkpointed
+    // RDDs directly, and dangling view references would pin their blocks in
+    // the block manager after the caller is done (clearCache can't free
+    // localCheckpoint blocks — only GC of the last RDD reference does)
+    Seq("__x54_tp", "__x54_t1", "__x54_r3", "__x54_feat", "__x54_pf")
+      .foreach(spark.catalog.dropTempView)
+    out
   }
 
   /** 64-bit SimHash over the word bag: bit b is the sign of the sum of
