@@ -167,24 +167,14 @@ object Dedup {
         |      FROM documents)
         |LATERAL VIEW posexplode(toks) AS pos, tok""".stripMargin)
       .createOrReplaceTempView("__x54_tp")
-    // (doc, token-rank) rows: per-lang df-ascending dictionary ranks, each
-    // token's position in its own doc's rarest-first order (pos) and the
-    // doc's distinct-set size (n1) — feeds the width probe, the mask build
-    // and the prefix explode.
+    // per-lang df-ascending dictionary: token → rank (rarest first)
     ckpt(
-      """WITH t1 AS (SELECT DISTINCT doc_id, lang, tok FROM __x54_tp),
-        |v1 AS (SELECT lang, tok,
-        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*), tok)
-        |           AS rank
-        |       FROM t1 GROUP BY lang, tok)
-        |SELECT t1.doc_id, t1.lang, v1.rank,
-        |       ROW_NUMBER() OVER (PARTITION BY t1.doc_id ORDER BY v1.rank)
-        |         AS pos,
-        |       COUNT(*) OVER (PARTITION BY t1.doc_id) AS n1
-        |FROM t1 JOIN v1 ON t1.lang = v1.lang AND t1.tok = v1.tok""".stripMargin,
-      "__x54_t1")
+      """SELECT lang, tok,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*), tok) AS rank
+        |FROM (SELECT DISTINCT doc_id, lang, tok FROM __x54_tp)
+        |GROUP BY lang, tok""".stripMargin, "__x54_v1")
     // one scalar job: widest per-lang vocabulary → number of 64-bit words
-    val maxVocab = spark.sql("SELECT MAX(rank) FROM __x54_t1").head.getInt(0)
+    val maxVocab = spark.sql("SELECT MAX(rank) FROM __x54_v1").head.getInt(0)
     val nMask = ((maxVocab + 63) / 64).max(1)
     // distinct word-trigram set per doc, built with a codegen'd window
     // lead() over token positions (the transform(sequence…) lambda
@@ -205,22 +195,37 @@ object Dedup {
         |SELECT tri.doc_id, collect_list(v3.rank) AS ranks3, COUNT(*) AS n3
         |FROM tri JOIN v3 ON tri.lang = v3.lang AND tri.tok = v3.tok
         |GROUP BY tri.doc_id""".stripMargin, "__x54_r3")
-    def maskSum(pred: String, k: Int) =
-      s"SUM(CASE WHEN CAST((rank - 1) / 64 AS INT) = $k $pred THEN " +
+    // Per-doc unigram features in ONE aggregation (no per-doc windows, no
+    // join-back): sorted rank array + set size + full bitset masks. The
+    // PREFIX masks derive afterwards in pure codegen: the prefix is the
+    // L = ⌊(1−t)·n⌋+1 smallest ranks, i.e. every rank ≤ ranks1[L], so
+    // p_k = m_k & low-bits(prefixMax) per 64-bit word.
+    val maskCols = (0 until nMask).map { k =>
+      s"SUM(CASE WHEN CAST((rank - 1) / 64 AS INT) = $k THEN " +
         s"shiftleft(CAST(1 AS BIGINT), CAST((rank - 1) % 64 AS INT)) " +
-        "ELSE CAST(0 AS BIGINT) END)"
-    val prefixPred = s"AND pos <= n1 - CEIL($threshold * n1) + 1"
-    val maskCols = (0 until nMask).map(k =>
-      s"${maskSum("", k)} AS m$k, ${maskSum(prefixPred, k)} AS p$k")
-      .mkString(", ")
-    // per-doc features: full + prefix bitset masks + trigram rank array
+        s"ELSE CAST(0 AS BIGINT) END) AS m$k"
+    }.mkString(", ")
+    val prefixCols = (0 until nMask).map { k =>
+      val lo = 64 * k
+      val hi = 64 * (k + 1)
+      s"""m$k & (CASE WHEN pm >= $hi THEN CAST(-1 AS BIGINT)
+         |           WHEN pm <= $lo THEN CAST(0 AS BIGINT)
+         |           ELSE shiftleft(CAST(1 AS BIGINT), CAST(pm - $lo AS INT))
+         |                - 1 END) AS p$k""".stripMargin
+    }.mkString(", ")
     ckpt(
-      s"""WITH f AS (SELECT doc_id, lang, MAX(n1) AS n1, $maskCols
-         |           FROM __x54_t1 GROUP BY doc_id, lang)
-         |SELECT f.*, COALESCE(r3.ranks3, CAST(array() AS ARRAY<INT>)) AS ranks3,
-         |       COALESCE(r3.n3, 0) AS n3
-         |FROM f LEFT JOIN __x54_r3 r3 ON r3.doc_id = f.doc_id""".stripMargin,
-      "__x54_feat")
+      s"""SELECT doc_id, lang, n1, ranks1, $prefixCols,
+         |       ${(0 until nMask).map(k => s"m$k").mkString(", ")}
+         |FROM (SELECT doc_id, lang, n1, ranks1,
+         |        element_at(ranks1,
+         |          CAST(n1 - CEIL($threshold * n1) + 1 AS INT)) AS pm,
+         |        ${(0 until nMask).map(k => s"m$k").mkString(", ")}
+         |      FROM (SELECT doc_id, lang, COUNT(*) AS n1,
+         |              sort_array(collect_list(rank)) AS ranks1, $maskCols
+         |            FROM (SELECT DISTINCT tp.doc_id, tp.lang, v.rank
+         |                  FROM __x54_tp tp
+         |                  JOIN __x54_v1 v ON tp.lang = v.lang AND tp.tok = v.tok)
+         |            GROUP BY doc_id, lang))""".stripMargin, "__x54_r1")
     val interSum = (0 until nMask)
       .map(k => s"bit_count(a.m$k & b.m$k)").mkString(" + ")
     // keep this pair only at the LOWEST shared prefix rank → exactly one
@@ -233,12 +238,12 @@ object Dedup {
       }.mkString(" ")
       s"CASE $whens ELSE -1 END"
     }
-    val maskList = (0 until nMask).map(k => s"f.m$k, f.p$k").mkString(", ")
+    val maskList = (0 until nMask).map(k => s"m$k, p$k").mkString(", ")
     spark.sql(
-      s"""SELECT t.lang, t.doc_id, t.rank AS prank, f.n1, $maskList
-         |FROM (SELECT * FROM __x54_t1
-         |      WHERE pos <= n1 - CEIL($threshold * n1) + 1) t
-         |JOIN __x54_feat f ON f.doc_id = t.doc_id""".stripMargin)
+      s"""SELECT lang, doc_id, n1, $maskList, prank
+         |FROM __x54_r1 LATERAL VIEW explode(
+         |  slice(ranks1, 1, CAST(n1 - CEIL($threshold * n1) + 1 AS INT)))
+         |  AS prank""".stripMargin)
       .createOrReplaceTempView("__x54_pf")
     // inter/j1 computed ONCE in an inner projection (repeating the popcount
     // sum per reference defeats codegen subexpression reuse), dedup + j1
@@ -263,17 +268,19 @@ object Dedup {
          |           CAST(i3 AS DOUBLE) / CAST(n3a + n3b - i3 AS DOUBLE)
          |         ELSE 0.0 END, 4) AS DECIMAL(18,4)) AS DOUBLE) AS j3
          |FROM (SELECT q.doc_a, q.doc_b, q.j1,
-         |        size(array_intersect(fa.ranks3, fb.ranks3)) AS i3,
-         |        fa.n3 AS n3a, fb.n3 AS n3b
+         |        size(array_intersect(
+         |          COALESCE(fa.ranks3, CAST(array() AS ARRAY<INT>)),
+         |          COALESCE(fb.ranks3, CAST(array() AS ARRAY<INT>)))) AS i3,
+         |        COALESCE(fa.n3, 0) AS n3a, COALESCE(fb.n3, 0) AS n3b
          |      FROM q
-         |      JOIN __x54_feat fa ON fa.doc_id = q.doc_a
-         |      JOIN __x54_feat fb ON fb.doc_id = q.doc_b)
+         |      LEFT JOIN __x54_r3 fa ON fa.doc_id = q.doc_a
+         |      LEFT JOIN __x54_r3 fb ON fb.doc_id = q.doc_b)
          |ORDER BY doc_a, doc_b""".stripMargin)
     // drop the scaffolding views: the returned plan holds the checkpointed
     // RDDs directly, and dangling view references would pin their blocks in
     // the block manager after the caller is done (clearCache can't free
     // localCheckpoint blocks — only GC of the last RDD reference does)
-    Seq("__x54_tp", "__x54_t1", "__x54_r3", "__x54_feat", "__x54_pf")
+    Seq("__x54_tp", "__x54_v1", "__x54_r1", "__x54_r3", "__x54_pf")
       .foreach(spark.catalog.dropTempView)
     out
   }
