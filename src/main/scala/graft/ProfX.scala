@@ -1,10 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import graft.ext.Dedup
 
 object ProfX {
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val sfDir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -12,15 +11,14 @@ object ProfX {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.ensure(spark, sfDir)
-    def time(tag: String)(f: => Any): Unit = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"PROF $tag ${(System.nanoTime()-t0)/1e9}%.2f s -> $r")
+    def run(name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
-    (1 to 3).foreach { i =>
-      time(s"x54_run$i") {
-        Dedup.ngramJaccard(spark, sfDir).write.format("noop").mode("overwrite").save()
-      }
-      spark.catalog.clearCache()
+    Seq("q19_having", "q18_tpch_q1", "q01_scan", "q38_strings").foreach { q =>
+      val times = (1 to 5).map(_ => run(q))
+      println(f"PROF $q first ${times.head}%.2f warm-min ${times.tail.min}%.2f")
     }
     spark.stop()
   }

@@ -53,11 +53,24 @@ object SparkEntry {
         graft.functions.GraftFunctions.register(s)
         Tables.ensure(s, d)
         s.sql(annExprSql)
-      })
+      }),
+      // embedding-cosine near-dup pairs: LSH-bucketed candidates + exact
+      // codegen'd verify; oracle is the brute-force threshold twin
+      "x63_embed_dup" -> ((s: SparkSession, d: String) =>
+        Similarity.cosineDupPairs(s, d))
     )
+
+  private val embedDupDuck =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  CAST(CAST(ROUND(list_cosine_similarity(a.embedding, b.embedding), 4)
+      |       AS DECIMAL(18,4)) AS DOUBLE) AS cosim
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
 
   def oracleSql: Map[String, String] =
     sqlBacked.map(q => q.name -> q.duck).toMap +
       ("x61_ann_expr" ->
-        Extensions.all.find(_.name == "x55_ann_topk").get.duck)
+        Extensions.all.find(_.name == "x55_ann_topk").get.duck) +
+      ("x63_embed_dup" -> embedDupDuck)
 }

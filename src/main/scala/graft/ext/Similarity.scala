@@ -122,6 +122,45 @@ object Similarity {
   }
 
 
+  /** Embedding-cosine near-duplicate PAIRS (threshold, not top-k) — the
+    * dedup-flavored similarity op: candidates from the multi-table
+    * hyperplane-LSH bucket self-join (pairs sharing any (table, bucket)),
+    * verified by the exact codegen'd CosineSim before the threshold filter.
+    * Never an all-pairs stage; candidate volume tunes via tables × planes
+    * (more planes → smaller buckets at larger corpus sizes).
+    *
+    * Identical vectors always share every bucket (same projections), so
+    * exact-duplicate recall is 1 by construction; near-dup recall is the
+    * standard LSH probability curve (property-tested in SimilaritySpec).
+    * On this corpus max cosine ≈ 0.45, so the driver-facing query is
+    * legitimately empty at the 0.9 threshold — same precedent as
+    * q46_exact_dup — and the brute-force DuckDB twin confirms that. */
+  def cosineDupPairs(spark: SparkSession, dir: String,
+                     threshold: Double = 0.9): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.ensure(spark, dir)
+    cosineDupPairsOf(spark.table("embeddings")
+      .select(col("vec_id"), col("embedding")), threshold)
+  }
+
+  private[ext] def cosineDupPairsOf(vecs: DataFrame,
+                                    threshold: Double): DataFrame = {
+    val bucketed = withBuckets(vecs)
+    val a = bucketed.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+      col("tbl"), col("bv"))
+    val b = bucketed.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+      col("tbl"), col("bv"))
+    a.join(b, Seq("tbl", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosim", expr("cosine_sim(ea, eb)"))
+      .filter(col("cosim") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        expr("CAST(CAST(ROUND(cosim, 4) AS DECIMAL(18,4)) AS DOUBLE)")
+          .as("cosim"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** LSH-bucketed approximate top-k neighbors for query vecs (vec_id < 10).
     * Candidates = corpus vectors sharing any (table, bucket) with the query. */
   def lshTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {

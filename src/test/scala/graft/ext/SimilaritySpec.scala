@@ -13,6 +13,33 @@ class SimilaritySpec extends SparkSpec {
       .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
   }
 
+  test("cosine near-dup pairs: exact dups always found, verified exact, empty on corpus") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    graft.functions.GraftFunctions.register(spark)
+    // synthetic corpus: 40 base vectors + 10 exact duplicates (ids 100+i of i)
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 40L).map(i =>
+      i -> IndexedSeq.fill(16)(rnd.nextFloat() * 2 - 1))
+    val dups = (0L until 10L).map(i => (100L + i) -> base(i.toInt)._2)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding",
+        ArrayType(FloatType))))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList((base ++ dups).map { case (id, v) =>
+        Row(id, v) }: _*), schema)
+    val pairs = Similarity.cosineDupPairsOf(df, threshold = 0.999).collect()
+    // identical vectors share every LSH bucket -> recall 1 by construction
+    (0L until 10L).foreach { i =>
+      assert(pairs.exists(r => r.getLong(0) == i && r.getLong(1) == 100L + i),
+        s"exact duplicate pair ($i, ${100 + i}) missed")
+    }
+    // every reported pair really is above threshold (exact verify ran)
+    pairs.foreach(r => assert(r.getDouble(2) >= 0.999))
+    // and the driver-facing corpus query is legitimately empty (max cos ~0.45)
+    assert(Similarity.cosineDupPairs(spark, sfDir).count() == 0)
+  }
+
   test("lsh topk returns at most k rows per query, deterministically") {
     val a = Similarity.lshTopK(spark, sfDir).collect()
     val b = Similarity.lshTopK(spark, sfDir).collect()
