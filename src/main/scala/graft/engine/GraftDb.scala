@@ -491,10 +491,13 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
     }
   }
 
+  // OR ABORT/FAIL/ROLLBACK parse and take the default abort path: ABORT is
+  // SQLite's default; our tx batches already stop+rollback wholesale on
+  // error (ROLLBACK-like) and non-tx batches abort per statement.
   private val insertRe =
-    """(?is)^\s*(INSERT(?:\s+OR\s+(REPLACE|IGNORE))?|REPLACE)\s+INTO\s+[`"]?([A-Za-z_][A-Za-z0-9_]*)[`"]?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+?)\s*;?\s*$""".r
+    """(?is)^\s*(INSERT(?:\s+OR\s+(REPLACE|IGNORE|ABORT|FAIL|ROLLBACK))?|REPLACE)\s+INTO\s+[`"]?([A-Za-z_][A-Za-z0-9_]*)[`"]?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+?)\s*;?\s*$""".r
   private val insertSelRe =
-    """(?is)^\s*(INSERT(?:\s+OR\s+(REPLACE|IGNORE))?|REPLACE)\s+INTO\s+[`"]?([A-Za-z_][A-Za-z0-9_]*)[`"]?\s*(?:\(([^)]*)\))?\s*((?:SELECT|WITH)\s.+?)\s*;?\s*$""".r
+    """(?is)^\s*(INSERT(?:\s+OR\s+(REPLACE|IGNORE|ABORT|FAIL|ROLLBACK))?|REPLACE)\s+INTO\s+[`"]?([A-Za-z_][A-Za-z0-9_]*)[`"]?\s*(?:\(([^)]*)\))?\s*((?:SELECT|WITH)\s.+?)\s*;?\s*$""".r
   private val onConflictRe =
     """(?is)^(.*?)\s+ON\s+CONFLICT\s*(?:\(([^)]*)\))?\s*DO\s+(NOTHING|UPDATE\s+SET\s+.+)\s*$""".r
 
@@ -514,7 +517,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
       if (head.trim.toUpperCase.startsWith("REPLACE")) Conflict.Replace
       else if (mod == null) Conflict.Abort
       else if (mod.equalsIgnoreCase("REPLACE")) Conflict.Replace
-      else Conflict.Ignore
+      else if (mod.equalsIgnoreCase("IGNORE")) Conflict.Ignore
+      else Conflict.Abort // ABORT (the default) / FAIL / ROLLBACK
     sql match {
       case insertRe(head, mod, tname, colList, tail0) =>
         // the ON CONFLICT clause rides on the VALUES tail

@@ -68,7 +68,16 @@ object Dedup {
     // each — caching stops the 64-column signature aggregation from being
     // recomputed per join branch. At cluster scale these would be
     // checkpointed/bucketed instead.
-    val words = docWords(spark, dir).cache()
+    //
+    // hwords: the word set as a sorted xxhash64 array, computed once per
+    // doc — the exact-verify join then intersects LONG arrays (codegen
+    // OpenHashSet over primitives) instead of string arrays, with identical
+    // Jaccard values (a 64-bit collision between two of the corpus's
+    // distinct tokens has probability ~V²/2^65 — negligible; this op is
+    // sketch-verified by DedupSpec, not a DuckDB oracle).
+    val words = docWords(spark, dir)
+      .withColumn("hwords", expr("array_sort(transform(words, w -> xxhash64(w)))"))
+      .cache()
     val sigs = signatures(words).cache()
     // The band join shuffles ONLY (doc_id, band_id, bh) — 20 bytes/row.
     // Signatures and word arrays rejoin after the candidate set is small.
@@ -100,8 +109,8 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
       .withColumn("est_j", estCol)
       .filter(col("est_j") >= 0.9)  // filter on the sketch BEFORE exact work
-      .join(words.select(col("doc_id").as("doc_a"), col("words").as("wa")), "doc_a")
-      .join(words.select(col("doc_id").as("doc_b"), col("words").as("wb")), "doc_b")
+      .join(words.select(col("doc_id").as("doc_a"), col("hwords").as("wa")), "doc_a")
+      .join(words.select(col("doc_id").as("doc_b"), col("hwords").as("wb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("est_j"),
         (size(array_intersect(col("wa"), col("wb"))).cast("double") /
           size(array_union(col("wa"), col("wb"))).cast("double")).as("jaccard"))

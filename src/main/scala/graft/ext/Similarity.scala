@@ -33,20 +33,38 @@ object Similarity {
   }
 
   /** Bucket ids per LSH table: bit j of table t = sign of the projection on
-    * a pseudo-random ±1 hyperplane (sign from murmur3(t, j, dim)). */
-  private[ext] def withBuckets(vecs: DataFrame): DataFrame =
-    vecs.withColumn("bucket", explode(expr(
-      s"""transform(sequence(0, ${NumTables - 1}), t ->
-         |  struct(t AS tbl,
-         |    aggregate(sequence(0, ${PlanesPerTable - 1}), 0, (acc, j) ->
-         |      acc + CASE WHEN
-         |        aggregate(sequence(1, size(embedding)), CAST(0.0 AS DOUBLE),
-         |          (s, i) -> s + CAST(element_at(embedding, i) AS DOUBLE) *
-         |            (CASE WHEN pmod(hash(t, j, i), 2) = 0
-         |                  THEN 1.0D ELSE -1.0D END)) > 0D
-         |        THEN shiftleft(1, j) ELSE 0 END) AS bv))""".stripMargin)))
-      .select(col("*") ,col("bucket.tbl").as("tbl"), col("bucket.bv").as("bv"))
-      .drop("bucket")
+    * a pseudo-random ±1 hyperplane (sign from murmur3(t, j, dim)).
+    *
+    * Computed as posexplode → one codegen'd SUM column per (table, plane)
+    * — the aggregate(sequence…) lambda formulation evaluates interpreted
+    * and was the dominant cost of every LSH consumer (same lesson as the
+    * MinHash signatures). Each vector's dims explode within one partition,
+    * so per-group sum order is dim order: identical vectors always get
+    * identical projections and therefore identical buckets. */
+  private[ext] def withBuckets(vecs: DataFrame,
+                               numTables: Int = NumTables,
+                               planesPerTable: Int = PlanesPerTable): DataFrame = {
+    val pos = vecs.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("i", "x")))
+    val aggs = for {
+      t <- 0 until numTables; j <- 0 until planesPerTable
+    } yield sum(col("x").cast("double") *
+      when(pmod(hash(lit(t), lit(j), col("i") + 1), lit(2)) === 0, 1.0)
+        .otherwise(-1.0)).as(s"p_${t}_$j")
+    val projs = pos.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+    val bvCols = (0 until numTables).map { t =>
+      (0 until planesPerTable).map(j =>
+        when(col(s"p_${t}_$j") > 0, lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _).as(s"bv_$t")
+    }
+    val buckets = projs.select(col("vec_id") +: bvCols: _*)
+    vecs.join(buckets, "vec_id")
+      .select(col("vec_id"), col("embedding"),
+        explode(array((0 until numTables).map(t =>
+          struct(lit(t).as("tbl"), col(s"bv_$t").as("bv"))): _*)).as("bucket"))
+      .select(col("vec_id"), col("embedding"),
+        col("bucket.tbl").as("tbl"), col("bucket.bv").as("bv"))
+  }
 
   /** IVF (inverted-file) ANN: partition the corpus into `nlist` cells
     * around data-sampled centroids (optionally Lloyd-refined), index each
@@ -145,14 +163,28 @@ object Similarity {
 
   private[ext] def cosineDupPairsOf(vecs: DataFrame,
                                     threshold: Double): DataFrame = {
-    val bucketed = withBuckets(vecs)
-    val a = bucketed.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
-      col("tbl"), col("bv"))
-    val b = bucketed.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
-      col("tbl"), col("bv"))
-    a.join(b, Seq("tbl", "bv"))
-      .filter(col("id_a") < col("id_b"))
+    // the candidate join and pair-dedup shuffle ONLY ids (16 B/row) — the
+    // 64-float embeddings rejoin per distinct pair afterwards, broadcast
+    // from the vector table, for the exact codegen'd verify. 6 planes (64
+    // buckets/table vs top-k's 16): threshold-dedup wants smaller buckets
+    // than top-k search — candidates shrink ~4× and exact-duplicate recall
+    // is unaffected (identical vectors always share every bucket); the
+    // plane count is the recall-vs-cost knob to set against the corpus's
+    // similarity distribution at scale.
+    val bucketed = withBuckets(vecs, planesPerTable = 6)
+      .select(col("vec_id"), col("tbl"), col("bv"))
+    val cached = vecs.cache()
+    val pairs = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(broadcast(cached.select(col("vec_id").as("id_a"),
+        col("embedding").as("ea"))), "id_a")
+      .join(broadcast(cached.select(col("vec_id").as("id_b"),
+        col("embedding").as("eb"))), "id_b")
       .withColumn("cosim", expr("cosine_sim(ea, eb)"))
       .filter(col("cosim") >= threshold)
       .select(col("id_a"), col("id_b"),

@@ -68,6 +68,56 @@ class TxPropertySpec extends SparkSpec {
     }
   }
 
+  // conflict-policy properties over the same colliding-id generator: the
+  // model is a Map[id -> v] (last write wins for REPLACE, first for IGNORE)
+  private def rows(db: GraftDb): Map[Long, String] =
+    db.queryStringStmt("SELECT id, v FROM t ORDER BY id").toOption.get.head
+      .values.map(r => r.head.asInstanceOf[Value.Integer].v ->
+        r(1).asInstanceOf[Value.Text].v).toMap
+
+  private def vOf(s: Statement): String =
+    "'([^']*)'".r.findFirstMatchIn(s.sql).get.group(1)
+
+  test("INSERT OR REPLACE batch == last-write-wins map; never errors") {
+    check(batchGen) { stmts =>
+      val db = freshDb
+      val rep = stmts.map(s => s.copy(sql =
+        s.sql.replace("INSERT INTO", "INSERT OR REPLACE INTO")))
+      val res = db.execute(Request(transaction = false, rep)).toOption.get
+      val model = stmts.map(s => idOf(s) -> vOf(s)).toMap
+      res.forall(_.error.isEmpty) && rows(db) == model
+    }
+  }
+
+  test("INSERT OR IGNORE batch == first-write-wins map; never errors") {
+    check(batchGen) { stmts =>
+      val db = freshDb
+      val ign = stmts.map(s => s.copy(sql =
+        s.sql.replace("INSERT INTO", "INSERT OR IGNORE INTO")))
+      val res = db.execute(Request(transaction = false, ign)).toOption.get
+      val model = stmts.reverse.map(s => idOf(s) -> vOf(s)).toMap // first wins
+      res.forall(_.error.isEmpty) && rows(db) == model
+    }
+  }
+
+  test("upsert DO UPDATE batch == last-write-wins map; OR ABORT == plain") {
+    check(batchGen) { stmts =>
+      val db = freshDb
+      val up = stmts.map(s => s.copy(sql =
+        s.sql + " ON CONFLICT(id) DO UPDATE SET v=excluded.v"))
+      val res = db.execute(Request(transaction = false, up)).toOption.get
+      val model = stmts.map(s => idOf(s) -> vOf(s)).toMap
+      val db2 = freshDb
+      val ab = stmts.map(s => s.copy(sql =
+        s.sql.replace("INSERT INTO", "INSERT OR ABORT INTO")))
+      val resAb = db2.execute(Request(transaction = false, ab)).toOption.get
+      val db3 = freshDb
+      val resPlain = db3.execute(Request(transaction = false, stmts)).toOption.get
+      res.forall(_.error.isEmpty) && rows(db) == model &&
+        resAb.map(_.error) == resPlain.map(_.error) && rows(db2) == rows(db3)
+    }
+  }
+
   test("response count: tx truncates at first error, non-tx never does") {
     check(batchGen) { stmts =>
       val db1 = freshDb
