@@ -948,7 +948,17 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
 
   private def ridView(name: String): String = s"__rid_$name"
 
+  private var registeredViews: Set[String] = Set.empty
+
   private def registerViews(work: Tables): Unit = {
+    // drop views for tables that no longer exist (DROP TABLE / RENAME) —
+    // otherwise the stale temp view keeps serving the old name
+    val current = work.values.map(_.d.name.toLowerCase).toSet
+    (registeredViews -- current).foreach { n =>
+      session.catalog.dropTempView(n)
+      session.catalog.dropTempView(ridView(n))
+    }
+    registeredViews = current
     work.values.foreach { ts =>
       val td = ts.d
       val ridSchema = StructType(

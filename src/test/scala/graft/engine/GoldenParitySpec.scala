@@ -433,6 +433,21 @@ class GoldenParitySpec extends SparkSpec {
       """[{"columns":["id","name","c2"],"types":["integer","text","integer"],"values":[[1,"fiona",7]]}]""")
   }
 
+  test("dropped or renamed tables stop resolving (no stale views)") {
+    val db = memDb
+    exec(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    exec(db, "INSERT INTO foo VALUES(1,'fiona')")
+    // materialize the views once via a query
+    assert(query(db, "SELECT id FROM foo") ==
+      """[{"columns":["id"],"types":["integer"],"values":[[1]]}]""")
+    exec(db, "ALTER TABLE foo RENAME TO bar")
+    assert(db.queryStringStmt("SELECT id FROM foo") ==
+      Left("no such table: foo"))
+    exec(db, "DROP TABLE bar")
+    assert(db.queryStringStmt("SELECT id FROM bar") ==
+      Left("no such table: bar"))
+  }
+
   test("column DEFAULT fills unspecified INSERT columns") {
     val db = memDb
     exec(db, "CREATE TABLE t4 (a INTEGER, b INTEGER DEFAULT 42)")
