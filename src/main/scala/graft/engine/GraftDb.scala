@@ -184,9 +184,13 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
       if (sql.trim.nonEmpty) {
         if (!isRowReturning(sql))
           return Left("level=none supports read statements only")
-        try out += envelope(
-          s.sql(SqlText.aliasSelectList(SqlText.fixQuotedIdents(sql))))
-        catch { case e: Exception => return Left(friendlyError(e)) }
+        if (sql.trim.toUpperCase.startsWith("PRAGMA FOREIGN_KEYS"))
+          out += RowsResult(Seq("foreign_keys"), Seq("integer"),
+            Seq(Seq(Value.Integer(if (fkEnabled) 1 else 0))))
+        else
+          try out += envelope(
+            s.sql(SqlText.aliasSelectList(SqlText.fixQuotedIdents(sql))))
+          catch { case e: Exception => return Left(friendlyError(e)) }
       }
     }
     Right(out.result())

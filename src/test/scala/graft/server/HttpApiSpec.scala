@@ -110,6 +110,13 @@ class HttpApiSpec extends SparkSpec {
           {"sql":"DELETE FROM foo"}]}}""")
       assert(mut.statusCode() == 400)
       assert(mut.body() == "level=none supports read statements only")
+      // PRAGMA reads answer from the envelope at every level
+      val pragma = post(c, s"$base/db/query?level=none",
+        """{"request":{"transaction":false,"statements":[
+          {"sql":"PRAGMA foreign_keys"}]}}""")
+      assert(pragma.statusCode() == 200)
+      assert(pragma.body() ==
+        """[{"columns":["foreign_keys"],"types":["integer"],"values":[[0]]}]""")
     }
   }
 
