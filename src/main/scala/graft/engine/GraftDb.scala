@@ -503,7 +503,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
   private val insertSelRe =
     """(?is)^\s*(INSERT(?:\s+OR\s+(REPLACE|IGNORE|ABORT|FAIL|ROLLBACK))?|REPLACE)\s+INTO\s+[`"]?([A-Za-z_][A-Za-z0-9_]*)[`"]?\s*(?:\(([^)]*)\))?\s*((?:SELECT|WITH)\s.+?)\s*;?\s*$""".r
   private val onConflictRe =
-    """(?is)^(.*?)\s+ON\s+CONFLICT\s*(?:\(([^)]*)\))?\s*DO\s+(NOTHING|UPDATE\s+SET\s+.+)\s*$""".r
+    """(?is)^ON\s+CONFLICT\s*(?:\(([^)]*)\))?\s*DO\s+(NOTHING|UPDATE\s+SET\s+.+)\s*$""".r
 
   /** How an INSERT resolves uniqueness conflicts (SQLite upsert surface:
     * INSERT OR REPLACE / OR IGNORE / REPLACE INTO / ON CONFLICT DO). */
@@ -525,14 +525,19 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
       else Conflict.Abort // ABORT (the default) / FAIL / ROLLBACK
     sql match {
       case insertRe(head, mod, tname, colList, tail0) =>
-        // the ON CONFLICT clause rides on the VALUES tail
-        val (tail, policy) = tail0 match {
-          case onConflictRe(t, confCols, action) =>
+        // the ON CONFLICT clause rides on the VALUES tail; locate it with
+        // the quote/paren-aware scanner so "ON CONFLICT" inside a VALUES
+        // string literal (always at paren depth > 0) can never match
+        val onIdx = SqlText.findKeyword(tail0, "ON")
+        val clause = if (onIdx >= 0) tail0.substring(onIdx).trim else ""
+        val (tail, policy) = clause match {
+          case onConflictRe(confCols, action) =>
+            def cols = Option(confCols).map(_.split(",")
+              .map(_.trim.stripPrefix("\"").stripSuffix("\"")
+                .stripPrefix("`").stripSuffix("`")).toSeq)
             val p =
               if (action.equalsIgnoreCase("NOTHING"))
-                Conflict.Upsert(Option(confCols).map(_.split(",")
-                  .map(_.trim.stripPrefix("\"").stripSuffix("\"")
-                    .stripPrefix("`").stripSuffix("`")).toSeq), Nil)
+                Conflict.Upsert(cols, Nil)
               else {
                 val setText = action.replaceAll("(?is)^UPDATE\\s+SET\\s+", "")
                 val sets = SqlText.splitTopLevel(setText).map { a =>
@@ -542,12 +547,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
                     .stripPrefix("`").stripSuffix("`") ->
                     a.substring(eq + 1).trim
                 }
-                Conflict.Upsert(Option(confCols).map(_.split(",")
-                  .map(_.trim.stripPrefix("\"").stripSuffix("\"")
-                    .stripPrefix("`").stripSuffix("`")).toSeq), sets)
+                Conflict.Upsert(cols, sets)
               }
-            (t, p)
-          case t => (t, headPolicy(head, mod))
+            (tail0.take(onIdx), p)
+          case _ => (tail0, headPolicy(head, mod))
         }
         insertRows(work, tname, colList, Left(tail), policy)
       case insertSelRe(head, mod, tname, colList, select) =>

@@ -397,6 +397,11 @@ class GoldenParitySpec extends SparkSpec {
     assert(exec(db,
       "INSERT INTO foo VALUES(5,'o',0) ON CONFLICT(name) DO NOTHING") ==
       """[{"error":"ON CONFLICT clause does not match any PRIMARY KEY or UNIQUE constraint"}]""")
+    // "ON CONFLICT" inside a string literal is data, not an upsert clause
+    assert(exec(db, "INSERT INTO foo VALUES(9,'say ON CONFLICT DO NOTHING',1)") ==
+      """[{"last_insert_id":9,"rows_affected":1}]""")
+    assert(query(db, "SELECT name FROM foo WHERE id = 9") ==
+      """[{"columns":["name"],"types":["text"],"values":[["say ON CONFLICT DO NOTHING"]]}]""")
   }
 
   test("ALTER TABLE RENAME / RENAME COLUMN / ADD / DROP COLUMN") {
