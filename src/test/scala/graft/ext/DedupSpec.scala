@@ -23,6 +23,26 @@ class DedupSpec extends SparkSpec {
     assert(bagDupPairs.nonEmpty)
   }
 
+  test("PPJoin ngramJaccard matches the co-occurrence-join formulation") {
+    // two structurally independent exact algorithms over the same data:
+    // prefix-filter + bitset verify vs token co-occurrence counting
+    graft.Tables.ensure(spark, sfDir)
+    val ref = spark.sql(Extensions.all
+        .find(_.name == "x54_ngram_jaccard").get.spark)
+      .collect().map(_.toString).sorted.toSeq
+    val got = Dedup.ngramJaccard(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == ref,
+      s"PPJoin=${got.length} rows, co-occurrence=${ref.length} rows")
+  }
+
+  test("ngramJaccard plan has no unblocked all-pairs stage") {
+    val plan = Dedup.ngramJaccard(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("minhash candidates include every identical-bag pair (j=1 recall)") {
     val found = Dedup.minhashPairs(spark, sfDir)
       .select("doc_a", "doc_b")

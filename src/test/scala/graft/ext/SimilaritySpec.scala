@@ -40,6 +40,13 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.cosineDupPairs(spark, sfDir).count() == 0)
   }
 
+  test("cosine near-dup plan has no unblocked all-pairs stage") {
+    val plan = Similarity.cosineDupPairs(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("lsh topk returns at most k rows per query, deterministically") {
     val a = Similarity.lshTopK(spark, sfDir).collect()
     val b = Similarity.lshTopK(spark, sfDir).collect()
