@@ -39,7 +39,9 @@ object Dedup {
   private[graft] def docWords(spark: SparkSession, dir: String): DataFrame = {
     Tables.ensure(spark, dir)
     spark.table("documents").select(col("doc_id"),
-      array_distinct(filter(split(lower(col("text")), " "), t => t =!= ""))
+      // array_remove == filter(t <> ''), but codegen'd — the filter-lambda
+      // formulation evaluates interpreted and taxed every sketch consumer
+      array_distinct(array_remove(split(lower(col("text")), " "), ""))
         .as("words"))
   }
 
@@ -172,7 +174,7 @@ object Dedup {
     spark.sql(
       """SELECT doc_id, lang, pos, tok
         |FROM (SELECT doc_id, lang,
-        |        filter(split(LOWER(text), ' '), t -> t <> '') AS toks
+        |        array_remove(split(LOWER(text), ' '), '') AS toks
         |      FROM documents)
         |LATERAL VIEW posexplode(toks) AS pos, tok""".stripMargin)
       .createOrReplaceTempView("__x54_tp")

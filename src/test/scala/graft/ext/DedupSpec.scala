@@ -36,6 +36,18 @@ class DedupSpec extends SparkSpec {
       s"PPJoin=${got.length} rows, co-occurrence=${ref.length} rows")
   }
 
+  test("ngramJaccard is invariant to shuffle parallelism (cluster-reconfig safety)") {
+    val conf = "spark.sql.shuffle.partitions"
+    val orig = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "4")
+      val a = Dedup.ngramJaccard(spark, sfDir).collect().map(_.toString).toSeq
+      spark.conf.set(conf, "13")
+      val b = Dedup.ngramJaccard(spark, sfDir).collect().map(_.toString).toSeq
+      assert(a == b)
+    } finally spark.conf.set(conf, orig)
+  }
+
   test("ngramJaccard plan has no unblocked all-pairs stage") {
     val plan = Dedup.ngramJaccard(spark, sfDir)
       .queryExecution.executedPlan.toString
