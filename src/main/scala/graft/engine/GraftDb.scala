@@ -55,6 +55,11 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
   // constraints enforced through validate()/the conflict policies.
   private var indexes: mutable.LinkedHashMap[String, Ddl.CreateIndex] =
     mutable.LinkedHashMap.empty
+  // SQL views (SQLite pass-through): stored as their SELECT text, expanded
+  // by Catalyst at query time. Like SQLite, validation is lazy — a view
+  // over a missing table errors at use, not at creation. (name, select, sql)
+  private var viewDefs: mutable.LinkedHashMap[String, (String, String, String)] =
+    mutable.LinkedHashMap.empty
   private var fkEnabled = false
   private var lastRowId = 0L
   private var appliedBatch = 0L
@@ -64,9 +69,12 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
   // (rows vectors are immutable; the volatile swap selects the version)
   @volatile private var committed
     : Vector[(TableDef, Vector[(Long, IndexedSeq[Any])])] = Vector.empty
+  @volatile private var committedViews: Vector[(String, String)] = Vector.empty
 
-  private def publishCommitted(): Unit =
+  private def publishCommitted(): Unit = {
     committed = tables.values.toVector.map(ts => (ts.d, ts.rows))
+    committedViews = viewDefs.values.toVector.map(v => (v._1, v._2))
+  }
 
   // ---------- public API (the store seam, reference store/src/lib.rs:7-28) --
 
@@ -92,9 +100,12 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
     val bound = req.statements.map(s => SqlText.bind(s.sql, s.parameters))
     journalAppend(req.transaction, bound)
     val work: Tables = if (req.transaction) snapshot() else tables
-    // index DDL mutates the catalog directly; snapshot it for tx rollback
+    // index/view DDL mutates the catalogs directly; snapshot for tx rollback
     val idxBackup =
       if (req.transaction) Some(mutable.LinkedHashMap(indexes.toSeq: _*))
+      else None
+    val viewBackup =
+      if (req.transaction) Some(mutable.LinkedHashMap(viewDefs.toSeq: _*))
       else None
     val results = Seq.newBuilder[Response]
     var rolledBack = false
@@ -112,7 +123,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
       }
     }
     if (req.transaction && !rolledBack) tables = work
-    if (rolledBack) idxBackup.foreach(indexes = _)
+    if (rolledBack) {
+      idxBackup.foreach(indexes = _)
+      viewBackup.foreach(viewDefs = _)
+    }
     if (!req.transaction || !rolledBack) persist()
     Right(results.result())
   }
@@ -178,6 +192,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
       val data = rows.map { case (_, vals) => Row.fromSeq(vals) }.asJava
       s.createDataFrame(data, td.schema).createOrReplaceTempView(td.name)
     }
+    committedViews.foreach { case (name, select) =>
+      try s.sql(SqlText.fixQuotedIdents(select)).createOrReplaceTempView(name)
+      catch { case _: Exception => }
+    }
     val out = Seq.newBuilder[RowsResult]
     req.statements.foreach { st =>
       val sql = SqlText.bind(st.sql, st.parameters)
@@ -232,7 +250,11 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
     try kw match {
       case "CREATE" => Ddl.parseCreateIndex(sql0) match {
         case Some(ci) => doCreateIndex(work, ci)
-        case None => doCreate(work, sql0)
+        case None => sql0 match {
+          case createViewRe(ine, name, select) =>
+            doCreateView(work, ine != null, name, select, sql0)
+          case _ => doCreate(work, sql0)
+        }
       }
       case "DROP" => doDrop(work, sql)
       case "INSERT" | "REPLACE" => doInsert(work, sql)
@@ -271,7 +293,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
     Ddl.parseCreate(sql) match {
       case Some(Ddl.Create(ine, td)) =>
         val key = td.name.toLowerCase
-        if (work.contains(key)) {
+        if (viewDefs.contains(key)) {
+          if (ine) Right(0) else Left(s"view ${td.name} already exists")
+        } else if (work.contains(key)) {
           if (ine) Right(0) else Left(s"table ${td.name} already exists")
         } else {
           work(key) = new TableState(td, sql, Vector.empty, 1L)
@@ -288,6 +312,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
   private def doCreateAs(work: Tables, ine: Boolean, name: String,
                          select: String): Either[String, Long] = {
     val key = name.toLowerCase
+    if (viewDefs.contains(key))
+      return if (ine) Right(0) else Left(s"view $name already exists")
     if (work.contains(key))
       return if (ine) Right(0) else Left(s"table $name already exists")
     registerViews(work)
@@ -325,7 +351,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
     Ddl.parseDrop(sql) match {
       case Some(Ddl.Drop(ie, name)) =>
         val key = name.toLowerCase
-        if (work.remove(key).isEmpty && !ie) Left(s"no such table: $name")
+        if (viewDefs.contains(key))
+          Left(s"use DROP VIEW to delete view $name")
+        else if (work.remove(key).isEmpty && !ie) Left(s"no such table: $name")
         else {
           // SQLite drops a table's indexes with it
           indexes.filterInPlace((_, ix) => !ix.table.equalsIgnoreCase(name))
@@ -336,9 +364,34 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
           if (indexes.remove(name.toLowerCase).isEmpty && !ie)
             Left(s"no such index: $name")
           else Right(0)
-        case None => Left("near \"DROP\": syntax error")
+        case None => sql match {
+          case dropViewRe(ie, name) =>
+            if (viewDefs.remove(name.toLowerCase).isEmpty && ie == null)
+              Left(s"no such view: $name")
+            else Right(0)
+          case _ => Left("near \"DROP\": syntax error")
+        }
       }
     }
+
+  private val createViewRe =
+    """(?is)^\s*CREATE\s+VIEW\s+(IF\s+NOT\s+EXISTS\s+)?["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s+AS\s+(.+?)\s*;?\s*$""".r
+  private val dropViewRe =
+    """(?is)^\s*DROP\s+VIEW\s+(IF\s+EXISTS\s+)?["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*;?\s*$""".r
+
+  /** CREATE VIEW (SQLite pass-through surface): stores the SELECT; lazy
+    * validation exactly like SQLite (a view over a missing table errors
+    * when used). */
+  private def doCreateView(work: Tables, ine: Boolean, name: String,
+                           select: String, sql: String): Either[String, Long] = {
+    val key = name.toLowerCase
+    if (viewDefs.contains(key))
+      return if (ine) Right(0) else Left(s"view $name already exists")
+    if (work.contains(key))
+      return if (ine) Right(0) else Left(s"table $name already exists")
+    viewDefs(key) = (name, select, sql)
+    Right(0)
+  }
 
   /** CREATE [UNIQUE] INDEX: catalog metadata (Catalyst plans the scans);
     * a UNIQUE index additionally enforces tuple uniqueness — existing rows
@@ -591,6 +644,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
   private def insertRows(work: Tables, tname: String, colList: String,
                          source: Either[String, String],
                          policy: Conflict = Conflict.Abort): Either[String, Long] = {
+        if (viewDefs.contains(tname.toLowerCase))
+          return Left(s"cannot modify $tname because it is a view")
         val ts = work.getOrElse(tname.toLowerCase,
           return Left(s"no such table: $tname"))
         val td = ts.d
@@ -769,6 +824,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
   private def doUpdate(work: Tables, sql: String): Either[String, Long] =
     sql match {
       case updateRe(tname, rest) =>
+        if (viewDefs.contains(tname.toLowerCase))
+          return Left(s"cannot modify $tname because it is a view")
         val ts = work.getOrElse(tname.toLowerCase,
           return Left(s"no such table: $tname"))
         val td = ts.d
@@ -815,6 +872,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
   private def doDelete(work: Tables, sql: String): Either[String, Long] =
     sql match {
       case deleteRe(tname, whereText) =>
+        if (viewDefs.contains(tname.toLowerCase))
+          return Left(s"cannot modify $tname because it is a view")
         val ts = work.getOrElse(tname.toLowerCase,
           return Left(s"no such table: $tname"))
         registerViews(work)
@@ -960,7 +1019,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
   private def registerViews(work: Tables): Unit = {
     // drop views for tables that no longer exist (DROP TABLE / RENAME) —
     // otherwise the stale temp view keeps serving the old name
-    val current = work.values.map(_.d.name.toLowerCase).toSet
+    val current = work.values.map(_.d.name.toLowerCase).toSet ++
+      viewDefs.keySet
     (registeredViews -- current).foreach { n =>
       session.catalog.dropTempView(n)
       session.catalog.dropTempView(ridView(n))
@@ -976,6 +1036,14 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
       val df = session.createDataFrame(rows, ridSchema)
       df.createOrReplaceTempView(ridView(td.name))
       df.drop("__rowid").createOrReplaceTempView(td.name)
+    }
+    // SQL views expand over the tables just registered, in creation order
+    // (view-on-view works). A broken view (underlying table dropped) stays
+    // unregistered and errors lazily at use — SQLite's behavior.
+    viewDefs.values.foreach { case (name, select, _) =>
+      try session.sql(SqlText.fixQuotedIdents(select))
+        .createOrReplaceTempView(name)
+      catch { case _: Exception => session.catalog.dropTempView(name) }
     }
   }
 
@@ -1052,6 +1120,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
     sb.append("""],"indexes":[""")
     sb.append(indexes.values.map(ix =>
       "\"" + Json.escape(ix.sql) + "\"").mkString(","))
+    sb.append("""],"views":[""")
+    sb.append(viewDefs.values.map { case (_, _, sql) =>
+      "\"" + Json.escape(sql) + "\""
+    }.mkString(","))
     sb.append("]}")
     // pointer swap: readers always see a complete version
     val tmp = r.resolve("manifest.json.tmp")
@@ -1103,6 +1175,13 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
       n.path("indexes").forEach { s =>
         Ddl.parseCreateIndex(s.asText()).foreach(ci =>
           indexes(ci.name.toLowerCase) = ci)
+      }
+      n.path("views").forEach { s =>
+        s.asText() match {
+          case createViewRe(_, name, select) =>
+            viewDefs(name.toLowerCase) = (name, select, s.asText())
+          case _ =>
+        }
       }
     }
     // crash recovery: replay journal entries after the manifest point

@@ -453,6 +453,51 @@ class GoldenParitySpec extends SparkSpec {
       Left("no such table: bar"))
   }
 
+  test("CREATE/DROP VIEW: expansion, read-only, name clashes (SQLite 3.40 parity)") {
+    val db = memDb
+    exec(db, "CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)")
+    exec(db, "INSERT INTO t VALUES(1,'a'),(2,'b')")
+    exec(db, "CREATE VIEW big AS SELECT id, upper(v) AS uv FROM t WHERE id > 1")
+    assert(query(db, "SELECT * FROM big") ==
+      """[{"columns":["id","uv"],"types":["integer","text"],"values":[[2,"B"]]}]""")
+    assert(exec(db, "CREATE VIEW big AS SELECT 1") ==
+      """[{"error":"view big already exists"}]""")
+    assert(exec(db, "CREATE TABLE big (x INTEGER)") ==
+      """[{"error":"view big already exists"}]""")
+    assert(exec(db, "INSERT INTO big VALUES(1,'x')") ==
+      """[{"error":"cannot modify big because it is a view"}]""")
+    assert(exec(db, "UPDATE big SET uv='z'") ==
+      """[{"error":"cannot modify big because it is a view"}]""")
+    assert(exec(db, "DELETE FROM big") ==
+      """[{"error":"cannot modify big because it is a view"}]""")
+    assert(exec(db, "DROP TABLE big") ==
+      """[{"error":"use DROP VIEW to delete view big"}]""")
+    assert(exec(db, "DROP VIEW nope") ==
+      """[{"error":"no such view: nope"}]""")
+    // view on view; then dropping the inner view breaks the outer lazily
+    exec(db, "CREATE VIEW v3 AS SELECT uv FROM big")
+    assert(query(db, "SELECT * FROM v3") ==
+      """[{"columns":["uv"],"types":["text"],"values":[["B"]]}]""")
+    exec(db, "DROP VIEW big")
+    assert(db.queryStringStmt("SELECT * FROM big") ==
+      Left("no such table: big"))
+    assert(db.queryStringStmt("SELECT * FROM v3").isLeft)
+  }
+
+  test("views persist, recover, and follow base-table writes") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftdb").toString
+    val db = GraftDb.open(spark, s"$tmp/d1").fold(e => fail(e), identity)
+    exec(db, "CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)")
+    exec(db, "INSERT INTO t VALUES(1,'a')")
+    exec(db, "CREATE VIEW up AS SELECT upper(v) AS uv FROM t")
+    assert(db.checkpoint().isRight)
+    db.close()
+    val db2 = GraftDb.open(spark, s"$tmp/d1").fold(e => fail(e), identity)
+    exec(db2, "INSERT INTO t VALUES(2,'b')")
+    assert(query(db2, "SELECT * FROM up ORDER BY uv") ==
+      """[{"columns":["uv"],"types":["text"],"values":[["A"],["B"]]}]""")
+  }
+
   test("column DEFAULT fills unspecified INSERT columns") {
     val db = memDb
     exec(db, "CREATE TABLE t4 (a INTEGER, b INTEGER DEFAULT 42)")
