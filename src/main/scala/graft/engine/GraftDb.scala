@@ -161,6 +161,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
               // PRAGMA read: one row, SQLite reports 0/1 (db/src/db.rs:133-140)
               out += RowsResult(Seq("foreign_keys"), Seq("integer"),
                 Seq(Seq(Value.Integer(if (fkEnabled) 1 else 0))))
+            } else if (tableInfoRe.findFirstMatchIn(sql).isDefined) {
+              out += tableInfo(
+                tableInfoRe.findFirstMatchIn(sql).get.group(1))
             } else if (isRowReturning(sql)) {
               runSelect(sql) match {
                 case Right(r) => out += r
@@ -278,6 +281,37 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
       s"no such table: $name"
     } else m.linesIterator.take(2).mkString(" ").trim
   }
+
+  private val tableInfoRe =
+    """(?is)^\s*PRAGMA\s+TABLE_INFO\s*\(\s*["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*\)\s*;?\s*$""".r
+
+  /** PRAGMA table_info(t): (cid, name, type, notnull, dflt_value, pk) with
+    * SQLite's shapes — empty result for a missing table, pk = 1-based
+    * position, declared type collapsed to the affinity's canonical name. */
+  private def tableInfo(tname: String): RowsResult =
+    tables.get(tname.toLowerCase) match {
+      case None => RowsResult(Nil, Nil, Nil)
+      case Some(ts) =>
+        val cols = Seq("cid", "name", "type", "notnull", "dflt_value", "pk")
+        val tags = Seq("integer", "text", "text", "integer", "text", "integer")
+        var pkSeen = 0
+        val rows = ts.d.cols.zipWithIndex.map { case (c, i) =>
+          val pk = if (c.pk) { pkSeen += 1; pkSeen } else 0
+          Seq[Value](Value.Integer(i.toLong), Value.Text(c.name),
+            Value.Text(c.affinity match {
+              case Affinity.Integer => "INTEGER"
+              case Affinity.Real | Affinity.Numeric => "REAL"
+              case Affinity.Blob => "BLOB"
+              case _ => "TEXT"
+            }),
+            // SQLite reports declared NOT NULL only (a bare INTEGER
+            // PRIMARY KEY rowid alias shows notnull=0 — historic quirk)
+            Value.Integer(if (c.notNull) 1 else 0),
+            c.default.map(Value.Text(_): Value).getOrElse(Value.Null),
+            Value.Integer(pk.toLong))
+        }
+        RowsResult(cols, tags, rows)
+    }
 
   private def doPragma(sql: String): Either[String, Long] = {
     val u = sql.toUpperCase.replaceAll("\\s+", "")

@@ -498,6 +498,18 @@ class GoldenParitySpec extends SparkSpec {
       """[{"columns":["uv"],"types":["text"],"values":[["A"],["B"]]}]""")
   }
 
+  test("PRAGMA table_info mirrors SQLite's six-column shape") {
+    val db = memDb
+    exec(db, "CREATE TABLE t (id INTEGER NOT NULL PRIMARY KEY, v TEXT DEFAULT 'x', r REAL, b BLOB)")
+    assert(query(db, "PRAGMA table_info(t)") ==
+      """[{"columns":["cid","name","type","notnull","dflt_value","pk"],""" +
+      """"types":["integer","text","text","integer","text","integer"],""" +
+      """"values":[[0,"id","INTEGER",1,null,1],[1,"v","TEXT",0,"'x'",0],""" +
+      """[2,"r","REAL",0,null,0],[3,"b","BLOB",0,null,0]]}]""")
+    assert(query(db, "PRAGMA table_info(nope)") ==
+      """[{"columns":[],"types":[],"values":[]}]""")
+  }
+
   test("column DEFAULT fills unspecified INSERT columns") {
     val db = memDb
     exec(db, "CREATE TABLE t4 (a INTEGER, b INTEGER DEFAULT 42)")
