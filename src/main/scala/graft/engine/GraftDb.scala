@@ -265,6 +265,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
       case "DELETE" => doDelete(work, sql)
       case "ALTER" => doAlter(work, sql)
       case "PRAGMA" => doPragma(sql)
+      // routine SQLite maintenance: nothing to compact/collect here —
+      // storage is columnar snapshots and Catalyst plans from schema
+      case "VACUUM" | "ANALYZE" => Right(0)
       case "SELECT" | "VALUES" | "WITH" =>
         Left("Execute returned results - did you mean to call query?")
       case _ => Left(s"unsupported statement: ${sql.trim.take(40)}")

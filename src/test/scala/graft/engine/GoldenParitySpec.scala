@@ -498,6 +498,13 @@ class GoldenParitySpec extends SparkSpec {
       """[{"columns":["uv"],"types":["text"],"values":[["A"],["B"]]}]""")
   }
 
+  test("VACUUM and ANALYZE are accepted as no-ops") {
+    val db = memDb
+    exec(db, "CREATE TABLE t (id INTEGER PRIMARY KEY)")
+    assert(exec(db, "VACUUM") == """[{}]""")
+    assert(exec(db, "ANALYZE") == """[{}]""")
+  }
+
   test("PRAGMA table_info mirrors SQLite's six-column shape") {
     val db = memDb
     exec(db, "CREATE TABLE t (id INTEGER NOT NULL PRIMARY KEY, v TEXT DEFAULT 'x', r REAL, b BLOB)")
