@@ -51,17 +51,22 @@ final case class ColDef(
     pk: Boolean,
     unique: Boolean,
     ref: Option[(String, String)],
-    default: Option[String] = None) {
+    default: Option[String] = None,
+    check: Option[(String, String)] = None) { // (label, expr)
   def sparkType: DataType = Affinity.sparkType(affinity)
   /** SQLite: `INTEGER PRIMARY KEY` is an alias of the rowid. */
   def isRowidAlias: Boolean = pk && affinity == Affinity.Integer
 }
 
-final case class TableDef(name: String, cols: Seq[ColDef]) {
+final case class TableDef(name: String, cols: Seq[ColDef],
+    tableChecks: Seq[(String, String)] = Nil) {
   def schema: StructType =
     StructType(cols.map(c => StructField(c.name, c.sparkType, nullable = true)))
   def rowidAlias: Option[ColDef] = cols.find(_.isRowidAlias)
   def colIndex(n: String): Int = cols.indexWhere(_.name.equalsIgnoreCase(n))
+  /** All CHECK constraints in declaration order: column-level then
+    * table-level, each as (error label, SQL expression). */
+  def checks: Seq[(String, String)] = cols.flatMap(_.check) ++ tableChecks
 }
 
 object Ddl {
@@ -82,6 +87,7 @@ object Ddl {
       var tablePk: Option[String] = None
       var tableUnique: Set[String] = Set.empty
       var tableFk: Map[String, (String, String)] = Map.empty
+      var tableChecks: Seq[(String, String)] = Nil
       items.foreach { item =>
         val u = item.toUpperCase
         if (u.startsWith("PRIMARY KEY")) {
@@ -97,8 +103,11 @@ object Ddl {
               c.foreach(cc => tableFk += cc.toLowerCase -> (rt, Option(rc).getOrElse("")))
             case _ =>
           }
-        } else if (u.startsWith("CHECK")) {
-          // CHECK constraints are accepted and ignored (documented gap)
+        } else if (u.startsWith("CHECK") ||
+          (u.startsWith("CONSTRAINT") && u.contains("CHECK"))) {
+          val label = constraintNameRe.findFirstMatchIn(item).map(_.group(1))
+          balancedParen(item, u.indexOf("CHECK")).foreach(e =>
+            tableChecks :+= (label.getOrElse(e.trim), e.trim))
         } else {
           cols += parseColDef(item)
         }
@@ -113,7 +122,7 @@ object Ddl {
       if (tableFk.nonEmpty)
         defs = defs.map(c => tableFk.get(c.name.toLowerCase)
           .map(r => c.copy(ref = Some(r))).getOrElse(c))
-      Some(Create(ine != null, TableDef(name, defs)))
+      Some(Create(ine != null, TableDef(name, defs, tableChecks)))
     case _ => None
   }
 
@@ -124,6 +133,26 @@ object Ddl {
 
   private val defaultRe =
     """(?is)\bDEFAULT\s+('(?:[^']|'')*'|\([^)]*\)|[^\s,]+)""".r
+  private val constraintNameRe =
+    """(?is)\bCONSTRAINT\s+["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s+CHECK\b""".r
+
+  /** Contents of the first balanced paren group at/after `from`. */
+  private def balancedParen(s: String, from: Int): Option[String] = {
+    val open = s.indexOf('(', from)
+    if (open < 0) return None
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '(') depth += 1
+      else if (c == ')') {
+        depth -= 1
+        if (depth == 0) return Some(s.substring(open + 1, i))
+      }
+      i += 1
+    }
+    None
+  }
 
   /** One column definition item (`name TYPE [constraints]`), shared by
     * CREATE TABLE and ALTER TABLE ADD COLUMN. */
@@ -135,12 +164,20 @@ object Ddl {
     val tu = tail.toUpperCase
     // declared type = tokens before any constraint keyword
     val constraintIdx = Seq("PRIMARY ", "NOT ", "UNIQUE", "REFERENCES",
-      "DEFAULT", "CHECK").map(k => tu.indexOf(k)).filter(_ >= 0)
+      "DEFAULT", "CHECK", "CONSTRAINT").map(k => tu.indexOf(k)).filter(_ >= 0)
     val declared =
       (if (constraintIdx.nonEmpty) tail.take(constraintIdx.min) else tail).trim
     val ref = tail match {
       case refRe(rt, rc) => Some((rt, Option(rc).getOrElse("")))
       case _ => None
+    }
+    val check = {
+      val ci = tu.indexOf("CHECK")
+      if (ci < 0) None
+      else balancedParen(tail, ci).map { e =>
+        (constraintNameRe.findFirstMatchIn(tail).map(_.group(1))
+          .getOrElse(e.trim), e.trim)
+      }
     }
     ColDef(
       name = cname,
@@ -149,7 +186,8 @@ object Ddl {
       pk = tu.contains("PRIMARY KEY"),
       unique = tu.contains("UNIQUE"),
       ref = ref,
-      default = defaultRe.findFirstMatchIn(tail).map(_.group(1)))
+      default = defaultRe.findFirstMatchIn(tail).map(_.group(1)),
+      check = check)
   }
 
   /** Canonical CREATE TABLE text for a TableDef — used when ALTER TABLE
@@ -169,10 +207,17 @@ object Ddl {
         (if (c.pk) " PRIMARY KEY" else "") +
         (if (c.unique) " UNIQUE" else "") +
         c.default.map(d => s" DEFAULT $d").getOrElse("") +
+        c.check.map { case (label, e) =>
+          (if (label != e) s" CONSTRAINT $label" else "") + s" CHECK ($e)"
+        }.getOrElse("") +
         c.ref.map { case (rt, rc) =>
           s" REFERENCES $rt" + (if (rc.nonEmpty) s"($rc)" else "")
         }.getOrElse("")
-    }.mkString(", ") + ")"
+    }.mkString(", ") +
+      td.tableChecks.map { case (label, e) =>
+        (if (label != e) s", CONSTRAINT $label CHECK ($e)"
+         else s", CHECK ($e)")
+      }.mkString + ")"
 
   private val createIndexRe =
     """(?is)^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(IF\s+NOT\s+EXISTS\s+)?["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s+ON\s+["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*\(([^)]*)\)\s*;?\s*$""".r

@@ -967,6 +967,18 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
             return Left(s"NOT NULL constraint failed: ${td.name}.${c.name}")
         }
     }
+    // CHECK constraints evaluate through Catalyst over the touched rows;
+    // a NULL result passes (SQLite: unknown is not a failure)
+    if (td.checks.nonEmpty && newRows.nonEmpty) {
+      val df = session.createDataFrame(
+        newRows.map(r => Row.fromSeq(r)).asJava, td.schema)
+      td.checks.foreach { case (label, ex) =>
+        val bad =
+          try df.filter(s"NOT COALESCE(($ex), true)").limit(1).count()
+          catch { case _: Exception => 0L } // unresolvable expr: ignore
+        if (bad > 0) return Left(s"CHECK constraint failed: $label")
+      }
+    }
     uniqueSpecs(td).foreach { case (idxs, desc) =>
       val seen = mutable.HashSet[Seq[Any]]()
       allRows.foreach { case (_, r) =>

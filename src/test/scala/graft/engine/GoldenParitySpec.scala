@@ -498,6 +498,39 @@ class GoldenParitySpec extends SparkSpec {
       """[{"columns":["uv"],"types":["text"],"values":[["A"],["B"]]}]""")
   }
 
+  test("CHECK constraints: column, table-level, named, NULL passes (SQLite 3.40)") {
+    val db = memDb
+    exec(db, "CREATE TABLE t (id INTEGER PRIMARY KEY, price REAL CHECK (price > 0), qty INTEGER, CHECK (qty < 100))")
+    assert(exec(db, "INSERT INTO t VALUES(1, -5, 1)") ==
+      """[{"error":"CHECK constraint failed: price > 0"}]""")
+    assert(exec(db, "INSERT INTO t VALUES(1, 5, 200)") ==
+      """[{"error":"CHECK constraint failed: qty < 100"}]""")
+    assert(exec(db, "INSERT INTO t VALUES(1, 5, 10)") ==
+      """[{"last_insert_id":1,"rows_affected":1}]""")
+    assert(exec(db, "UPDATE t SET qty = 500") ==
+      """[{"error":"CHECK constraint failed: qty < 100"}]""")
+    // NULL result is not a failure
+    assert(exec(db, "INSERT INTO t VALUES(2, NULL, NULL)") ==
+      """[{"last_insert_id":2,"rows_affected":1}]""")
+    exec(db, "CREATE TABLE t2 (v INTEGER CONSTRAINT pos CHECK (v > 0))")
+    assert(exec(db, "INSERT INTO t2 VALUES(-1)") ==
+      """[{"error":"CHECK constraint failed: pos"}]""")
+    assert(exec(db, "INSERT INTO t2 VALUES(3)") ==
+      """[{"last_insert_id":1,"rows_affected":1}]""")
+  }
+
+  test("CHECK constraints survive recovery") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftdb").toString
+    val db = GraftDb.open(spark, s"$tmp/d1").fold(e => fail(e), identity)
+    exec(db, "CREATE TABLE t (v INTEGER CHECK (v > 0))")
+    exec(db, "INSERT INTO t VALUES(1)")
+    assert(db.checkpoint().isRight)
+    db.close()
+    val db2 = GraftDb.open(spark, s"$tmp/d1").fold(e => fail(e), identity)
+    assert(exec(db2, "INSERT INTO t VALUES(-1)") ==
+      """[{"error":"CHECK constraint failed: v > 0"}]""")
+  }
+
   test("VACUUM and ANALYZE are accepted as no-ops") {
     val db = memDb
     exec(db, "CREATE TABLE t (id INTEGER PRIMARY KEY)")
