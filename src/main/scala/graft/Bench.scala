@@ -39,7 +39,8 @@ object Bench {
     // penalty per query). DuckDB's baseline has no per-query codegen; this
     // removes the JVM-only artifact while every timed byte of real work
     // still runs at the full scale factor, cold.
-    val warmDir = "/root/testdata/sf0.001"
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
+      "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       wanted.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
