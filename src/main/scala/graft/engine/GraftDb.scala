@@ -756,17 +756,35 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
                 candidates.size.toLong
               }
           case Conflict.Ignore =>
-            // skip candidates violating NOT NULL or any uniqueness spec
-            // (SQLite: FK violations still abort — validate() below)
+            // skip candidates violating NOT NULL, CHECK or any uniqueness
+            // spec (SQLite: FK violations still abort — validate() below)
             val specs = uniqueSpecs(td)
+            val checkFailed: Set[Int] =
+              if (td.checks.isEmpty || candidates.isEmpty) Set.empty
+              else {
+                val idxSchema = StructType(
+                  StructField("__i", IntegerType, nullable = false) +:
+                    td.schema.fields)
+                val cdf = session.createDataFrame(
+                  candidates.zipWithIndex.map { case ((_, vals), i) =>
+                    Row.fromSeq(i +: vals)
+                  }.asJava, idxSchema)
+                val ok = td.checks
+                  .map(c => s"COALESCE((${c._2}), true)").mkString(" AND ")
+                try cdf.filter(s"NOT ($ok)").select("__i")
+                  .collect().map(_.getInt(0)).toSet
+                catch { case _: Exception => Set.empty[Int] }
+              }
             var cur = ts.rows
             val kept = Vector.newBuilder[(Long, IndexedSeq[Any])]
-            candidates.foreach { case (rid, vals) =>
+            candidates.zipWithIndex.foreach { case ((rid, vals), ci) =>
               val nn = td.cols.zipWithIndex.exists { case (c, i) =>
                 c.notNull && !c.isRowidAlias && vals(i) == null
               }
               val uq = cur.exists { case (_, r) => conflicts(specs, r, vals) }
-              if (!nn && !uq) { cur :+= ((rid, vals)); kept += ((rid, vals)) }
+              if (!nn && !uq && !checkFailed(ci)) {
+                cur :+= ((rid, vals)); kept += ((rid, vals))
+              }
             }
             val ins = kept.result()
             validate(work, td, cur, ins.map(_._2)).map { _ =>

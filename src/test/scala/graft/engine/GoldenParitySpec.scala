@@ -519,6 +519,15 @@ class GoldenParitySpec extends SparkSpec {
       """[{"last_insert_id":1,"rows_affected":1}]""")
   }
 
+  test("INSERT OR IGNORE skips CHECK-violating rows") {
+    val db = memDb
+    exec(db, "CREATE TABLE t (v INTEGER CHECK (v > 0))")
+    assert(exec(db, "INSERT OR IGNORE INTO t VALUES(-1),(5)") ==
+      """[{"last_insert_id":2,"rows_affected":1}]""")
+    assert(query(db, "SELECT v FROM t") ==
+      """[{"columns":["v"],"types":["integer"],"values":[[5]]}]""")
+  }
+
   test("CHECK constraints survive recovery") {
     val tmp = java.nio.file.Files.createTempDirectory("graftdb").toString
     val db = GraftDb.open(spark, s"$tmp/d1").fold(e => fail(e), identity)
