@@ -60,17 +60,62 @@ object Dedup {
         array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
   }
 
+  /** Band-bucket candidate pairs over one row per DISTINCT signature
+    * (`reps`: rep_id, sig). Returns (rep_a, rep_b, est_j) for representative
+    * pairs sharing ≥2 of [[Bands]] bands with MinHash estimate ≥ 0.9.
+    *
+    * Factored out so a spec can pin the scale contract: candidate volume
+    * through this join depends only on the number of DISTINCT signatures,
+    * never on duplicate-cluster sizes. */
+  private[graft] def repCandidates(reps: DataFrame): DataFrame = {
+    // The band join shuffles ONLY (rep_id, band_id, bh) — 20 bytes/row.
+    val bands = reps.select(col("rep_id"),
+        explode(transform(sequence(lit(0), lit(Bands - 1)),
+          b => struct(b.as("band_id"),
+            hash(slice(col("sig"), b * lit(RowsPerBand) + lit(1),
+              lit(RowsPerBand))).as("bh")))).as("band"))
+      .select(col("rep_id"),
+        col("band.band_id").as("band_id"), col("band.bh").as("bh"))
+    // Candidate = representative pairs sharing ≥2 of 4 bands. RANDOM pairs
+    // on this corpus sit near Jaccard 0.65 (see the band-shape note on
+    // Bands), so single-band matches still admit ~10% of all pairs;
+    // requiring a second independent band match cuts that ~20× while
+    // keeping j≈1 pairs at probability ~1.
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
+          col("a.rep_id") < col("b.rep_id"))
+      .groupBy(col("a.rep_id").as("rep_a"), col("b.rep_id").as("rep_b"))
+      .agg(count(lit(1)).as("shared_bands"))
+      .filter(col("shared_bands") >= 2)
+    // est_j as 64 codegen'd element comparisons — the zip_with lambda
+    // formulation evaluates interpreted and dominated the runtime.
+    val estCol = (0 until NumPerms).map(i =>
+      when(element_at(col("sa"), i + 1) === element_at(col("sb"), i + 1), 1)
+        .otherwise(0)).reduce(_ + _).cast("double") / lit(NumPerms.toDouble)
+    cand
+      .join(reps.select(col("rep_id").as("rep_a"), col("sig").as("sa")), "rep_a")
+      .join(reps.select(col("rep_id").as("rep_b"), col("sig").as("sb")), "rep_b")
+      .withColumn("est_j", estCol)
+      .filter(col("est_j") >= 0.9)  // filter on the sketch BEFORE exact work
+      .select(col("rep_a"), col("rep_b"), col("est_j"))
+  }
+
   /** MinHash-LSH candidate pairs ([[Bands]] × [[RowsPerBand]], see the
     * band-shape note on [[Bands]]) with the MinHash Jaccard estimate and
-    * the exact word-set Jaccard for verification. The word arrays are only
-    * joined back for the pairs that survive the sketch filter — the band
-    * shuffle carries (doc_id, band_id, band_hash) alone. */
+    * the exact word-set Jaccard for verification.
+    *
+    * Identical signatures collapse to ONE representative before the band
+    * join (same pattern as [[simhashPairs]]): exact duplicates — the
+    * dominant case in crawl data — share all bands, so a g-sized duplicate
+    * cluster would otherwise push O(g²) pairs through the band shuffle,
+    * per band. Representatives go through banding; within-group pairs
+    * (est_j = 1 by construction: every one of the 64 minima is equal) are
+    * emitted combinatorially from group membership, in output rows only,
+    * never through the shuffle. Because bands are a pure function of the
+    * signature, the final pair set is value-identical to banding every doc.
+    * The word arrays join back only for pairs that survive the sketch
+    * filter — the band shuffle carries (rep_id, band_id, band_hash) alone. */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    // Both intermediates are tiny (one row per doc) but feed three joins
-    // each — caching stops the 64-column signature aggregation from being
-    // recomputed per join branch. At cluster scale these would be
-    // checkpointed/bucketed instead.
-    //
     // hwords: the word set as a sorted xxhash64 array, computed once per
     // doc — the exact-verify join then intersects LONG arrays (codegen
     // OpenHashSet over primitives) instead of string arrays, with identical
@@ -80,37 +125,42 @@ object Dedup {
     val words = docWords(spark, dir)
       .withColumn("hwords", expr("array_sort(transform(words, w -> xxhash64(w)))"))
       .cache()
-    val sigs = signatures(words).cache()
-    // The band join shuffles ONLY (doc_id, band_id, bh) — 20 bytes/row.
-    // Signatures and word arrays rejoin after the candidate set is small.
-    val bands = sigs.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(Bands - 1)),
-          b => struct(b.as("band_id"),
-            hash(slice(col("sig"), b * lit(RowsPerBand) + lit(1),
-              lit(RowsPerBand))).as("bh")))).as("band"))
-      .select(col("doc_id"),
-        col("band.band_id").as("band_id"), col("band.bh").as("bh"))
-    // Candidate = pairs sharing ≥2 of 4 bands. RANDOM pairs on this corpus
-    // sit near Jaccard 0.65 (see the band-shape note on Bands), so
-    // single-band matches still admit ~10% of all pairs (measured: 1.47M
-    // candidates at sf0.1); requiring a second independent band match cuts
-    // that ~20× while keeping j≈1 duplicates at probability ~1.
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band_id") === col("b.band_id") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared_bands"))
-      .filter(col("shared_bands") >= 2)
-    // est_j as 64 codegen'd element comparisons — the zip_with lambda
-    // formulation evaluates interpreted and dominated the runtime.
-    val estCol = (0 until NumPerms).map(i =>
-      when(element_at(col("sa"), i + 1) === element_at(col("sb"), i + 1), 1)
-        .otherwise(0)).reduce(_ + _).cast("double") / lit(NumPerms.toDouble)
-    cand
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
-      .withColumn("est_j", estCol)
-      .filter(col("est_j") >= 0.9)  // filter on the sketch BEFORE exact work
+    minhashPairsOf(words)
+  }
+
+  /** [[minhashPairs]] over an explicit (doc_id, words, hwords) frame —
+    * separated so specs can drive synthetic corpora with planted
+    * duplicate clusters. */
+  private[graft] def minhashPairsOf(words: DataFrame): DataFrame = {
+    // groups is tiny (one row per DISTINCT signature) but feeds four
+    // branches — caching stops the 64-column signature aggregation from
+    // being recomputed per branch. At cluster scale these would be
+    // checkpointed/bucketed instead.
+    val groups = signatures(words).groupBy("sig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .cache()
+    // Within-group pairs: identical signature ⇒ est_j = 1 exactly. Emitted
+    // from membership lists — O(g²) only in OUTPUT rows (they ARE the
+    // answer), zero band-shuffle cost.
+    val within = groups
+      .select(col("docs"), explode(col("docs")).as("doc_a"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("est_j", lit(1.0))
+    val reps = groups.select(element_at(col("docs"), 1).as("rep_id"), col("sig"))
+    // Cross-group pairs: band the representatives, then expand each
+    // qualifying representative pair to the full member cross product
+    // (est_j is constant across members — they share the reps' signatures).
+    val cross = repCandidates(reps)
+      .join(groups.select(element_at(col("docs"), 1).as("rep_a"),
+        col("docs").as("da")), "rep_a")
+      .join(groups.select(element_at(col("docs"), 1).as("rep_b"),
+        col("docs").as("db")), "rep_b")
+      .select(col("est_j"), col("db"), explode(col("da")).as("x"))
+      .select(col("est_j"), col("x"), explode(col("db")).as("y"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"), col("est_j"))
+    within.unionByName(cross)
       .join(words.select(col("doc_id").as("doc_a"), col("hwords").as("wa")), "doc_a")
       .join(words.select(col("doc_id").as("doc_b"), col("hwords").as("wb")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("est_j"),

@@ -164,13 +164,16 @@ object Similarity {
   private[ext] def cosineDupPairsOf(vecs: DataFrame,
                                     threshold: Double): DataFrame = {
     // the candidate join and pair-dedup shuffle ONLY ids (16 B/row) — the
-    // 64-float embeddings rejoin per distinct pair afterwards, broadcast
-    // from the vector table, for the exact codegen'd verify. 6 planes (64
-    // buckets/table vs top-k's 16): threshold-dedup wants smaller buckets
-    // than top-k search — candidates shrink ~4× and exact-duplicate recall
-    // is unaffected (identical vectors always share every bucket); the
-    // plane count is the recall-vs-cost knob to set against the corpus's
-    // similarity distribution at scale.
+    // 64-float embeddings rejoin per distinct pair afterwards for the exact
+    // codegen'd verify. The rejoin is a plain id equi-join with NO broadcast
+    // hint: the build side is the corpus-sized vector table, and forcing a
+    // broadcast of it OOMs the driver/executors at scale — Catalyst picks
+    // SMJ/shuffled-hash (or broadcasts on its own when AQE sees a small
+    // table). 6 planes (64 buckets/table vs top-k's 16): threshold-dedup
+    // wants smaller buckets than top-k search — candidates shrink ~4× and
+    // exact-duplicate recall is unaffected (identical vectors always share
+    // every bucket); the plane count is the recall-vs-cost knob to set
+    // against the corpus's similarity distribution at scale.
     val bucketed = withBuckets(vecs, planesPerTable = 6)
       .select(col("vec_id"), col("tbl"), col("bv"))
     val cached = vecs.cache()
@@ -181,10 +184,10 @@ object Similarity {
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     pairs
-      .join(broadcast(cached.select(col("vec_id").as("id_a"),
-        col("embedding").as("ea"))), "id_a")
-      .join(broadcast(cached.select(col("vec_id").as("id_b"),
-        col("embedding").as("eb"))), "id_b")
+      .join(cached.select(col("vec_id").as("id_a"),
+        col("embedding").as("ea")), "id_a")
+      .join(cached.select(col("vec_id").as("id_b"),
+        col("embedding").as("eb")), "id_b")
       .withColumn("cosim", expr("cosine_sim(ea, eb)"))
       .filter(col("cosim") >= threshold)
       .select(col("id_a"), col("id_b"),
@@ -193,12 +196,78 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** Planted near-duplicate corpus for the driver-facing x63 oracle row.
+    * The raw corpus has max cosine ≈0.45, so the 0.9-threshold query is
+    * legitimately empty — a green-but-vacuous oracle row that never
+    * exercises the exact-verify arithmetic. This view plants deterministic
+    * duplicates at query time: ε-perturbed copies (vec_id+1,000,000, every
+    * element +0.02 → cosine ≈0.987) and exact copies (vec_id+2,000,000,
+    * cosine 1.0). The DuckDB twin derives the identical view, so both
+    * sides emit real pairs through the full candidate+verify path. */
+  private[ext] def plantedVecs(spark: SparkSession, dir: String): DataFrame = {
+    Tables.ensure(spark, dir)
+    spark.sql(
+      """SELECT vec_id, embedding FROM embeddings
+        |UNION ALL
+        |SELECT vec_id + 1000000 AS vec_id,
+        |       transform(embedding,
+        |         x -> CAST(CAST(x AS DOUBLE) + 0.02 AS FLOAT)) AS embedding
+        |FROM embeddings WHERE vec_id < 3
+        |UNION ALL
+        |SELECT vec_id + 2000000 AS vec_id, embedding
+        |FROM embeddings WHERE vec_id BETWEEN 3 AND 5""".stripMargin)
+  }
+
+  /** [[cosineDupPairs]] over [[plantedVecs]] — the x63 driver query. */
+  def cosineDupPairsPlanted(spark: SparkSession, dir: String,
+                            threshold: Double = 0.9): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    cosineDupPairsOf(plantedVecs(spark, dir), threshold)
+  }
+
+  /** Driver-facing oracle row for an approximate ANN path: one row per
+    * query vector with recall_ok = (approximate top-k recovered ≥ minHits
+    * of the exact brute-force top-k) and floor_cos = the k-th best EXACT
+    * cosine. The DuckDB twin recomputes floor_cos independently via brute
+    * force and asserts recall_ok = TRUE — a recall regression flips the
+    * boolean and fails the driver's hash compare, which turns the
+    * hash-dependent sketch into a deterministic, oracle-checkable claim. */
+  private[ext] def recallCheck(spark: SparkSession, dir: String,
+                               approx: DataFrame, minHits: Int): DataFrame = {
+    Tables.ensure(spark, dir)
+    val brute = spark.sql(
+      Extensions.all.find(_.name == "x55_ann_topk").get.spark)
+    val hits = approx.select(col("qid"), col("nid"))
+      .join(brute.select(col("qid"), col("nid")), Seq("qid", "nid"))
+      .groupBy("qid").agg(count(lit(1)).as("nhit"))
+    brute.groupBy("qid").agg(min(col("cosim")).as("floor_cos"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        (coalesce(col("nhit"), lit(0L)) >= minHits).as("recall_ok"),
+        col("floor_cos"))
+      .orderBy("qid")
+  }
+
+  /** x59 driver query: [[lshTopK]] recall\@5 assertion (see [[recallCheck]]).
+    * More tables than the plain top-k default: the check pins recall ≥ 4/5
+    * on every query, and the table count is the recall knob. */
+  def lshRecallCheck(spark: SparkSession, dir: String,
+                     numTables: Int = 16, minHits: Int = 4): DataFrame =
+    recallCheck(spark, dir, lshTopK(spark, dir, 5, numTables), minHits)
+
+  /** x62 driver query: [[ivfTopK]] recall\@5 assertion (see [[recallCheck]]). */
+  def ivfRecallCheck(spark: SparkSession, dir: String,
+                     nprobe: Int = 8, minHits: Int = 4): DataFrame =
+    recallCheck(spark, dir,
+      ivfTopK(spark, dir, k = 5, nlist = 16, nprobe = nprobe), minHits)
+
   /** LSH-bucketed approximate top-k neighbors for query vecs (vec_id < 10).
     * Candidates = corpus vectors sharing any (table, bucket) with the query. */
-  def lshTopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def lshTopK(spark: SparkSession, dir: String, k: Int = 5,
+              numTables: Int = NumTables): DataFrame = {
     Tables.ensure(spark, dir)
     val vecs = spark.table("embeddings").select(col("vec_id"), col("embedding"))
-    val bucketed = withBuckets(vecs)
+    val bucketed = withBuckets(vecs, numTables = numTables)
     val queries = bucketed.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("tbl"), col("bv"))
