@@ -46,31 +46,75 @@ object SparkEntry {
       "x54_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
       "x57_minhash_lsh" -> (Dedup.minhashPairs _),
       "x58_simhash"     -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
-      "x59_ann_lsh"     -> ((s: SparkSession, d: String) => Similarity.lshTopK(s, d)),
+      // x59/x62: recall@5-vs-brute-force assertion rows — the approximate
+      // path runs for real, but the driver-visible output is a
+      // deterministic per-query boolean + exact floor cosine that the
+      // DuckDB brute-force twin CAN check (closes the r2 verdict's
+      // "no_oracle by design" gap for the ANN sketches)
+      "x59_ann_lsh"     -> ((s: SparkSession, d: String) => Similarity.lshRecallCheck(s, d)),
       "x60_mm_decode"   -> (Multimodal.decodeQuery _),
-      "x62_ann_ivf"     -> ((s: SparkSession, d: String) => Similarity.ivfTopK(s, d)),
+      "x62_ann_ivf"     -> ((s: SparkSession, d: String) => Similarity.ivfRecallCheck(s, d)),
       "x61_ann_expr"    -> ((s: SparkSession, d: String) => {
         graft.functions.GraftFunctions.register(s)
         Tables.ensure(s, d)
         s.sql(annExprSql)
       }),
       // embedding-cosine near-dup pairs: LSH-bucketed candidates + exact
-      // codegen'd verify; oracle is the brute-force threshold twin
+      // codegen'd verify, over the planted-duplicate view (raw corpus max
+      // cosine ≈0.45 → the un-planted query is vacuously empty at 0.9);
+      // oracle is the brute-force threshold twin over the same view
       "x63_embed_dup" -> ((s: SparkSession, d: String) =>
-        Similarity.cosineDupPairs(s, d))
+        Similarity.cosineDupPairsPlanted(s, d))
     )
 
+  /** x63 twin: brute-force all-pairs cosine over the SAME planted view as
+    * [[graft.ext.Similarity.plantedVecs]] (ε-perturbed copies of vec 0-2 at
+    * +1,000,000, exact copies of vec 3-5 at +2,000,000), in the DOUBLE-sum
+    * formulation that x55/x61 proved round-4-identical to the Spark side.
+    * Non-vacuous by construction: both sides emit the 6 planted pairs
+    * through the full candidate + exact-verify path. */
   private val embedDupDuck =
-    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |  CAST(CAST(ROUND(list_cosine_similarity(a.embedding, b.embedding), 4)
-      |       AS DECIMAL(18,4)) AS DOUBLE) AS cosim
-      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+    """WITH pv AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(CAST(x AS DOUBLE) + 0.02 AS FLOAT)) AS embedding
+      |  FROM embeddings WHERE vec_id < 3
+      |  UNION ALL
+      |  SELECT vec_id + 2000000 AS vec_id, embedding
+      |  FROM embeddings WHERE vec_id BETWEEN 3 AND 5),
+      |s AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |            s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+      |         / (SQRT(list_sum(list_transform(a.embedding,
+      |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |          * SQRT(list_sum(list_transform(b.embedding,
+      |              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosim
+      |  FROM pv a JOIN pv b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b,
+      |       CAST(CAST(ROUND(cosim, 4) AS DECIMAL(18,4)) AS DOUBLE) AS cosim
+      |FROM s WHERE cosim >= 0.9
       |ORDER BY id_a, id_b""".stripMargin
+
+  /** x59/x62 twin: per-query recall assertion derived from x55's exact
+    * brute-force top-5 — floor_cos is the 5th-best exact cosine, and the
+    * oracle asserts recall_ok = TRUE: if the approximate path on the Spark
+    * side returns fewer than minHits neighbors at/above that floor, the
+    * boolean flips and the driver's hash compare fails. */
+  private val recallDuck = {
+    val x55 = Extensions.all.find(_.name == "x55_ann_topk").get.duck
+    s"""WITH t5 AS ($x55)
+       |SELECT qid, TRUE AS recall_ok, MIN(cosim) AS floor_cos
+       |FROM t5 GROUP BY qid ORDER BY qid""".stripMargin
+  }
 
   def oracleSql: Map[String, String] =
     sqlBacked.map(q => q.name -> q.duck).toMap +
       ("x61_ann_expr" ->
         Extensions.all.find(_.name == "x55_ann_topk").get.duck) +
-      ("x63_embed_dup" -> embedDupDuck)
+      ("x63_embed_dup" -> embedDupDuck) +
+      ("x59_ann_lsh" -> recallDuck) +
+      ("x62_ann_ivf" -> recallDuck)
 }

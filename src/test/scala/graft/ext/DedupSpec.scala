@@ -94,4 +94,66 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_id").limit(5).collect().map(_.toString).toSeq
     assert(a == b)
   }
+
+  /** Synthetic corpus: `nDistinct` docs with pseudo-random word subsets of
+    * a 60-word vocabulary, plus a planted duplicate cluster of `g` docs
+    * (ids 1000+i) sharing one word bag. Returns the (doc_id, words,
+    * hwords) frame [[Dedup.minhashPairsOf]] consumes. */
+  private def plantedCorpus(nDistinct: Int, g: Int) = {
+    val vocab = (0 until 60).map(i => s"w$i")
+    val rnd = new scala.util.Random(42)
+    val base = (0 until nDistinct).map { i =>
+      (i.toLong, rnd.shuffle(vocab).take(8 + rnd.nextInt(8)))
+    }
+    val clusterBag = rnd.shuffle(vocab).take(12)
+    val cluster = (0 until g).map(i => ((1000 + i).toLong, clusterBag))
+    import spark.implicits._
+    (base ++ cluster).toDF("doc_id", "words")
+      .withColumn("words", array_distinct(col("words")))
+      .withColumn("hwords", expr("array_sort(transform(words, w -> xxhash64(w)))"))
+  }
+
+  test("candidate volume through the band join is independent of duplicate-cluster size") {
+    // the scale contract the x57 collapse exists for: a g-sized exact
+    // duplicate cluster contributes ONE representative to the band join,
+    // so neither the rep count nor the candidate count may grow with g
+    val stats = Seq(4, 40).map { g =>
+      val groups = Dedup.signatures(plantedCorpus(30, g)).groupBy("sig")
+        .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      val reps = groups.select(
+        element_at(col("docs"), 1).as("rep_id"), col("sig"))
+      (g, reps.count(), Dedup.repCandidates(reps).count())
+    }
+    assert(stats(0)._2 == stats(1)._2,
+      s"rep count grew with cluster size: $stats")
+    assert(stats(0)._3 == stats(1)._3,
+      s"band-join candidate count grew with cluster size: $stats")
+    // and the collapsed pipeline still reports every within-cluster pair
+    val g = 40
+    val pairs = Dedup.minhashPairsOf(plantedCorpus(30, g))
+      .filter(col("doc_a") >= 1000 && col("doc_b") >= 1000).collect()
+    assert(pairs.length == g * (g - 1) / 2,
+      s"expected ${g * (g - 1) / 2} within-cluster pairs, got ${pairs.length}")
+    pairs.foreach { r =>
+      assert(r.getAs[Double]("est_j") == 1.0)
+      assert(r.getAs[Double]("jaccard") == 1.0)
+    }
+  }
+
+  test("collapsed minhash pipeline is value-identical to banding every doc") {
+    // uncollapsed formulation = repCandidates with EVERY doc as its own
+    // representative (no signature grouping at all); bands are a pure
+    // function of the signature, so both must emit the same pair set
+    val words = plantedCorpus(25, 6).cache()
+    val uncollapsed = Dedup.repCandidates(
+        Dedup.signatures(words).withColumnRenamed("doc_id", "rep_id"))
+      .select(col("rep_a").as("doc_a"), col("rep_b").as("doc_b"), col("est_j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val collapsed = Dedup.minhashPairsOf(words)
+      .select("doc_a", "doc_b", "est_j")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(collapsed == uncollapsed,
+      s"only-in-collapsed=${collapsed -- uncollapsed} " +
+        s"only-in-uncollapsed=${uncollapsed -- collapsed}")
+  }
 }
