@@ -192,11 +192,15 @@ object Dedup {
     *     (`rank-1 = trailing_zeros(prefix_mask_a & prefix_mask_b)`, where
     *     trailing zeros = `bit_count((s & -s) - 1)`);
     *  4. j3 (word-trigram Jaccard, vocabulary too wide for masks — 26k+
-    *     trigrams/lang at sf0.1 and growing) joins trigram INT-rank arrays
-    *     back for SURVIVING pairs only and intersects integers (OpenHashSet
-    *     codegen) — the previous global trigram co-occurrence join priced
-    *     every co-occurring pair in the corpus for values only needed on
-    *     the j1 ≥ 0.8 output rows.
+    *     trigrams/lang at sf0.1 and growing) joins SORTED trigram INT-rank
+    *     arrays back for SURVIVING pairs only and counts the intersection
+    *     with the allocation-free codegen'd two-pointer merge
+    *     [[graft.functions.SortedIntersectCount]] (`size(array_intersect)`
+    *     built a hash set AND materialized the intersection array per pair
+    *     just to take its length — measured 4 s of the query at sf0.1) —
+    *     the previous global trigram co-occurrence join priced every
+    *     co-occurring pair in the corpus for values only needed on the
+    *     j1 ≥ 0.8 output rows.
     *
     * At 100 TB: stages shuffle on (lang, rank) / doc_id only; candidate
     * volume is data-dependent (tiny on a real Zipfian vocabulary; this
@@ -207,6 +211,7 @@ object Dedup {
     */
   def ngramJaccard(spark: SparkSession, dir: String,
                    threshold: Double = 0.8): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.ensure(spark, dir)
     // Each intermediate below is localCheckpoint()ed: (a) the lineage
     // truncation keeps Spark's DeduplicateRelations from flakily throwing
@@ -248,12 +253,13 @@ object Dedup {
         |    concat_ws(' ', tok,
         |      lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos),
         |      lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS tok,
-        |    pos, COUNT(*) OVER (PARTITION BY doc_id) AS ntok
-        |  FROM __x54_tp) WHERE pos + 2 < ntok),
+        |    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+        |  FROM __x54_tp) WHERE t2 IS NOT NULL),
         |v3 AS (SELECT lang, tok,
         |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tok) AS rank
         |       FROM (SELECT DISTINCT lang, tok FROM tri))
-        |SELECT tri.doc_id, collect_list(v3.rank) AS ranks3, COUNT(*) AS n3
+        |SELECT tri.doc_id, sort_array(collect_list(v3.rank)) AS ranks3,
+        |       COUNT(*) AS n3
         |FROM tri JOIN v3 ON tri.lang = v3.lang AND tri.tok = v3.tok
         |GROUP BY tri.doc_id""".stripMargin, "__x54_r3")
     // Per-doc unigram features in ONE aggregation (no per-doc windows, no
@@ -329,14 +335,21 @@ object Dedup {
          |           CAST(i3 AS DOUBLE) / CAST(n3a + n3b - i3 AS DOUBLE)
          |         ELSE 0.0 END, 4) AS DECIMAL(18,4)) AS DOUBLE) AS j3
          |FROM (SELECT q.doc_a, q.doc_b, q.j1,
-         |        size(array_intersect(
+         |        sorted_intersect_count(
          |          COALESCE(fa.ranks3, CAST(array() AS ARRAY<INT>)),
-         |          COALESCE(fb.ranks3, CAST(array() AS ARRAY<INT>)))) AS i3,
+         |          COALESCE(fb.ranks3, CAST(array() AS ARRAY<INT>))) AS i3,
          |        COALESCE(fa.n3, 0) AS n3a, COALESCE(fb.n3, 0) AS n3b
          |      FROM q
          |      LEFT JOIN __x54_r3 fa ON fa.doc_id = q.doc_a
-         |      LEFT JOIN __x54_r3 fb ON fb.doc_id = q.doc_b)
-         |ORDER BY doc_a, doc_b""".stripMargin)
+         |      LEFT JOIN __x54_r3 fb ON fb.doc_id = q.doc_b)""".stripMargin)
+      // materialize BEFORE the global sort: a range-partitioned ORDER BY
+      // first runs a sampling pass over its child to pick partition
+      // boundaries, and an unmaterialized child means the whole
+      // candidate-join + verify pipeline executes twice (measured 3.4 s of
+      // the query). Checkpointing the (much smaller) verified-pair result
+      // makes the sampling pass a cheap block-manager re-read.
+      .localCheckpoint()
+      .orderBy("doc_a", "doc_b")
     // drop the scaffolding views: the returned plan holds the checkpointed
     // RDDs directly, and dangling view references would pin their blocks in
     // the block manager after the caller is done (clearCache can't free

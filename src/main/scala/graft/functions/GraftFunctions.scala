@@ -24,9 +24,21 @@ object GraftFunctions {
     classOf[CosineSim].getName, null, "cosine_sim",
     "cosine_sim(a, b) - cosine similarity of two float arrays", "")
 
+  private def intersectBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "sorted_intersect_count takes exactly 2 arguments")
+    SortedIntersectCount(args.head, args(1))
+  }
+
+  private val intersectInfo = new ExpressionInfo(
+    classOf[SortedIntersectCount].getName, null, "sorted_intersect_count",
+    "sorted_intersect_count(a, b) - |A intersect B| of two sorted int arrays", "")
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_sim"), cosineInfo, cosineBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("sorted_intersect_count"), intersectInfo,
+      intersectBuilder _)
     spark.udf.register("minhash_sig",
       org.apache.spark.sql.functions.udaf(MinHashAgg))
   }
@@ -41,5 +53,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSim].getName, null, "cosine_sim",
         "cosine_sim(a, b) - cosine similarity of two float arrays", ""),
       (args: Seq[Expression]) => CosineSim(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, null,
+        "sorted_intersect_count",
+        "sorted_intersect_count(a, b) - |A intersect B| of two sorted int arrays",
+        ""),
+      (args: Seq[Expression]) => SortedIntersectCount(args.head, args(1))))
   }
 }

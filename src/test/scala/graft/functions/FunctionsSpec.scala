@@ -48,6 +48,43 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
   }
 
+
+  test("sorted_intersect_count matches size(array_intersect) on random sorted sets") {
+    GraftFunctions.register(spark)
+    // ScalaCheck-style sweep without the boilerplate: 200 deterministic
+    // random sorted distinct int-array pairs, empty arrays included
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 200).map { _ =>
+      def arr() = {
+        val n = rnd.nextInt(60)
+        (0 until n).map(_ => rnd.nextInt(80)).distinct.sorted
+      }
+      (arr(), arr())
+    }
+    import spark.implicits._
+    val df = rows.toDF("a", "b").selectExpr(
+      "sorted_intersect_count(a, b) AS fast",
+      "size(array_intersect(a, b)) AS ref")
+    val bad = df.filter(col("fast") =!= col("ref")).count()
+    assert(bad == 0, s"$bad mismatching pairs")
+  }
+
+  test("sorted_intersect_count stays inside whole-stage codegen and handles nulls") {
+    GraftFunctions.register(spark)
+    val plan = spark.sql(
+      "SELECT sorted_intersect_count(array(1,2,3), array(2,3,4))")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"), plan)
+    val r = spark.sql(
+      """SELECT sorted_intersect_count(CAST(NULL AS ARRAY<INT>), array(1)) AS a,
+        |       sorted_intersect_count(CAST(array() AS ARRAY<INT>), array(1, 2)) AS b,
+        |       sorted_intersect_count(array(1, 2, 3), array(2, 3, 4)) AS c""".stripMargin)
+      .head
+    assert(r.isNullAt(0))
+    assert(r.getInt(1) == 0)
+    assert(r.getInt(2) == 2)
+  }
+
   test("minhash_sig UDAF produces the same signatures as the agg-column path") {
     GraftFunctions.register(spark)
     val words = Dedup.docWords(spark, sfDir)
