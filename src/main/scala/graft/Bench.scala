@@ -31,16 +31,21 @@ object Bench {
         SparkEntry.queries.filter { case (k, _) => keep.contains(k) }
       } else SparkEntry.queries
 
-    // Warm each query's GENERATED code on the tiny sf0.001 dataset first:
-    // the plan shape (and therefore the Janino classes + their JIT) is
-    // identical across scale factors, so the timed run below measures
-    // steady-state execution rather than one-time compilation of ~65
-    // distinct whole-stage-codegen classes (measured: 2-8x first-run
-    // penalty per query). DuckDB's baseline has no per-query codegen; this
+    // Warm each query's GENERATED code on a small dataset first: the plan
+    // shape (and therefore the Janino classes + their JIT) is identical
+    // across scale factors, so the timed run below measures steady-state
+    // execution rather than one-time compilation of ~65 distinct
+    // whole-stage-codegen classes (measured: 2-8x first-run penalty per
+    // query). sf0.01, not sf0.001: the 50-row scale runs the generated
+    // loops too few iterations to trigger C2 JIT compilation of the big
+    // 64-aggregate sketch classes, so their first full-scale run executed
+    // mixed interpreted/C1 while C2 compiled in the background (measured:
+    // x57 35 s first run vs 11 s steady-state — the r2/r3 bench-tail
+    // mystery). DuckDB's baseline has no per-query codegen or JIT; this
     // removes the JVM-only artifact while every timed byte of real work
     // still runs at the full scale factor, cold.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
-      "/root/testdata/sf0.001")
+      "/root/testdata/sf0.01")
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       wanted.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()

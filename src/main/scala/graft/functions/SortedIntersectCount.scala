@@ -4,10 +4,11 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
-/** Native Catalyst expression: |A ∩ B| for two SORTED int arrays via a
-  * two-pointer merge (SURVEY.md §2.2 B71 — the x54 trigram verify).
+/** Native Catalyst expression: |A ∩ B| for two SORTED int or long arrays
+  * via a two-pointer merge (SURVEY.md §2.2 B71 — the x54 trigram verify
+  * and the x57 exact word-set verify).
   *
   * Why not `size(array_intersect(a, b))`: that formulation builds an
   * OpenHashSet AND materializes the intersection array per row only to
@@ -18,22 +19,28 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * per-pair constant factors are the whole game.
   *
   * Contract: both inputs must be sorted ascending with distinct elements
-  * (x54's `sort_array(collect_list(DISTINCT rank))` shape). Inputs that
-  * violate the contract undercount — this is a private building block for
-  * operators that own their array construction, not a general UDF.
+  * (the `sort_array(collect_list(...))` shape x54/x57 build), and both of
+  * the same element type (int or long). Inputs that violate the contract
+  * undercount — this is a private building block for operators that own
+  * their array construction, not a general UDF.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  private def elemType: DataType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(IntegerType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"sorted_intersect_count expects two array<int> arguments, got " +
-        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count expects two array<int> or two array<bigint> " +
+          s"arguments, got (${left.dataType.simpleString}, " +
+          s"${right.dataType.simpleString})")
+    }
   }
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sorted_intersect_count"
@@ -43,17 +50,28 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val nx = x.numElements(); val ny = y.numElements()
     var i = 0; var j = 0; var c = 0
-    while (i < nx && j < ny) {
-      val xv = x.getInt(i); val yv = y.getInt(j)
-      if (xv == yv) { c += 1; i += 1; j += 1 }
-      else if (xv < yv) i += 1
-      else j += 1
+    if (elemType == IntegerType) {
+      while (i < nx && j < ny) {
+        val xv = x.getInt(i); val yv = y.getInt(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < nx && j < ny) {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
     }
     c
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      val (jt, get) =
+        if (elemType == IntegerType) ("int", "getInt") else ("long", "getLong")
       val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
       val i = ctx.freshName("i")
@@ -65,7 +83,7 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |int $nx = $x.numElements(); int $ny = $y.numElements();
          |int $i = 0; int $j = 0; int $c = 0;
          |while ($i < $nx && $j < $ny) {
-         |  int $xv = $x.getInt($i); int $yv = $y.getInt($j);
+         |  $jt $xv = $x.$get($i); $jt $yv = $y.$get($j);
          |  if ($xv == $yv) { $c++; $i++; $j++; }
          |  else if ($xv < $yv) { $i++; } else { $j++; }
          |}
