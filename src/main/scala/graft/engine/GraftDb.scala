@@ -65,6 +65,32 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
   private var appliedBatch = 0L
   private var closed = false
   private val lock = new Object
+  // AFTER ROW triggers (SQLite pass-through surface, reference forwards
+  // CREATE TRIGGER verbatim to SQLite via db/src/db.rs:176): body is the
+  // raw statement list; NEW./OLD. substitute per affected row at fire time.
+  private final case class TriggerDef(name: String, event: String,
+                                      table: String, body: Seq[String],
+                                      sql: String)
+  private var triggers: mutable.LinkedHashMap[String, TriggerDef] =
+    mutable.LinkedHashMap.empty
+  // triggers currently on the firing stack — SQLite's default
+  // recursive_triggers=OFF semantics: a trigger never re-enters itself
+  // (directly or through a cycle), but a trigger's DML does fire OTHER
+  // tables' triggers
+  private var activeTriggers: Set[String] = Set.empty
+  // PRAGMA user_version storage (persisted in the manifest)
+  private var userVersion = 0L
+  // Explicit BEGIN/COMMIT/ROLLBACK state: connection-scoped, survives
+  // across execute batches (SQLite: the tx belongs to the connection, not
+  // the statement batch). Holds the uncommitted working tables plus
+  // catalog backups for rollback (index/view/trigger DDL mutates the live
+  // catalogs directly).
+  private final case class TxCtx(
+      work: Tables,
+      idx: mutable.LinkedHashMap[String, Ddl.CreateIndex],
+      views: mutable.LinkedHashMap[String, (String, String, String)],
+      trigs: mutable.LinkedHashMap[String, TriggerDef])
+  private var openTx: Option[TxCtx] = None
   // last committed snapshot version, published for lock-free `none` reads
   // (rows vectors are immutable; the volatile swap selects the version)
   @volatile private var committed
@@ -99,6 +125,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
     }
     val bound = req.statements.map(s => SqlText.bind(s.sql, s.parameters))
     journalAppend(req.transaction, bound)
+    // a request-level transaction batch is itself a BEGIN; opening it while
+    // an explicit connection tx is pending is SQLite's nested-BEGIN error
+    if (req.transaction && openTx.isDefined)
+      return Left("cannot start a transaction within a transaction")
     val work: Tables = if (req.transaction) snapshot() else tables
     // index/view DDL mutates the catalogs directly; snapshot for tx rollback
     val idxBackup =
@@ -113,7 +143,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
     while (it.hasNext && !rolledBack) {
       val sql = it.next()
       if (sql.trim.nonEmpty) {
-        executeOne(work, sql) match {
+        dispatch(work, req.transaction, sql) match {
           case Left(err) =>
             results += Response(error = err)
             if (req.transaction) rolledBack = true
@@ -156,23 +186,29 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
         req.statements.foreach { s =>
           val sql = SqlText.bind(s.sql, s.parameters)
           if (sql.trim.nonEmpty) {
+            // reads on this connection see the open explicit tx's
+            // uncommitted state (SQLite: the tx is connection-scoped)
+            val readTables = openTx.map(_.work).getOrElse(tables)
             if (sql.trim.toUpperCase.startsWith("PRAGMA FOREIGN_KEYS") &&
               !sql.contains("=")) {
               // PRAGMA read: one row, SQLite reports 0/1 (db/src/db.rs:133-140)
               out += RowsResult(Seq("foreign_keys"), Seq("integer"),
                 Seq(Seq(Value.Integer(if (fkEnabled) 1 else 0))))
+            } else if (valuePragmaRe.findFirstMatchIn(sql).isDefined) {
+              out += valuePragma(
+                valuePragmaRe.findFirstMatchIn(sql).get.group(1))
             } else if (tableInfoRe.findFirstMatchIn(sql).isDefined) {
               out += tableInfo(
                 tableInfoRe.findFirstMatchIn(sql).get.group(1))
             } else if (isRowReturning(sql)) {
-              runSelect(sql) match {
+              runSelect(readTables, sql) match {
                 case Right(r) => out += r
                 case Left(err) => return Left(err)
               }
             } else {
               // the reference's _query prepares+steps any statement — DDL/DML
               // executes and yields the empty envelope (db/src/db.rs:764-768)
-              executeOne(tables, sql) match {
+              dispatch(tables, reqTx = false, sql) match {
                 case Right(_) => persist(); out += RowsResult(Nil, Nil, Nil)
                 case Left(err) => return Left(err)
               }
@@ -208,6 +244,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
         if (sql.trim.toUpperCase.startsWith("PRAGMA FOREIGN_KEYS"))
           out += RowsResult(Seq("foreign_keys"), Seq("integer"),
             Seq(Seq(Value.Integer(if (fkEnabled) 1 else 0))))
+        else if (valuePragmaRe.findFirstMatchIn(sql).isDefined)
+          out += valuePragma(valuePragmaRe.findFirstMatchIn(sql).get.group(1))
         else
           try out += envelope(
             s.sql(SqlText.aliasSelectList(SqlText.fixQuotedIdents(sql))))
@@ -230,7 +268,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
   private def isRowReturning(sql: String): Boolean =
     Set("SELECT", "VALUES", "WITH", "EXPLAIN", "SHOW").contains(firstWord(sql)) ||
       sql.trim.toUpperCase.startsWith("PRAGMA FOREIGN_KEYS") &&
-        !sql.contains("=")
+        !sql.contains("=") ||
+      valuePragmaRe.findFirstMatchIn(sql).isDefined
 
   // Word-boundary matches only (substring matching flagged identifiers like
   // `brand(` via `rand(`); literals are stripped first so quoted data can
@@ -245,12 +284,56 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
     }
   }
 
+  /** Route one statement: explicit transaction-control statements act on
+    * the connection-scoped [[openTx]] (SQLite semantics + error strings);
+    * everything else executes via [[executeOne]] against the open tx's
+    * working tables when one is pending, else against `batchWork`. */
+  private def dispatch(batchWork: Tables, reqTx: Boolean,
+                       sql: String): Either[String, Long] =
+    firstWord(sql) match {
+      case "BEGIN" =>
+        if (openTx.isDefined || reqTx)
+          Left("cannot start a transaction within a transaction")
+        else {
+          openTx = Some(TxCtx(snapshot(),
+            mutable.LinkedHashMap(indexes.toSeq: _*),
+            mutable.LinkedHashMap(viewDefs.toSeq: _*),
+            mutable.LinkedHashMap(triggers.toSeq: _*)))
+          Right(0)
+        }
+      case "COMMIT" | "END" => openTx match {
+        case Some(ctx) => tables = ctx.work; openTx = None; Right(0)
+        case None => Left("cannot commit - no transaction is active")
+      }
+      case "ROLLBACK" =>
+        // no savepoint support: ROLLBACK TO <name> gets SQLite's
+        // unknown-savepoint error rather than silently discarding the tx
+        val toRe = """(?is)^\s*ROLLBACK\s+(?:TRANSACTION\s+)?TO\s+(?:SAVEPOINT\s+)?["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*;?\s*$""".r
+        sql match {
+          case toRe(name) => Left(s"no such savepoint: $name")
+          case _ => openTx match {
+            case Some(ctx) =>
+              indexes = ctx.idx; viewDefs = ctx.views; triggers = ctx.trigs
+              openTx = None; Right(0)
+            case None => Left("cannot rollback - no transaction is active")
+          }
+        }
+      case _ =>
+        // !reqTx reads the live `tables` field, not the captured batch
+        // reference: a mid-batch COMMIT reassigns the field and would
+        // orphan subsequent statements in this batch otherwise
+        executeOne(openTx.map(_.work)
+          .getOrElse(if (reqTx) batchWork else tables), sql)
+    }
+
   /** Execute one mutating statement against `work`. Returns rows_affected;
     * updates connection-level lastRowId on successful INSERT. */
   private def executeOne(work: Tables, sql0: String): Either[String, Long] = {
     val sql = SqlText.fixQuotedIdents(sql0)
     val kw = firstWord(sql)
     try kw match {
+      case "CREATE" if triggerKeywordRe.findFirstIn(sql0).isDefined =>
+        doCreateTrigger(work, sql0)
       case "CREATE" => Ddl.parseCreateIndex(sql0) match {
         case Some(ci) => doCreateIndex(work, ci)
         case None => sql0 match {
@@ -260,9 +343,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
         }
       }
       case "DROP" => doDrop(work, sql)
-      case "INSERT" | "REPLACE" => doInsert(work, sql)
-      case "UPDATE" => doUpdate(work, sql)
-      case "DELETE" => doDelete(work, sql)
+      case "INSERT" | "REPLACE" => withTriggers(work, sql, "INSERT")(
+        doInsert(work, sql))
+      case "UPDATE" => withTriggers(work, sql, "UPDATE")(doUpdate(work, sql))
+      case "DELETE" => withTriggers(work, sql, "DELETE")(doDelete(work, sql))
       case "ALTER" => doAlter(work, sql)
       case "PRAGMA" => doPragma(sql)
       // routine SQLite maintenance: nothing to compact/collect here —
@@ -320,7 +404,31 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
     val u = sql.toUpperCase.replaceAll("\\s+", "")
     if (u.contains("FOREIGN_KEYS=ON")) { fkEnabled = true; Right(0) }
     else if (u.contains("FOREIGN_KEYS=OFF")) { fkEnabled = false; Right(0) }
-    else Right(0)
+    else u match {
+      case userVersionSetRe(v) => userVersion = v.toLong; Right(0)
+      case _ => Right(0) // unknown pragmas no-op, like SQLite
+    }
+  }
+
+  private val userVersionSetRe = """(?s)^PRAGMAUSER_VERSION=(-?\d+);?$""".r
+
+  /** Value-returning PRAGMAs (SQLite returns one row; the reference
+    * forwards them verbatim, `db/src/db.rs:176`). journal_mode reports the
+    * storage truth: `memory` for in-memory databases, `wal` for file-backed
+    * ones (the journal-ahead-of-apply design, SURVEY §7.4). */
+  private val valuePragmaRe =
+    """(?is)^\s*PRAGMA\s+(JOURNAL_MODE|PAGE_SIZE|USER_VERSION)\s*;?\s*$""".r
+
+  private def valuePragma(name: String): RowsResult = name.toLowerCase match {
+    case "journal_mode" =>
+      RowsResult(Seq("journal_mode"), Seq("text"),
+        Seq(Seq(Value.Text(if (root.isEmpty) "memory" else "wal"))))
+    case "page_size" =>
+      RowsResult(Seq("page_size"), Seq("integer"),
+        Seq(Seq(Value.Integer(4096L))))
+    case _ =>
+      RowsResult(Seq("user_version"), Seq("integer"),
+        Seq(Seq(Value.Integer(userVersion))))
   }
 
   private val ctasRe =
@@ -392,8 +500,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
           Left(s"use DROP VIEW to delete view $name")
         else if (work.remove(key).isEmpty && !ie) Left(s"no such table: $name")
         else {
-          // SQLite drops a table's indexes with it
+          // SQLite drops a table's indexes and triggers with it
           indexes.filterInPlace((_, ix) => !ix.table.equalsIgnoreCase(name))
+          triggers.filterInPlace((_, t) => !t.table.equalsIgnoreCase(name))
           Right(0)
         }
       case None => Ddl.parseDropIndex(sql) match {
@@ -405,6 +514,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
           case dropViewRe(ie, name) =>
             if (viewDefs.remove(name.toLowerCase).isEmpty && ie == null)
               Left(s"no such view: $name")
+            else Right(0)
+          case dropTriggerRe(ie, name) =>
+            if (triggers.remove(name.toLowerCase).isEmpty && ie == null)
+              Left(s"no such trigger: $name")
             else Right(0)
           case _ => Left("near \"DROP\": syntax error")
         }
@@ -428,6 +541,189 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
       return if (ine) Right(0) else Left(s"table $name already exists")
     viewDefs(key) = (name, select, sql)
     Right(0)
+  }
+
+  // ---------- triggers (SQLite pass-through surface) ------------------------
+
+  private val triggerKeywordRe = """(?is)^\s*CREATE\s+(?:TEMP\s+|TEMPORARY\s+)?TRIGGER\b""".r
+  private val createTriggerRe =
+    ("""(?is)^\s*CREATE\s+(?:TEMP\s+|TEMPORARY\s+)?TRIGGER\s+(IF\s+NOT\s+EXISTS\s+)?""" +
+      """["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s+""" +
+      """(BEFORE\s+|AFTER\s+|INSTEAD\s+OF\s+)?(INSERT|DELETE|UPDATE)(\s+OF\s+[A-Za-z0-9_,\s"`]+?)?\s+""" +
+      """ON\s+["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*""" +
+      """(FOR\s+EACH\s+ROW\s*)?(WHEN\b.+?)?""" +
+      """BEGIN\s+(.+?);?\s*END\s*;?\s*$""").r
+  private val dropTriggerRe =
+    """(?is)^\s*DROP\s+TRIGGER\s+(IF\s+EXISTS\s+)?["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*;?\s*$""".r
+
+  /** CREATE TRIGGER — the minimal AFTER ROW subset (SURVEY §2: the
+    * reference forwards trigger DDL verbatim to SQLite, `db/src/db.rs:176`):
+    * `AFTER INSERT|UPDATE|DELETE ON t [FOR EACH ROW] BEGIN stmts END` with
+    * NEW./OLD. row references. BEFORE / INSTEAD OF / UPDATE OF / WHEN are
+    * rejected with explicit errors — a clear refusal beats a silent parse
+    * failure; the statement-journal envelope replays the DDL like any other
+    * statement. */
+  private def doCreateTrigger(work: Tables, sql: String): Either[String, Long] =
+    sql match {
+      case createTriggerRe(ine, name, timing, event, ofCols, tname, _, when, body) =>
+        if (timing == null || !timing.trim.equalsIgnoreCase("AFTER"))
+          return Left("only AFTER triggers are supported")
+        if (ofCols != null)
+          return Left("UPDATE OF column lists on triggers are not supported")
+        if (when != null)
+          return Left("WHEN clauses on triggers are not supported")
+        val key = name.toLowerCase
+        if (triggers.contains(key))
+          return if (ine != null) Right(0)
+          else Left(s"trigger $name already exists")
+        if (viewDefs.contains(tname.toLowerCase))
+          return Left(s"cannot create AFTER trigger on view: $tname")
+        if (!work.contains(tname.toLowerCase))
+          return Left(s"no such table: main.$tname") // SQLite's exact shape
+        val stmts = SqlText.splitTopLevel(body, ';')
+          .map(_.trim).filter(_.nonEmpty)
+        triggers(key) = TriggerDef(name, event.toUpperCase, tname, stmts, sql)
+        Right(0)
+      case _ => Left("near \"TRIGGER\": syntax error")
+    }
+
+  /** Render an engine cell value as a SQL literal for NEW./OLD.
+    * substitution (affinity storage classes: Long/Double/String/bytes). */
+  private def sqlLiteral(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case b: Array[Byte] => "X'" + b.map("%02X".format(_)).mkString + "'"
+    case other => other.toString
+  }
+
+  private val rowRefRe =
+    """(?i)\b(new|old)\s*\.\s*("?)([A-Za-z_][A-Za-z0-9_]*)\2""".r
+
+  /** Substitute NEW.col / OLD.col in a trigger-body statement with the
+    * affected row's literal values (the single-row scope SQLite gives a
+    * FOR EACH ROW trigger program). */
+  private def substituteRowRefs(stmt: String, td: TableDef,
+                                newRow: Option[IndexedSeq[Any]],
+                                oldRow: Option[IndexedSeq[Any]])
+      : Either[String, String] = {
+    var err: Option[String] = None
+    val out = rowRefRe.replaceAllIn(stmt, m => {
+      val which = m.group(1).toUpperCase
+      val col = m.group(3)
+      val row = if (which == "NEW") newRow else oldRow
+      val res = row match {
+        case None => err = err.orElse(Some(s"no such column: $which.$col")); "NULL"
+        case Some(vals) =>
+          val i = td.colIndex(col)
+          if (i < 0) {
+            err = err.orElse(Some(s"no such column: $which.$col")); "NULL"
+          } else sqlLiteral(vals(i))
+      }
+      scala.util.matching.Regex.quoteReplacement(res)
+    })
+    err.toLeft(out)
+  }
+
+  private val insertTargetRe =
+    """(?is)^\s*(?:INSERT|REPLACE)(?:\s+OR\s+[A-Za-z]+)?\s+INTO\s+["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?.*$""".r
+  private val updateTargetRe =
+    """(?is)^\s*UPDATE(?:\s+OR\s+[A-Za-z]+)?\s+["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?.*$""".r
+  private val deleteTargetRe =
+    """(?is)^\s*DELETE\s+FROM\s+["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?.*$""".r
+
+  /** Run a DML statement and fire the target table's AFTER ROW triggers on
+    * the rows it actually changed.
+    *
+    * Affected rows come from a rowid-keyed before/after diff of the target
+    * table — exact for every path (multi-row VALUES, INSERT..SELECT, upsert,
+    * OR REPLACE) without plumbing row capture through each of them; the
+    * engine envelope is OLTP-sized by design (the reference is a global
+    * mutex at 10-200 ops/s), so the diff is not on the analytics path.
+    * Event mapping follows SQLite with recursive_triggers=OFF: added rowids
+    * fire INSERT triggers, in-place changes fire UPDATE triggers (upsert's
+    * DO UPDATE path included), removed rowids fire DELETE triggers only for
+    * DELETE statements (OR REPLACE displacement does not), a trigger never
+    * re-enters itself, and a body error rolls back the whole statement
+    * (statement-level atomicity, captured live from SQLite 3.40). The outer
+    * statement's lastRowId and rows_affected are preserved across firing. */
+  private def withTriggers(work: Tables, sql: String, kind: String)(
+      run: => Either[String, Long]): Either[String, Long] = {
+    val tname = (kind match {
+      case "INSERT" => insertTargetRe.findFirstMatchIn(sql)
+      case "UPDATE" => updateTargetRe.findFirstMatchIn(sql)
+      case _ => deleteTargetRe.findFirstMatchIn(sql)
+    }).map(_.group(1))
+    val relevant = tname.toSeq.flatMap(t =>
+      triggers.values.filter(_.table.equalsIgnoreCase(t)))
+      .filterNot(t => activeTriggers.contains(t.name.toLowerCase))
+    if (relevant.isEmpty) return run
+    val key = tname.get.toLowerCase
+    val beforeVec = work.get(key).map(_.rows).getOrElse(Vector.empty)
+    val beforeMap = beforeVec.toMap
+    // statement-level atomicity: a trigger-body error must undo the outer
+    // DML and every body effect (rows are immutable vectors — shallow copy)
+    val tablesBackup = work.map { case (k, v) => k -> v.copyState }
+    val idxBackup = mutable.LinkedHashMap(indexes.toSeq: _*)
+    val viewBackup = mutable.LinkedHashMap(viewDefs.toSeq: _*)
+    val trigBackup = mutable.LinkedHashMap(triggers.toSeq: _*)
+    run match {
+      case l @ Left(_) => l
+      case Right(affected) =>
+        val outerRowId = lastRowId
+        val ts = work.get(key)
+        val afterVec = ts.map(_.rows).getOrElse(Vector.empty)
+        val afterMap = afterVec.toMap
+        val td = ts.map(_.d).getOrElse(return Right(affected))
+        // OR REPLACE re-inserts under the same rowid: SQLite fires INSERT
+        // triggers for the replaced row (delete+reinsert), while upsert's
+        // DO UPDATE path fires UPDATE triggers — captured live from 3.40
+        val isReplace = kind == "INSERT" &&
+          "(?is)^\\s*(REPLACE|INSERT\\s+OR\\s+REPLACE)\\b".r
+            .findFirstIn(sql).isDefined
+        // (event, NEW row, OLD row) per affected row, in table row order
+        val firings: Seq[(String, Option[IndexedSeq[Any]], Option[IndexedSeq[Any]])] =
+          afterVec.collect {
+            case (rid, vals) if !beforeMap.contains(rid) =>
+              ("INSERT", Some(vals), None)
+            case (rid, vals) if beforeMap.get(rid).exists(_ != vals) =>
+              if (isReplace) ("INSERT", Some(vals), None)
+              else ("UPDATE", Some(vals), Some(beforeMap(rid)))
+          } ++ (if (kind == "DELETE")
+            beforeVec.collect {
+              case (rid, vals) if !afterMap.contains(rid) =>
+                ("DELETE", None, Some(vals))
+            }
+          else Vector.empty)
+        var err: Option[String] = None
+        // row-outer, reverse-creation-order-inner: SQLite's observed order
+        firings.foreach { case (event, newRow, oldRow) =>
+          if (err.isEmpty) relevant.toSeq.reverse.foreach { tr =>
+            if (err.isEmpty && tr.event == event) {
+              activeTriggers += tr.name.toLowerCase
+              try tr.body.foreach { stmt =>
+                if (err.isEmpty)
+                  substituteRowRefs(stmt, td, newRow, oldRow) match {
+                    case Left(e) => err = Some(e)
+                    case Right(sub) =>
+                      val r =
+                        if (isRowReturning(sub)) runSelect(work, sub).map(_ => 0L)
+                        else executeOne(work, sub)
+                      r.left.foreach(e => err = Some(e))
+                  }
+              } finally activeTriggers -= tr.name.toLowerCase
+            }
+          }
+        }
+        err match {
+          case Some(e) =>
+            work.clear(); tablesBackup.foreach { case (k, v) => work(k) = v }
+            indexes = idxBackup; viewDefs = viewBackup; triggers = trigBackup
+            Left(e)
+          case None =>
+            lastRowId = outerRowId // trigger-body inserts don't leak rowids
+            Right(affected)
+        }
+    }
   }
 
   /** CREATE [UNIQUE] INDEX: catalog metadata (Catalyst plans the scans);
@@ -1030,9 +1326,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
 
   // ---------- query execution ---------------------------------------------
 
-  private def runSelect(sql0: String): Either[String, RowsResult] =
+  private def runSelect(work: Tables, sql0: String): Either[String, RowsResult] =
     try {
-      registerViews(tables)
+      registerViews(work)
       val sql = SqlText.aliasSelectList(SqlText.fixQuotedIdents(sql0))
       val df = session.sql(sql)
       Right(envelope(df))
@@ -1191,7 +1487,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
     sb.append(viewDefs.values.map { case (_, _, sql) =>
       "\"" + Json.escape(sql) + "\""
     }.mkString(","))
-    sb.append("]}")
+    sb.append("""],"triggers":[""")
+    sb.append(triggers.values.map(t =>
+      "\"" + Json.escape(t.sql) + "\"").mkString(","))
+    sb.append(s"""],"userVersion":$userVersion}""")
     // pointer swap: readers always see a complete version
     val tmp = r.resolve("manifest.json.tmp")
     Files.write(tmp, sb.toString.getBytes("UTF-8"))
@@ -1250,6 +1549,16 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
           case _ =>
         }
       }
+      n.path("triggers").forEach { s =>
+        s.asText() match {
+          case createTriggerRe(_, name, _, event, _, tname, _, _, body) =>
+            triggers(name.toLowerCase) = TriggerDef(name, event.toUpperCase,
+              tname, SqlText.splitTopLevel(body, ';')
+                .map(_.trim).filter(_.nonEmpty), s.asText())
+          case _ =>
+        }
+      }
+      userVersion = n.path("userVersion").asLong(0)
     }
     // crash recovery: replay journal entries after the manifest point
     val jf = r.resolve("journal.jsonl")
@@ -1276,16 +1585,24 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
         }
       }
     }
+    // crash semantics: a journal that ends inside an explicit BEGIN means
+    // the connection died without COMMIT — the transaction rolls back
+    // (SQLite: the tx belongs to the dead connection)
+    openTx.foreach { ctx =>
+      indexes = ctx.idx; viewDefs = ctx.views; triggers = ctx.trigs
+    }
+    openTx = None
     publishCommitted()
   }
 
   private def executeReplay(tx: Boolean, stmts: Seq[Statement]): Unit = {
     journalSeq += 1
+    if (tx && openTx.isDefined) { persist(); return } // mirrors execute()
     val work: Tables = if (tx) snapshot() else tables
     var failed = false
     stmts.foreach { s =>
       if (!failed && s.sql.trim.nonEmpty)
-        executeOne(work, s.sql) match {
+        dispatch(work, tx, s.sql) match {
           case Left(_) => if (tx) failed = true
           case Right(_) =>
         }
