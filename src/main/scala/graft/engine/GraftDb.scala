@@ -352,6 +352,13 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
       // routine SQLite maintenance: nothing to compact/collect here —
       // storage is columnar snapshots and Catalyst plans from schema
       case "VACUUM" | "ANALYZE" => Right(0)
+      // single-database engine by design (the reference holds exactly one
+      // SQLite handle per store, db/src/db.rs:21): reject specifically
+      // instead of the generic unsupported-statement error
+      case "ATTACH" => Left("ATTACH DATABASE is not supported: " +
+        "this engine manages a single database per store")
+      case "DETACH" => Left("DETACH DATABASE is not supported: " +
+        "this engine manages a single database per store")
       case "SELECT" | "VALUES" | "WITH" =>
         Left("Execute returned results - did you mean to call query?")
       case _ => Left(s"unsupported statement: ${sql.trim.take(40)}")

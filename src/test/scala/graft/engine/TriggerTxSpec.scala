@@ -215,6 +215,14 @@ class TriggerTxSpec extends SparkSpec {
 
   // ---------- value-returning PRAGMAs ---------------------------------------
 
+  test("ATTACH/DETACH rejected with a specific reason, not a generic parse error") {
+    val db = memDb
+    assert(execErr(db, "ATTACH DATABASE 'x.db' AS other").startsWith(
+      "ATTACH DATABASE is not supported"))
+    assert(execErr(db, "DETACH DATABASE other").startsWith(
+      "DETACH DATABASE is not supported"))
+  }
+
   test("value PRAGMAs answer with one row (sqlite 3.40 shapes)") {
     val db = memDb
     // captured live on :memory:: journal_mode='memory', page_size=4096,
