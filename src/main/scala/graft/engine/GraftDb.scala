@@ -89,8 +89,20 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
       work: Tables,
       idx: mutable.LinkedHashMap[String, Ddl.CreateIndex],
       views: mutable.LinkedHashMap[String, (String, String, String)],
-      trigs: mutable.LinkedHashMap[String, TriggerDef])
+      trigs: mutable.LinkedHashMap[String, TriggerDef],
+      // true when SAVEPOINT opened this tx: releasing the last savepoint
+      // commits it (SQLite's savepoint-started implicit transaction)
+      implicitTx: Boolean = false)
   private var openTx: Option[TxCtx] = None
+  // savepoint stack, most recent last: name (lowercased — SQLite matches
+  // case-insensitively) + a state snapshot to restore on ROLLBACK TO
+  private final case class Savepoint(
+      name: String,
+      work: Tables,
+      idx: mutable.LinkedHashMap[String, Ddl.CreateIndex],
+      views: mutable.LinkedHashMap[String, (String, String, String)],
+      trigs: mutable.LinkedHashMap[String, TriggerDef])
+  private val savepoints = mutable.ListBuffer.empty[Savepoint]
   // last committed snapshot version, published for lock-free `none` reads
   // (rows vectors are immutable; the volatile swap selects the version)
   @volatile private var committed
@@ -137,6 +149,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
     val viewBackup =
       if (req.transaction) Some(mutable.LinkedHashMap(viewDefs.toSeq: _*))
       else None
+    val trigBackup =
+      if (req.transaction) Some(mutable.LinkedHashMap(triggers.toSeq: _*))
+      else None
     val results = Seq.newBuilder[Response]
     var rolledBack = false
     val it = bound.iterator
@@ -156,7 +171,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
     if (rolledBack) {
       idxBackup.foreach(indexes = _)
       viewBackup.foreach(viewDefs = _)
+      trigBackup.foreach(triggers = _)
     }
+    // the wrapper tx's COMMIT/ROLLBACK releases savepoints made in it
+    if (req.transaction) savepoints.clear()
     if (!req.transaction || !rolledBack) persist()
     Right(results.result())
   }
@@ -284,6 +302,13 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
     }
   }
 
+  private val savepointRe =
+    """(?is)^\s*SAVEPOINT\s+["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*;?\s*$""".r
+  private val releaseRe =
+    """(?is)^\s*RELEASE\s+(?:SAVEPOINT\s+)?["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*;?\s*$""".r
+  private val rollbackToRe =
+    """(?is)^\s*ROLLBACK\s+(?:TRANSACTION\s+)?TO\s+(?:SAVEPOINT\s+)?["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*;?\s*$""".r
+
   /** Route one statement: explicit transaction-control statements act on
     * the connection-scoped [[openTx]] (SQLite semantics + error strings);
     * everything else executes via [[executeOne]] against the open tx's
@@ -302,19 +327,67 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
           Right(0)
         }
       case "COMMIT" | "END" => openTx match {
-        case Some(ctx) => tables = ctx.work; openTx = None; Right(0)
+        case Some(ctx) =>
+          tables = ctx.work; openTx = None; savepoints.clear(); Right(0)
         case None => Left("cannot commit - no transaction is active")
       }
+      case "SAVEPOINT" => sql match {
+        case savepointRe(name) =>
+          // SAVEPOINT outside any tx starts a savepoint-started implicit
+          // one (committed by releasing its last savepoint). Inside a
+          // request-level tx batch, savepoints nest on the batch work.
+          if (openTx.isEmpty && !reqTx)
+            openTx = Some(TxCtx(snapshot(),
+              mutable.LinkedHashMap(indexes.toSeq: _*),
+              mutable.LinkedHashMap(viewDefs.toSeq: _*),
+              mutable.LinkedHashMap(triggers.toSeq: _*), implicitTx = true))
+          val eff = openTx.map(_.work)
+            .getOrElse(if (reqTx) batchWork else tables)
+          savepoints += Savepoint(name.toLowerCase,
+            eff.map { case (k, v) => k -> v.copyState },
+            mutable.LinkedHashMap(indexes.toSeq: _*),
+            mutable.LinkedHashMap(viewDefs.toSeq: _*),
+            mutable.LinkedHashMap(triggers.toSeq: _*))
+          Right(0)
+        case _ => Left("near \"SAVEPOINT\": syntax error")
+      }
+      case "RELEASE" => sql match {
+        case releaseRe(name) =>
+          savepoints.lastIndexWhere(_.name == name.toLowerCase) match {
+            case -1 => Left(s"no such savepoint: $name")
+            case i =>
+              savepoints.remove(i, savepoints.length - i)
+              // releasing the last savepoint of a savepoint-started tx
+              // commits it (captured live from SQLite 3.40)
+              if (savepoints.isEmpty && openTx.exists(_.implicitTx)) {
+                tables = openTx.get.work; openTx = None
+              }
+              Right(0)
+          }
+        case _ => Left("near \"RELEASE\": syntax error")
+      }
       case "ROLLBACK" =>
-        // no savepoint support: ROLLBACK TO <name> gets SQLite's
-        // unknown-savepoint error rather than silently discarding the tx
-        val toRe = """(?is)^\s*ROLLBACK\s+(?:TRANSACTION\s+)?TO\s+(?:SAVEPOINT\s+)?["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*;?\s*$""".r
         sql match {
-          case toRe(name) => Left(s"no such savepoint: $name")
+          case rollbackToRe(name) =>
+            savepoints.lastIndexWhere(_.name == name.toLowerCase) match {
+              case -1 => Left(s"no such savepoint: $name")
+              case i =>
+                val sp = savepoints(i)
+                // state reverts to the savepoint; the savepoint survives
+                savepoints.remove(i + 1, savepoints.length - i - 1)
+                val eff = openTx.map(_.work)
+                  .getOrElse(if (reqTx) batchWork else tables)
+                eff.clear()
+                sp.work.foreach { case (k, v) => eff(k) = v.copyState }
+                indexes = mutable.LinkedHashMap(sp.idx.toSeq: _*)
+                viewDefs = mutable.LinkedHashMap(sp.views.toSeq: _*)
+                triggers = mutable.LinkedHashMap(sp.trigs.toSeq: _*)
+                Right(0)
+            }
           case _ => openTx match {
             case Some(ctx) =>
               indexes = ctx.idx; viewDefs = ctx.views; triggers = ctx.trigs
-              openTx = None; Right(0)
+              openTx = None; savepoints.clear(); Right(0)
             case None => Left("cannot rollback - no transaction is active")
           }
         }
@@ -1599,6 +1672,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
       indexes = ctx.idx; viewDefs = ctx.views; triggers = ctx.trigs
     }
     openTx = None
+    savepoints.clear()
     publishCommitted()
   }
 

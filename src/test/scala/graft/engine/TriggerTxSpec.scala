@@ -91,6 +91,58 @@ class TriggerTxSpec extends SparkSpec {
     assert(execErr(db2, "COMMIT") == "cannot commit - no transaction is active")
   }
 
+  test("savepoints: implicit tx, nested rollback-to/release semantics (sqlite 3.40)") {
+    val db = memDb
+    exec(db, "CREATE TABLE t (id INTEGER PRIMARY KEY)")
+    // captured live: SAVEPOINT a; INSERT 1; SAVEPOINT b; INSERT 2;
+    // ROLLBACK TO b; INSERT 3; RELEASE b; RELEASE a  ->  t = [1, 3]
+    exec(db, "SAVEPOINT a")
+    exec(db, "INSERT INTO t VALUES (1)")
+    exec(db, "SAVEPOINT b")
+    exec(db, "INSERT INTO t VALUES (2)")
+    exec(db, "ROLLBACK TO b")
+    exec(db, "INSERT INTO t VALUES (3)")
+    exec(db, "RELEASE b")
+    assert(execErr(db, "ROLLBACK TO b") == "no such savepoint: b")
+    exec(db, "RELEASE a") // outermost release of a savepoint-started tx commits
+    assert(query(db, "SELECT id FROM t ORDER BY id").contains("[[1],[3]]"))
+    assert(execErr(db, "ROLLBACK") ==
+      "cannot rollback - no transaction is active")
+  }
+
+  test("savepoints inside explicit BEGIN; full ROLLBACK discards them (sqlite 3.40)") {
+    val db = memDb
+    exec(db, "CREATE TABLE t (id INTEGER PRIMARY KEY)")
+    exec(db, "BEGIN")
+    exec(db, "SAVEPOINT s1")
+    exec(db, "INSERT INTO t VALUES (10)")
+    exec(db, "ROLLBACK TO s1")
+    exec(db, "RELEASE s1") // does NOT commit the explicit tx
+    exec(db, "INSERT INTO t VALUES (11)")
+    exec(db, "COMMIT")
+    assert(query(db, "SELECT id FROM t").contains("[[11]]"))
+    assert(execErr(db, "ROLLBACK TO nope") == "no such savepoint: nope")
+    assert(execErr(db, "RELEASE nope") == "no such savepoint: nope")
+    // full ROLLBACK of a savepoint-started tx discards everything
+    exec(db, "SAVEPOINT x")
+    exec(db, "INSERT INTO t VALUES (20)")
+    exec(db, "ROLLBACK")
+    assert(query(db, "SELECT COUNT(*) AS n FROM t WHERE id = 20").contains("[[0]]"))
+    assert(execErr(db, "RELEASE x") == "no such savepoint: x")
+  }
+
+  test("duplicate savepoint names: most recent wins (sqlite 3.40)") {
+    val db = memDb
+    exec(db, "CREATE TABLE t (id INTEGER PRIMARY KEY)")
+    exec(db, "SAVEPOINT d")
+    exec(db, "INSERT INTO t VALUES (30)")
+    exec(db, "SAVEPOINT d")
+    exec(db, "INSERT INTO t VALUES (31)")
+    exec(db, "ROLLBACK TO d") // rolls to the INNER d: 30 stays, 31 gone
+    assert(query(db, "SELECT id FROM t WHERE id >= 30").contains("[[30]]"))
+    exec(db, "ROLLBACK")
+  }
+
   // ---------- AFTER ROW triggers --------------------------------------------
 
   test("audit-log trigger parity: insert/update/delete with NEW/OLD (sqlite 3.40)") {
