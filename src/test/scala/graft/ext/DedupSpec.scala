@@ -140,6 +140,13 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhash pairs plan has no unblocked all-pairs stage") {
+    val plan = Dedup.minhashPairs(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("collapsed minhash pipeline is value-identical to banding every doc") {
     // uncollapsed formulation = repCandidates with EVERY doc as its own
     // representative (no signature grouping at all); bands are a pure
