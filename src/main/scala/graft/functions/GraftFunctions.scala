@@ -33,12 +33,24 @@ object GraftFunctions {
     classOf[SortedIntersectCount].getName, null, "sorted_intersect_count",
     "sorted_intersect_count(a, b) - |A intersect B| of two sorted int arrays", "")
 
+  private def lshBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, "lsh_buckets takes exactly 1 argument")
+    LshBuckets(args.head)
+  }
+
+  private val lshInfo = new ExpressionInfo(
+    classOf[LshBuckets].getName, null, "lsh_buckets",
+    "lsh_buckets(v) - multi-table hyperplane LSH bucket ids for a float array",
+    "")
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_sim"), cosineInfo, cosineBuilder _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("sorted_intersect_count"), intersectInfo,
       intersectBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("lsh_buckets"), lshInfo, lshBuilder _)
     spark.udf.register("minhash_sig",
       org.apache.spark.sql.functions.udaf(MinHashAgg))
   }
@@ -60,5 +72,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_intersect_count(a, b) - |A intersect B| of two sorted int arrays",
         ""),
       (args: Seq[Expression]) => SortedIntersectCount(args.head, args(1))))
+    // opt-in similarity-join rewrite (spark.graft.cosineJoinRewrite.enabled)
+    ext.injectOptimizerRule(_ => graft.plans.CosineJoinRewrite)
   }
 }

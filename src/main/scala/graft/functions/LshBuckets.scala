@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+
+/** Native Catalyst expression: multi-table random-hyperplane LSH bucket ids
+  * for a float-array embedding, one int per table, encoded `(t << planes) |
+  * bucketBits` so values are globally distinct across tables and the array
+  * is strictly increasing (SURVEY.md §2.2 B72, §7 "custom Rule" row).
+  *
+  * Bit j of table t is the sign of the projection onto a pseudo-random ±1
+  * hyperplane; the sign comes from a multiplicative hash of (t, j, dim), so
+  * any executor recomputes identical buckets with zero shipped state — the
+  * property that makes the scheme driver-free at 1000 executors. Identical
+  * vectors get identical buckets by construction.
+  *
+  * This is the per-row building block [[graft.plans.CosineJoinRewrite]]
+  * plants on both sides of a rewritten similarity join; it runs once per
+  * scanned row (not per candidate pair), fused into whole-stage codegen.
+  */
+case class LshBuckets(child: Expression,
+                      numTables: Int = LshBuckets.DefaultTables,
+                      planesPerTable: Int = LshBuckets.DefaultPlanes)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_buckets expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "lsh_buckets"
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Int](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bv = 0
+      var j = 0
+      while (j < planesPerTable) {
+        var proj = 0.0
+        var i = 0
+        while (i < n) {
+          val s = LshBuckets.sign(t, j, i)
+          proj += s * v.getFloat(i).toDouble
+          i += 1
+        }
+        if (proj > 0) bv |= (1 << j)
+        j += 1
+      }
+      out(t) = (t << planesPerTable) | bv
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val bv = ctx.freshName("bv")
+      val proj = ctx.freshName("proj")
+      val h = ctx.freshName("h")
+      s"""
+         |int $n = $v.numElements();
+         |int[] $out = new int[$numTables];
+         |for (int $t = 0; $t < $numTables; $t++) {
+         |  int $bv = 0;
+         |  for (int $j = 0; $j < $planesPerTable; $j++) {
+         |    double $proj = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      int $h = ($t * 0x9E3779B1 + $j * 0x85EBCA77 + $i * 0xC2B2AE3D)
+         |        * 0x27D4EB2F;
+         |      $proj += ((($h >>> 31) == 0) ? 1.0 : -1.0)
+         |        * (double) $v.getFloat($i);
+         |    }
+         |    if ($proj > 0) $bv |= (1 << $j);
+         |  }
+         |  $out[$t] = ($t << $planesPerTable) | $bv;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshBuckets =
+    copy(child = newChild)
+}
+
+object LshBuckets {
+  val DefaultTables = 8
+  val DefaultPlanes = 6
+
+  /** ±1 hyperplane sign from a multiplicative hash of (table, plane, dim) —
+    * mirrored exactly in the generated Java above. */
+  @inline def sign(t: Int, j: Int, i: Int): Double = {
+    val h = (t * 0x9E3779B1 + j * 0x85EBCA77 + i * 0xC2B2AE3D) * 0x27D4EB2F
+    if ((h >>> 31) == 0) 1.0 else -1.0
+  }
+}
