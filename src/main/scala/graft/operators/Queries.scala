@@ -389,6 +389,56 @@ object Queries {
         |       CAST(CAST(ROUND(CUME_DIST() OVER w, 6) AS DECIMAL(18,6)) AS DOUBLE) AS cd
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // Q51 (B64) session window, batch twin — the islands formulation
+    // (gap-break flag via lag, session id via running sum) is expressible
+    // identically in both dialects, which turns the session-window operator
+    // from spec-only into an oracle-hashed one. The streaming counterpart
+    // (session_window + watermark) is exercised in EventStreamsSpec.
+    Q.same("q51_session",
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   > INTERVAL '6' HOUR
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+        |       COUNT(*) AS n_events,
+        |       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_id""".stripMargin),
+
+    // Q52 (B61) map functions — the testdata has no map column, so the map
+    // is BUILT at query time and consumed via element_at/map_keys; scalar
+    // extraction keeps the compared outputs dialect-portable.
+    Q("q52_map",
+      """SELECT n_regionkey,
+        |       element_at(m, 'count') AS cnt,
+        |       element_at(m, 'minkey') AS mink,
+        |       map_keys(m) AS ks
+        |FROM (SELECT n_regionkey,
+        |             map_from_arrays(array('count', 'minkey'),
+        |               array(CAST(COUNT(*) AS BIGINT),
+        |                     CAST(MIN(n_nationkey) AS BIGINT))) AS m
+        |      FROM nation GROUP BY n_regionkey)
+        |ORDER BY n_regionkey""".stripMargin,
+      """SELECT n_regionkey,
+        |       m['count'][1] AS cnt,
+        |       m['minkey'][1] AS mink,
+        |       map_keys(m) AS ks
+        |FROM (SELECT n_regionkey,
+        |             MAP(['count', 'minkey'],
+        |                 [CAST(COUNT(*) AS BIGINT),
+        |                  CAST(MIN(n_nationkey) AS BIGINT)]) AS m
+        |      FROM nation GROUP BY n_regionkey)
+        |ORDER BY n_regionkey""".stripMargin)
   )
 }

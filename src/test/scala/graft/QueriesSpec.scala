@@ -28,7 +28,7 @@ class QueriesSpec extends SparkSpec {
   test("driver contract: entry() returns rows and every query has unique name") {
     assert(SparkEntry.entry(spark).count() > 0)
     val qs = SparkEntry.queries
-    assert(qs.size == 65, s"expected 65 queries (q01-q50 + x49-x63), got ${qs.size}")
+    assert(qs.size == 67, s"expected 67 queries (q01-q52 + x49-x63), got ${qs.size}")
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet),
       "oracle entries without a matching query")
   }
