@@ -80,6 +80,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
   private var activeTriggers: Set[String] = Set.empty
   // PRAGMA user_version storage (persisted in the manifest)
   private var userVersion = 0L
+  // PRAGMA schema_version: bumped on every successful DDL statement
+  // (SQLite 3.40: CREATE/DROP/ALTER increment it, DML does not)
+  private var schemaVersion = 0L
   // Explicit BEGIN/COMMIT/ROLLBACK state: connection-scoped, survives
   // across execute batches (SQLite: the tx belongs to the connection, not
   // the statement batch). Holds the uncommitted working tables plus
@@ -404,6 +407,14 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
   private def executeOne(work: Tables, sql0: String): Either[String, Long] = {
     val sql = SqlText.fixQuotedIdents(sql0)
     val kw = firstWord(sql)
+    val r = executeOneInner(work, sql0, sql, kw)
+    if (r.isRight && Set("CREATE", "DROP", "ALTER").contains(kw))
+      schemaVersion += 1
+    r
+  }
+
+  private def executeOneInner(work: Tables, sql0: String, sql: String,
+                              kw: String): Either[String, Long] = {
     try kw match {
       case "CREATE" if triggerKeywordRe.findFirstIn(sql0).isDefined =>
         doCreateTrigger(work, sql0)
@@ -423,8 +434,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
       case "ALTER" => doAlter(work, sql)
       case "PRAGMA" => doPragma(sql)
       // routine SQLite maintenance: nothing to compact/collect here —
-      // storage is columnar snapshots and Catalyst plans from schema
-      case "VACUUM" | "ANALYZE" => Right(0)
+      // storage is columnar snapshots and Catalyst plans from schema;
+      // REINDEX has nothing to rebuild (indexes are metadata-only)
+      case "VACUUM" | "ANALYZE" | "REINDEX" => Right(0)
       // single-database engine by design (the reference holds exactly one
       // SQLite handle per store, db/src/db.rs:21): reject specifically
       // instead of the generic unsupported-statement error
@@ -497,7 +509,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
     * storage truth: `memory` for in-memory databases, `wal` for file-backed
     * ones (the journal-ahead-of-apply design, SURVEY §7.4). */
   private val valuePragmaRe =
-    """(?is)^\s*PRAGMA\s+(JOURNAL_MODE|PAGE_SIZE|USER_VERSION)\s*;?\s*$""".r
+    """(?is)^\s*PRAGMA\s+(JOURNAL_MODE|PAGE_SIZE|USER_VERSION|SCHEMA_VERSION)\s*;?\s*$""".r
 
   private def valuePragma(name: String): RowsResult = name.toLowerCase match {
     case "journal_mode" =>
@@ -506,6 +518,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
     case "page_size" =>
       RowsResult(Seq("page_size"), Seq("integer"),
         Seq(Seq(Value.Integer(4096L))))
+    case "schema_version" =>
+      RowsResult(Seq("schema_version"), Seq("integer"),
+        Seq(Seq(Value.Integer(schemaVersion))))
     case _ =>
       RowsResult(Seq("user_version"), Seq("integer"),
         Seq(Seq(Value.Integer(userVersion))))
@@ -1570,7 +1585,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
     sb.append("""],"triggers":[""")
     sb.append(triggers.values.map(t =>
       "\"" + Json.escape(t.sql) + "\"").mkString(","))
-    sb.append(s"""],"userVersion":$userVersion}""")
+    sb.append(s"""],"userVersion":$userVersion,"schemaVersion":$schemaVersion}""")
     // pointer swap: readers always see a complete version
     val tmp = r.resolve("manifest.json.tmp")
     Files.write(tmp, sb.toString.getBytes("UTF-8"))
@@ -1639,6 +1654,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
         }
       }
       userVersion = n.path("userVersion").asLong(0)
+      schemaVersion = n.path("schemaVersion").asLong(0)
     }
     // crash recovery: replay journal entries after the manifest point
     val jf = r.resolve("journal.jsonl")

@@ -289,6 +289,23 @@ class TriggerTxSpec extends SparkSpec {
     assert(query(db, "PRAGMA user_version").contains("[[7]]"))
   }
 
+  test("schema_version counts DDL, ignores DML; REINDEX accepted (sqlite 3.40)") {
+    val db = memDb
+    assert(query(db, "PRAGMA schema_version").contains("[[0]]"))
+    exec(db, "CREATE TABLE t (id INTEGER)")
+    assert(query(db, "PRAGMA schema_version").contains("[[1]]"))
+    exec(db, "CREATE INDEX i ON t(id)")
+    assert(query(db, "PRAGMA schema_version").contains("[[2]]"))
+    exec(db, "ALTER TABLE t ADD COLUMN v TEXT")
+    assert(query(db, "PRAGMA schema_version").contains("[[3]]"))
+    exec(db, "INSERT INTO t VALUES (1, 'x')")
+    assert(query(db, "PRAGMA schema_version").contains("[[3]]"))
+    exec(db, "DROP TABLE t")
+    assert(query(db, "PRAGMA schema_version").contains("[[4]]"))
+    assert(!exec(db, "REINDEX").contains("error"))
+    assert(query(db, "PRAGMA schema_version").contains("[[4]]"))
+  }
+
   test("user_version persists across restart; file db reports wal journaling") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-uv").toString
     val db = GraftDb.open(spark, s"$tmp/d.db").fold(e => fail(e), identity)
