@@ -204,7 +204,7 @@ object Dedup {
     *     (`rank-1 = trailing_zeros(prefix_mask_a & prefix_mask_b)`, where
     *     trailing zeros = `bit_count((s & -s) - 1)`);
     *  4. j3 (word-trigram Jaccard, vocabulary too wide for masks — 26k+
-    *     trigrams/lang at sf0.1 and growing) joins SORTED trigram INT-rank
+    *     trigrams/lang at sf0.1 and growing) joins SORTED xxhash64 trigram
     *     arrays back for SURVIVING pairs only and counts the intersection
     *     with the allocation-free codegen'd two-pointer merge
     *     [[graft.functions.SortedIntersectCount]] (`size(array_intersect)`
@@ -256,9 +256,13 @@ object Dedup {
     val nMask = ((maxVocab + 63) / 64).max(1)
     // distinct word-trigram set per doc, built with a codegen'd window
     // lead() over token positions (the transform(sequence…) lambda
-    // formulation evaluates interpreted), dictionary-encoded per lang to
-    // INT rank arrays for the j3 join-back (trigram vocabulary is too wide
-    // for masks — 26k+/lang at sf0.1 and growing with the corpus).
+    // formulation evaluates interpreted), encoded as SORTED xxhash64
+    // arrays for the j3 verify — hashing replaces the per-lang dictionary
+    // (a 26k+-entry window + string equi-join per corpus scan, measured
+    // ~1.2 s at sf0.1) because only intersection COUNTS are consumed; a
+    // count changes only if two distinct trigrams of one compared pair
+    // collide in 64 bits (P ≈ d²/2⁶⁵ per pair, d ≈ 50 — negligible, and
+    // deterministic for a fixed corpus so the oracle hash pins it).
     ckpt(
       """WITH tri AS (SELECT DISTINCT doc_id, lang, tok FROM (
         |  SELECT doc_id, lang,
@@ -266,14 +270,10 @@ object Dedup {
         |      lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos),
         |      lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS tok,
         |    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
-        |  FROM __x54_tp) WHERE t2 IS NOT NULL),
-        |v3 AS (SELECT lang, tok,
-        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tok) AS rank
-        |       FROM (SELECT DISTINCT lang, tok FROM tri))
-        |SELECT tri.doc_id, sort_array(collect_list(v3.rank)) AS ranks3,
+        |  FROM __x54_tp) WHERE t2 IS NOT NULL)
+        |SELECT doc_id, sort_array(collect_list(xxhash64(tok))) AS ranks3,
         |       COUNT(*) AS n3
-        |FROM tri JOIN v3 ON tri.lang = v3.lang AND tri.tok = v3.tok
-        |GROUP BY tri.doc_id""".stripMargin, "__x54_r3")
+        |FROM tri GROUP BY doc_id""".stripMargin, "__x54_r3")
     // Per-doc unigram features in ONE aggregation (no per-doc windows, no
     // join-back): sorted rank array + set size + full bitset masks. The
     // PREFIX masks derive afterwards in pure codegen: the prefix is the
@@ -348,8 +348,8 @@ object Dedup {
          |         ELSE 0.0 END, 4) AS DECIMAL(18,4)) AS DOUBLE) AS j3
          |FROM (SELECT q.doc_a, q.doc_b, q.j1,
          |        sorted_intersect_count(
-         |          COALESCE(fa.ranks3, CAST(array() AS ARRAY<INT>)),
-         |          COALESCE(fb.ranks3, CAST(array() AS ARRAY<INT>))) AS i3,
+         |          COALESCE(fa.ranks3, CAST(array() AS ARRAY<BIGINT>)),
+         |          COALESCE(fb.ranks3, CAST(array() AS ARRAY<BIGINT>))) AS i3,
          |        COALESCE(fa.n3, 0) AS n3a, COALESCE(fb.n3, 0) AS n3b
          |      FROM q
          |      LEFT JOIN __x54_r3 fa ON fa.doc_id = q.doc_a
