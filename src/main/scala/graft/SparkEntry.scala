@@ -1,17 +1,20 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.command.Parameter
+import graft.engine.SqlText
 import graft.operators.Queries
 import graft.ext.{Dedup, Extensions, Multimodal, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * `queries` holds one entry per implemented operator from SURVEY.md §2
-  * (q01–q48 declared relational set + x49+ LLM-pipeline extensions);
-  * `oracleSql` the DuckDB twin for every SQL-expressible one. The
-  * hash-dependent sketch ops (MinHash-LSH, SimHash, LSH-ANN) and the
-  * multimodal decode plumbing have no DuckDB twin — they get the driver's
-  * rows-only check plus property tests in src/test.
+  * (q01–q55 declared relational set + x49+ LLM-pipeline extensions);
+  * `oracleSql` the DuckDB twin for every one. The hash-dependent sketch ops
+  * (MinHash-LSH, SimHash, LSH/IVF-ANN) expose derived assertion rows that
+  * ARE deterministic (exact-duplicate recall, brute-force recall floors) so
+  * the driver can hash-check them; their hash-dependent interiors stay
+  * property-tested in src/test.
   */
 object SparkEntry {
 
@@ -44,8 +47,23 @@ object SparkEntry {
       // overrides the SQL-text variant in Extensions: same oracle, but the
       // unigram side runs on dictionary-encoded bitset masks (see Scaladoc)
       "x54_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
-      "x57_minhash_lsh" -> (Dedup.minhashPairs _),
-      "x58_simhash"     -> ((s: SparkSession, d: String) => Dedup.simhashPairs(s, d)),
+      // x57/x58: exact-duplicate recall assertions derived from the REAL
+      // sketch pipelines (same pattern as x59/x62) — the raw pair lists are
+      // hash-dependent, but full recall of word-set-equal pairs at
+      // est_j/jaccard = 1.0 (MinHash) and hamming = 0 (SimHash) is
+      // deterministic by construction, so a DuckDB twin can enumerate the
+      // expected pairs from raw text and pin the booleans
+      "x57_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashRecallCheck(s, d)),
+      "x58_simhash"     -> ((s: SparkSession, d: String) => Dedup.simhashRecallCheck(s, d)),
+      // q55: the B12 positional-binding path (SqlText.bind) run end-to-end
+      // through the driver's oracle gate — the template carries a string
+      // with an embedded quote to exercise the escaping rules
+      "q55_param" -> ((s: SparkSession, d: String) => {
+        Tables.ensure(s, d)
+        s.sql(SqlText.bind(Queries.q55ParamTemplate, Seq(
+          Parameter.Text("BUILDING"), Parameter.Real(1000.0),
+          Parameter.Text("o'brien"))))
+      }),
       // x59/x62: recall@5-vs-brute-force assertion rows — the approximate
       // path runs for real, but the driver-visible output is a
       // deterministic per-query boolean + exact floor cosine that the
@@ -110,11 +128,57 @@ object SparkEntry {
        |FROM t5 GROUP BY qid ORDER BY qid""".stripMargin
   }
 
+  /** x57/x58 twin fragment: word-SET-equal doc pairs from the raw text —
+    * the same sorted-distinct-token fingerprint as the oracle-green x52,
+    * which is exactly the pair floor the sketch recall checks claim (see
+    * [[graft.ext.Dedup.setEqualPairs]]). */
+  private val setEqualPairsDuck =
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM (SELECT doc_id,
+      |        md5(array_to_string(list_sort(list_distinct(
+      |          list_filter(string_split(LOWER(text), ' '), t -> t <> ''))), ' ')) AS fp
+      |      FROM documents) a
+      |JOIN (SELECT doc_id,
+      |        md5(array_to_string(list_sort(list_distinct(
+      |          list_filter(string_split(LOWER(text), ' '), t -> t <> ''))), ' ')) AS fp
+      |      FROM documents) b
+      |  ON a.fp = b.fp AND a.doc_id < b.doc_id""".stripMargin
+
+  private val minhashDuck =
+    s"""SELECT doc_a, doc_b, TRUE AS found, TRUE AS est_ok, TRUE AS j_ok
+       |FROM ($setEqualPairsDuck)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val simhashDuck =
+    s"""SELECT doc_a, doc_b, TRUE AS found, TRUE AS ham_ok
+       |FROM ($setEqualPairsDuck)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** x60 twin: the fake decode is a closed-form function of documents.text
+    * (header magic + big-endian dims from doc_id + UTF-8 payload), so the
+    * oracle recomputes every field including the modular polynomial
+    * checksum (the corpus is ASCII — unicode(ch) == UTF-8 byte; the Spark
+    * side reduces over payload bytes, DuckDB over code points). */
+  private val mmDecodeDuck =
+    """SELECT doc_id, 'img1' AS format,
+      |       CAST(64 + (doc_id % 16) * 32 AS INT) AS width,
+      |       CAST(64 + (doc_id % 9) * 32 AS INT) AS height,
+      |       CAST(strlen(text) + 12 AS BIGINT) AS n_bytes,
+      |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |         list_transform(range(1, CAST(strlen(text) AS INT) + 1),
+      |           i -> CAST(unicode(text[i]) AS BIGINT))),
+      |         (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS checksum
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] =
     sqlBacked.map(q => q.name -> q.duck).toMap +
       ("x61_ann_expr" ->
         Extensions.all.find(_.name == "x55_ann_topk").get.duck) +
       ("x63_embed_dup" -> embedDupDuck) +
       ("x59_ann_lsh" -> recallDuck) +
-      ("x62_ann_ivf" -> recallDuck)
+      ("x62_ann_ivf" -> recallDuck) +
+      ("x57_minhash_lsh" -> minhashDuck) +
+      ("x58_simhash" -> simhashDuck) +
+      ("x60_mm_decode" -> mmDecodeDuck) +
+      ("q55_param" -> Queries.q55ParamBound)
 }

@@ -181,6 +181,54 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Word-SET-equal doc pairs — the deterministic exact-duplicate floor the
+    * sketch recall checks assert against. Same fingerprint construction as
+    * the oracle-green x52 (sorted distinct token list), reduced to an md5
+    * so the self-join shuffles a 16-byte key instead of the token list.
+    * Set-equality is engine-independent, so a DuckDB twin enumerates the
+    * identical pair list from the raw text. */
+  private[ext] def setEqualPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fp = docWords(spark, dir).select(col("doc_id"),
+      md5(concat_ws(" ", sort_array(col("words"))).cast("binary")).as("fp"))
+    fp.as("a").join(fp.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  }
+
+  /** x57 driver query — the oracle-checkable recall assertion over the REAL
+    * MinHash-LSH pipeline (closes r4's `no_oracle` gap the same way x59/x62
+    * did for ANN). The full [[minhashPairs]] output is hash-dependent, so
+    * the driver row instead claims what IS deterministic by construction:
+    * every word-set-equal pair (identical sets ⇒ identical 64-perm
+    * signature ⇒ same collapse group) must be emitted with est_j = 1.0 and
+    * exact jaccard = 1.0. A DuckDB twin enumerates the set-equal pairs from
+    * the raw text and asserts the three booleans TRUE; any collapse/banding
+    * /verify regression flips one and fails the hash compare. The non-exact
+    * estimate band stays property-tested in DedupSpec (no twin possible). */
+  def minhashRecallCheck(spark: SparkSession, dir: String): DataFrame =
+    setEqualPairs(spark, dir)
+      .join(minhashPairs(spark, dir), Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        col("est_j").isNotNull.as("found"),
+        coalesce(col("est_j") === 1.0, lit(false)).as("est_ok"),
+        coalesce(col("jaccard") === 1.0, lit(false)).as("j_ok"))
+      .orderBy("doc_a", "doc_b")
+
+  /** x58 driver query — same pattern as [[minhashRecallCheck]] for SimHash:
+    * word-set-equal pairs have identical 64-bit signatures by construction
+    * (every bit is a sign over the same word set), so each must surface
+    * from the REAL [[simhashPairs]] pipeline with hamming = 0. Only the
+    * Hamming-0 contract is oracle-expressible (the bit_count(xor) values of
+    * near-pairs depend on xxhash64, which DuckDB lacks); the ≤maxHamming
+    * band stays property-tested in DedupSpec. */
+  def simhashRecallCheck(spark: SparkSession, dir: String): DataFrame =
+    setEqualPairs(spark, dir)
+      .join(simhashPairs(spark, dir), Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        col("hamming").isNotNull.as("found"),
+        coalesce(col("hamming") === 0, lit(false)).as("ham_ok"))
+      .orderBy("doc_a", "doc_b")
+
   /** n-gram Jaccard near-dup pairs (the driver query behind
     * x54_ngram_jaccard), via PPJoin-style prefix filtering — an EXACT
     * set-similarity join (recall 1 at the threshold, so the output is

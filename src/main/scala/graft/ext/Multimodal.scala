@@ -63,8 +63,13 @@ object Multimodal {
         val fmt = if (ok) "img1" else "unknown"
         val w = if (ok) readBe32(r.payload, 4) else 0
         val h = if (ok) readBe32(r.payload, 8) else 0
-        // checksum stands in for decoded-pixel stats; deterministic
-        val sum = r.payload.drop(12).foldLeft(0L)((a, b) => a * 31 + (b & 0xff))
+        // checksum stands in for decoded-pixel stats; deterministic. The
+        // polynomial hash is MODULAR (1e9+7) so the value is reproducible
+        // in engines with checked BIGINT arithmetic (DuckDB throws on
+        // overflow where the JVM wraps) — which is what lets the x60
+        // driver row carry a closed-form DuckDB oracle.
+        val sum = r.payload.drop(12)
+          .foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) % 1000000007L)
         MediaMeta(r.doc_id, fmt, w, h, r.payload.length.toLong, sum)
       }
     }

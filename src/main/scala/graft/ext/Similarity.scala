@@ -78,9 +78,23 @@ object Similarity {
     * an equi-join on cell id. With `iters = 0` the whole pipeline is
     * bitwise deterministic (no FP-sum-order dependence), which is what the
     * driver-facing query uses.
+    *
+    * Lloyd refinement (`iters > 0`) contract: each iteration re-scans the
+    * corpus once with the updated centroid literals (a re-plan + re-JIT per
+    * iteration — inherent to Lloyd on an immutable-plan engine) and
+    * aggregates per-(cell, dim) means DISTRIBUTED before collecting only
+    * the nlist × dim centroid state to the driver. That state is tiny by
+    * design, but the per-iteration corpus scan is why `iters` is hard-capped
+    * at [[MaxLloydIters]]: at 100 TB you budget refinement scans explicitly
+    * (or train centroids on a sample offline) rather than looping freely.
     */
+  val MaxLloydIters = 10
+
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 5, nlist: Int = 16,
               nprobe: Int = 4, iters: Int = 0): DataFrame = {
+    require(iters >= 0 && iters <= MaxLloydIters,
+      s"iters must be in [0, $MaxLloydIters] — each Lloyd iteration is a " +
+        "full corpus re-scan; budget refinement explicitly at scale")
     graft.functions.GraftFunctions.register(spark)
     Tables.ensure(spark, dir)
     val vecs = spark.table("embeddings").select(col("vec_id"), col("embedding"))

@@ -13,6 +13,15 @@ package graft.operators
   */
 object Queries {
 
+  /** One declared driver query (Spark text + DuckDB oracle text).
+    *
+    * Standing convention: NO array/map/struct-typed OUTPUT columns in driver
+    * rows — the driver's pandas-based checker sorts/hashes result cells and
+    * throws `unhashable type: 'numpy.ndarray'` on nested values (q52 was red
+    * in r4 for exactly this). Nested types may appear freely in intermediate
+    * expressions; the projected outputs must be scalars (use `array_join` /
+    * `array_to_string` to flatten).
+    */
   final case class Q(name: String, spark: String, duck: String)
   object Q { def same(name: String, sql: String): Q = Q(name, sql, sql) }
 
@@ -418,12 +427,14 @@ object Queries {
 
     // Q52 (B61) map functions — the testdata has no map column, so the map
     // is BUILT at query time and consumed via element_at/map_keys; scalar
-    // extraction keeps the compared outputs dialect-portable.
+    // extraction keeps the compared outputs dialect-portable. map_keys is
+    // flattened through array_join per the no-nested-outputs convention on Q
+    // (the raw array column was r4's only red driver row).
     Q("q52_map",
       """SELECT n_regionkey,
         |       element_at(m, 'count') AS cnt,
         |       element_at(m, 'minkey') AS mink,
-        |       map_keys(m) AS ks
+        |       array_join(map_keys(m), ',') AS ks
         |FROM (SELECT n_regionkey,
         |             map_from_arrays(array('count', 'minkey'),
         |               array(CAST(COUNT(*) AS BIGINT),
@@ -433,12 +444,54 @@ object Queries {
       """SELECT n_regionkey,
         |       m['count'][1] AS cnt,
         |       m['minkey'][1] AS mink,
-        |       map_keys(m) AS ks
+        |       array_to_string(map_keys(m), ',') AS ks
         |FROM (SELECT n_regionkey,
         |             MAP(['count', 'minkey'],
         |                 [CAST(COUNT(*) AS BIGINT),
         |                  CAST(MIN(n_nationkey) AS BIGINT)]) AS m
         |      FROM nation GROUP BY n_regionkey)
-        |ORDER BY n_regionkey""".stripMargin)
+        |ORDER BY n_regionkey""".stripMargin),
+
+    // Q53 (B18 family) RIGHT OUTER JOIN — SURVEY §2.2 lists right/full as
+    // native extensions over the reference's LEFT-only surface. The acctbal
+    // predicate lives in the ON clause so null-extended nation rows survive
+    // (a WHERE would turn this back into an inner join).
+    Q.same("q53_right_join",
+      """SELECT n.n_nationkey, n.n_name, s.s_suppkey
+        |FROM supplier s RIGHT JOIN nation n
+        |  ON s.s_nationkey = n.n_nationkey AND s.s_acctbal > 9000
+        |ORDER BY n.n_nationkey, s.s_suppkey NULLS FIRST""".stripMargin),
+
+    // Q54 (B18 family) FULL OUTER JOIN over two sparse aggregates — the
+    // tight acctbal filters make each side miss nations the other has, so
+    // both null-extension directions are exercised. COALESCE key keeps the
+    // ORDER BY total.
+    Q.same("q54_full_join",
+      """SELECT c.k AS ck, s.k AS sk, c.nc AS nc, s.ns AS ns
+        |FROM (SELECT c_nationkey AS k, COUNT(*) AS nc FROM customer
+        |      WHERE c_acctbal > 9900 GROUP BY c_nationkey) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey AS k, COUNT(*) AS ns FROM supplier
+        |      WHERE s_acctbal > 8000 GROUP BY s_nationkey) s
+        |  ON c.k = s.k
+        |ORDER BY COALESCE(c.k, s.k), ck NULLS FIRST""".stripMargin)
   )
+
+  /** Q55 (B12) parameterized-query template: the Spark side binds this `?`
+    * template through the envelope's [[graft.engine.SqlText.bind]]
+    * (positional, quote-aware literal inlining) before Catalyst sees it —
+    * running the B12 binding path end-to-end through the driver's oracle
+    * gate rather than only through SqlTextSpec. [[q55ParamBound]] is the
+    * equivalent pre-bound text both the oracle and a determinism spec use.
+    * The string param carries a quote to exercise the escaping path.
+    */
+  val q55ParamTemplate: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE c_mktsegment = ? AND c_acctbal > ? AND c_name <> ?
+      |ORDER BY c_custkey""".stripMargin
+
+  val q55ParamBound: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0 AND c_name <> 'o''brien'
+      |ORDER BY c_custkey""".stripMargin
 }

@@ -28,9 +28,29 @@ class QueriesSpec extends SparkSpec {
   test("driver contract: entry() returns rows and every query has unique name") {
     assert(SparkEntry.entry(spark).count() > 0)
     val qs = SparkEntry.queries
-    assert(qs.size == 67, s"expected 67 queries (q01-q52 + x49-x63), got ${qs.size}")
+    assert(qs.size == 70, s"expected 70 queries (q01-q55 + x49-x63), got ${qs.size}")
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet),
       "oracle entries without a matching query")
+    assert(SparkEntry.oracleSql.keySet == qs.keySet,
+      s"rows without an oracle: ${qs.keySet -- SparkEntry.oracleSql.keySet}")
+  }
+
+  test("q55: SqlText.bind renders the template to exactly the oracle text") {
+    import graft.command.Parameter
+    val bound = graft.engine.SqlText.bind(Queries.q55ParamTemplate, Seq(
+      Parameter.Text("BUILDING"), Parameter.Real(1000.0),
+      Parameter.Text("o'brien")))
+    assert(bound == Queries.q55ParamBound,
+      s"bound:\n$bound\nexpected:\n${Queries.q55ParamBound}")
+    Tables.ensure(spark, sfDir)
+    assert(spark.sql(bound).count() > 0)
+  }
+
+  test("q53/q54: outer joins actually null-extend (non-vacuous fixtures)") {
+    // at sf0.001 only the right-join side is guaranteed sparse; the full
+    // join's two-sided nulls are pinned at sf0.01 by the driver oracle
+    val r = run("q53_right_join").filter("s_suppkey IS NULL").count()
+    assert(r > 0, "q53 never null-extends — fixture degenerated")
   }
 
   test("q02: column pruning reaches the parquet scan") {

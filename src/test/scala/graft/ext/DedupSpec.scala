@@ -140,6 +140,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("x57/x58 recall-check rows are all-true and cover every set-equal pair") {
+    // the driver-facing assertion form: word-set-equal pairs (= the DuckDB
+    // twin's enumeration) found by BOTH sketch pipelines with the exact
+    // expected scores; any false boolean here would be a red driver row
+    val expected = Dedup.setEqualPairs(spark, sfDir).count()
+    assert(expected > 0, "no set-equal pairs in testdata — fixture sanity")
+    val mh = Dedup.minhashRecallCheck(spark, sfDir).collect()
+    assert(mh.length == expected)
+    mh.foreach { r =>
+      assert(r.getAs[Boolean]("found") && r.getAs[Boolean]("est_ok") &&
+        r.getAs[Boolean]("j_ok"), r.toString)
+    }
+    val sh = Dedup.simhashRecallCheck(spark, sfDir).collect()
+    assert(sh.length == expected)
+    sh.foreach { r =>
+      assert(r.getAs[Boolean]("found") && r.getAs[Boolean]("ham_ok"),
+        r.toString)
+    }
+  }
+
   test("minhash pairs plan has no unblocked all-pairs stage") {
     val plan = Dedup.minhashPairs(spark, sfDir)
       .queryExecution.executedPlan.toString
