@@ -231,6 +231,70 @@ object Extensions {
         |  FROM s) t
         |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
 
+    // x64 (B73) document fingerprinting via rolling-hash winnowing
+    // (Schleimer et al., SIGMOD'03): polynomial token hashes → k-gram
+    // (k=3) rolling hashes → the minimum of each w=4 window, distinct =
+    // the document's fingerprint set. All arithmetic is modular (1e9+7)
+    // so both engines compute identical values (DuckDB checks BIGINT
+    // overflow; the JVM wraps — same trick as the x60 checksum). One scan
+    // + per-doc windows; the fingerprint set is the scale currency: two
+    // docs share content iff their winnow sets overlap, and the set is
+    // ~|doc|/w elements — the standard sublinear copy-detection sketch.
+    // Outputs are scalar summaries (count/min/modular sum) per the
+    // no-nested-output-columns convention.
+    Q("x64_winnow",
+      """WITH d AS (SELECT doc_id, array_remove(split(LOWER(text), ' '), '') AS toks
+        |           FROM documents),
+        |tp AS (SELECT doc_id, pos, tok FROM d LATERAL VIEW posexplode(toks) AS pos, tok),
+        |th AS (SELECT doc_id, pos,
+        |         aggregate(transform(sequence(1, length(tok)),
+        |             i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT)),
+        |           CAST(0 AS BIGINT), (a, c) -> (a * 31 + c) % 1000000007) AS h
+        |       FROM tp),
+        |kg AS (SELECT doc_id, pos,
+        |         (((h * 1000003 + LEAD(h, 1) OVER (PARTITION BY doc_id ORDER BY pos)) % 1000000007) * 1000003
+        |           + LEAD(h, 2) OVER (PARTITION BY doc_id ORDER BY pos)) % 1000000007 AS kh,
+        |         LEAD(h, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS h2
+        |       FROM th),
+        |kgv AS (SELECT doc_id, pos, kh FROM kg WHERE h2 IS NOT NULL),
+        |win AS (SELECT doc_id,
+        |          MIN(kh) OVER (PARTITION BY doc_id ORDER BY pos
+        |                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |          COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+        |        FROM kgv),
+        |sel AS (SELECT DISTINCT doc_id, wmin FROM win WHERE wn = 4)
+        |SELECT doc_id, CAST(COUNT(wmin) AS INT) AS n_fp,
+        |       CAST(MIN(wmin) AS BIGINT) AS min_fp,
+        |       CAST(SUM(wmin) % 1000000007 AS BIGINT) AS fp_modsum
+        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, list_filter(string_split(LOWER(text), ' '), t -> t <> '') AS toks
+        |           FROM documents),
+        |tp AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS tok FROM d),
+        |th AS (SELECT doc_id, pos,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(1, strlen(tok) + 1),
+        |             i -> CAST(unicode(tok[i]) AS BIGINT))),
+        |           (a, b) -> (a * 31 + b) % 1000000007) AS h
+        |       FROM tp),
+        |kg AS (SELECT doc_id, pos,
+        |         (((h * 1000003 + LEAD(h, 1) OVER (PARTITION BY doc_id ORDER BY pos)) % 1000000007) * 1000003
+        |           + LEAD(h, 2) OVER (PARTITION BY doc_id ORDER BY pos)) % 1000000007 AS kh,
+        |         LEAD(h, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS h2
+        |       FROM th),
+        |kgv AS (SELECT doc_id, pos, kh FROM kg WHERE h2 IS NOT NULL),
+        |win AS (SELECT doc_id,
+        |          MIN(kh) OVER (PARTITION BY doc_id ORDER BY pos
+        |                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |          COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+        |        FROM kgv),
+        |sel AS (SELECT DISTINCT doc_id, wmin FROM win WHERE wn = 4)
+        |SELECT doc_id, CAST(COUNT(wmin) AS INT) AS n_fp,
+        |       CAST(MIN(wmin) AS BIGINT) AS min_fp,
+        |       CAST(SUM(wmin) % 1000000007 AS BIGINT) AS fp_modsum
+        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // x56 multimodal metadata plumbing: opaque payload as a binary column
     // with typed metadata (byte length + content hash). The decode/transform
     // stubs over real binary batches live in [[Multimodal]].

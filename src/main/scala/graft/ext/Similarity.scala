@@ -218,7 +218,7 @@ object Similarity {
     * element +0.02 → cosine ≈0.987) and exact copies (vec_id+2,000,000,
     * cosine 1.0). The DuckDB twin derives the identical view, so both
     * sides emit real pairs through the full candidate+verify path. */
-  private[ext] def plantedVecs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def plantedVecs(spark: SparkSession, dir: String): DataFrame = {
     Tables.ensure(spark, dir)
     spark.sql(
       """SELECT vec_id, embedding FROM embeddings

@@ -28,7 +28,7 @@ class QueriesSpec extends SparkSpec {
   test("driver contract: entry() returns rows and every query has unique name") {
     assert(SparkEntry.entry(spark).count() > 0)
     val qs = SparkEntry.queries
-    assert(qs.size == 70, s"expected 70 queries (q01-q55 + x49-x63), got ${qs.size}")
+    assert(qs.size == 71, s"expected 71 queries (q01-q55 + x49-x64), got ${qs.size}")
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet),
       "oracle entries without a matching query")
     assert(SparkEntry.oracleSql.keySet == qs.keySet,

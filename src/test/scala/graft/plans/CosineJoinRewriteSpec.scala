@@ -93,6 +93,37 @@ class CosineJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("optimizer rewrite of the naive x63 SQL agrees with the hand-built pipeline") {
+    // end-to-end proof the rule is a drop-in for ext.Dedup-style hand
+    // plumbing: the natural O(n²) SQL a user would write over the SAME
+    // planted corpus as the x63 driver row, run through the enabled rule,
+    // must emit byte-identical rows to Similarity.cosineDupPairsPlanted
+    // (both paths: LSH candidates + exact cosine verify at 0.9)
+    graft.functions.GraftFunctions.register(spark)
+    graft.ext.Similarity.plantedVecs(spark, sfDir)
+      .createOrReplaceTempView("pv_planted")
+    val naive =
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       CAST(CAST(ROUND(cosine_sim(a.embedding, b.embedding), 4)
+        |            AS DECIMAL(18,4)) AS DOUBLE) AS cosim
+        |FROM pv_planted a JOIN pv_planted b
+        |  ON a.vec_id < b.vec_id
+        | AND cosine_sim(a.embedding, b.embedding) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin
+    val (viaRule, plan) = withRule {
+      val df = spark.sql(naive)
+      (df.collect().map(_.toString).toSeq,
+        df.queryExecution.executedPlan.toString)
+    }
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1500))
+    val hand = graft.ext.Similarity.cosineDupPairsPlanted(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(viaRule == hand,
+      s"rule=${viaRule.mkString(";")} hand=${hand.mkString(";")}")
+    assert(viaRule.size == 6, "expected the 6 planted pairs")
+  }
+
   test("lsh_buckets expression: deterministic, codegen, identical vectors collide") {
     graft.functions.GraftFunctions.register(spark)
     corpus().createOrReplaceTempView("vecs")
