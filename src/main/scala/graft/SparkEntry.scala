@@ -131,17 +131,21 @@ object SparkEntry {
   /** x57/x58 twin fragment: word-SET-equal doc pairs from the raw text —
     * the same sorted-distinct-token fingerprint as the oracle-green x52,
     * which is exactly the pair floor the sketch recall checks claim (see
-    * [[graft.ext.Dedup.setEqualPairs]]). */
+    * [[graft.ext.Dedup.setEqualPairs]]). Empty word sets are excluded in
+    * BOTH dialects — the sketch pipelines drop empty docs (no signature
+    * row from an empty explode), so the floor must too. */
   private val setEqualPairsDuck =
     """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |FROM (SELECT doc_id,
-      |        md5(array_to_string(list_sort(list_distinct(
-      |          list_filter(string_split(LOWER(text), ' '), t -> t <> ''))), ' ')) AS fp
-      |      FROM documents) a
-      |JOIN (SELECT doc_id,
-      |        md5(array_to_string(list_sort(list_distinct(
-      |          list_filter(string_split(LOWER(text), ' '), t -> t <> ''))), ' ')) AS fp
-      |      FROM documents) b
+      |FROM (SELECT doc_id, md5(array_to_string(list_sort(ws), ' ')) AS fp
+      |      FROM (SELECT doc_id, list_distinct(
+      |              list_filter(string_split(LOWER(text), ' '), t -> t <> '')) AS ws
+      |            FROM documents)
+      |      WHERE len(ws) > 0) a
+      |JOIN (SELECT doc_id, md5(array_to_string(list_sort(ws), ' ')) AS fp
+      |      FROM (SELECT doc_id, list_distinct(
+      |              list_filter(string_split(LOWER(text), ' '), t -> t <> '')) AS ws
+      |            FROM documents)
+      |      WHERE len(ws) > 0) b
       |  ON a.fp = b.fp AND a.doc_id < b.doc_id""".stripMargin
 
   private val minhashDuck =

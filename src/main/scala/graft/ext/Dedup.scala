@@ -186,10 +186,18 @@ object Dedup {
     * the oracle-green x52 (sorted distinct token list), reduced to an md5
     * so the self-join shuffles a 16-byte key instead of the token list.
     * Set-equality is engine-independent, so a DuckDB twin enumerates the
-    * identical pair list from the raw text. */
+    * identical pair list from the raw text.
+    *
+    * Empty word sets are excluded: empty/whitespace-only docs all share
+    * fp = md5(''), but the sketch pipelines drop them (exploding an empty
+    * array yields no signature row), so including them here would assert a
+    * recall the sketches by construction can't deliver. The DuckDB twin
+    * filters symmetrically (len(ws) > 0). */
   private[ext] def setEqualPairs(spark: SparkSession, dir: String): DataFrame = {
-    val fp = docWords(spark, dir).select(col("doc_id"),
-      md5(concat_ws(" ", sort_array(col("words"))).cast("binary")).as("fp"))
+    val fp = docWords(spark, dir)
+      .filter(size(col("words")) > 0)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", sort_array(col("words"))).cast("binary")).as("fp"))
     fp.as("a").join(fp.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

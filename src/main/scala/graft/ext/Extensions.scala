@@ -236,7 +236,11 @@ object Extensions {
     // (k=3) rolling hashes → the minimum of each w=4 window, distinct =
     // the document's fingerprint set. All arithmetic is modular (1e9+7)
     // so both engines compute identical values (DuckDB checks BIGINT
-    // overflow; the JVM wraps — same trick as the x60 checksum). One scan
+    // overflow; the JVM wraps — same trick as the x60 checksum). Token
+    // hashing iterates CODEPOINTS in both dialects (Spark ascii/substring
+    // by char index, DuckDB unicode(tok[i]) with length() = char count);
+    // like x60 this assumes the ASCII corpus, where codepoint == UTF-8
+    // byte — a multibyte corpus would need a byte-level twin. One scan
     // + per-doc windows; the fingerprint set is the scale currency: two
     // docs share content iff their winnow sets overlap, and the set is
     // ~|doc|/w elements — the standard sublinear copy-detection sketch.
@@ -273,7 +277,7 @@ object Extensions {
         |tp AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS tok FROM d),
         |th AS (SELECT doc_id, pos,
         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |           list_transform(range(1, strlen(tok) + 1),
+        |           list_transform(range(1, length(tok) + 1),
         |             i -> CAST(unicode(tok[i]) AS BIGINT))),
         |           (a, b) -> (a * 31 + b) % 1000000007) AS h
         |       FROM tp),

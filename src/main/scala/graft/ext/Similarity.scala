@@ -66,6 +66,10 @@ object Similarity {
         col("bucket.tbl").as("tbl"), col("bucket.bv").as("bv"))
   }
 
+  /** Hard cap on IVF Lloyd refinement iterations — see the contract in
+    * the [[ivfTopK]] Scaladoc. */
+  val MaxLloydIters = 10
+
   /** IVF (inverted-file) ANN: partition the corpus into `nlist` cells
     * around data-sampled centroids (optionally Lloyd-refined), index each
     * vector under its nearest centroid, and at query time probe only the
@@ -88,8 +92,6 @@ object Similarity {
     * at [[MaxLloydIters]]: at 100 TB you budget refinement scans explicitly
     * (or train centroids on a sample offline) rather than looping freely.
     */
-  val MaxLloydIters = 10
-
   def ivfTopK(spark: SparkSession, dir: String, k: Int = 5, nlist: Int = 16,
               nprobe: Int = 4, iters: Int = 0): DataFrame = {
     require(iters >= 0 && iters <= MaxLloydIters,

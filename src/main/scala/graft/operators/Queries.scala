@@ -484,6 +484,12 @@ object Queries {
     * gate rather than only through SqlTextSpec. [[q55ParamBound]] is the
     * equivalent pre-bound text both the oracle and a determinism spec use.
     * The string param carries a quote to exercise the escaping path.
+    *
+    * Shared-oracle constraint: the bound text doubles as the DuckDB oracle
+    * verbatim, but `SqlText.render` doubles backslashes for Spark's parser
+    * only — params here must stay backslash-free (quote doubling is the
+    * shared subset both parsers agree on); a backslash param would need a
+    * dialect-specific oracle rendering instead.
     */
   val q55ParamTemplate: String =
     """SELECT c_custkey, c_name, c_acctbal FROM customer
