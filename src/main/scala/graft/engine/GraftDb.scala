@@ -2,6 +2,7 @@ package graft.engine
 
 import graft.command._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
 import org.apache.spark.sql.types._
 import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import scala.collection.mutable
@@ -35,17 +36,38 @@ import scala.jdk.CollectionConverters._
   * partition-scoped copy-on-write rewrites; at dust's contract scale a
   * full-snapshot rewrite per commit is faithful and simpler.
   */
-final class GraftDb private (parent: SparkSession, root: Option[Path]) {
+final class GraftDb private (parent: SparkSession, root: Option[Path],
+                             maxDriverRows: Long) {
 
   private val session = parent.newSession()
   session.conf.set("spark.sql.session.timeZone", "UTC")
 
+  /** Table row storage. [[Mem]] is the driver-side vector — exact SQLite
+    * row-order/rowid semantics at OLTP size. [[Big]] is the form a table
+    * spills to once it crosses [[maxDriverRows]] (SURVEY §7.4's
+    * partition-scoped copy-on-write): rows live as an immutable
+    * materialized DataFrame with `__ord` (insertion order) and `__rowid`
+    * columns; every mutation derives a NEW DataFrame as a Spark job (never
+    * mutates, never collects the table), and constraint validation runs as
+    * joins/aggregations ([[validateBig]]). Both are immutable values, so
+    * tx snapshots / savepoints / the `none`-level committed version are
+    * reference copies for either representation. */
+  private sealed trait Store
+  private final case class Mem(rows: Vector[(Long, IndexedSeq[Any])])
+      extends Store
+  private final case class Big(df: DataFrame, n: Long, nextOrd: Long)
+      extends Store
+
   private final class TableState(
       val d: TableDef,
       val createSql: String,
-      var rows: Vector[(Long, IndexedSeq[Any])],
+      var store: Store,
       var nextRowId: Long) {
-    def copyState = new TableState(d, createSql, rows, nextRowId)
+    def copyState = new TableState(d, createSql, store, nextRowId)
+    def rowCount: Long = store match {
+      case Mem(r) => r.size.toLong
+      case Big(_, n, _) => n
+    }
   }
 
   private type Tables = mutable.LinkedHashMap[String, TableState]
@@ -107,13 +129,12 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
       trigs: mutable.LinkedHashMap[String, TriggerDef])
   private val savepoints = mutable.ListBuffer.empty[Savepoint]
   // last committed snapshot version, published for lock-free `none` reads
-  // (rows vectors are immutable; the volatile swap selects the version)
-  @volatile private var committed
-    : Vector[(TableDef, Vector[(Long, IndexedSeq[Any])])] = Vector.empty
+  // (stores are immutable values; the volatile swap selects the version)
+  @volatile private var committed: Vector[(TableDef, Store)] = Vector.empty
   @volatile private var committedViews: Vector[(String, String)] = Vector.empty
 
   private def publishCommitted(): Unit = {
-    committed = tables.values.toVector.map(ts => (ts.d, ts.rows))
+    committed = tables.values.toVector.map(ts => (ts.d, ts.store))
     committedViews = viewDefs.values.toVector.map(v => (v._1, v._2))
   }
 
@@ -127,6 +148,11 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
   def enableFkConstraints(flag: Boolean): Unit =
     lock.synchronized { fkEnabled = flag }
   def fkConstraints(): Boolean = lock.synchronized { fkEnabled }
+
+  /** Test probe: is the table on the Spark-resident (spilled) store? */
+  private[engine] def isSpilled(table: String): Boolean = lock.synchronized {
+    tables.get(table.toLowerCase).exists(_.store.isInstanceOf[Big])
+  }
 
   def execute(req: Request): Either[String, Seq[Response]] = lock.synchronized {
     if (closed) return Left("db connection is already closed")
@@ -248,9 +274,15 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
     val snap = committed // volatile read: one consistent version
     val s = parent.newSession()
     s.conf.set("spark.sql.session.timeZone", "UTC")
-    snap.foreach { case (td, rows) =>
-      val data = rows.map { case (_, vals) => Row.fromSeq(vals) }.asJava
-      s.createDataFrame(data, td.schema).createOrReplaceTempView(td.name)
+    snap.foreach {
+      case (td, Mem(rows)) =>
+        val data = rows.map { case (_, vals) => Row.fromSeq(vals) }.asJava
+        s.createDataFrame(data, td.schema).createOrReplaceTempView(td.name)
+      case (td, Big(df, _, _)) =>
+        // a DataFrame is bound to the engine's private session; re-root its
+        // (already materialized) RDD on the fresh reader session
+        s.createDataFrame(df.rdd, df.schema)
+          .drop("__ord", "__rowid").createOrReplaceTempView(td.name)
     }
     committedViews.foreach { case (name, select) =>
       try s.sql(SqlText.fixQuotedIdents(select)).createOrReplaceTempView(name)
@@ -538,7 +570,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
         } else if (work.contains(key)) {
           if (ine) Right(0) else Left(s"table ${td.name} already exists")
         } else {
-          work(key) = new TableState(td, sql, Vector.empty, 1L)
+          work(key) = new TableState(td, sql, Mem(Vector.empty), 1L)
           Right(0)
         }
       case None => sql match {
@@ -570,12 +602,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
     }.toSeq
     val td = TableDef(name, cols)
     val casts = cols.zipWithIndex.map { case (c, i) =>
-      s"CAST(`${df.columns(i).replace("`", "``")}` AS ${sparkTypeName(c)})"
+      s"CAST(`${df.columns(i).replace("`", "``")}` AS ${sparkTypeName(c)}) AS `${c.name}`"
     }
-    val rows = df.selectExpr(casts: _*).collect().toVector
-      .zipWithIndex.map { case (r, i) =>
-        ((i + 1).toLong, (0 until r.length).map(r.get).toIndexedSeq)
-      }
+    val cast = df.selectExpr(casts: _*)
     val createSql = "CREATE TABLE " + name + " (" +
       cols.map(c => s"${c.name} ${c.affinity match {
         case Affinity.Integer => "INTEGER"
@@ -583,7 +612,19 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
         case Affinity.Blob => "BLOB"
         case _ => "TEXT"
       }}").mkString(", ") + ")"
-    work(key) = new TableState(td, createSql, rows, rows.size + 1L)
+    // probe one row past the cap: an over-cap CTAS result goes straight to
+    // the Spark-resident store without ever landing on the driver
+    val probe =
+      cast.limit(math.min(maxDriverRows, Int.MaxValue - 2L).toInt + 1).collect()
+    if (probe.length > maxDriverRows) {
+      val big = mkBig(withOrdRowid(cast, 0L, 1L))
+      work(key) = new TableState(td, createSql, big, big.n + 1L)
+    } else {
+      val rows = probe.toVector.zipWithIndex.map { case (r, i) =>
+        ((i + 1).toLong, (0 until r.length).map(r.get).toIndexedSeq)
+      }
+      work(key) = new TableState(td, createSql, Mem(rows), rows.size + 1L)
+    }
     Right(0)
   }
 
@@ -753,8 +794,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
       .filterNot(t => activeTriggers.contains(t.name.toLowerCase))
     if (relevant.isEmpty) return run
     val key = tname.get.toLowerCase
-    val beforeVec = work.get(key).map(_.rows).getOrElse(Vector.empty)
-    val beforeMap = beforeVec.toMap
+    val beforeStore: Store =
+      work.get(key).map(_.store).getOrElse(Mem(Vector.empty))
     // statement-level atomicity: a trigger-body error must undo the outer
     // DML and every body effect (rows are immutable vectors — shallow copy)
     val tablesBackup = work.map { case (k, v) => k -> v.copyState }
@@ -766,9 +807,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
       case Right(affected) =>
         val outerRowId = lastRowId
         val ts = work.get(key)
-        val afterVec = ts.map(_.rows).getOrElse(Vector.empty)
-        val afterMap = afterVec.toMap
         val td = ts.map(_.d).getOrElse(return Right(affected))
+        val afterStore: Store = ts.map(_.store).getOrElse(Mem(Vector.empty))
         // OR REPLACE re-inserts under the same rowid: SQLite fires INSERT
         // triggers for the replaced row (delete+reinsert), while upsert's
         // DO UPDATE path fires UPDATE triggers — captured live from 3.40
@@ -777,18 +817,25 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
             .findFirstIn(sql).isDefined
         // (event, NEW row, OLD row) per affected row, in table row order
         val firings: Seq[(String, Option[IndexedSeq[Any]], Option[IndexedSeq[Any]])] =
-          afterVec.collect {
-            case (rid, vals) if !beforeMap.contains(rid) =>
-              ("INSERT", Some(vals), None)
-            case (rid, vals) if beforeMap.get(rid).exists(_ != vals) =>
-              if (isReplace) ("INSERT", Some(vals), None)
-              else ("UPDATE", Some(vals), Some(beforeMap(rid)))
-          } ++ (if (kind == "DELETE")
-            beforeVec.collect {
-              case (rid, vals) if !afterMap.contains(rid) =>
-                ("DELETE", None, Some(vals))
-            }
-          else Vector.empty)
+          (beforeStore, afterStore) match {
+            case (Mem(beforeVec), Mem(afterVec)) =>
+              val beforeMap = beforeVec.toMap
+              val afterMap = afterVec.toMap
+              afterVec.collect {
+                case (rid, vals) if !beforeMap.contains(rid) =>
+                  ("INSERT", Some(vals), None)
+                case (rid, vals) if beforeMap.get(rid).exists(_ != vals) =>
+                  if (isReplace) ("INSERT", Some(vals), None)
+                  else ("UPDATE", Some(vals), Some(beforeMap(rid)))
+              } ++ (if (kind == "DELETE")
+                beforeVec.collect {
+                  case (rid, vals) if !afterMap.contains(rid) =>
+                    ("DELETE", None, Some(vals))
+                }
+              else Vector.empty)
+            case _ =>
+              bigTriggerDiff(td, beforeStore, afterStore, kind, isReplace)
+          }
         var err: Option[String] = None
         // row-outer, reverse-creation-order-inner: SQLite's observed order
         firings.foreach { case (event, newRow, oldRow) =>
@@ -837,11 +884,22 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
     if (ci.unique) {
       val idxs = ci.cols.map(ts.d.colIndex)
       val desc = ci.cols.map(c => s"${ts.d.name}.$c").mkString(", ")
-      val seen = mutable.HashSet[Seq[Any]]()
-      ts.rows.foreach { case (_, r) =>
-        val key = idxs.map(r(_))
-        if (!key.contains(null) && !seen.add(key))
-          return Left(s"UNIQUE constraint failed: $desc")
+      ts.store match {
+        case Mem(rows) =>
+          val seen = mutable.HashSet[Seq[Any]]()
+          rows.foreach { case (_, r) =>
+            val key = idxs.map(r(_))
+            if (!key.contains(null) && !seen.add(key))
+              return Left(s"UNIQUE constraint failed: $desc")
+          }
+        case Big(df, _, _) =>
+          // distributed pre-scan: keys with a NULL never conflict (SQLite)
+          val names = idxs.map(ts.d.cols(_).name)
+          val dup = df
+            .filter(names.map(col(_).isNotNull).reduce(_ && _))
+            .groupBy(names.map(col): _*).count()
+            .filter(col("count") > 1).limit(1).count()
+          if (dup > 0) return Left(s"UNIQUE constraint failed: $desc")
       }
     }
     indexes(ci.name.toLowerCase) = ci
@@ -861,6 +919,15 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
     * with SQLite's restrictions on added columns. Indexes and FK references
     * follow renames the way SQLite rewrites them. */
   private def doAlter(work: Tables, sql: String): Either[String, Long] = {
+    // ALTER transforms either representation in place: a driver map for Mem,
+    // a lazy projection over the materialized DataFrame for Big (cheap —
+    // no data movement until the next mutation checkpoint)
+    def alterStore(st: Store,
+                   f: Vector[(Long, IndexedSeq[Any])] => Vector[(Long, IndexedSeq[Any])],
+                   g: DataFrame => DataFrame): Store = st match {
+      case Mem(rows) => Mem(f(rows))
+      case Big(df, n, no) => Big(g(df), n, no)
+    }
     def replaceEntry(oldKey: String, newKey: String, st: TableState): Unit = {
       val entries = work.toSeq.map { case (k, v) =>
         if (k == oldKey) (newKey, st) else (k, v)
@@ -877,7 +944,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
             s"there is already another table or index with this name: $newName")
         val td = ts.d.copy(name = newName)
         replaceEntry(key, newName.toLowerCase,
-          new TableState(td, Ddl.renderCreate(td), ts.rows, ts.nextRowId))
+          new TableState(td, Ddl.renderCreate(td), ts.store, ts.nextRowId))
         // indexes and child FK references follow the rename
         indexes.mapValuesInPlace { (_, ix) =>
           if (ix.table.equalsIgnoreCase(oldName)) ix.copy(table = newName) else ix
@@ -892,7 +959,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
                 case _ => c
               }
             })
-            work(k) = new TableState(td2, Ddl.renderCreate(td2), st.rows, st.nextRowId)
+            work(k) = new TableState(td2, Ddl.renderCreate(td2), st.store, st.nextRowId)
           }
         }
         Right(0)
@@ -903,10 +970,13 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
         if (idx < 0) return Left(s"""no such column: "$oldCol"""")
         if (ts.d.colIndex(newCol) >= 0 && !oldCol.equalsIgnoreCase(newCol))
           return Left(s"duplicate column name: $newCol")
+        val declaredOld = ts.d.cols(idx).name
         val td = ts.d.copy(cols = ts.d.cols.updated(idx,
           ts.d.cols(idx).copy(name = newCol)))
         replaceEntry(tname.toLowerCase, tname.toLowerCase,
-          new TableState(td, Ddl.renderCreate(td), ts.rows, ts.nextRowId))
+          new TableState(td, Ddl.renderCreate(td),
+            alterStore(ts.store, identity,
+              _.withColumnRenamed(declaredOld, newCol)), ts.nextRowId))
         indexes.mapValuesInPlace { (_, ix) =>
           if (ix.table.equalsIgnoreCase(tname) &&
             ix.cols.exists(_.equalsIgnoreCase(oldCol)))
@@ -925,7 +995,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
                 case _ => c
               }
             })
-            work(k) = new TableState(td2, Ddl.renderCreate(td2), st.rows, st.nextRowId)
+            work(k) = new TableState(td2, Ddl.renderCreate(td2), st.store, st.nextRowId)
           }
         }
         Right(0)
@@ -941,13 +1011,16 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
           ix.cols.exists(_.equalsIgnoreCase(cname))).foreach(ix =>
           return Left(s"error in index ${ix.name} after drop column: " +
             s"no such column: $cname"))
+        val dropped = ts.d.cols(idx).name
         val td = ts.d.copy(cols =
           ts.d.cols.take(idx) ++ ts.d.cols.drop(idx + 1))
-        val rows = ts.rows.map { case (rid, vals) =>
-          (rid, (vals.take(idx) ++ vals.drop(idx + 1)).toIndexedSeq)
-        }
         replaceEntry(tname.toLowerCase, tname.toLowerCase,
-          new TableState(td, Ddl.renderCreate(td), rows, ts.nextRowId))
+          new TableState(td, Ddl.renderCreate(td),
+            alterStore(ts.store,
+              _.map { case (rid, vals) =>
+                (rid, (vals.take(idx) ++ vals.drop(idx + 1)).toIndexedSeq)
+              },
+              _.drop(dropped)), ts.nextRowId))
         Right(0)
       case alterAddColRe(tname, defText) =>
         val ts = work.getOrElse(tname.toLowerCase,
@@ -966,11 +1039,12 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
           case None => null
         }
         val td = ts.d.copy(cols = ts.d.cols :+ cd)
-        val rows = ts.rows.map { case (rid, vals) =>
-          (rid, (vals :+ defVal).toIndexedSeq)
-        }
         replaceEntry(tname.toLowerCase, tname.toLowerCase,
-          new TableState(td, Ddl.renderCreate(td), rows, ts.nextRowId))
+          new TableState(td, Ddl.renderCreate(td),
+            alterStore(ts.store,
+              _.map { case (rid, vals) => (rid, (vals :+ defVal).toIndexedSeq) },
+              _.withColumn(cd.name, lit(defVal).cast(cd.sparkType))),
+            ts.nextRowId))
         Right(0)
       case _ => Left("near \"ALTER\": syntax error")
     }
@@ -1011,33 +1085,66 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
         // string literal (always at paren depth > 0) can never match
         val onIdx = SqlText.findKeyword(tail0, "ON")
         val clause = if (onIdx >= 0) tail0.substring(onIdx).trim else ""
-        val (tail, policy) = clause match {
-          case onConflictRe(confCols, action) =>
-            def cols = Option(confCols).map(_.split(",")
-              .map(_.trim.stripPrefix("\"").stripSuffix("\"")
-                .stripPrefix("`").stripSuffix("`")).toSeq)
-            val p =
-              if (action.equalsIgnoreCase("NOTHING"))
-                Conflict.Upsert(cols, Nil)
-              else {
-                val setText = action.replaceAll("(?is)^UPDATE\\s+SET\\s+", "")
-                val sets = SqlText.splitTopLevel(setText).map { a =>
-                  val eq = a.indexOf('=')
-                  if (eq < 0) return Left("near \"SET\": syntax error")
-                  a.take(eq).trim.stripPrefix("\"").stripSuffix("\"")
-                    .stripPrefix("`").stripSuffix("`") ->
-                    a.substring(eq + 1).trim
-                }
-                Conflict.Upsert(cols, sets)
-              }
-            (tail0.take(onIdx), p)
-          case _ => (tail0, headPolicy(head, mod))
+        val (tail, policy) = parseUpsert(clause) match {
+          case Some(Right(p)) => (tail0.take(onIdx), p)
+          case Some(Left(e)) => return Left(e)
+          case None => (tail0, headPolicy(head, mod))
         }
         insertRows(work, tname, colList, Left(tail), policy)
-      case insertSelRe(head, mod, tname, colList, select) =>
-        insertRows(work, tname, colList, Right(select), headPolicy(head, mod))
+      case insertSelRe(head, mod, tname, colList, select0) =>
+        // a SELECT source can also carry an upsert clause (SQLite surface);
+        // a join's ON is never followed by the CONFLICT keyword
+        val onIdx = findOnConflict(select0)
+        val clause = if (onIdx >= 0) select0.substring(onIdx).trim else ""
+        val (select, policy) = parseUpsert(clause) match {
+          case Some(Right(p)) => (select0.take(onIdx), p)
+          case Some(Left(e)) => return Left(e)
+          case None => (select0, headPolicy(head, mod))
+        }
+        insertRows(work, tname, colList, Right(select), policy)
       case _ => Left("near \"INSERT\": syntax error")
     }
+  }
+
+  /** Parse an `ON CONFLICT …` clause into the Upsert policy: None when the
+    * text is not an upsert clause, Some(Left) on a malformed SET list. */
+  private def parseUpsert(clause: String): Option[Either[String, Conflict]] =
+    clause match {
+      case onConflictRe(confCols, action) =>
+        def cols = Option(confCols).map(_.split(",")
+          .map(_.trim.stripPrefix("\"").stripSuffix("\"")
+            .stripPrefix("`").stripSuffix("`")).toSeq)
+        if (action.equalsIgnoreCase("NOTHING"))
+          Some(Right(Conflict.Upsert(cols, Nil)))
+        else {
+          val setText = action.replaceAll("(?is)^UPDATE\\s+SET\\s+", "")
+          val sets = Seq.newBuilder[(String, String)]
+          SqlText.splitTopLevel(setText).foreach { a =>
+            val eq = a.indexOf('=')
+            if (eq < 0) return Some(Left("near \"SET\": syntax error"))
+            sets += (a.take(eq).trim.stripPrefix("\"").stripSuffix("\"")
+              .stripPrefix("`").stripSuffix("`") ->
+              a.substring(eq + 1).trim)
+          }
+          Some(Right(Conflict.Upsert(cols, sets.result())))
+        }
+      case _ => None
+    }
+
+  /** Index of a top-level `ON CONFLICT` in an INSERT's SELECT tail, or -1.
+    * Restarting the top-level scan after each ON is sound: a top-level
+    * position leaves the scanner at depth 0 / outside quotes. */
+  private def findOnConflict(s: String): Int = {
+    var from = 0
+    while (from < s.length) {
+      val rel = SqlText.findKeyword(s.substring(from), "ON")
+      if (rel < 0) return -1
+      val abs = from + rel
+      if (s.substring(abs + 2).trim.toUpperCase.startsWith("CONFLICT"))
+        return abs
+      from = abs + 2
+    }
+    -1
   }
 
   /** Uniqueness constraints of a table as (column indexes, error text):
@@ -1068,62 +1175,80 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
 
   /** Shared INSERT pipeline: `source` is either a VALUES tail or a SELECT
     * text; both evaluate through Catalyst and cast to column affinities.
-    * `policy` resolves uniqueness conflicts (abort/ignore/replace/upsert). */
+    * `policy` resolves uniqueness conflicts (abort/ignore/replace/upsert).
+    *
+    * Routing: VALUES batches are statement-text-sized and always collect.
+    * A SELECT source is probed one row past [[maxDriverRows]] — an over-cap
+    * result takes [[bulkInsertBig]] (fully distributed; the candidate set
+    * never lands on the driver). Driver-sized candidates into a spilled
+    * table take [[insertIntoBig]] (exact sequential semantics on the
+    * interacting slice only). */
   private def insertRows(work: Tables, tname: String, colList: String,
                          source: Either[String, String],
                          policy: Conflict = Conflict.Abort): Either[String, Long] = {
-        if (viewDefs.contains(tname.toLowerCase))
-          return Left(s"cannot modify $tname because it is a view")
-        val ts = work.getOrElse(tname.toLowerCase,
-          return Left(s"no such table: $tname"))
-        val td = ts.d
-        val targetCols: Seq[Int] =
-          if (colList == null || colList.trim.isEmpty) td.cols.indices
-          else {
-            val names = colList.split(",").map(_.trim
-              .stripPrefix("\"").stripSuffix("\"")
-              .stripPrefix("`").stripSuffix("`"))
-            val idx = names.map(td.colIndex)
-            idx.zip(names).find(_._1 < 0) match {
-              case Some((_, bad)) =>
-                return Left(s"table $tname has no column named $bad")
-              case None => idx.toSeq
-            }
-          }
-        val raw = source match {
-          case Left(tail) =>
-            val tuples = SqlText.splitTopLevel(tail).map(_.trim).filter(_.nonEmpty)
-            val arity = SqlText.splitTopLevel(
-              tuples.head.stripPrefix("(").stripSuffix(")")).size
-            if (arity != targetCols.size)
-              return Left(s"table $tname has ${td.cols.size} columns but $arity values were supplied")
-            val alias = (1 to arity).map(i => s"c$i").mkString(",")
-            session.sql(
-              s"SELECT * FROM (VALUES ${tuples.mkString(",")}) AS __v($alias)")
-          case Right(select) =>
-            registerViews(work)
-            val df = session.sql(SqlText.fixQuotedIdents(select))
-            if (df.columns.length != targetCols.size)
-              return Left(s"table $tname has ${td.cols.size} columns but ${df.columns.length} values were supplied")
-            df.toDF((1 to df.columns.length).map(i => s"c$i"): _*)
+    if (viewDefs.contains(tname.toLowerCase))
+      return Left(s"cannot modify $tname because it is a view")
+    val ts = work.getOrElse(tname.toLowerCase,
+      return Left(s"no such table: $tname"))
+    val td = ts.d
+    val targetCols: Seq[Int] =
+      if (colList == null || colList.trim.isEmpty) td.cols.indices
+      else {
+        val names = colList.split(",").map(_.trim
+          .stripPrefix("\"").stripSuffix("\"")
+          .stripPrefix("`").stripSuffix("`"))
+        val idx = names.map(td.colIndex)
+        idx.zip(names).find(_._1 < 0) match {
+          case Some((_, bad)) =>
+            return Left(s"table $tname has no column named $bad")
+          case None => idx.toSeq
         }
-        val casts = targetCols.zipWithIndex.map { case (ci, i) =>
-          s"CAST(c${i + 1} AS ${sparkTypeName(td.cols(ci))}) AS c${i + 1}"
-        }
-        val df = raw.selectExpr(casts: _*)
-        val incoming = df.collect().toIndexedSeq
-        // Build candidate full rows + rowids.
+      }
+    val raw = source match {
+      case Left(tail) =>
+        val tuples = SqlText.splitTopLevel(tail).map(_.trim).filter(_.nonEmpty)
+        val arity = SqlText.splitTopLevel(
+          tuples.head.stripPrefix("(").stripSuffix(")")).size
+        if (arity != targetCols.size)
+          return Left(s"table $tname has ${td.cols.size} columns but $arity values were supplied")
+        val alias = (1 to arity).map(i => s"c$i").mkString(",")
+        session.sql(
+          s"SELECT * FROM (VALUES ${tuples.mkString(",")}) AS __v($alias)")
+      case Right(select) =>
+        registerViews(work)
+        val df0 = session.sql(SqlText.fixQuotedIdents(select))
+        if (df0.columns.length != targetCols.size)
+          return Left(s"table $tname has ${td.cols.size} columns but ${df0.columns.length} values were supplied")
+        df0.toDF((1 to df0.columns.length).map(i => s"c$i"): _*)
+    }
+    val casts = targetCols.zipWithIndex.map { case (ci, i) =>
+      s"CAST(c${i + 1} AS ${sparkTypeName(td.cols(ci))}) AS c${i + 1}"
+    }
+    val df = raw.selectExpr(casts: _*)
+    // unspecified columns take their declared DEFAULT (constant,
+    // evaluated once through Catalyst), else NULL — SQLite semantics
+    val defaults: Map[Int, Any] = td.cols.zipWithIndex.collect {
+      case (c, i) if !targetCols.contains(i) && c.default.isDefined =>
+        i -> session.sql(
+          s"SELECT CAST((${c.default.get}) AS ${sparkTypeName(c)})")
+          .head.get(0)
+    }.toMap
+    val rowidIdx = td.rowidAlias.map(c => td.colIndex(c.name)).getOrElse(-1)
+    val probeCap = math.min(maxDriverRows, Int.MaxValue - 2L).toInt
+    val incomingOpt: Option[IndexedSeq[Row]] = source match {
+      case Left(_) => Some(df.collect().toIndexedSeq)
+      case Right(_) =>
+        val p = df.limit(probeCap + 1).collect()
+        if (p.length > probeCap) None else Some(p.toIndexedSeq)
+    }
+    incomingOpt match {
+      case None =>
+        bulkInsertBig(work, ts, targetCols, defaults, rowidIdx, df, policy)
+      case Some(incoming) =>
+        // Build candidate full rows + rowids (sequential — exact SQLite
+        // running-max rowid assignment).
         var nextId = ts.nextRowId
         var lastId = lastRowId
-        val rowidIdx = td.rowidAlias.map(c => td.colIndex(c.name)).getOrElse(-1)
-        // unspecified columns take their declared DEFAULT (constant,
-        // evaluated once through Catalyst), else NULL — SQLite semantics
-        val defaults: Map[Int, Any] = td.cols.zipWithIndex.collect {
-          case (c, i) if !targetCols.contains(i) && c.default.isDefined =>
-            i -> session.sql(
-              s"SELECT CAST((${c.default.get}) AS ${sparkTypeName(c)})")
-              .head.get(0)
-        }.toMap
         val candidates = incoming.map { r =>
           val full = Array.fill[Any](td.cols.size)(null)
           defaults.foreach { case (i, v) => full(i) = v }
@@ -1137,131 +1262,414 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
           lastId = rid
           (rid, full.toIndexedSeq)
         }
-        policy match {
-          case Conflict.Abort =>
-            validate(work, td, ts.rows ++ candidates, candidates.map(_._2))
-              .map { _ =>
-                ts.rows ++= candidates
-                ts.nextRowId = nextId
-                lastRowId = lastId
-                candidates.size.toLong
-              }
-          case Conflict.Ignore =>
-            // skip candidates violating NOT NULL, CHECK or any uniqueness
-            // spec (SQLite: FK violations still abort — validate() below)
-            val specs = uniqueSpecs(td)
-            val checkFailed: Set[Int] =
-              if (td.checks.isEmpty || candidates.isEmpty) Set.empty
-              else {
-                val idxSchema = StructType(
-                  StructField("__i", IntegerType, nullable = false) +:
-                    td.schema.fields)
-                val cdf = session.createDataFrame(
-                  candidates.zipWithIndex.map { case ((_, vals), i) =>
-                    Row.fromSeq(i +: vals)
-                  }.asJava, idxSchema)
-                val ok = td.checks
-                  .map(c => s"COALESCE((${c._2}), true)").mkString(" AND ")
-                try cdf.filter(s"NOT ($ok)").select("__i")
-                  .collect().map(_.getInt(0)).toSet
-                catch { case _: Exception => Set.empty[Int] }
-              }
-            var cur = ts.rows
-            val kept = Vector.newBuilder[(Long, IndexedSeq[Any])]
-            candidates.zipWithIndex.foreach { case ((rid, vals), ci) =>
-              val nn = td.cols.zipWithIndex.exists { case (c, i) =>
-                c.notNull && !c.isRowidAlias && vals(i) == null
-              }
-              val uq = cur.exists { case (_, r) => conflicts(specs, r, vals) }
-              if (!nn && !uq && !checkFailed(ci)) {
-                cur :+= ((rid, vals)); kept += ((rid, vals))
-              }
-            }
-            val ins = kept.result()
-            validate(work, td, cur, ins.map(_._2)).map { _ =>
-              ts.rows = cur
-              ts.nextRowId = nextId
-              ins.lastOption.foreach { case (rid, _) => lastRowId = rid }
-              ins.size.toLong
-            }
-          case Conflict.Replace =>
-            // each candidate deletes the rows it conflicts with, then lands
-            val specs = uniqueSpecs(td)
-            var cur = ts.rows
-            candidates.foreach { case (rid, vals) =>
-              cur = cur.filterNot { case (_, r) => conflicts(specs, r, vals) }
-              cur :+= ((rid, vals))
-            }
-            validate(work, td, cur, candidates.map(_._2)).map { _ =>
-              ts.rows = cur
-              ts.nextRowId = nextId
-              lastRowId = lastId
-              candidates.size.toLong
-            }
-          case Conflict.Upsert(confCols, sets) =>
-            val all = uniqueSpecs(td)
-            val specs = confCols match {
-              case Some(cs) =>
-                val want = cs.map(_.toLowerCase).toSet
-                val m = all.filter { case (idxs, _) =>
-                  idxs.map(i => td.cols(i).name.toLowerCase).toSet == want
+        ts.store match {
+          case Mem(memRows) =>
+            applyPolicySeq(td, policy, memRows, candidates, lastId).flatMap {
+              case (fin, touched, affected, lastOpt) =>
+                validate(work, td, fin, touched).map { _ =>
+                  ts.store = Mem(fin)
+                  ts.nextRowId = nextId
+                  lastOpt.foreach(lastRowId = _)
+                  maybeSpill(ts)
+                  affected
                 }
-                if (m.isEmpty) return Left(
-                  "ON CONFLICT clause does not match any PRIMARY KEY or " +
-                    "UNIQUE constraint")
-                m
-              case None => all
             }
-            // resolve SET expressions: excluded.col pulls the incoming row,
-            // anything else must be a constant (evaluated once via Catalyst)
-            val excludedRe =
-              """(?is)^excluded\s*\.\s*["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?$""".r
-            val resolved: Seq[(Int, Either[Int, Any])] = sets.map { case (c, e) =>
-              val ci = td.colIndex(c)
-              if (ci < 0) return Left(s"no such column: $c")
-              e match {
-                case excludedRe(src) =>
-                  val si = td.colIndex(src)
-                  if (si < 0) return Left(s"no such column: excluded.$src")
-                  ci -> Left(si)
-                case lit =>
-                  ci -> Right(session.sql(
-                    s"SELECT CAST(($lit) AS ${sparkTypeName(td.cols(ci))})")
-                    .head.get(0))
-              }
-            }
-            var cur = ts.rows
-            var affected = 0L
-            var lastInserted: Option[Long] = None
-            val touched = Vector.newBuilder[IndexedSeq[Any]]
-            candidates.foreach { case (rid, vals) =>
-              val hit = cur.indexWhere { case (_, r) => conflicts(specs, r, vals) }
-              if (hit >= 0) {
-                if (resolved.nonEmpty) { // DO UPDATE; DO NOTHING skips
-                  val (orid, orow) = cur(hit)
-                  val upd = orow.toArray
-                  resolved.foreach {
-                    case (ci, Left(si)) => upd(ci) = vals(si)
-                    case (ci, Right(v)) => upd(ci) = v
-                  }
-                  cur = cur.updated(hit, (orid, upd.toIndexedSeq))
-                  touched += upd.toIndexedSeq
-                  affected += 1
-                }
-              } else {
-                cur :+= ((rid, vals))
-                touched += vals
-                lastInserted = Some(rid)
-                affected += 1
-              }
-            }
-            validate(work, td, cur, touched.result()).map { _ =>
-              ts.rows = cur
-              ts.nextRowId = nextId
-              lastInserted.foreach(lastRowId = _)
-              affected
-            }
+          case big: Big =>
+            insertIntoBig(work, ts, big, candidates, policy, nextId, lastId)
         }
+    }
+  }
+
+  /** Sequential conflict-policy semantics over `base` — SQLite's observable
+    * per-candidate order. Shared by the Mem path (base = the whole table)
+    * and the spilled path (base = the interacting slice, which by
+    * construction contains every row a candidate can conflict with, so the
+    * outcomes are identical). Returns
+    * (final base rows, rows to validate, rows_affected, last inserted id). */
+  private def applyPolicySeq(td: TableDef, policy: Conflict,
+      base: Vector[(Long, IndexedSeq[Any])],
+      candidates: IndexedSeq[(Long, IndexedSeq[Any])], lastId: Long)
+      : Either[String, (Vector[(Long, IndexedSeq[Any])],
+                        Seq[IndexedSeq[Any]], Long, Option[Long])] =
+    policy match {
+      case Conflict.Abort =>
+        // conflicts surface through validate()'s uniqueness scan
+        Right((base ++ candidates, candidates.map(_._2),
+          candidates.size.toLong, Some(lastId)))
+      case Conflict.Ignore =>
+        // skip candidates violating NOT NULL, CHECK or any uniqueness
+        // spec (SQLite: FK violations still abort — validate() after)
+        val specs = uniqueSpecs(td)
+        val checkFailed: Set[Int] =
+          if (td.checks.isEmpty || candidates.isEmpty) Set.empty
+          else {
+            val idxSchema = StructType(
+              StructField("__i", IntegerType, nullable = false) +:
+                td.schema.fields)
+            val cdf = session.createDataFrame(
+              candidates.zipWithIndex.map { case ((_, vals), i) =>
+                Row.fromSeq(i +: vals)
+              }.asJava, idxSchema)
+            val ok = td.checks
+              .map(c => s"COALESCE((${c._2}), true)").mkString(" AND ")
+            try cdf.filter(s"NOT ($ok)").select("__i")
+              .collect().map(_.getInt(0)).toSet
+            catch { case _: Exception => Set.empty[Int] }
+          }
+        var cur = base
+        val kept = Vector.newBuilder[(Long, IndexedSeq[Any])]
+        candidates.zipWithIndex.foreach { case ((rid, vals), ci) =>
+          val nn = td.cols.zipWithIndex.exists { case (c, i) =>
+            c.notNull && !c.isRowidAlias && vals(i) == null
+          }
+          val uq = cur.exists { case (_, r) => conflicts(specs, r, vals) }
+          if (!nn && !uq && !checkFailed(ci)) {
+            cur :+= ((rid, vals)); kept += ((rid, vals))
+          }
+        }
+        val ins = kept.result()
+        Right((cur, ins.map(_._2), ins.size.toLong, ins.lastOption.map(_._1)))
+      case Conflict.Replace =>
+        // each candidate deletes the rows it conflicts with, then lands
+        val specs = uniqueSpecs(td)
+        var cur = base
+        candidates.foreach { case (rid, vals) =>
+          cur = cur.filterNot { case (_, r) => conflicts(specs, r, vals) }
+          cur :+= ((rid, vals))
+        }
+        Right((cur, candidates.map(_._2), candidates.size.toLong, Some(lastId)))
+      case Conflict.Upsert(confCols, sets) =>
+        val all = uniqueSpecs(td)
+        val specs = confCols match {
+          case Some(cs) =>
+            val want = cs.map(_.toLowerCase).toSet
+            val m = all.filter { case (idxs, _) =>
+              idxs.map(i => td.cols(i).name.toLowerCase).toSet == want
+            }
+            if (m.isEmpty) return Left(
+              "ON CONFLICT clause does not match any PRIMARY KEY or " +
+                "UNIQUE constraint")
+            m
+          case None => all
+        }
+        // resolve SET expressions: excluded.col pulls the incoming row,
+        // anything else must be a constant (evaluated once via Catalyst)
+        val excludedRe =
+          """(?is)^excluded\s*\.\s*["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?$""".r
+        val resolved: Seq[(Int, Either[Int, Any])] = sets.map { case (c, e) =>
+          val ci = td.colIndex(c)
+          if (ci < 0) return Left(s"no such column: $c")
+          e match {
+            case excludedRe(src) =>
+              val si = td.colIndex(src)
+              if (si < 0) return Left(s"no such column: excluded.$src")
+              ci -> Left(si)
+            case lit =>
+              ci -> Right(session.sql(
+                s"SELECT CAST(($lit) AS ${sparkTypeName(td.cols(ci))})")
+                .head.get(0))
+          }
+        }
+        var cur = base
+        var affected = 0L
+        var lastInserted: Option[Long] = None
+        val touched = Vector.newBuilder[IndexedSeq[Any]]
+        candidates.foreach { case (rid, vals) =>
+          val hit = cur.indexWhere { case (_, r) => conflicts(specs, r, vals) }
+          if (hit >= 0) {
+            if (resolved.nonEmpty) { // DO UPDATE; DO NOTHING skips
+              val (orid, orow) = cur(hit)
+              val upd = orow.toArray
+              resolved.foreach {
+                case (ci, Left(si)) => upd(ci) = vals(si)
+                case (ci, Right(v)) => upd(ci) = v
+              }
+              cur = cur.updated(hit, (orid, upd.toIndexedSeq))
+              touched += upd.toIndexedSeq
+              affected += 1
+            }
+          } else {
+            cur :+= ((rid, vals))
+            touched += vals
+            lastInserted = Some(rid)
+            affected += 1
+          }
+        }
+        Right((cur, touched.result(), affected, lastInserted))
+    }
+
+  /** Rows of a spilled table that share a uniqueness key with any
+    * candidate: one broadcast semi-join per spec, collected. Bounded by
+    * candidates × specs rows — spec keys are unique in the table by
+    * invariant — never by the table. Returns rid -> (ord, vals). */
+  private def collectInteracting(td: TableDef, big: Big,
+      specs: Seq[(Seq[Int], String)],
+      candidates: IndexedSeq[(Long, IndexedSeq[Any])])
+      : Seq[(Long, (Long, IndexedSeq[Any]))] = {
+    if (specs.isEmpty || candidates.isEmpty) return Seq.empty
+    val n = td.cols.size
+    val out = mutable.LinkedHashMap[Long, (Long, IndexedSeq[Any])]()
+    specs.foreach { case (idxs, _) =>
+      val names = idxs.map(td.cols(_).name)
+      val keys = candidates.map(c => idxs.map(c._2(_)))
+        .filterNot(_.contains(null)).distinct
+      if (keys.nonEmpty) {
+        val kschema = StructType(idxs.map(i =>
+          StructField("__q_" + td.cols(i).name, td.cols(i).sparkType)).toArray)
+        val kdf = session.createDataFrame(
+          keys.map(k => Row.fromSeq(k)).asJava, kschema)
+        val cond = names.map(nm => col(nm) === col("__q_" + nm)).reduce(_ && _)
+        big.df.join(broadcast(kdf), cond, "left_semi").collect().foreach { r =>
+          out(r.getLong(1)) =
+            (r.getLong(0), (2 until 2 + n).map(r.get).toIndexedSeq)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** INSERT of a driver-sized candidate batch into a spilled table: run the
+    * exact sequential policy on the interacting slice, then merge the slice
+    * diff back with an anti-join + union — IO proportional to the batch
+    * plus one key-join scan, never to driver heap. */
+  private def insertIntoBig(work: Tables, ts: TableState, big: Big,
+      candidates: IndexedSeq[(Long, IndexedSeq[Any])], policy: Conflict,
+      nextId: Long, lastId: Long): Either[String, Long] = {
+    val td = ts.d
+    val specs = uniqueSpecs(td)
+    val mini = collectInteracting(td, big, specs, candidates)
+    val base = mini.sortBy(_._2._1).map { case (rid, (_, v)) => (rid, v) }.toVector
+    // the untouched remainder, for self-referencing FK checks in validate()
+    val miniRidDf =
+      if (mini.isEmpty) None
+      else Some(session.createDataFrame(
+        mini.map(m => Row(m._1)).asJava,
+        StructType(Seq(StructField("__rm", LongType, nullable = false)))))
+    val keep = miniRidDf match {
+      case None => big.df
+      case Some(rm) =>
+        big.df.join(broadcast(rm), col("__rowid") === col("__rm"), "left_anti")
+    }
+    applyPolicySeq(td, policy, base, candidates, lastId).flatMap {
+      case (fin, touched, affected, lastOpt) =>
+        validate(work, td, fin, touched, selfRemainder = Some(keep)).map { _ =>
+          val ordByRid = mini.map { case (rid, (o, _)) => rid -> o }.toMap
+          var ord = big.nextOrd
+          val schema = StructType(
+            StructField("__ord", LongType, nullable = false) +:
+              StructField("__rowid", LongType, nullable = false) +:
+              td.schema.fields)
+          val sliceRows = fin.map { case (rid, v) =>
+            val o = ordByRid.getOrElse(rid, { val x = ord; ord += 1; x })
+            Row.fromSeq(o +: rid +: v)
+          }
+          ts.store = mkBig(keep.union(
+            session.createDataFrame(sliceRows.asJava, schema)))
+          ts.nextRowId = nextId
+          lastOpt.foreach(lastRowId = _)
+          affected
+        }
+    }
+  }
+
+  /** Fully distributed bulk INSERT — a SELECT source larger than the
+    * driver cap. Candidates get __ord/__rowid via zipWithIndex, policies
+    * resolve via windows/anti-joins, and constraints check as
+    * joins/aggregations; nothing table-sized touches the driver.
+    *
+    * Documented divergences, bulk scale only:
+    *  - auto rowids are a contiguous block from nextRowId in source order;
+    *    a source mixing explicit rowid-alias values with NULLs can
+    *    interleave differently than SQLite's running max (both are valid
+    *    assignments; collisions still fail with the UNIQUE error);
+    *  - ON CONFLICT DO UPDATE over an over-cap source is rejected (its
+    *    excluded.* semantics are sequential by definition). */
+  private def bulkInsertBig(work: Tables, ts: TableState, targetCols: Seq[Int],
+      defaults: Map[Int, Any], rowidIdx: Int, df: DataFrame,
+      policy: Conflict): Either[String, Long] = {
+    val td = ts.d
+    ts.store match { // the table itself spills first
+      case _: Mem => ts.store = mkBig(ridDf(ts))
+      case _ =>
+    }
+    val big = ts.store.asInstanceOf[Big]
+    // distributed candidate build — closure captures only local primitives
+    val nCols = td.cols.size
+    val tIdx = targetCols.toArray
+    val dflt = defaults.toArray
+    val ridIx = rowidIdx
+    val ordBase = big.nextOrd
+    val ridBase = ts.nextRowId
+    // __auto marks rows whose rowid was assigned (vs explicit) so nextRowId
+    // advances exactly like the Mem path's running bookkeeping
+    val schema = StructType(
+      StructField("__ord", LongType, nullable = false) +:
+        StructField("__rowid", LongType, nullable = false) +:
+        (td.schema.fields :+ StructField("__auto", LongType, nullable = false)))
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+      val full = Array.fill[Any](nCols)(null)
+      dflt.foreach { case (ci, v) => full(ci) = v }
+      var j = 0
+      while (j < tIdx.length) { full(tIdx(j)) = r.get(j); j += 1 }
+      val auto = ridIx < 0 || full(ridIx) == null
+      val rid = if (auto) ridBase + i else full(ridIx).asInstanceOf[Long]
+      if (ridIx >= 0) full(ridIx) = rid
+      Row.fromSeq((ordBase + i) +: rid +: (full.toSeq :+
+        (if (auto) 1L else 0L)))
+    }
+    val candAll = session.createDataFrame(rdd, schema).localCheckpoint()
+    val stats = candAll.selectExpr("count(*) AS c",
+      s"coalesce(max(__rowid), ${ridBase - 1}) AS m",
+      "max_by(__rowid, __ord) AS last",
+      "coalesce(sum(__auto), 0) AS autos").head()
+    val candDf = candAll.drop("__auto")
+    val candN = stats.getLong(0)
+    val newNextId =
+      math.max(ridBase + stats.getLong(3), stats.getLong(1) + 1L)
+    val lastRid = if (candN == 0) lastRowId else stats.getLong(2)
+    val specs = uniqueSpecs(td)
+    def specCols(idxs: Seq[Int]) = idxs.map(td.cols(_).name)
+    def notNullKeys(names: Seq[String]) =
+      names.map(col(_).isNotNull).reduce(_ && _)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{max, row_number}
+    policy match {
+      case Conflict.Abort =>
+        specs.foreach { case (idxs, desc) =>
+          val names = specCols(idxs)
+          val nn = notNullKeys(names)
+          val dupIn = candDf.filter(nn).groupBy(names.map(col): _*).count()
+            .filter(col("count") > 1).limit(1).count()
+          if (dupIn > 0) return Left(s"UNIQUE constraint failed: $desc")
+          val keyed = candDf.filter(nn)
+            .select(names.map(n2 => col(n2).as("__q_" + n2)): _*)
+          val cond = names.map(n2 => col(n2) === col("__q_" + n2)).reduce(_ && _)
+          if (big.df.join(keyed, cond, "left_semi").limit(1).count() > 0)
+            return Left(s"UNIQUE constraint failed: $desc")
+        }
+        val merged = big.df.union(candDf)
+        validateBulk(work, td, candDf, merged).map { _ =>
+          ts.store = mkBig(merged)
+          ts.nextRowId = newNextId
+          lastRowId = lastRid
+          candN
+        }
+      case Conflict.Ignore =>
+        var kept = candDf
+        td.cols.foreach { c =>
+          if (c.notNull && !c.isRowidAlias)
+            kept = kept.filter(col(c.name).isNotNull)
+        }
+        td.checks.foreach { case (_, ex) =>
+          try {
+            val t = kept.filter(s"COALESCE(($ex), true)")
+            t.queryExecution.analyzed // unresolvable CHECK: keep all (Mem parity)
+            kept = t
+          } catch { case _: Exception => }
+        }
+        specs.foreach { case (idxs, _) =>
+          val names = specCols(idxs)
+          val nn = notNullKeys(names)
+          // intra-batch: first occurrence per key wins (insertion order)
+          val w = Window.partitionBy(names.map(col): _*).orderBy(col("__ord"))
+          kept = kept.withColumn("__rn", row_number().over(w))
+            .filter(!nn || col("__rn") === 1).drop("__rn")
+          // vs table: NULL keys never match an equi-join → they survive
+          val keyed = big.df.select(names.map(n2 => col(n2).as("__t_" + n2)): _*)
+          val cond = names.map(n2 => col(n2) === col("__t_" + n2)).reduce(_ && _)
+          kept = kept.join(keyed, cond, "left_anti")
+        }
+        val keptC = kept.localCheckpoint()
+        val merged = big.df.union(keptC)
+        validateBulk(work, td, keptC, merged).map { _ =>
+          val ks = keptC.selectExpr("count(*) AS c",
+            "max_by(__rowid, __ord) AS last").head()
+          ts.store = mkBig(merged)
+          ts.nextRowId = newNextId
+          if (ks.getLong(0) > 0) lastRowId = ks.getLong(1)
+          ks.getLong(0)
+        }
+      case Conflict.Replace =>
+        // a candidate is superseded iff a LATER candidate shares any spec
+        // key (each candidate is present when its successor arrives, so
+        // pairwise last-wins equals the sequential outcome)
+        var surv = candDf
+        specs.foreach { case (idxs, _) =>
+          val names = specCols(idxs)
+          val nn = notNullKeys(names)
+          val w = Window.partitionBy(names.map(col): _*)
+          surv = surv.withColumn("__mx", max(col("__ord")).over(w))
+            .filter(!nn || col("__ord") === col("__mx")).drop("__mx")
+        }
+        var keepT = big.df
+        specs.foreach { case (idxs, _) =>
+          val names = specCols(idxs)
+          val nn = notNullKeys(names)
+          val keyed = candDf.filter(nn)
+            .select(names.map(n2 => col(n2).as("__q_" + n2)): _*)
+          val cond = names.map(n2 => col(n2) === col("__q_" + n2)).reduce(_ && _)
+          keepT = keepT.join(keyed, cond, "left_anti")
+        }
+        val merged = keepT.union(surv)
+        validateBulk(work, td, candDf, merged).map { _ =>
+          ts.store = mkBig(merged)
+          ts.nextRowId = newNextId
+          lastRowId = lastRid
+          candN
+        }
+      case _: Conflict.Upsert =>
+        Left("ON CONFLICT DO UPDATE/NOTHING is not supported for a bulk " +
+          s"INSERT ... SELECT above $maxDriverRows rows")
+    }
+  }
+
+  /** Distributed NOT NULL / CHECK / FK validation for the bulk path: the
+    * same checks and error strings as [[validate]], as DataFrame jobs.
+    * `finalDf` is the post-statement table, used as the parent side of
+    * self-referencing FKs. */
+  private def validateBulk(work: Tables, td: TableDef, newDf: DataFrame,
+                           finalDf: DataFrame): Either[String, Unit] = {
+    td.cols.foreach { c =>
+      if (c.notNull && !c.isRowidAlias &&
+        newDf.filter(col(c.name).isNull).limit(1).count() > 0)
+        return Left(s"NOT NULL constraint failed: ${td.name}.${c.name}")
+    }
+    td.checks.foreach { case (label, ex) =>
+      val bad =
+        try newDf.filter(s"NOT COALESCE(($ex), true)").limit(1).count()
+        catch { case _: Exception => 0L } // unresolvable expr: ignore
+      if (bad > 0) return Left(s"CHECK constraint failed: $label")
+    }
+    validateFkDf(work, td, newDf, finalDf)
+  }
+
+  /** Distributed FK check: every non-null referencing value in `newDf`
+    * must exist in the parent column (`finalDf` for self-references). */
+  private def validateFkDf(work: Tables, td: TableDef, newDf: DataFrame,
+                           finalDf: DataFrame): Either[String, Unit] = {
+    if (fkEnabled) {
+      td.cols.foreach { c =>
+        c.ref.foreach { case (refTable, refColOpt) =>
+          val parent = work.get(refTable.toLowerCase)
+            .getOrElse(return Left("FOREIGN KEY constraint failed"))
+          val refCol =
+            if (refColOpt.nonEmpty) refColOpt
+            else parent.d.rowidAlias.map(_.name).getOrElse("")
+          val pIdx = parent.d.colIndex(refCol)
+          if (pIdx < 0) return Left("FOREIGN KEY constraint failed")
+          val pdf =
+            if (parent.d.name.equalsIgnoreCase(td.name)) finalDf
+            else storeDf(parent.d, parent.store)
+          val pvals = pdf.select(col(parent.d.cols(pIdx).name).as("__graft_p"))
+            .filter(col("__graft_p").isNotNull)
+          val dangling = newDf.filter(col(c.name).isNotNull)
+            .join(pvals, col(c.name) === col("__graft_p"), "left_anti")
+            .limit(1).count()
+          if (dangling > 0) return Left("FOREIGN KEY constraint failed")
+        }
+      }
+    }
+    Right(())
   }
 
   private val updateRe =
@@ -1299,18 +1707,67 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
           }
           s"$e AS `${c.name}`"
         }.mkString(", ")
-        val df = session.sql(
-          s"SELECT `__rowid`, $proj FROM ${ridView(td.name)}")
-        val newRows = df.collect().toVector.map { r =>
-          (r.getLong(0), (1 until r.length).map(r.get).toIndexedSeq)
-        }.sortBy(_._1)
         val affected = session.sql(
           s"SELECT COUNT(*) FROM ${ridView(td.name)} WHERE $cond").head.getLong(0)
-        val changed = newRows.filterNot(ts.rows.contains)
-        validate(work, td, newRows, changed.map(_._2), excludeSelf = true)
-          .map { _ => ts.rows = newRows; affected }
+        ts.store match {
+          case Mem(memRows) =>
+            val df = session.sql(
+              s"SELECT `__rowid`, $proj FROM ${ridView(td.name)}")
+            val newRows = df.collect().toVector.map { r =>
+              (r.getLong(0), (1 until r.length).map(r.get).toIndexedSeq)
+            }.sortBy(_._1)
+            val changed = newRows.filterNot(memRows.contains)
+            validate(work, td, newRows, changed.map(_._2))
+              .map { _ => ts.store = Mem(newRows); affected }
+          case big: Big =>
+            // copy-on-write as a Spark job: reproject every row (the CASE
+            // keeps unaffected rows bit-identical), validate the affected
+            // subset with distributed checks, then swap the version
+            val newDf = session.sql(
+              s"SELECT `__ord`, `__rowid`, $proj FROM ${ridView(td.name)}")
+            val changedDf = session.sql(
+              s"SELECT `__ord`, `__rowid`, $proj FROM ${ridView(td.name)} " +
+                s"WHERE $cond")
+            validateUpdateBig(work, td, newDf, changedDf).map { _ =>
+              ts.store = Big(newDf.localCheckpoint(), big.n, big.nextOrd)
+              affected
+            }
+        }
       case _ => Left("near \"UPDATE\": syntax error")
     }
+
+  /** Distributed validation for an UPDATE on a spilled table: NOT NULL and
+    * CHECK over the affected rows; UNIQUE as a changed×all key join with
+    * differing rowids (a new conflict necessarily involves a changed row);
+    * FK over the affected rows against the parent store. Same checks and
+    * error strings as [[validate]]. */
+  private def validateUpdateBig(work: Tables, td: TableDef, allDf: DataFrame,
+                                changedDf: DataFrame): Either[String, Unit] = {
+    td.cols.foreach { c =>
+      if (c.notNull && !c.isRowidAlias &&
+        changedDf.filter(col(c.name).isNull).limit(1).count() > 0)
+        return Left(s"NOT NULL constraint failed: ${td.name}.${c.name}")
+    }
+    td.checks.foreach { case (label, ex) =>
+      val bad =
+        try changedDf.filter(s"NOT COALESCE(($ex), true)").limit(1).count()
+        catch { case _: Exception => 0L }
+      if (bad > 0) return Left(s"CHECK constraint failed: $label")
+    }
+    uniqueSpecs(td).foreach { case (idxs, desc) =>
+      val names = idxs.map(td.cols(_).name)
+      val keyed = changedDf.select(col("__rowid").as("__graft_crid") +:
+        names.map(n2 => col(n2).as("__graft_k_" + n2)): _*)
+      val cond = names.map(n2 =>
+        col(n2) === col("__graft_k_" + n2) &&
+          col("__graft_k_" + n2).isNotNull).reduce(_ && _)
+      val clash = allDf.join(keyed,
+        cond && col("__rowid") =!= col("__graft_crid"), "left_semi")
+        .limit(1).count()
+      if (clash > 0) return Left(s"UNIQUE constraint failed: $desc")
+    }
+    validateFkDf(work, td, changedDf, allDf)
+  }
 
   private val deleteRe =
     """(?is)^\s*DELETE\s+FROM\s+[`"]?([A-Za-z_][A-Za-z0-9_]*)[`"]?\s*(?:WHERE\s+(.+?))?\s*;?\s*$""".r
@@ -1326,49 +1783,101 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
         val cond =
           if (whereText == null || whereText.trim.isEmpty) "true"
           else s"(${whereText.trim})"
-        val doomed = session.sql(
-          s"SELECT `__rowid` FROM ${ridView(ts.d.name)} WHERE $cond")
-          .collect().map(_.getLong(0)).toSet
-        val remaining = ts.rows.filterNot(r => doomed.contains(r._1))
-        if (fkEnabled) {
-          // children of this table must not reference removed parents;
-          // resolve each ref's target column the same way validate() does
-          // (named column, else the rowid alias) so REFERENCES parent(code)
-          // is enforced on DELETE too.
-          work.values.foreach { child =>
-            child.d.cols.zipWithIndex.foreach { case (c, i) =>
-              c.ref.foreach { case (rt, refColOpt) =>
-                if (rt.equalsIgnoreCase(ts.d.name)) {
-                  val refCol =
-                    if (refColOpt.nonEmpty) refColOpt
-                    else ts.d.rowidAlias.map(_.name).getOrElse("")
-                  val pIdx = ts.d.colIndex(refCol)
-                  if (pIdx >= 0) {
-                    val remainingVals =
-                      remaining.map(_._2(pIdx)).filter(_ != null).toSet
-                    val dangling = child.rows.exists { case (rid, vals) =>
-                      vals(i) != null && !remainingVals.contains(vals(i)) &&
-                        (child.d.name != ts.d.name || !doomed.contains(rid))
-                    }
-                    if (dangling) return Left("FOREIGN KEY constraint failed")
+        ts.store match {
+          case Mem(memRows) =>
+            val doomed = session.sql(
+              s"SELECT `__rowid` FROM ${ridView(ts.d.name)} WHERE $cond")
+              .collect().map(_.getLong(0)).toSet
+            val remaining = memRows.filterNot(r => doomed.contains(r._1))
+            fkDeleteGuard(work, ts, Left(remaining), doomed).map { _ =>
+              ts.store = Mem(remaining)
+              doomed.size.toLong
+            }
+          case _: Big =>
+            // copy-on-write as a Spark job: count the doomed rows, derive
+            // the remaining version (a NULL predicate keeps the row, like
+            // WHERE-filter semantics on the Mem path), guard FKs with
+            // anti-joins, then swap the version
+            val affected = session.sql(
+              s"SELECT COUNT(*) FROM ${ridView(ts.d.name)} WHERE $cond")
+              .head.getLong(0)
+            val remainingDf = session.sql(
+              s"SELECT * FROM ${ridView(ts.d.name)} " +
+                s"WHERE NOT COALESCE($cond, false)")
+            fkDeleteGuard(work, ts, Right(remainingDf), Set.empty).map { _ =>
+              ts.store = mkBig(remainingDf)
+              affected
+            }
+        }
+      case _ => Left("near \"DELETE\": syntax error")
+    }
+
+  /** FK-on-DELETE guard: after removing the doomed parent rows, no child
+    * row may reference a value absent from the remaining parent column —
+    * resolving each ref's target column the same way validate() does
+    * (named column, else the rowid alias). Children and parent check in
+    * whichever representation each side is in; the DataFrame legs compare
+    * via anti-joins and never collect a table. For self-references the
+    * child side is the post-delete remainder. */
+  private def fkDeleteGuard(work: Tables, ts: TableState,
+      remaining: Either[Vector[(Long, IndexedSeq[Any])], DataFrame],
+      doomedMem: Set[Long]): Either[String, Unit] = {
+    if (!fkEnabled) return Right(())
+    work.values.foreach { child =>
+      child.d.cols.zipWithIndex.foreach { case (c, i) =>
+        c.ref.foreach { case (rt, refColOpt) =>
+          if (rt.equalsIgnoreCase(ts.d.name)) {
+            val refCol =
+              if (refColOpt.nonEmpty) refColOpt
+              else ts.d.rowidAlias.map(_.name).getOrElse("")
+            val pIdx = ts.d.colIndex(refCol)
+            if (pIdx >= 0) {
+              val selfRef = child.d.name == ts.d.name
+              (child.store, remaining) match {
+                case (Mem(childRows), Left(remRows)) =>
+                  val remainingVals =
+                    remRows.map(_._2(pIdx)).filter(_ != null).toSet
+                  val dangling = childRows.exists { case (rid, vals) =>
+                    vals(i) != null && !remainingVals.contains(vals(i)) &&
+                      (!selfRef || !doomedMem.contains(rid))
                   }
-                }
+                  if (dangling) return Left("FOREIGN KEY constraint failed")
+                case _ =>
+                  val remDf = remaining.fold(
+                    rows => storeDf(ts.d, Mem(rows)), identity)
+                  val childDf =
+                    if (selfRef) remDf else storeDf(child.d, child.store)
+                  val pvals = remDf
+                    .select(col(ts.d.cols(pIdx).name).as("__graft_p"))
+                    .filter(col("__graft_p").isNotNull)
+                  val cname = child.d.cols(i).name
+                  val dangling = childDf.filter(col(cname).isNotNull)
+                    .join(pvals, col(cname) === col("__graft_p"), "left_anti")
+                    .limit(1).count() > 0
+                  if (dangling) return Left("FOREIGN KEY constraint failed")
               }
             }
           }
         }
-        ts.rows = remaining
-        Right(doomed.size.toLong)
-      case _ => Left("near \"DELETE\": syntax error")
+      }
     }
+    Right(())
+  }
 
   /** Constraint checks with SQLite's exact error strings
-    * (`db/src/db.rs:373,762`): NOT NULL → UNIQUE → FOREIGN KEY. */
+    * (`db/src/db.rs:373,762`): NOT NULL → UNIQUE → FOREIGN KEY.
+    *
+    * `allRows` is the candidate post-statement state of the mutated table —
+    * the whole table on the Mem path, or just the interacting slice on the
+    * spilled path (equivalent for the uniqueness scan: any row a touched
+    * row could conflict with is in the slice). `selfRemainder` is the
+    * spilled path's untouched remainder, consulted (distributed) for
+    * self-referencing FKs whose parent value lies outside the slice. */
   private def validate(
       work: Tables, td: TableDef,
       allRows: Vector[(Long, IndexedSeq[Any])],
       newRows: Seq[IndexedSeq[Any]],
-      excludeSelf: Boolean = false): Either[String, Unit] = {
+      selfRemainder: Option[DataFrame] = None): Either[String, Unit] = {
     td.cols.zipWithIndex.foreach { case (c, i) =>
       if (c.notNull && !c.isRowidAlias)
         newRows.foreach { r =>
@@ -1406,12 +1915,37 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
             else parent.d.rowidAlias.map(_.name).getOrElse("")
           val pIdx = parent.d.colIndex(refCol)
           if (pIdx < 0) return Left("FOREIGN KEY constraint failed")
-          val parentRows =
-            if (parent.d.name.equalsIgnoreCase(td.name)) allRows else parent.rows
-          val parentVals = parentRows.map(_._2(pIdx)).filter(_ != null).toSet
-          newRows.foreach { r =>
-            if (r(i) != null && !parentVals.contains(r(i)))
-              return Left("FOREIGN KEY constraint failed")
+          val need = newRows.map(_(i)).filter(_ != null).distinct
+          if (need.nonEmpty) {
+            val selfRef = parent.d.name.equalsIgnoreCase(td.name)
+            // driver set for Mem-resident parents / the local slice …
+            val local: Set[Any] = (parent.store, selfRef) match {
+              case (_, true) => allRows.map(_._2(pIdx)).filter(_ != null).toSet
+              case (Mem(rows), _) => rows.map(_._2(pIdx)).filter(_ != null).toSet
+              case _ => Set.empty
+            }
+            val missing = need.filterNot(local.contains)
+            if (missing.nonEmpty) {
+              // … anti-join for spilled parents / the untouched remainder
+              val pdf: Option[DataFrame] = (parent.store, selfRef) match {
+                case (_, true) => selfRemainder
+                case (b: Big, _) => Some(storeDf(parent.d, b))
+                case _ => None
+              }
+              val covered = pdf.exists { p =>
+                val pc = parent.d.cols(pIdx).name
+                val mdf = session.createDataFrame(
+                  missing.map(v => Row(v)).asJava,
+                  StructType(Seq(StructField("__graft_v",
+                    parent.d.cols(pIdx).sparkType))))
+                mdf.join(
+                  p.select(col(pc).as("__graft_p"))
+                    .filter(col("__graft_p").isNotNull),
+                  col("__graft_v") === col("__graft_p"), "left_anti")
+                  .limit(1).count() == 0
+              }
+              if (!covered) return Left("FOREIGN KEY constraint failed")
+            }
           }
         }
       }
@@ -1472,6 +2006,106 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
 
   private def ridView(name: String): String = s"__rid_$name"
 
+  // ---------- spilled (Spark-resident) store helpers ----------------------
+  // A Big table's DataFrame always carries `__ord` (insertion order, for
+  // bookkeeping parity with the Mem vector's positional semantics) and
+  // `__rowid` ahead of the data columns. Mutations build a new lazy plan
+  // over the previous MATERIALIZED version and commit via [[mkBig]]
+  // (localCheckpoint = distributed materialization in the block manager;
+  // on a cluster the blocks live on executors, so driver heap never holds
+  // the table). Checkpoint-to-parquet and recovery reuse the same schema.
+
+  /** Materialize a new Big version and compute its bookkeeping in one job. */
+  private def mkBig(df: DataFrame): Big = {
+    val c = df.localCheckpoint()
+    val r = c.selectExpr("count(*) AS c", "coalesce(max(__ord), -1) AS m").head()
+    Big(c, r.getLong(0), r.getLong(1) + 1L)
+  }
+
+  /** The ord/rowid-prefixed DataFrame of a store, for either representation. */
+  private def storeDf(d: TableDef, st: Store): DataFrame = st match {
+    case Big(df, _, _) => df
+    case Mem(rows) =>
+      val schema = StructType(
+        StructField("__ord", LongType, nullable = false) +:
+          StructField("__rowid", LongType, nullable = false) +:
+          d.schema.fields)
+      val data = rows.zipWithIndex.map { case ((rid, vals), i) =>
+        Row.fromSeq(i.toLong +: rid +: vals)
+      }.asJava
+      session.createDataFrame(data, schema)
+  }
+
+  private def ridDf(ts: TableState): DataFrame = storeDf(ts.d, ts.store)
+
+  /** Crossing the cap converts a Mem table to the Spark-resident store.
+    * One-way by design (hysteresis: a spilled table shrinking below the cap
+    * stays spilled — re-collecting on every boundary crossing would thrash). */
+  private def maybeSpill(ts: TableState): Unit = ts.store match {
+    case Mem(rows) if rows.size > maxDriverRows => ts.store = mkBig(ridDf(ts))
+    case _ =>
+  }
+
+  /** Trigger-row diff when either side of a DML statement is spilled: the
+    * rowid-keyed before/after comparison runs as joins and collects ONLY
+    * the rows that actually changed (trigger firing is inherently per-row
+    * driver work — the firing set is statement-sized, never table-sized).
+    * Returns the same (event, NEW, OLD) tuples as the Mem diff, ordered by
+    * the table's insertion order. */
+  private def bigTriggerDiff(td: TableDef, before: Store, after: Store,
+                             kind: String, isReplace: Boolean)
+      : Seq[(String, Option[IndexedSeq[Any]], Option[IndexedSeq[Any]])] = {
+    val bdf = storeDf(td, before)
+    val adf = storeDf(td, after)
+    val n = td.cols.size
+    val dataCols = td.cols.map(_.name)
+    def vals(r: Row, off: Int): IndexedSeq[Any] =
+      (off until off + n).map(r.get).toIndexedSeq
+    // left_anti keeps exactly the left side's columns: __ord, __rowid, data…
+    val added = adf.join(bdf.select(col("__rowid").as("__brid0")),
+        col("__rowid") === col("__brid0"), "left_anti")
+      .collect().toSeq.map(r => (r.getLong(0), ("INSERT",
+        Some(vals(r, 2)): Option[IndexedSeq[Any]], None: Option[IndexedSeq[Any]])))
+    val bKeyed = bdf.select(col("__rowid").as("__brid") +:
+      dataCols.map(c2 => col(c2).as("__o_" + c2)): _*)
+    val differs = dataCols.map(c2 => !(col(c2) <=> col("__o_" + c2)))
+      .reduce(_ || _)
+    val changed = adf.join(bKeyed, col("__rowid") === col("__brid"))
+      .filter(differs).collect().toSeq.map { r =>
+      val nw = vals(r, 2)
+      val old = (2 + n + 1 until 2 + n + 1 + n).map(r.get).toIndexedSeq
+      (r.getLong(0), if (isReplace)
+        ("INSERT", Some(nw): Option[IndexedSeq[Any]], None: Option[IndexedSeq[Any]])
+      else ("UPDATE", Some(nw): Option[IndexedSeq[Any]],
+        Some(old): Option[IndexedSeq[Any]]))
+    }
+    val removed =
+      if (kind == "DELETE")
+        bdf.join(adf.select(col("__rowid").as("__arid0")),
+            col("__rowid") === col("__arid0"), "left_anti")
+          .collect().toSeq.map(r => (r.getLong(0), ("DELETE",
+            None: Option[IndexedSeq[Any]],
+            Some(vals(r, 2)): Option[IndexedSeq[Any]])))
+      else Seq.empty
+    (added ++ changed).sortBy(_._1).map(_._2) ++
+      removed.sortBy(_._1).map(_._2)
+  }
+
+  /** Prefix a DataFrame with contiguous __ord/__rowid starting at the given
+    * bases — RDD zipWithIndex: preserves row order, runs distributed, never
+    * collects. Used by the bulk-insert and CTAS spill paths. */
+  private def withOrdRowid(df: DataFrame, ordBase: Long,
+                           ridBase: Long): DataFrame = {
+    val schema = StructType(
+      StructField("__ord", LongType, nullable = false) +:
+        StructField("__rowid", LongType, nullable = false) +:
+        df.schema.fields)
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq((ordBase + i) +: (ridBase + i) +: r.toSeq)
+    }
+    session.createDataFrame(rdd, schema)
+  }
+
   private var registeredViews: Set[String] = Set.empty
 
   private def registerViews(work: Tables): Unit = {
@@ -1485,15 +2119,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
     }
     registeredViews = current
     work.values.foreach { ts =>
-      val td = ts.d
-      val ridSchema = StructType(
-        StructField("__rowid", LongType, nullable = false) +: td.schema.fields)
-      val rows = ts.rows.map { case (rid, vals) =>
-        Row.fromSeq(rid +: vals)
-      }.asJava
-      val df = session.createDataFrame(rows, ridSchema)
-      df.createOrReplaceTempView(ridView(td.name))
-      df.drop("__rowid").createOrReplaceTempView(td.name)
+      val df = ridDf(ts)
+      df.createOrReplaceTempView(ridView(ts.d.name))
+      df.drop("__ord", "__rowid").createOrReplaceTempView(ts.d.name)
     }
     // SQL views expand over the tables just registered, in creation order
     // (view-on-view works). A broken view (underlying table dropped) stays
@@ -1556,17 +2184,25 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
     Files.createDirectories(vdir)
     tables.values.foreach { ts =>
       // __ord preserves the engine's row order (insertion/update order is
-      // observable through SELECT *); __rowid is the SQLite rowid.
-      val schema = StructType(
-        StructField("__ord", LongType, nullable = false) +:
-          StructField("__rowid", LongType, nullable = false) +:
-          ts.d.schema.fields)
-      val rows = ts.rows.zipWithIndex.map { case ((rid, vals), i) =>
-        Row.fromSeq(i.toLong +: rid +: vals)
-      }.asJava
-      session.createDataFrame(rows, schema).coalesce(1)
-        .write.mode("overwrite")
-        .parquet(vdir.resolve(ts.d.name.toLowerCase + ".parquet").toString)
+      // observable through SELECT *); __rowid is the SQLite rowid. A Mem
+      // table is one driver-sized file; a spilled table writes its
+      // partitions in parallel straight from the materialized version —
+      // the table never transits the driver.
+      val out = vdir.resolve(ts.d.name.toLowerCase + ".parquet").toString
+      ts.store match {
+        case Mem(rows) =>
+          val schema = StructType(
+            StructField("__ord", LongType, nullable = false) +:
+              StructField("__rowid", LongType, nullable = false) +:
+              ts.d.schema.fields)
+          val data = rows.zipWithIndex.map { case ((rid, vals), i) =>
+            Row.fromSeq(i.toLong +: rid +: vals)
+          }.asJava
+          session.createDataFrame(data, schema).coalesce(1)
+            .write.mode("overwrite").parquet(out)
+        case Big(df, _, _) =>
+          df.write.mode("overwrite").parquet(out)
+      }
     }
     appliedBatch = journalSeq
     val sb = new StringBuilder
@@ -1620,16 +2256,25 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
           val td = c.table
           val pq = r.resolve(s"v$version")
             .resolve(td.name.toLowerCase + ".parquet")
-          val rows: Vector[(Long, IndexedSeq[Any])] =
-            if (!Files.exists(pq)) Vector.empty
-            else session.read.parquet(pq.toString)
-              .collect().toVector
-              .sortBy(_.getLong(0)) // __ord: the engine's row order
-              .map { row =>
-                (row.getLong(1), td.cols.indices.map(i => row.get(i + 2)))
-              }
+          val store: Store =
+            if (!Files.exists(pq)) Mem(Vector.empty)
+            else {
+              val df = session.read.parquet(pq.toString)
+              val probe = df.limit(math.min(maxDriverRows,
+                Int.MaxValue - 2L).toInt + 1).collect()
+              if (probe.length > maxDriverRows)
+                // over-cap: stay Spark-resident. localCheckpoint detaches
+                // the store from the version dir so the rolling GC of old
+                // v{N} dirs can never pull files out from under it.
+                mkBig(df)
+              else Mem(probe.toVector
+                .sortBy(_.getLong(0)) // __ord: the engine's row order
+                .map { row =>
+                  (row.getLong(1), td.cols.indices.map(i => row.get(i + 2)))
+                })
+            }
           tables(td.name.toLowerCase) =
-            new TableState(td, t.path("createSql").asText(), rows,
+            new TableState(td, t.path("createSql").asText(), store,
               t.path("nextRowId").asLong(1))
         }
       }
@@ -1710,16 +2355,29 @@ final class GraftDb private (parent: SparkSession, root: Option[Path]) {
 }
 
 object GraftDb {
+  /** Above this many rows a managed table spills from the driver-side
+    * vector to the Spark-resident copy-on-write store (SURVEY §7.4) —
+    * the boundary between exact-OLTP Mem semantics and distributed
+    * mutation. Overridable per-JVM via `-Dgraft.maxDriverRows=N` and
+    * per-open via the explicit overloads (specs use a tiny cap to
+    * exercise the spilled paths at test scale). */
+  val DefaultMaxDriverRows: Long =
+    sys.props.get("graft.maxDriverRows").map(_.toLong).getOrElse(100000L)
+
   /** Open/create a file-backed database rooted at `path` (a directory).
     * Mirrors `DB::open` including its error string when the location is
     * unusable (`db/src/db.rs:345-347`). */
-  def open(spark: SparkSession, path: String): Either[String, GraftDb] = {
+  def open(spark: SparkSession, path: String): Either[String, GraftDb] =
+    open(spark, path, DefaultMaxDriverRows)
+
+  def open(spark: SparkSession, path: String,
+           maxDriverRows: Long): Either[String, GraftDb] = {
     val p = Paths.get(path).toAbsolutePath
     try {
       if (p.getParent != null && !Files.exists(p.getParent))
         return Left(s"unable to open database file: $path")
       Files.createDirectories(p)
-      val db = new GraftDb(spark, Some(p))
+      val db = new GraftDb(spark, Some(p), maxDriverRows)
       db.load()
       Right(db)
     } catch {
@@ -1732,5 +2390,9 @@ object GraftDb {
     else open(spark, path)
 
   /** In-memory database (the reference's default mode, DOC/DESIGN.md:52). */
-  def openInMemory(spark: SparkSession): GraftDb = new GraftDb(spark, None)
+  def openInMemory(spark: SparkSession): GraftDb =
+    openInMemory(spark, DefaultMaxDriverRows)
+
+  def openInMemory(spark: SparkSession, maxDriverRows: Long): GraftDb =
+    new GraftDb(spark, None, maxDriverRows)
 }

@@ -1,0 +1,246 @@
+package graft.engine
+
+import graft.SparkSpec
+import graft.command._
+
+/** The spilled (Spark-resident) table store: once a managed table crosses
+  * `maxDriverRows`, every mutation is a copy-on-write Spark job and every
+  * constraint check a join/aggregation — the table never lands on the
+  * driver (SURVEY §7.4). The cap here is tiny (200 rows) so spec-scale
+  * data drives exactly the code paths a driver-heap-sized table would:
+  * bulk INSERT…SELECT, distributed UPDATE/DELETE, anti-join UNIQUE/FK
+  * enforcement, trigger diffs via rowid joins, and parquet
+  * checkpoint/recovery of an over-cap table.
+  */
+class BigTableSpec extends SparkSpec {
+
+  private val Cap = 200L
+
+  private def mem(cap: Long = Cap): GraftDb = GraftDb.openInMemory(spark, cap)
+
+  private def ok(db: GraftDb, sql: String): Response = {
+    val r = db.executeStringStmt(sql).fold(e => fail(e), identity).head
+    assert(r.error.isEmpty, s"unexpected error for [$sql]: ${r.error}")
+    r
+  }
+
+  private def err(db: GraftDb, sql: String): String = {
+    val r = db.executeStringStmt(sql).fold(e => fail(e), identity).head
+    assert(r.error.nonEmpty, s"expected an error for [$sql]")
+    r.error
+  }
+
+  private def rows(db: GraftDb, sql: String): Seq[Seq[Value]] =
+    db.queryStringStmt(sql).fold(e => fail(e), _.head.values)
+
+  private def longOf(db: GraftDb, sql: String): Long =
+    rows(db, sql).head.head.asInstanceOf[Value.Integer].v
+
+  /** 5× the cap through the bulk INSERT…SELECT path. */
+  private def seedBig(db: GraftDb): Unit = {
+    ok(db, "CREATE TABLE big (id INTEGER PRIMARY KEY, v INTEGER, s TEXT)")
+    ok(db, "INSERT INTO big SELECT id + 1, (id + 1) * 2, " +
+      "concat('r', CAST(id AS STRING)) FROM range(1000)")
+  }
+
+  test("bulk INSERT...SELECT spills past the cap and stays queryable") {
+    val db = mem()
+    seedBig(db)
+    assert(db.isSpilled("big"), "1000 rows over a 200-row cap must spill")
+    assert(longOf(db, "SELECT COUNT(*) FROM big") == 1000L)
+    // sum(2 + 4 + ... + 2000) = 2 * 1000*1001/2
+    assert(longOf(db, "SELECT SUM(v) FROM big") == 1001000L)
+    // rowid alias carries the explicit ids; last_insert_id = last row's id
+    assert(longOf(db, "SELECT MAX(id) FROM big") == 1000L)
+  }
+
+  test("bulk insert reports rows_affected and last_insert_id") {
+    val db = mem()
+    ok(db, "CREATE TABLE big (id INTEGER PRIMARY KEY, v INTEGER, s TEXT)")
+    val r = ok(db, "INSERT INTO big SELECT id + 1, (id + 1) * 2, " +
+      "concat('r', CAST(id AS STRING)) FROM range(1000)")
+    assert(r.rowsAffected == 1000L)
+    assert(r.lastInsertId == 1000L)
+    // a subsequent auto-rowid insert continues past the bulk block
+    val r2 = ok(db, "INSERT INTO big(v, s) VALUES (7, 'tail')")
+    assert(r2.lastInsertId == 1001L)
+  }
+
+  test("distributed UPDATE: affected count, values, WHERE semantics") {
+    val db = mem()
+    seedBig(db)
+    val r = ok(db, "UPDATE big SET v = v + 1 WHERE id % 2 = 0")
+    assert(r.rowsAffected == 500L)
+    assert(db.isSpilled("big"))
+    assert(longOf(db, "SELECT SUM(v) FROM big") == 1001500L)
+    assert(longOf(db, "SELECT COUNT(*) FROM big WHERE v % 2 = 1") == 500L)
+    // no-WHERE update touches every row
+    assert(ok(db, "UPDATE big SET s = upper(s)").rowsAffected == 1000L)
+    assert(longOf(db, "SELECT COUNT(*) FROM big WHERE s = upper(s)") == 1000L)
+  }
+
+  test("distributed DELETE: affected count and FK-free removal") {
+    val db = mem()
+    seedBig(db)
+    assert(ok(db, "DELETE FROM big WHERE id <= 100").rowsAffected == 100L)
+    assert(longOf(db, "SELECT COUNT(*) FROM big") == 900L)
+    assert(longOf(db, "SELECT MIN(id) FROM big") == 101L)
+    assert(ok(db, "DELETE FROM big").rowsAffected == 900L)
+    assert(longOf(db, "SELECT COUNT(*) FROM big") == 0L)
+  }
+
+  test("UNIQUE enforcement on a spilled table is an anti-join, same error") {
+    val db = mem()
+    seedBig(db)
+    assert(err(db, "INSERT INTO big VALUES (500, 0, 'dup')") ==
+      "UNIQUE constraint failed: big.id")
+    // conflict policies still run with exact sequential semantics
+    assert(ok(db, "INSERT OR IGNORE INTO big VALUES (500, 0, 'dup')")
+      .rowsAffected == 0L)
+    ok(db, "INSERT OR REPLACE INTO big VALUES (500, -1, 'replaced')")
+    assert(rows(db, "SELECT s FROM big WHERE id = 500").head.head ==
+      Value.Text("replaced"))
+    ok(db, "INSERT INTO big VALUES (500, 9, 'up') " +
+      "ON CONFLICT(id) DO UPDATE SET v = excluded.v")
+    assert(longOf(db, "SELECT v FROM big WHERE id = 500") == 9L)
+    assert(longOf(db, "SELECT COUNT(*) FROM big") == 1000L)
+    // UPDATE creating a duplicate key also fails distributed
+    assert(err(db, "UPDATE big SET id = 1 WHERE id = 2") ==
+      "UNIQUE constraint failed: big.id")
+  }
+
+  test("NOT NULL and CHECK enforce distributed with SQLite error strings") {
+    val db = mem()
+    ok(db, "CREATE TABLE big (id INTEGER PRIMARY KEY, v INTEGER NOT NULL, " +
+      "CHECK (v >= 0))")
+    ok(db, "INSERT INTO big SELECT id + 1, id FROM range(1000)")
+    assert(db.isSpilled("big"))
+    assert(err(db, "UPDATE big SET v = NULL WHERE id = 5") ==
+      "NOT NULL constraint failed: big.v")
+    assert(err(db, "UPDATE big SET v = -1 WHERE id = 5")
+      .startsWith("CHECK constraint failed"))
+    assert(err(db, "INSERT INTO big SELECT id + 5000, id - 2000 " +
+      "FROM range(1000)").startsWith("CHECK constraint failed"))
+    assert(longOf(db, "SELECT COUNT(*) FROM big") == 1000L)
+  }
+
+  test("FK enforcement joins against a spilled parent and on DELETE") {
+    val db = mem()
+    ok(db, "PRAGMA foreign_keys=ON")
+    seedBig(db)
+    ok(db, "CREATE TABLE child (cid INTEGER PRIMARY KEY, " +
+      "ref INTEGER REFERENCES big(id))")
+    ok(db, "INSERT INTO child VALUES (1, 42)")
+    assert(err(db, "INSERT INTO child VALUES (2, 5000)") ==
+      "FOREIGN KEY constraint failed")
+    assert(err(db, "DELETE FROM big WHERE id = 42") ==
+      "FOREIGN KEY constraint failed")
+    assert(ok(db, "DELETE FROM big WHERE id = 43").rowsAffected == 1L)
+    assert(longOf(db, "SELECT COUNT(*) FROM big") == 999L)
+  }
+
+  test("AFTER triggers fire from a rowid-join diff on spilled tables") {
+    val db = mem()
+    seedBig(db)
+    ok(db, "CREATE TABLE audit (what TEXT)")
+    ok(db, "CREATE TRIGGER t1 AFTER UPDATE ON big BEGIN " +
+      "INSERT INTO audit VALUES ('u' || NEW.id); END")
+    ok(db, "CREATE TRIGGER t2 AFTER DELETE ON big BEGIN " +
+      "INSERT INTO audit VALUES ('d' || OLD.id); END")
+    ok(db, "UPDATE big SET v = 0 WHERE id IN (3, 4)")
+    ok(db, "DELETE FROM big WHERE id = 9")
+    assert(rows(db, "SELECT what FROM audit ORDER BY what")
+      .map(_.head.asInstanceOf[Value.Text].v) == Seq("d9", "u3", "u4"))
+  }
+
+  test("spilled-path semantics match the Mem path statement-for-statement") {
+    // the same mixed batch against an uncapped (Mem) db and a capped
+    // (spilled) one must produce identical envelopes and final state
+    val stmts = Seq(
+      "CREATE TABLE big (id INTEGER PRIMARY KEY, v INTEGER, s TEXT)",
+      "INSERT INTO big SELECT id + 1, (id + 1) * 2, concat('r', " +
+        "CAST(id AS STRING)) FROM range(1000)",
+      "UPDATE big SET v = -v WHERE id % 7 = 0",
+      "DELETE FROM big WHERE id % 13 = 0",
+      "INSERT OR REPLACE INTO big VALUES (77, 0, 'x')",
+      "INSERT INTO big VALUES (42, 1, 'dup')", // UNIQUE error on both
+      "INSERT INTO big(v, s) VALUES (5, 'tail')")
+    val dbMem = mem(cap = 1000000L)
+    val dbBig = mem(cap = Cap)
+    val (rm, rb) = (stmts.map(s =>
+      dbMem.executeStringStmt(s).fold(e => fail(e), _.head)),
+      stmts.map(s => dbBig.executeStringStmt(s).fold(e => fail(e), _.head)))
+    assert(!dbMem.isSpilled("big") && dbBig.isSpilled("big"))
+    assert(rm == rb, "per-statement envelopes must match")
+    val q = "SELECT id, v, s FROM big ORDER BY id"
+    assert(rows(dbMem, q) == rows(dbBig, q), "final state must match")
+  }
+
+  test("over-cap table checkpoints to parquet and recovers spilled") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-big").toString
+    val db = GraftDb.open(spark, dir, Cap).fold(e => fail(e), identity)
+    seedBig(db)
+    ok(db, "UPDATE big SET v = v + 1 WHERE id <= 10")
+    db.checkpoint().fold(e => fail(e), identity)
+    db.close()
+    val db2 = GraftDb.open(spark, dir, Cap).fold(e => fail(e), identity)
+    assert(db2.isSpilled("big"), "recovered over-cap table must stay spilled")
+    assert(longOf(db2, "SELECT COUNT(*) FROM big") == 1000L)
+    assert(longOf(db2, "SELECT SUM(v) FROM big") == 1001010L)
+    // and keeps accepting writes with correct rowid continuation
+    assert(ok(db2, "INSERT INTO big(v, s) VALUES (1, 'post')")
+      .lastInsertId == 1001L)
+    db2.close()
+  }
+
+  test("CTAS over the cap lands directly on the spilled store") {
+    val db = mem()
+    ok(db, "CREATE TABLE big AS SELECT id AS n, id * id AS sq FROM range(5000)")
+    assert(db.isSpilled("big"))
+    assert(longOf(db, "SELECT COUNT(*) FROM big") == 5000L)
+    assert(longOf(db, "SELECT MAX(sq) FROM big") == 4999L * 4999L)
+  }
+
+  test("ALTER TABLE on a spilled table is a lazy projection") {
+    val db = mem()
+    seedBig(db)
+    ok(db, "ALTER TABLE big ADD COLUMN w INTEGER DEFAULT 3")
+    assert(longOf(db, "SELECT SUM(w) FROM big") == 3000L)
+    ok(db, "ALTER TABLE big RENAME COLUMN w TO w2")
+    ok(db, "UPDATE big SET w2 = w2 * id WHERE id <= 3")
+    assert(longOf(db, "SELECT SUM(w2) FROM big WHERE id <= 3") == 18L)
+    ok(db, "ALTER TABLE big DROP COLUMN w2")
+    assert(rows(db, "SELECT * FROM big WHERE id = 1").head.size == 3)
+  }
+
+  test("bulk INSERT OR IGNORE / OR REPLACE resolve via windows+anti-joins") {
+    val db = mem()
+    ok(db, "CREATE TABLE big (id INTEGER PRIMARY KEY, v INTEGER)")
+    ok(db, "INSERT INTO big SELECT id + 1, 0 FROM range(1000)")
+    // overlap 501..1500; IGNORE keeps existing, inserts only the new 500
+    val ri = ok(db, "INSERT OR IGNORE INTO big " +
+      "SELECT id + 501, 1 FROM range(1000)")
+    assert(ri.rowsAffected == 500L)
+    assert(longOf(db, "SELECT COUNT(*) FROM big") == 1500L)
+    assert(longOf(db, "SELECT SUM(v) FROM big") == 500L)
+    // REPLACE overwrites the overlap wholesale
+    val rr = ok(db, "INSERT OR REPLACE INTO big " +
+      "SELECT id + 1001, 2 FROM range(1000)")
+    assert(rr.rowsAffected == 1000L)
+    assert(longOf(db, "SELECT COUNT(*) FROM big") == 2000L)
+    assert(longOf(db, "SELECT SUM(v) FROM big WHERE v = 2") == 2000L)
+    // bulk upsert is the documented unsupported corner
+    assert(err(db, "INSERT INTO big SELECT id + 1, 9 FROM range(1000) " +
+      "ON CONFLICT(id) DO UPDATE SET v = excluded.v")
+      .contains("not supported"))
+  }
+
+  test("none-level reads serve a spilled committed snapshot lock-free") {
+    val db = mem()
+    seedBig(db)
+    val r = db.query(Request(transaction = false,
+      Seq(Statement("SELECT COUNT(*) FROM big"))), ReadLevel.None)
+      .fold(e => fail(e), identity)
+    assert(r.head.values.head.head == Value.Integer(1000L))
+  }
+}
