@@ -280,8 +280,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         s.createDataFrame(data, td.schema).createOrReplaceTempView(td.name)
       case (td, Big(df, _, _)) =>
         // a DataFrame is bound to the engine's private session; re-root its
-        // (already materialized) RDD on the fresh reader session
-        s.createDataFrame(df.rdd, df.schema)
+        // (already materialized) RDD on the fresh reader session. Sort by
+        // __ord before dropping it — same insertion-order contract as the
+        // locked view registration.
+        s.createDataFrame(df.rdd, df.schema).orderBy(col("__ord"))
           .drop("__ord", "__rowid").createOrReplaceTempView(td.name)
     }
     committedViews.foreach { case (name, select) =>
@@ -604,7 +606,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     val casts = cols.zipWithIndex.map { case (c, i) =>
       s"CAST(`${df.columns(i).replace("`", "``")}` AS ${sparkTypeName(c)}) AS `${c.name}`"
     }
-    val cast = df.selectExpr(casts: _*)
+    // materialize once (localCheckpoint) so a nondeterministic source can't
+    // make the cap probe and the stored rows disagree
+    val cast = df.selectExpr(casts: _*).localCheckpoint()
     val createSql = "CREATE TABLE " + name + " (" +
       cols.map(c => s"${c.name} ${c.affinity match {
         case Affinity.Integer => "INTEGER"
@@ -1235,15 +1239,23 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     }.toMap
     val rowidIdx = td.rowidAlias.map(c => td.colIndex(c.name)).getOrElse(-1)
     val probeCap = math.min(maxDriverRows, Int.MaxValue - 2L).toInt
-    val incomingOpt: Option[IndexedSeq[Row]] = source match {
-      case Left(_) => Some(df.collect().toIndexedSeq)
-      case Right(_) =>
-        val p = df.limit(probeCap + 1).collect()
-        if (p.length > probeCap) None else Some(p.toIndexedSeq)
-    }
+    // A SELECT source is materialized ONCE (localCheckpoint — blocks live on
+    // executors) before the cap probe, so a nondeterministic source can
+    // never yield a spill decision inconsistent with the rows actually
+    // stored. (The execute API's determinism guard already rejects rand()/
+    // uuid() SQL for statement-log replication; this keeps the invariant by
+    // construction for any internal caller too.)
+    val (stable, incomingOpt): (DataFrame, Option[IndexedSeq[Row]]) =
+      source match {
+        case Left(_) => (df, Some(df.collect().toIndexedSeq))
+        case Right(_) =>
+          val ck = df.localCheckpoint()
+          val p = ck.limit(probeCap + 1).collect()
+          (ck, if (p.length > probeCap) None else Some(p.toIndexedSeq))
+      }
     incomingOpt match {
       case None =>
-        bulkInsertBig(work, ts, targetCols, defaults, rowidIdx, df, policy)
+        bulkInsertBig(work, ts, targetCols, defaults, rowidIdx, stable, policy)
       case Some(incoming) =>
         // Build candidate full rows + rowids (sequential — exact SQLite
         // running-max rowid assignment).
@@ -1450,9 +1462,20 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       case Some(rm) =>
         big.df.join(broadcast(rm), col("__rowid") === col("__rm"), "left_anti")
     }
+    // Insert-only policies can only ever write key values that came from a
+    // candidate, and every remainder row sharing such a key is in the slice
+    // by construction. ON CONFLICT DO UPDATE SET is the exception: it can
+    // write a unique column to a constant or to excluded.<other_col>, a
+    // value the slice was not built from — those statements also probe the
+    // remainder for clashes (validate's uniqueRemainder leg).
+    val probeRemainder = policy match {
+      case Conflict.Upsert(_, sets) if sets.nonEmpty => Some(keep)
+      case _ => None
+    }
     applyPolicySeq(td, policy, base, candidates, lastId).flatMap {
       case (fin, touched, affected, lastOpt) =>
-        validate(work, td, fin, touched, selfRemainder = Some(keep)).map { _ =>
+        validate(work, td, fin, touched, selfRemainder = Some(keep),
+          uniqueRemainder = probeRemainder).map { _ =>
           val ordByRid = mini.map { case (rid, (o, _)) => rid -> o }.toMap
           var ord = big.nextOrd
           val schema = StructType(
@@ -1483,7 +1506,21 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     *    interleave differently than SQLite's running max (both are valid
     *    assignments; collisions still fail with the UNIQUE error);
     *  - ON CONFLICT DO UPDATE over an over-cap source is rejected (its
-    *    excluded.* semantics are sequential by definition). */
+    *    excluded.* semantics are sequential by definition);
+    *  - OR IGNORE on a table with ≥2 unique constraints: conflicts can
+    *    CHAIN across specs (a candidate skipped for a spec-2 conflict no
+    *    longer blocks a later candidate on spec-1 — lexicographically-first
+    *    independent set, inherently sequential). The contested subset
+    *    (candidates sharing a key with another candidate) resolves with the
+    *    exact sequential policy on the driver — it is conflict-participants
+    *    only, normally statement-scale; ONLY if the contested subset itself
+    *    exceeds the driver cap does resolution fall back to independent
+    *    per-spec windows, which can then diverge on chained conflicts.
+    *    OR REPLACE has no such divergence at any size: a candidate survives
+    *    iff no LATER candidate shares any unique key (deletion timing can't
+    *    resurrect a row), which the per-spec max-__ord windows compute
+    *    exactly — provided every window runs over the UNFILTERED candidate
+    *    set, which they do below. */
   private def bulkInsertBig(work: Tables, ts: TableState, targetCols: Seq[Int],
       defaults: Map[Int, Any], rowidIdx: Int, df: DataFrame,
       policy: Conflict): Either[String, Long] = {
@@ -1535,6 +1572,13 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     import org.apache.spark.sql.functions.{max, row_number}
     policy match {
       case Conflict.Abort =>
+        // Mem-path / SQLite precedence: NOT NULL → CHECK → UNIQUE → FK, so
+        // a batch violating several constraints reports the same error
+        // string here as on the driver path.
+        validateNotNullCheckBulk(td, candDf) match {
+          case Left(e) => return Left(e)
+          case Right(()) =>
+        }
         specs.foreach { case (idxs, desc) =>
           val names = specCols(idxs)
           val nn = notNullKeys(names)
@@ -1548,7 +1592,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             return Left(s"UNIQUE constraint failed: $desc")
         }
         val merged = big.df.union(candDf)
-        validateBulk(work, td, candDf, merged).map { _ =>
+        validateFkDf(work, td, candDf, merged).map { _ =>
           ts.store = mkBig(merged)
           ts.nextRowId = newNextId
           lastRowId = lastRid
@@ -1567,19 +1611,78 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             kept = t
           } catch { case _: Exception => }
         }
-        specs.foreach { case (idxs, _) =>
-          val names = specCols(idxs)
-          val nn = notNullKeys(names)
-          // intra-batch: first occurrence per key wins (insertion order)
-          val w = Window.partitionBy(names.map(col): _*).orderBy(col("__ord"))
-          kept = kept.withColumn("__rn", row_number().over(w))
-            .filter(!nn || col("__rn") === 1).drop("__rn")
-          // vs table: NULL keys never match an equi-join → they survive
-          val keyed = big.df.select(names.map(n2 => col(n2).as("__t_" + n2)): _*)
-          val cond = names.map(n2 => col(n2) === col("__t_" + n2)).reduce(_ && _)
-          kept = kept.join(keyed, cond, "left_anti")
+        // Per-spec resolution: intra-batch first-per-key window + anti-join
+        // vs the table. Exact for a single spec; for ≥2 specs it is the
+        // documented fallback (chained cross-spec conflicts — see Scaladoc).
+        def perSpecResolve(df0: DataFrame): DataFrame = {
+          var k = df0
+          specs.foreach { case (idxs, _) =>
+            val names = specCols(idxs)
+            val nn = notNullKeys(names)
+            // intra-batch: first occurrence per key wins (insertion order)
+            val w = Window.partitionBy(names.map(col): _*).orderBy(col("__ord"))
+            k = k.withColumn("__rn", row_number().over(w))
+              .filter(!nn || col("__rn") === 1).drop("__rn")
+            // vs table: NULL keys never match an equi-join → they survive
+            val keyed = big.df.select(names.map(n2 => col(n2).as("__t_" + n2)): _*)
+            val cond = names.map(n2 => col(n2) === col("__t_" + n2)).reduce(_ && _)
+            k = k.join(keyed, cond, "left_anti")
+          }
+          k
         }
-        val keptC = kept.localCheckpoint()
+        val resolved: DataFrame =
+          if (specs.size < 2) perSpecResolve(kept)
+          else {
+            // ≥2 specs: a candidate's fate depends only on candidates it
+            // shares a key with (the CONTESTED set) plus the table rows
+            // holding those keys — candidates sharing no key with any other
+            // candidate resolve independently. Mark contested rows with one
+            // count-over-window per spec, resolve them sequentially on the
+            // interacting slice (exact SQLite order), the rest distributed.
+            import org.apache.spark.sql.functions.{count, lit}
+            var m = kept
+            val flags = specs.zipWithIndex.map { case ((idxs, _), i) =>
+              val names = specCols(idxs)
+              m = m.withColumn(s"__c$i",
+                notNullKeys(names) &&
+                  count(lit(1)).over(
+                    Window.partitionBy(names.map(col): _*)) > 1)
+              s"__c$i"
+            }
+            val mC = m.localCheckpoint()
+            val anyC = flags.map(col).reduce(_ || _)
+            val probeCap = math.min(maxDriverRows, Int.MaxValue - 2L).toInt
+            val contested = mC.filter(anyC).drop(flags: _*)
+              .orderBy(col("__ord"))
+            val cRows = contested.limit(probeCap + 1).collect()
+            if (cRows.length > probeCap) perSpecResolve(kept) // documented fallback
+            else {
+              val cCands = cRows.toIndexedSeq.map(r =>
+                (r.getLong(1), (2 until 2 + nCols).map(r.get).toIndexedSeq))
+              val slice = collectInteracting(td, big, specs, cCands)
+                .map { case (rid2, (_, v)) => (rid2, v) }.toVector
+              var cur = slice
+              val sv = Vector.newBuilder[Long]
+              cCands.foreach { case (rid2, vals) =>
+                if (!cur.exists { case (_, r) => conflicts(specs, r, vals) }) {
+                  cur :+= ((rid2, vals)); sv += rid2
+                }
+              }
+              val survRids = sv.result()
+              val uncontested = perSpecResolve(mC.filter(!anyC).drop(flags: _*))
+              if (survRids.isEmpty) uncontested
+              else {
+                val rdf = session.createDataFrame(
+                  survRids.map(Row(_)).asJava,
+                  StructType(Seq(
+                    StructField("__sv", LongType, nullable = false))))
+                uncontested.union(
+                  mC.filter(anyC).drop(flags: _*).join(broadcast(rdf),
+                    col("__rowid") === col("__sv"), "left_semi"))
+              }
+            }
+          }
+        val keptC = resolved.localCheckpoint()
         val merged = big.df.union(keptC)
         validateBulk(work, td, keptC, merged).map { _ =>
           val ks = keptC.selectExpr("count(*) AS c",
@@ -1590,17 +1693,27 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           ks.getLong(0)
         }
       case Conflict.Replace =>
-        // a candidate is superseded iff a LATER candidate shares any spec
-        // key (each candidate is present when its successor arrives, so
-        // pairwise last-wins equals the sequential outcome)
-        var surv = candDf
-        specs.foreach { case (idxs, _) =>
+        // A candidate is superseded iff a LATER candidate shares any spec
+        // key: when the later one lands it deletes every current row it
+        // conflicts with, and deletion timing can never resurrect a row, so
+        // the sequential outcome is exactly "latest per key on every spec".
+        // Every window MUST run over the unfiltered candidate set — chaining
+        // the filters would hide a spec-1-dropped candidate from spec-2's
+        // window and retain a row SQLite deletes (chained cross-spec
+        // conflict).
+        var flagged = candDf
+        val mxFlags = specs.zipWithIndex.map { case ((idxs, _), i) =>
           val names = specCols(idxs)
           val nn = notNullKeys(names)
           val w = Window.partitionBy(names.map(col): _*)
-          surv = surv.withColumn("__mx", max(col("__ord")).over(w))
-            .filter(!nn || col("__ord") === col("__mx")).drop("__mx")
+          flagged = flagged.withColumn(s"__mx$i",
+            !nn || col("__ord") === max(col("__ord")).over(w))
+          s"__mx$i"
         }
+        val surv =
+          if (mxFlags.isEmpty) candDf
+          else flagged.filter(mxFlags.map(col).reduce(_ && _))
+            .drop(mxFlags: _*)
         var keepT = big.df
         specs.foreach { case (idxs, _) =>
           val names = specCols(idxs)
@@ -1628,7 +1741,15 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     * `finalDf` is the post-statement table, used as the parent side of
     * self-referencing FKs. */
   private def validateBulk(work: Tables, td: TableDef, newDf: DataFrame,
-                           finalDf: DataFrame): Either[String, Unit] = {
+                           finalDf: DataFrame): Either[String, Unit] =
+    validateNotNullCheckBulk(td, newDf).flatMap(_ =>
+      validateFkDf(work, td, newDf, finalDf))
+
+  /** The NOT NULL and CHECK legs of [[validateBulk]], separable so the
+    * Abort branch can run them BEFORE its uniqueness probes (SQLite
+    * error-precedence parity: NOT NULL → CHECK → UNIQUE → FK). */
+  private def validateNotNullCheckBulk(td: TableDef,
+                                       newDf: DataFrame): Either[String, Unit] = {
     td.cols.foreach { c =>
       if (c.notNull && !c.isRowidAlias &&
         newDf.filter(col(c.name).isNull).limit(1).count() > 0)
@@ -1640,7 +1761,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         catch { case _: Exception => 0L } // unresolvable expr: ignore
       if (bad > 0) return Left(s"CHECK constraint failed: $label")
     }
-    validateFkDf(work, td, newDf, finalDf)
+    Right(())
   }
 
   /** Distributed FK check: every non-null referencing value in `newDf`
@@ -1877,7 +1998,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       work: Tables, td: TableDef,
       allRows: Vector[(Long, IndexedSeq[Any])],
       newRows: Seq[IndexedSeq[Any]],
-      selfRemainder: Option[DataFrame] = None): Either[String, Unit] = {
+      selfRemainder: Option[DataFrame] = None,
+      uniqueRemainder: Option[DataFrame] = None): Either[String, Unit] = {
     td.cols.zipWithIndex.foreach { case (c, i) =>
       if (c.notNull && !c.isRowidAlias)
         newRows.foreach { r =>
@@ -1903,6 +2025,28 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         val key = idxs.map(r(_))
         if (!key.contains(null) && !seen.add(key))
           return Left(s"UNIQUE constraint failed: $desc")
+      }
+      // DO UPDATE SET can write a unique column to a value that was never
+      // among the candidates' own keys, so the interacting slice cannot
+      // contain the remainder row it may now collide with — probe the
+      // untouched remainder with the touched rows' keys (broadcast
+      // semi-join, bounded by the statement, never by the table).
+      uniqueRemainder.foreach { keep =>
+        val keys = newRows.map(r => idxs.map(r(_)))
+          .filterNot(_.contains(null)).distinct
+        if (keys.nonEmpty) {
+          val names = idxs.map(td.cols(_).name)
+          val kschema = StructType(idxs.map(i =>
+            StructField("__q_" + td.cols(i).name,
+              td.cols(i).sparkType)).toArray)
+          val kdf = session.createDataFrame(
+            keys.map(k => Row.fromSeq(k)).asJava, kschema)
+          val cond = names.map(nm =>
+            col(nm) === col("__q_" + nm)).reduce(_ && _)
+          if (keep.join(broadcast(kdf), cond, "left_semi")
+                .limit(1).count() > 0)
+            return Left(s"UNIQUE constraint failed: $desc")
+        }
       }
     }
     if (fkEnabled) {
@@ -2121,7 +2265,17 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     work.values.foreach { ts =>
       val df = ridDf(ts)
       df.createOrReplaceTempView(ridView(ts.d.name))
-      df.drop("__ord", "__rowid").createOrReplaceTempView(ts.d.name)
+      // A Big store's physical layout is not insertion order (merges append
+      // relocated slices), so sort by __ord before dropping it: SELECT *
+      // observes insertion order exactly like the Mem vector — the order the
+      // store's contract documents. Catalyst's EliminateSorts strips the
+      // sort wherever downstream operators don't observe ordering, so
+      // aggregates/joins over the view pay nothing.
+      val ordered = ts.store match {
+        case _: Big => df.orderBy(col("__ord"))
+        case _ => df
+      }
+      ordered.drop("__ord", "__rowid").createOrReplaceTempView(ts.d.name)
     }
     // SQL views expand over the tables just registered, in creation order
     // (view-on-view works). A broken view (underlying table dropped) stays

@@ -243,4 +243,114 @@ class BigTableSpec extends SparkSpec {
       .fold(e => fail(e), identity)
     assert(r.head.values.head.head == Value.Integer(1000L))
   }
+
+  test("ON CONFLICT DO UPDATE cannot silently violate UNIQUE vs the remainder") {
+    val db = mem()
+    ok(db, "CREATE TABLE t (id INTEGER PRIMARY KEY, u INTEGER UNIQUE)")
+    ok(db, "INSERT INTO t SELECT id + 1, (id + 1) * 10 FROM range(1000)")
+    assert(db.isSpilled("t"))
+    // (1,10) and (2,20) exist. DO UPDATE SET u = 20 writes a key the slice
+    // was NOT built from — the clash lives in the untouched remainder and
+    // must still fail with the SQLite error string.
+    assert(err(db, "INSERT INTO t VALUES (1, 999) " +
+      "ON CONFLICT(id) DO UPDATE SET u = 20") ==
+      "UNIQUE constraint failed: t.u")
+    // the failed statement must not have committed anything
+    assert(longOf(db, "SELECT u FROM t WHERE id = 1") == 10L)
+    assert(longOf(db, "SELECT COUNT(*) FROM t") == 1000L)
+    // excluded.<col> clashes are caught via the slice (the key came from the
+    // candidate itself)
+    assert(err(db, "INSERT INTO t VALUES (1, 30) " +
+      "ON CONFLICT(id) DO UPDATE SET u = excluded.u") ==
+      "UNIQUE constraint failed: t.u")
+    // a non-clashing DO UPDATE still lands
+    ok(db, "INSERT INTO t VALUES (1, 999999) " +
+      "ON CONFLICT(id) DO UPDATE SET u = excluded.u")
+    assert(longOf(db, "SELECT u FROM t WHERE id = 1") == 999999L)
+  }
+
+  test("bulk OR IGNORE resolves chained multi-spec conflicts sequentially") {
+    // A(1,10) lands; B(2,10) is skipped (b conflict with A); C(2,11) then
+    // has NO conflict (B never landed) and must survive — independent
+    // per-spec windows would wrongly drop C. Cap=5 forces the bulk path on
+    // the 6-row source while the 3-row contested subset stays under the cap.
+    val db = mem(cap = 5)
+    ok(db, "CREATE TABLE t (a INTEGER UNIQUE, b INTEGER UNIQUE)")
+    val r = ok(db, "INSERT OR IGNORE INTO t SELECT * FROM (VALUES " +
+      "(1, 10), (2, 10), (2, 11), (10, 100), (11, 101), (12, 102))")
+    assert(r.rowsAffected == 5L)
+    assert(rows(db, "SELECT a, b FROM t WHERE a <= 2 ORDER BY a") ==
+      Seq(Seq(Value.Integer(1), Value.Integer(10)),
+          Seq(Value.Integer(2), Value.Integer(11))))
+    // chain through a pre-existing table row: (5,50) blocks A'(5,60) on a,
+    // so B'(6,60) lands, so C'(6,61) is blocked on a by B'
+    ok(db, "INSERT OR IGNORE INTO t VALUES (5, 50)")
+    val r2 = ok(db, "INSERT OR IGNORE INTO t SELECT * FROM (VALUES " +
+      "(5, 60), (6, 60), (6, 61), (20, 200), (21, 201), (22, 202))")
+    assert(r2.rowsAffected == 4L)
+    assert(rows(db, "SELECT a, b FROM t WHERE a IN (5, 6) ORDER BY a") ==
+      Seq(Seq(Value.Integer(5), Value.Integer(50)),
+          Seq(Value.Integer(6), Value.Integer(60))))
+    // Mem-path parity twin: the sequential driver path agrees row-for-row
+    val db2 = mem(cap = 1000000)
+    ok(db2, "CREATE TABLE t (a INTEGER UNIQUE, b INTEGER UNIQUE)")
+    ok(db2, "INSERT OR IGNORE INTO t SELECT * FROM (VALUES " +
+      "(1, 10), (2, 10), (2, 11), (10, 100), (11, 101), (12, 102))")
+    ok(db2, "INSERT OR IGNORE INTO t VALUES (5, 50)")
+    ok(db2, "INSERT OR IGNORE INTO t SELECT * FROM (VALUES " +
+      "(5, 60), (6, 60), (6, 61), (20, 200), (21, 201), (22, 202))")
+    assert(rows(db2, "SELECT a, b FROM t ORDER BY a") ==
+      rows(db, "SELECT a, b FROM t ORDER BY a"))
+  }
+
+  test("bulk OR REPLACE: chained multi-spec supersession matches SQLite") {
+    // Sequential: A(1,10); B(2,10) deletes A (b); C(2,11) deletes B (a) —
+    // final {(2,11)}. Chained per-spec windows would retain A.
+    val db = mem(cap = 2)
+    ok(db, "CREATE TABLE t (a INTEGER UNIQUE, b INTEGER UNIQUE)")
+    ok(db, "INSERT OR REPLACE INTO t " +
+      "SELECT * FROM (VALUES (1, 10), (2, 10), (2, 11))")
+    assert(rows(db, "SELECT a, b FROM t ORDER BY a") ==
+      Seq(Seq(Value.Integer(2), Value.Integer(11))))
+    // Mem-path parity twin
+    val db2 = mem(cap = 1000000)
+    ok(db2, "CREATE TABLE t (a INTEGER UNIQUE, b INTEGER UNIQUE)")
+    ok(db2, "INSERT OR REPLACE INTO t " +
+      "SELECT * FROM (VALUES (1, 10), (2, 10), (2, 11))")
+    assert(rows(db2, "SELECT a, b FROM t ORDER BY a") ==
+      rows(db, "SELECT a, b FROM t ORDER BY a"))
+  }
+
+  test("bulk Abort reports NOT NULL before UNIQUE (error precedence parity)") {
+    val db = mem(cap = 2)
+    ok(db, "CREATE TABLE t (id INTEGER PRIMARY KEY, v INTEGER NOT NULL)")
+    // the batch violates BOTH constraints; the Mem/SQLite path reports
+    // NOT NULL first
+    assert(err(db, "INSERT INTO t " +
+      "SELECT * FROM (VALUES (1, 5), (1, 6), (2, NULL))") ==
+      "NOT NULL constraint failed: t.v")
+    val db2 = mem(cap = 1000000)
+    ok(db2, "CREATE TABLE t (id INTEGER PRIMARY KEY, v INTEGER NOT NULL)")
+    assert(err(db2, "INSERT INTO t " +
+      "SELECT * FROM (VALUES (1, 5), (1, 6), (2, NULL))") ==
+      "NOT NULL constraint failed: t.v")
+  }
+
+  test("SELECT without ORDER BY observes insertion order on a spilled table") {
+    val db = mem()
+    seedBig(db)
+    // relocate a mid-table row physically (upsert rewrites its slice at the
+    // end of the store's layout) — its __ord must still place it at id 500
+    ok(db, "INSERT INTO big VALUES (500, 9, 'moved') " +
+      "ON CONFLICT(id) DO UPDATE SET s = 'moved'")
+    ok(db, "INSERT INTO big(v, s) VALUES (1, 'tail')")
+    val ids = rows(db, "SELECT id FROM big")
+      .map(_.head.asInstanceOf[Value.Integer].v)
+    assert(ids == (1L to 1001L), "insertion order must survive relocation")
+    // the none-level snapshot observes the same order
+    val r = db.query(Request(transaction = false,
+      Seq(Statement("SELECT id FROM big"))), ReadLevel.None)
+      .fold(e => fail(e), identity)
+    assert(r.head.values.map(_.head) == (1L to 1001L).map(Value.Integer(_)))
+  }
 }
