@@ -82,7 +82,21 @@ object SparkEntry {
       // cosine ≈0.45 → the un-planted query is vacuously empty at 0.9);
       // oracle is the brute-force threshold twin over the same view
       "x63_embed_dup" -> ((s: SparkSession, d: String) =>
-        Similarity.cosineDupPairsPlanted(s, d))
+        Similarity.cosineDupPairsPlanted(s, d)),
+      // q56: q12's theta join re-planned as the scale-safe bucketed
+      // equi-join (RangeJoin.lessThanJoin) — value-identical output, plan
+      // pinned BNLJ-free in QueriesSpec; shares q12's DuckDB oracle
+      "q56_theta_banded" -> ((s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions.col
+        Tables.ensure(s, d)
+        val sup = s.table("supplier")
+        val a = sup.select(col("s_suppkey").as("s1"),
+          col("s_acctbal").as("__xa"))
+        val b = sup.select(col("s_suppkey").as("s2"),
+          col("s_acctbal").as("__xb"))
+        graft.operators.RangeJoin.lessThanJoin(a, "__xa", b, "__xb")
+          .select("s1", "s2").orderBy("s1", "s2")
+      })
     )
 
   /** x63 twin: brute-force all-pairs cosine over the SAME planted view as
@@ -184,5 +198,7 @@ object SparkEntry {
       ("x57_minhash_lsh" -> minhashDuck) +
       ("x58_simhash" -> simhashDuck) +
       ("x60_mm_decode" -> mmDecodeDuck) +
-      ("q55_param" -> Queries.q55ParamBound)
+      ("q55_param" -> Queries.q55ParamBound) +
+      ("q56_theta_banded" ->
+        Queries.all.find(_.name == "q12_theta").get.duck)
 }

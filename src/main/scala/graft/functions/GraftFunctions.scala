@@ -43,6 +43,25 @@ object GraftFunctions {
     "lsh_buckets(v) - multi-table hyperplane LSH bucket ids for a float array",
     "")
 
+  private def jaccardBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "jaccard_sim takes exactly 2 arguments")
+    JaccardSim(args.head, args(1))
+  }
+
+  private val jaccardInfo = new ExpressionInfo(
+    classOf[JaccardSim].getName, null, "jaccard_sim",
+    "jaccard_sim(a, b) - exact word-set Jaccard similarity of two strings",
+    "")
+
+  private def bandKeysBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, "minhash_band_keys takes exactly 1 argument")
+    MinHashBandKeys(args.head)
+  }
+
+  private val bandKeysInfo = new ExpressionInfo(
+    classOf[MinHashBandKeys].getName, null, "minhash_band_keys",
+    "minhash_band_keys(s) - MinHash LSH band keys for a text column", "")
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_sim"), cosineInfo, cosineBuilder _)
@@ -51,6 +70,11 @@ object GraftFunctions {
       intersectBuilder _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("lsh_buckets"), lshInfo, lshBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("jaccard_sim"), jaccardInfo, jaccardBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("minhash_band_keys"), bandKeysInfo,
+      bandKeysBuilder _)
     spark.udf.register("minhash_sig",
       org.apache.spark.sql.functions.udaf(MinHashAgg))
   }
@@ -72,7 +96,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_intersect_count(a, b) - |A intersect B| of two sorted int arrays",
         ""),
       (args: Seq[Expression]) => SortedIntersectCount(args.head, args(1))))
-    // opt-in similarity-join rewrite (spark.graft.cosineJoinRewrite.enabled)
+    ext.injectFunction((
+      FunctionIdentifier("jaccard_sim"),
+      new ExpressionInfo(classOf[JaccardSim].getName, null, "jaccard_sim",
+        "jaccard_sim(a, b) - exact word-set Jaccard similarity of two strings",
+        ""),
+      (args: Seq[Expression]) => JaccardSim(args.head, args(1))))
+    // opt-in similarity-join rewrites (spark.graft.cosineJoinRewrite.enabled
+    // / spark.graft.jaccardJoinRewrite.enabled)
     ext.injectOptimizerRule(_ => graft.plans.CosineJoinRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.JaccardJoinRewrite)
   }
 }

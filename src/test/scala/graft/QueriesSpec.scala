@@ -28,7 +28,8 @@ class QueriesSpec extends SparkSpec {
   test("driver contract: entry() returns rows and every query has unique name") {
     assert(SparkEntry.entry(spark).count() > 0)
     val qs = SparkEntry.queries
-    assert(qs.size == 71, s"expected 71 queries (q01-q55 + x49-x64), got ${qs.size}")
+    assert(qs.size == 72,
+      s"expected 72 queries (q01-q56 + x49-x64), got ${qs.size}")
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet),
       "oracle entries without a matching query")
     assert(SparkEntry.oracleSql.keySet == qs.keySet,
@@ -85,6 +86,20 @@ class QueriesSpec extends SparkSpec {
     val plan = run("x55_ann_topk").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("q56: banded theta join matches q12 exactly with no BNLJ in the plan") {
+    val banded = SparkEntry.queries("q56_theta_banded")(spark, sfDir)
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "banded plan must not nested-loop:\n" + plan)
+    assert(!plan.contains("CartesianProduct"),
+      "banded plan must not be a cartesian product:\n" + plan)
+    // value-identical to the declared q12 nested-loop plan
+    val q12 = run("q12_theta").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val q56 = banded.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(q56.sameElements(q12),
+      s"banded output diverges: ${q56.length} vs ${q12.length} rows")
   }
 
   test("q17 approx twin: approx_count_distinct within 5% of exact") {

@@ -127,6 +127,52 @@ class EventStreamsSpec extends SparkSpec {
     assert(n1 == 100 && n2 == 150, s"got $n1 then $n2")
   }
 
+  test("checkpointed file-source query restarts with exactly-once aggregates") {
+    import spark.implicits._
+    // B62+B65 over a FILE source with a checkpoint: stop the query between
+    // two file drops, restart from the checkpoint, and the append-mode sink
+    // must hold every finalized window exactly once — the stop/restart
+    // soak the MemoryStream twins can't cover (B65-B67 restart semantics).
+    val srcDir = java.nio.file.Files.createTempDirectory("evsoak_src").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("evsoak_ck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("evsoak_out").toString
+    val evs = eventRows.sortBy(_.ts.getTime)
+    val (a, b) = evs.splitAt(evs.size / 2)
+    def run(): Unit = {
+      val q = EventStreams.tumblingCountsWatermarked(
+          EventStreams.readEventStream(spark, srcDir))
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckDir).outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+    a.toDF().write.mode("append").parquet(srcDir)
+    run() // phase 1, then a full stop
+    // phase 2: the second half plus a far-future sentinel that pushes the
+    // watermark past every real window so they all finalize and emit
+    val sentinel = Ev(-1L,
+      new Timestamp(evs.last.ts.getTime + 48L * 3600 * 1000),
+      0L, "sentinel", 0.0, "{}")
+    (b :+ sentinel).toDF().write.mode("append").parquet(srcDir)
+    run() // restart from the checkpoint
+    val got = spark.read.parquet(outDir)
+      .filter(col("event_type") =!= "sentinel")
+      .select("h", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toSeq
+    // exactly-once: no window emitted twice across the restart
+    assert(got.map(_._1).distinct.size == got.size,
+      "a window was emitted more than once across the restart")
+    // and the finalized windows carry exactly the batch-twin counts
+    val expect = evs.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start"), col("event_type"), col("n")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got.nonEmpty, "no windows finalized")
+    got.foreach { case (k, n) =>
+      assert(expect.get(k).contains(n), s"window $k: got $n, want ${expect.get(k)}")
+    }
+  }
+
   test("B65 watermark finalizes windows and drops too-late events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
