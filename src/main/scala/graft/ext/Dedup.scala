@@ -14,11 +14,12 @@ import org.apache.spark.sql.functions._
   * property-tested in DedupSpec instead (candidates ⊇ exact duplicates;
   * estimate within ε of exact Jaccard).
   *
-  * Scale design: signatures are built in one scan with builtin higher-order
-  * functions (whole-stage codegen, no UDFs); the only shuffle is the
-  * band-bucket self-join, whose key (band_id, band_hash) spreads uniformly,
-  * so the pair space is bounded by bucket occupancy — the standard
-  * MinHash-LSH contract at 100 TB. No collect(), no cross join.
+  * Scale design: signatures are MAP-ONLY — one codegen'd native expression
+  * per doc over its word array ([[graft.functions.MinHashSignature]] /
+  * [[graft.functions.SimHash64]]), zero shuffle; the only shuffle in each
+  * pipeline is the band/chunk-bucket self-join, whose key spreads
+  * uniformly, so the pair space is bounded by bucket occupancy — the
+  * standard MinHash-LSH contract at 100 TB. No collect(), no cross join.
   */
 object Dedup {
   val NumPerms = 64
@@ -45,19 +46,23 @@ object Dedup {
         .as("words"))
   }
 
-  /** 64-perm MinHash signature: perm i = murmur3 of (word, i) — the hash
-    * family comes from hashing the permutation index alongside the word.
+  /** 64-perm MinHash signature: perm i = murmur3 of the word's UTF-8 bytes
+    * with seed i (the hash family is the seed index).
     *
-    * Computed as explode → groupBy(doc) with 64 `min(hash(tok, i))` agg
-    * columns: all whole-stage-codegen'd, one hash shuffle on doc_id. (The
-    * lambda formulation — transform/array_min over the word array — is
-    * ~10× slower because higher-order functions evaluate interpreted.) */
+    * Computed MAP-ONLY by the codegen'd [[graft.functions.MinHashSignature]]
+    * expression — one tight loop over the doc's word array, zero shuffle.
+    * (Two earlier formulations both paid real costs: transform/array_min
+    * lambdas evaluate interpreted (~10×); explode → groupBy(doc_id) with 64
+    * `min(hash(tok, i))` agg columns codegens but shuffles the exploded
+    * token stream and carries a 64-field aggregation buffer per doc — at
+    * 100 TB that shuffle is pure waste for a per-row-computable value.)
+    *
+    * Empty word sets are filtered here, preserving the explode
+    * formulation's documented contract that sketches drop empty docs. */
   private[graft] def signatures(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(col("words")).as("tok"))
-    val aggs = (0 until NumPerms).map(i => min(hash(col("tok"), lit(i))).as(s"m$i"))
-    toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until NumPerms).map(i => col(s"m$i")): _*).as("sig"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.filter(size(col("words")) > 0)
+      .select(col("doc_id"), expr("minhash_signature(words)").as("sig"))
   }
 
   /** Band-bucket candidate pairs over one row per DISTINCT signature
@@ -122,8 +127,9 @@ object Dedup {
     // Jaccard values (a 64-bit collision between two of the corpus's
     // distinct tokens has probability ~V²/2^65 — negligible; this op is
     // sketch-verified by DedupSpec, not a DuckDB oracle).
+    graft.functions.GraftFunctions.register(spark)
     val words = docWords(spark, dir)
-      .withColumn("hwords", expr("array_sort(transform(words, w -> xxhash64(w)))"))
+      .withColumn("hwords", expr("xxhash64_sorted(words)"))
       .cache()
     minhashPairsOf(words)
   }
@@ -430,21 +436,15 @@ object Dedup {
   /** 64-bit SimHash over the word bag: bit b is the sign of the sum of
     * (±1 by bit b of xxhash64(word)).
     *
-    * Computed as explode → one xxhash64 per token → groupBy(doc) with 64
-    * codegen'd conditional-sum agg columns, then a bitwise-OR fold into one
-    * BIGINT. Same rationale as [[signatures]]: aggregation columns codegen,
-    * array lambdas don't. */
+    * Computed MAP-ONLY by the codegen'd [[graft.functions.SimHash64]]
+    * expression (values identical to the explode → 64-conditional-sum
+    * aggregation it replaces — same xxhash64 seed 42 — but with zero
+    * shuffle; see the [[signatures]] note). Empty word sets filtered for
+    * the same sketches-drop-empty-docs contract. */
   private[ext] def simhashes(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(col("words")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val aggs = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"b$b"))
-    toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(b =>
-          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_.bitwiseOR(_)).as("simhash"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.filter(size(col("words")) > 0)
+      .select(col("doc_id"), expr("simhash64(words)").as("simhash"))
   }
 
   /** SimHash near-dup pairs: block on the four 16-bit chunks (a pair within

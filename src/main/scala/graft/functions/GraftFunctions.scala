@@ -62,6 +62,33 @@ object GraftFunctions {
     classOf[MinHashBandKeys].getName, null, "minhash_band_keys",
     "minhash_band_keys(s) - MinHash LSH band keys for a text column", "")
 
+  private def sigBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, "minhash_signature takes exactly 1 argument")
+    MinHashSignature(args.head)
+  }
+
+  private val sigInfo = new ExpressionInfo(
+    classOf[MinHashSignature].getName, null, "minhash_signature",
+    "minhash_signature(words) - 64-perm MinHash signature of a word array", "")
+
+  private def simhashBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, "simhash64 takes exactly 1 argument")
+    SimHash64(args.head)
+  }
+
+  private val simhashInfo = new ExpressionInfo(
+    classOf[SimHash64].getName, null, "simhash64",
+    "simhash64(words) - 64-bit SimHash of a word array", "")
+
+  private def xxSortedBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, "xxhash64_sorted takes exactly 1 argument")
+    XxHash64Sorted(args.head)
+  }
+
+  private val xxSortedInfo = new ExpressionInfo(
+    classOf[XxHash64Sorted].getName, null, "xxhash64_sorted",
+    "xxhash64_sorted(words) - sorted xxhash64 array of a word array", "")
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_sim"), cosineInfo, cosineBuilder _)
@@ -75,6 +102,12 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("minhash_band_keys"), bandKeysInfo,
       bandKeysBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("minhash_signature"), sigInfo, sigBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("simhash64"), simhashInfo, simhashBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("xxhash64_sorted"), xxSortedInfo, xxSortedBuilder _)
     spark.udf.register("minhash_sig",
       org.apache.spark.sql.functions.udaf(MinHashAgg))
   }
@@ -102,6 +135,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "jaccard_sim(a, b) - exact word-set Jaccard similarity of two strings",
         ""),
       (args: Seq[Expression]) => JaccardSim(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, null,
+        "minhash_signature",
+        "minhash_signature(words) - 64-perm MinHash signature of a word array",
+        ""),
+      (args: Seq[Expression]) => MinHashSignature(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, null, "simhash64",
+        "simhash64(words) - 64-bit SimHash of a word array", ""),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("xxhash64_sorted"),
+      new ExpressionInfo(classOf[XxHash64Sorted].getName, null,
+        "xxhash64_sorted",
+        "xxhash64_sorted(words) - sorted xxhash64 array of a word array", ""),
+      (args: Seq[Expression]) => XxHash64Sorted(args.head)))
     // opt-in similarity-join rewrites (spark.graft.cosineJoinRewrite.enabled
     // / spark.graft.jaccardJoinRewrite.enabled)
     ext.injectOptimizerRule(_ => graft.plans.CosineJoinRewrite)

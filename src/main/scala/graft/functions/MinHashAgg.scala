@@ -2,8 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
-import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Typed UDAF (SURVEY.md §2.2 B69): 64-permutation MinHash signature as an
@@ -12,18 +10,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * 256-byte signature per group instead of the token multiset. That
   * map-side combine is the whole point at 100 TB.
   *
-  * The hash family is Catalyst's murmur3 folded over (token, permIndex)
-  * with the default seed — bit-for-bit identical to the SQL expression
-  * `hash(tok, i)`, so signatures from this Aggregator and from
+  * The hash family is Spark's murmur3 over the token's UTF-8 bytes with
+  * the permutation index as the seed — bit-for-bit identical to
+  * [[ArraySketch.minhashSig]], so signatures from this Aggregator and from
   * [[graft.ext.Dedup.signatures]] are interchangeable (pinned in spec).
   */
 object MinHashAgg extends Aggregator[String, Array[Int], Array[Int]] {
   val NumPerms = 64
 
-  /** Catalyst's hash(tok, i): fold murmur3 over both inputs, seed 42. */
+  /** murmur3(utf8 bytes of tok, seed = permutation index) — the
+    * [[ArraySketch.minhashSig]] family. */
   def hashTok(tok: String, i: Int): Int = {
-    val h1 = Murmur3HashFunction.hash(UTF8String.fromString(tok), StringType, 42L)
-    Murmur3HashFunction.hash(i, IntegerType, h1).toInt
+    val u = UTF8String.fromString(tok)
+    org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+      u.getBaseObject, u.getBaseOffset, u.numBytes, i)
   }
 
   override def zero: Array[Int] = Array.fill(NumPerms)(Int.MaxValue)

@@ -85,6 +85,52 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getInt(2) == 2)
   }
 
+  test("xxhash64_sorted matches the sorted-transform-lambda formulation exactly") {
+    GraftFunctions.register(spark)
+    val bad = Dedup.docWords(spark, sfDir).selectExpr(
+        "xxhash64_sorted(words) AS fast",
+        "array_sort(transform(words, w -> xxhash64(w))) AS ref")
+      .filter(expr("fast <> ref")).count()
+    assert(bad == 0, s"$bad mismatching docs")
+  }
+
+  test("simhash64 matches the explode/aggregate formulation exactly") {
+    GraftFunctions.register(spark)
+    // reference: the 64-conditional-sum aggregation the expression replaced
+    val toks = Dedup.docWords(spark, sfDir)
+      .filter(size(col("words")) > 0)
+      .select(col("doc_id"), explode(col("words")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val aggs = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$b"))
+    val ref = toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_.bitwiseOR(_)).as("ref"))
+    val bad = Dedup.docWords(spark, sfDir)
+      .selectExpr("doc_id", "simhash64(words) AS fast")
+      .join(ref, "doc_id")
+      .filter(col("fast") =!= col("ref")).count()
+    assert(bad == 0, s"$bad mismatching docs")
+  }
+
+  test("minhash_signature is map-only and stays inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val df = Dedup.docWords(spark, sfDir)
+      .selectExpr("doc_id", "minhash_signature(words) AS sig")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"), plan)
+    assert(!plan.contains("Exchange"), plan) // zero shuffle: per-row sketch
+    // each signature element is the min over words of murmur3(bytes, seed=i)
+    val r = spark.sql(
+      "SELECT minhash_signature(array('alpha', 'beta')) AS sig").head
+    val expected = (0 until 64).map(i =>
+      math.min(MinHashAgg.hashTok("alpha", i), MinHashAgg.hashTok("beta", i)))
+    assert(r.getSeq[Int](0) == expected)
+  }
+
   test("minhash_sig UDAF produces the same signatures as the agg-column path") {
     GraftFunctions.register(spark)
     val words = Dedup.docWords(spark, sfDir)
