@@ -55,6 +55,11 @@ object SparkEntry {
       // expected pairs from raw text and pin the booleans
       "x57_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashRecallCheck(s, d)),
       "x58_simhash"     -> ((s: SparkSession, d: String) => Dedup.simhashRecallCheck(s, d)),
+      // x65: the JaccardJoinRewrite optimizer rule run end-to-end through
+      // the oracle gate — a naive jaccard-threshold SQL join, rewritten to
+      // the banded equi-join, must find every word-set-equal pair
+      "x65_jaccard_rule" -> ((s: SparkSession, d: String) =>
+        Dedup.jaccardRewriteRecallCheck(s, d)),
       // q55: the B12 positional-binding path (SqlText.bind) run end-to-end
       // through the driver's oracle gate — the template carries a string
       // with an embedded quote to exercise the escaping rules
@@ -172,6 +177,11 @@ object SparkEntry {
        |FROM ($setEqualPairsDuck)
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  private val jaccardRuleDuck =
+    s"""SELECT doc_a, doc_b, TRUE AS found
+       |FROM ($setEqualPairsDuck)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** x60 twin: the fake decode is a closed-form function of documents.text
     * (header magic + big-endian dims from doc_id + UTF-8 payload), so the
     * oracle recomputes every field including the modular polynomial
@@ -197,6 +207,7 @@ object SparkEntry {
       ("x62_ann_ivf" -> recallDuck) +
       ("x57_minhash_lsh" -> minhashDuck) +
       ("x58_simhash" -> simhashDuck) +
+      ("x65_jaccard_rule" -> jaccardRuleDuck) +
       ("x60_mm_decode" -> mmDecodeDuck) +
       ("q55_param" -> Queries.q55ParamBound) +
       ("q56_theta_banded" ->

@@ -243,6 +243,41 @@ object Dedup {
         coalesce(col("hamming") === 0, lit(false)).as("ham_ok"))
       .orderBy("doc_a", "doc_b")
 
+  /** x65 driver query — oracle-checked recall for the OPT-IN
+    * [[graft.plans.JaccardJoinRewrite]] optimizer rule, same assertion
+    * pattern as [[minhashRecallCheck]]: the naive O(n²) jaccard-threshold
+    * join a user would write in plain SQL, executed THROUGH the rewrite
+    * (rule injected + flag enabled), must surface every word-set-equal pair
+    * (identical sets ⇒ jaccard 1 ≥ t, identical MinHash band keys ⇒ the
+    * banded equi-join meets them ⇒ the kept exact-verify conjunct passes).
+    * The booleans are deterministic by construction, so the DuckDB twin
+    * enumerates the set-equal pairs from raw text and asserts TRUE; the
+    * banding plan itself is pinned BNLJ-free in JaccardJoinRewriteSpec.
+    *
+    * The rule registration and flag stay enabled on the session afterwards
+    * (Spark optimizes lazily at action time, so they cannot be scoped to
+    * this call) — safe: the rewrite is a no-op for every plan without a
+    * jaccard_sim join predicate. */
+  def jaccardRewriteRecallCheck(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.ensure(spark, dir)
+    if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.JaccardJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.JaccardJoinRewrite
+    spark.conf.set(graft.plans.JaccardJoinRewrite.EnabledKey, "true")
+    val naive = spark.sql(
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, TRUE AS hit
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id
+        | AND jaccard_sim(a.text, b.text) >= 0.9""".stripMargin)
+    setEqualPairs(spark, dir)
+      .join(naive, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("hit"), lit(false)).as("found"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** n-gram Jaccard near-dup pairs (the driver query behind
     * x54_ngram_jaccard), via PPJoin-style prefix filtering — an EXACT
     * set-similarity join (recall 1 at the threshold, so the output is

@@ -108,6 +108,19 @@ class JaccardJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("x65 driver row executes the banded plan and recall holds on testdata") {
+    val df = graft.ext.Dedup.jaccardRewriteRecallCheck(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the naive join must actually have been rewritten: banded equi-join,
+    // no quadratic fallback anywhere in the driver row's plan
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1500))
+    assert(plan.contains("minhash_band_keys"), plan.take(1500))
+    val rows = df.collect()
+    assert(rows.nonEmpty, "no set-equal pairs in testdata — fixture sanity")
+    rows.foreach(r => assert(r.getAs[Boolean]("found"), r.toString))
+  }
+
   test("jaccard_sim semantics: word sets, empties, and symmetry") {
     graft.functions.GraftFunctions.register(spark)
     def j(a: String, b: String): Double =
