@@ -101,6 +101,25 @@ object SparkEntry {
           col("s_acctbal").as("__xb"))
         graft.operators.RangeJoin.lessThanJoin(a, "__xa", b, "__xb")
           .select("s1", "s2").orderBy("s1", "s2")
+      }),
+      // q57: distributed LEFT as-of join (operators/AsOfJoin) — each click
+      // event picks up the latest preceding view by the same user; one
+      // hash shuffle per side + a window pass, no range join. Oracle is
+      // DuckDB's LATERAL top-1 formulation with the same tie-break.
+      "q57_asof" -> ((s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions.col
+        Tables.ensure(s, d)
+        val ev = s.table("events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("view_id"), col("value").as("view_value"))
+        graft.operators.AsOfJoin
+          .asOf(clicks, views, "user_id", "ts",
+            Seq("view_id", "view_value"), "view_id")
+          .select("event_id", "user_id", "view_id", "view_value")
+          .orderBy("event_id")
       })
     )
 
@@ -211,5 +230,16 @@ object SparkEntry {
       ("x60_mm_decode" -> mmDecodeDuck) +
       ("q55_param" -> Queries.q55ParamBound) +
       ("q56_theta_banded" ->
-        Queries.all.find(_.name == "q12_theta").get.duck)
+        Queries.all.find(_.name == "q12_theta").get.duck) +
+      ("q57_asof" ->
+        """SELECT l.event_id, l.user_id, r.view_id, r.view_value
+          |FROM (SELECT * FROM events WHERE event_type = 'click') l
+          |LEFT JOIN LATERAL (
+          |  SELECT e.event_id AS view_id, e.value AS view_value
+          |  FROM events e
+          |  WHERE e.event_type = 'view' AND e.user_id = l.user_id
+          |    AND e.ts <= l.ts
+          |  ORDER BY e.ts DESC, e.event_id DESC
+          |  LIMIT 1) r ON TRUE
+          |ORDER BY event_id""".stripMargin)
 }
