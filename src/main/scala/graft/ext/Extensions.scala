@@ -299,6 +299,56 @@ object Extensions {
         |       CAST(SUM(wmin) % 1000000007 AS BIGINT) AS fp_modsum
         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // x66 deterministic hash-threshold sampling, stratified by language —
+    // the reproducible subsampling a training-data pipeline needs (rand()
+    // changes across retries/cluster layouts; a content hash never does).
+    // A doc survives iff md5(doc_id:text) is lexicographically below the
+    // stratum's hex threshold ('8' = keep 1/2, '4' = 1/4, '2' = 1/8), so
+    // the sample is a pure per-row predicate: one scan, no shuffle, no
+    // state, identical on any engine with md5 — which is what lets DuckDB
+    // re-derive the exact same sample for the oracle.
+    Q("x66_sample",
+      """SELECT doc_id, lang
+        |FROM documents
+        |WHERE md5(CAST(concat(CAST(doc_id AS STRING), ':', text) AS BINARY))
+        |      < CASE lang WHEN 'en' THEN '8' WHEN 'es' THEN '4' ELSE '2' END
+        |ORDER BY doc_id""".stripMargin,
+      """SELECT doc_id, lang
+        |FROM documents
+        |WHERE md5(CAST(doc_id AS VARCHAR) || ':' || text)
+        |      < CASE lang WHEN 'en' THEN '8' WHEN 'es' THEN '4' ELSE '2' END
+        |ORDER BY doc_id""".stripMargin),
+
+    // x67 end-to-end cleaning pipeline composition (the C4-style recipe:
+    // quality gate -> fingerprint dedup keep-first -> corpus stats) — the
+    // ops exist individually (x50/x52/x51); this row pins that they
+    // compose into one plan: scan -> per-row features -> one hash shuffle
+    // on the fingerprint -> keeper semi-join -> final aggregate.
+    Q("x67_pipeline",
+      """WITH m AS (SELECT doc_id, lang,
+        |             size(filter(split(LOWER(text), ' '), x -> x <> '')) AS ntoks,
+        |             md5(CAST(array_join(array_sort(array_distinct(
+        |               filter(split(LOWER(text), ' '), x -> x <> ''))), ' ')
+        |               AS BINARY)) AS fp
+        |           FROM documents),
+        |q AS (SELECT * FROM m WHERE ntoks >= 5),
+        |d AS (SELECT fp, MIN(doc_id) AS keeper FROM q GROUP BY fp),
+        |k AS (SELECT q.lang, q.ntoks FROM q JOIN d ON q.doc_id = d.keeper)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(ntoks) AS BIGINT) AS n_tokens
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+      """WITH m AS (SELECT doc_id, lang,
+        |             len(list_filter(string_split(LOWER(text), ' '), x -> x <> '')) AS ntoks,
+        |             md5(array_to_string(list_sort(list_distinct(
+        |               list_filter(string_split(LOWER(text), ' '), x -> x <> ''))), ' ')) AS fp
+        |           FROM documents),
+        |q AS (SELECT * FROM m WHERE ntoks >= 5),
+        |d AS (SELECT fp, MIN(doc_id) AS keeper FROM q GROUP BY fp),
+        |k AS (SELECT q.lang, q.ntoks FROM q JOIN d ON q.doc_id = d.keeper)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(ntoks) AS BIGINT) AS n_tokens
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin),
+
     // x56 multimodal metadata plumbing: opaque payload as a binary column
     // with typed metadata (byte length + content hash). The decode/transform
     // stubs over real binary batches live in [[Multimodal]].

@@ -27,6 +27,22 @@ class CoverageSpec extends SparkSpec {
       .map(r => (r.getLong(0).toInt, r.getString(1))).toSeq == base)
   }
 
+  test("B8: orc roundtrips schema and rows exactly (columnar alternative)") {
+    Tables.ensure(spark, sfDir)
+    val nation = spark.table("nation")
+    val tmp = java.nio.file.Files.createTempDirectory("fmt_orc").toString
+    nation.write.orc(s"$tmp/nation_orc")
+    val fromOrc = spark.read.orc(s"$tmp/nation_orc")
+    assert(fromOrc.schema == nation.schema) // ORC keeps types, unlike csv
+    assert(fromOrc.orderBy("n_nationkey").collect().map(_.toString).toSeq ==
+      nation.orderBy("n_nationkey").collect().map(_.toString).toSeq)
+    // predicate pushdown reaches the ORC scan like parquet
+    val plan = fromOrc.filter(col("n_regionkey") === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_regionkey"),
+      plan.take(800))
+  }
+
   test("B61: map functions (map_keys/map_values/element_at)") {
     val df = spark.sql(
       """SELECT map('a', 1, 'b', 2) AS m""")
