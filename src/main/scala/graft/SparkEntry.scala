@@ -120,6 +120,24 @@ object SparkEntry {
             Seq("view_id", "view_value"), "view_id")
           .select("event_id", "user_id", "view_id", "view_value")
           .orderBy("event_id")
+      }),
+      // q61: the salted skew join (operators/SkewJoin) run end-to-end —
+      // events (fact side, hot user_ids) join customer (dim side) with the
+      // hot keys spread over 16 deterministic salts; the rewrite is
+      // row-identical to the plain equi-join, which is exactly what the
+      // DuckDB oracle checks.
+      "q61_skew_join" -> ((s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions.col
+        Tables.ensure(s, d)
+        val fact = s.table("events")
+          .select(col("event_id"), col("user_id"))
+        val dim = s.table("customer")
+          .select(col("c_custkey"), col("c_name"))
+        graft.operators.SkewJoin
+          .saltedJoin(fact, "user_id", dim, "c_custkey",
+            saltBy = col("event_id"), salt = 16)
+          .select("event_id", "user_id", "c_name")
+          .orderBy("event_id")
       })
     )
 
@@ -231,6 +249,10 @@ object SparkEntry {
       ("q55_param" -> Queries.q55ParamBound) +
       ("q56_theta_banded" ->
         Queries.all.find(_.name == "q12_theta").get.duck) +
+      ("q61_skew_join" ->
+        """SELECT e.event_id, e.user_id, c.c_name
+          |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+          |ORDER BY event_id""".stripMargin) +
       ("q57_asof" ->
         """SELECT l.event_id, l.user_id, r.view_id, r.view_value
           |FROM (SELECT * FROM events WHERE event_type = 'click') l

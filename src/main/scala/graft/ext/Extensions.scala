@@ -358,6 +358,188 @@ object Extensions {
         |FROM documents ORDER BY doc_id""".stripMargin,
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
         |       md5(text) AS content_hash
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // x68 repetition signals (the Gopher/C4-style quality gates x50 does
+    // not cover): duplicate-token fraction, top-unigram fraction, and
+    // top-bigram fraction per document. Each is one scan + a per-doc
+    // explode/aggregate — the per-doc group is tiny (|doc| rows), so the
+    // shuffle key is doc_id and no group outgrows an executor at any
+    // corpus size. Bigrams via transform over positions (codegen'd HOF);
+    // single-token docs take top_bi_frac = 0 through the COALESCE.
+    Q("x68_repetition",
+      """WITH d AS (SELECT doc_id, array_remove(split(LOWER(text), ' '), '') AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id, size(toks) AS ntoks, size(array_distinct(toks)) AS ndist
+        |      FROM d WHERE size(toks) > 0),
+        |u AS (SELECT doc_id, tok FROM d LATERAL VIEW explode(toks) AS tok),
+        |uc AS (SELECT doc_id, MAX(c) AS top_uni FROM (
+        |         SELECT doc_id, tok, COUNT(*) AS c FROM u GROUP BY doc_id, tok)
+        |       GROUP BY doc_id),
+        |b AS (SELECT doc_id, bg FROM (
+        |        SELECT doc_id, transform(sequence(1, size(toks) - 1),
+        |            i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) AS bgs
+        |        FROM d WHERE size(toks) >= 2) LATERAL VIEW explode(bgs) AS bg),
+        |bc AS (SELECT doc_id, MAX(c) AS top_bi FROM (
+        |         SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg)
+        |       GROUP BY doc_id)
+        |SELECT m.doc_id AS doc_id, CAST(m.ntoks AS INT) AS ntoks,
+        |  CAST(CAST(ROUND(1.0 - CAST(ndist AS DOUBLE) / CAST(m.ntoks AS DOUBLE), 4) AS DECIMAL(18,4)) AS DOUBLE) AS dup_frac,
+        |  CAST(CAST(ROUND(CAST(top_uni AS DOUBLE) / CAST(m.ntoks AS DOUBLE), 4) AS DECIMAL(18,4)) AS DOUBLE) AS top_uni_frac,
+        |  COALESCE(CAST(CAST(ROUND(CAST(top_bi AS DOUBLE) / CAST(m.ntoks - 1 AS DOUBLE), 4) AS DECIMAL(18,4)) AS DOUBLE), 0.0) AS top_bi_frac
+        |FROM m JOIN uc ON m.doc_id = uc.doc_id LEFT JOIN bc ON m.doc_id = bc.doc_id
+        |ORDER BY doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, list_filter(string_split(LOWER(text), ' '), t -> t <> '') AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS ntoks, len(list_distinct(toks)) AS ndist
+        |      FROM d WHERE len(toks) > 0),
+        |u AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        |uc AS (SELECT doc_id, MAX(c) AS top_uni FROM (
+        |         SELECT doc_id, tok, COUNT(*) AS c FROM u GROUP BY doc_id, tok)
+        |       GROUP BY doc_id),
+        |b AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |          i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |      FROM d WHERE len(toks) >= 2),
+        |bc AS (SELECT doc_id, MAX(c) AS top_bi FROM (
+        |         SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg)
+        |       GROUP BY doc_id)
+        |SELECT m.doc_id AS doc_id, CAST(m.ntoks AS INT) AS ntoks,
+        |  CAST(CAST(ROUND(1.0 - CAST(ndist AS DOUBLE) / CAST(m.ntoks AS DOUBLE), 4) AS DECIMAL(18,4)) AS DOUBLE) AS dup_frac,
+        |  CAST(CAST(ROUND(CAST(top_uni AS DOUBLE) / CAST(m.ntoks AS DOUBLE), 4) AS DECIMAL(18,4)) AS DOUBLE) AS top_uni_frac,
+        |  COALESCE(CAST(CAST(ROUND(CAST(top_bi AS DOUBLE) / CAST(m.ntoks - 1 AS DOUBLE), 4) AS DECIMAL(18,4)) AS DOUBLE), 0.0) AS top_bi_frac
+        |FROM m JOIN uc ON m.doc_id = uc.doc_id LEFT JOIN bc ON m.doc_id = bc.doc_id
+        |ORDER BY doc_id""".stripMargin),
+
+    // x69 BM25 retrieval scoring (k1=1.2, b=0.75) against a fixed 3-term
+    // query. tf per term is a FILTER-count column (not a SUM across rows),
+    // so the three idf·saturation terms add in FIXED order per row — FP
+    // determinism across engines and partitionings; the corpus stats
+    // (N, avgdl, per-term df) are one tiny aggregate broadcast back. Scale:
+    // one scan for stats + one scan for scoring; the top-20 comes from
+    // ORDER BY + LIMIT (TakeOrderedAndProject — per-partition heaps, no
+    // global sort) and ONLY the 20 survivors enter the rank window, so no
+    // single-partition window ever sees the corpus.
+    Q("x69_bm25",
+      """WITH m AS (SELECT doc_id,
+        |             size(array_remove(split(LOWER(text), ' '), '')) AS dl,
+        |             size(filter(array_remove(split(LOWER(text), ' '), ''), x -> x = 'spark')) AS tf1,
+        |             size(filter(array_remove(split(LOWER(text), ' '), ''), x -> x = 'merge')) AS tf2,
+        |             size(filter(array_remove(split(LOWER(text), ' '), ''), x -> x = 'window')) AS tf3
+        |           FROM documents),
+        |mv AS (SELECT * FROM m WHERE dl > 0),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd, AVG(CAST(dl AS DOUBLE)) AS avgdl,
+        |        CAST(COUNT(CASE WHEN tf1 > 0 THEN 1 END) AS DOUBLE) AS df1,
+        |        CAST(COUNT(CASE WHEN tf2 > 0 THEN 1 END) AS DOUBLE) AS df2,
+        |        CAST(COUNT(CASE WHEN tf3 > 0 THEN 1 END) AS DOUBLE) AS df3
+        |      FROM mv),
+        |s AS (SELECT doc_id,
+        |        LN((nd - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+        |      + LN((nd - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+        |      + LN((nd - df3 + 0.5) / (df3 + 0.5) + 1.0) * (tf3 * 2.2 / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+        |      FROM mv CROSS JOIN n WHERE tf1 + tf2 + tf3 > 0),
+        |t20 AS (SELECT doc_id, score FROM s
+        |        ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 20)
+        |SELECT doc_id, CAST(CAST(ROUND(score, 4) AS DECIMAL(18,4)) AS DOUBLE) AS score,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) AS INT) AS rn
+        |FROM t20 ORDER BY rn""".stripMargin,
+      """WITH m AS (SELECT doc_id,
+        |             len(list_filter(string_split(LOWER(text), ' '), t -> t <> '')) AS dl,
+        |             len(list_filter(string_split(LOWER(text), ' '), t -> t = 'spark')) AS tf1,
+        |             len(list_filter(string_split(LOWER(text), ' '), t -> t = 'merge')) AS tf2,
+        |             len(list_filter(string_split(LOWER(text), ' '), t -> t = 'window')) AS tf3
+        |           FROM documents),
+        |mv AS (SELECT * FROM m WHERE dl > 0),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd, AVG(CAST(dl AS DOUBLE)) AS avgdl,
+        |        CAST(COUNT(CASE WHEN tf1 > 0 THEN 1 END) AS DOUBLE) AS df1,
+        |        CAST(COUNT(CASE WHEN tf2 > 0 THEN 1 END) AS DOUBLE) AS df2,
+        |        CAST(COUNT(CASE WHEN tf3 > 0 THEN 1 END) AS DOUBLE) AS df3
+        |      FROM mv),
+        |s AS (SELECT doc_id,
+        |        LN((nd - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+        |      + LN((nd - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2 / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+        |      + LN((nd - df3 + 0.5) / (df3 + 0.5) + 1.0) * (tf3 * 2.2 / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+        |      FROM mv CROSS JOIN n WHERE tf1 + tf2 + tf3 > 0),
+        |t20 AS (SELECT doc_id, score FROM s
+        |        ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 20)
+        |SELECT doc_id, CAST(CAST(ROUND(score, 4) AS DECIMAL(18,4)) AS DOUBLE) AS score,
+        |       CAST(ROW_NUMBER() OVER (ORDER BY ROUND(score, 6) DESC, doc_id) AS INT) AS rn
+        |FROM t20 ORDER BY rn""".stripMargin),
+
+    // x70 deterministic global shuffle + train/val/test split — the two
+    // epoch-prep primitives a training pipeline runs last. Order and split
+    // both derive from md5 of a seed + the doc key (content-independent so
+    // re-runs and engine swaps agree; x66's content hash is the sampling
+    // variant). The shuffle POSITION is the classic two-pass distributed
+    // sequence: rows rank locally within (split, hash-prefix bucket), a
+    // 256-bucket count aggregate turns into per-bucket offsets with one
+    // tiny window, and pos = offset + local rank — equal to the global
+    // (hx, doc_id) rank because the bucket is a prefix of the sort key.
+    // No window ever sees more than one bucket of rows, so the sequence
+    // assignment stays parallel at any corpus size (a bare
+    // ROW_NUMBER() OVER (PARTITION BY split) is a 3-reducer plan).
+    Q("x70_shuffle_split",
+      """WITH h AS (SELECT doc_id,
+        |             md5(CAST(concat('42:', CAST(doc_id AS STRING)) AS BINARY)) AS hx
+        |           FROM documents),
+        |t AS (SELECT doc_id, hx,
+        |        CASE WHEN hx < 'c' THEN 'train' WHEN hx < 'e' THEN 'val' ELSE 'test' END AS split,
+        |        substring(hx, 1, 2) AS bkt
+        |      FROM h),
+        |loc AS (SELECT doc_id, hx, split, bkt,
+        |          ROW_NUMBER() OVER (PARTITION BY split, bkt ORDER BY hx, doc_id) AS lpos
+        |        FROM t),
+        |cnt AS (SELECT split, bkt, COUNT(*) AS c FROM t GROUP BY split, bkt),
+        |off AS (SELECT split, bkt,
+        |          COALESCE(SUM(c) OVER (PARTITION BY split ORDER BY bkt
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+        |        FROM cnt)
+        |SELECT loc.doc_id AS doc_id, loc.hx AS hx, loc.split AS split,
+        |  CAST(off.o + loc.lpos AS BIGINT) AS pos
+        |FROM loc JOIN off ON loc.split = off.split AND loc.bkt = off.bkt
+        |ORDER BY split, pos""".stripMargin,
+      """WITH h AS (SELECT doc_id,
+        |             md5('42:' || CAST(doc_id AS VARCHAR)) AS hx
+        |           FROM documents),
+        |t AS (SELECT doc_id, hx,
+        |        CASE WHEN hx < 'c' THEN 'train' WHEN hx < 'e' THEN 'val' ELSE 'test' END AS split,
+        |        substring(hx, 1, 2) AS bkt
+        |      FROM h),
+        |loc AS (SELECT doc_id, hx, split, bkt,
+        |          ROW_NUMBER() OVER (PARTITION BY split, bkt ORDER BY hx, doc_id) AS lpos
+        |        FROM t),
+        |cnt AS (SELECT split, bkt, COUNT(*) AS c FROM t GROUP BY split, bkt),
+        |off AS (SELECT split, bkt,
+        |          COALESCE(SUM(c) OVER (PARTITION BY split ORDER BY bkt
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+        |        FROM cnt)
+        |SELECT loc.doc_id AS doc_id, loc.hx AS hx, loc.split AS split,
+        |  CAST(off.o + loc.lpos AS BIGINT) AS pos
+        |FROM loc JOIN off ON loc.split = off.split AND loc.bkt = off.bkt
+        |ORDER BY split, pos""".stripMargin),
+
+    // x71 sliding-window token chunking (size 50, stride 40 — the 10-token
+    // overlap is the context-continuity convention): each doc explodes to
+    // ceil(ntoks/stride) chunk rows, so output size is linear in corpus
+    // tokens and the explode is map-side only (no shuffle until the final
+    // declared ORDER BY). Chunk text re-joins the slice — the downstream
+    // tokenizer sees exactly the window.
+    Q("x71_chunk",
+      """WITH d AS (SELECT doc_id, array_remove(split(LOWER(text), ' '), '') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, s, toks, size(toks) AS ntoks FROM (
+        |        SELECT doc_id, toks FROM d WHERE size(toks) > 0)
+        |      LATERAL VIEW explode(sequence(0, size(toks) - 1, 40)) AS s)
+        |SELECT doc_id, CAST(s / 40 AS INT) AS chunk_id,
+        |  CAST(LEAST(s + 50, ntoks) - s AS INT) AS n_ctoks,
+        |  array_join(slice(toks, s + 1, LEAST(50, ntoks - s)), ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, list_filter(string_split(LOWER(text), ' '), t -> t <> '') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, unnest(range(0, len(toks), 40)) AS s, toks, len(toks) AS ntoks
+        |      FROM d WHERE len(toks) > 0)
+        |SELECT doc_id, CAST(s / 40 AS INT) AS chunk_id,
+        |  CAST(LEAST(s + 50, ntoks) - s AS INT) AS n_ctoks,
+        |  array_to_string(list_slice(toks, s + 1, LEAST(s + 50, ntoks)), ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)
   )
 }

@@ -474,7 +474,74 @@ object Queries {
         |     (SELECT s_nationkey AS k, COUNT(*) AS ns FROM supplier
         |      WHERE s_acctbal > 8000 GROUP BY s_nationkey) s
         |  ON c.k = s.k
-        |ORDER BY COALESCE(c.k, s.k), ck NULLS FIRST""".stripMargin)
+        |ORDER BY COALESCE(c.k, s.k), ck NULLS FIRST""".stripMargin),
+
+    // Q58 (B31 family) PIVOT — Spark's native PIVOT clause (one scan, one
+    // hash aggregate on the group key; the pivot columns are a map-side
+    // CASE fan-out, not a join). DuckDB's twin is the portable
+    // CASE-per-column formulation with identical output names; '4-NOT
+    // SPECIFIED' is deliberately left out of the IN list to pin that
+    // unlisted pivot values drop.
+    Q("q58_pivot",
+      """SELECT CAST(yr AS INT) AS yr, urgent, high, medium, low FROM (
+        |  SELECT year(o_orderdate) AS yr, o_orderpriority AS p, o_totalprice
+        |  FROM orders)
+        |PIVOT (CAST(CAST(ROUND(SUM(o_totalprice), 2) AS DECIMAL(18,2)) AS DOUBLE)
+        |       FOR p IN ('1-URGENT' AS urgent, '2-HIGH' AS high,
+        |                 '3-MEDIUM' AS medium, '5-LOW' AS low))
+        |ORDER BY yr""".stripMargin,
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(CAST(ROUND(SUM(CASE WHEN o_orderpriority='1-URGENT' THEN o_totalprice END),2) AS DECIMAL(18,2)) AS DOUBLE) AS urgent,
+        |  CAST(CAST(ROUND(SUM(CASE WHEN o_orderpriority='2-HIGH' THEN o_totalprice END),2) AS DECIMAL(18,2)) AS DOUBLE) AS high,
+        |  CAST(CAST(ROUND(SUM(CASE WHEN o_orderpriority='3-MEDIUM' THEN o_totalprice END),2) AS DECIMAL(18,2)) AS DOUBLE) AS medium,
+        |  CAST(CAST(ROUND(SUM(CASE WHEN o_orderpriority='5-LOW' THEN o_totalprice END),2) AS DECIMAL(18,2)) AS DOUBLE) AS low
+        |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin),
+
+    // Q59 (B31 family) GROUPING SETS + GROUPING() — the explicit-sets form
+    // (rollup/cube are q22/q23); the GROUPING flags disambiguate real NULLs
+    // from superaggregate rows. One Expand + one hash aggregate in Spark.
+    Q.same("q59_grouping_sets",
+      """SELECT c_mktsegment, n_name,
+        |  CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+        |  CAST(GROUPING(n_name) AS INT) AS g_nat,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(CAST(ROUND(SUM(c_acctbal), 2) AS DECIMAL(18,2)) AS DOUBLE) AS bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((c_mktsegment), (n_name), ())
+        |ORDER BY g_seg, g_nat, c_mktsegment, n_name""".stripMargin),
+
+    // Q60 (B37 family) value-based RANGE window frame — q27/q28 pin ROWS
+    // frames; this pins the RANGE form (peers by value distance, not row
+    // count). PARTITION BY nation keeps the window parallel (an unkeyed
+    // RANGE window is a single-partition sort — the WindowExec warning —
+    // which is exactly what a 100 TB plan must not contain).
+    Q.same("q60_range_frame",
+      """SELECT s_suppkey, s_acctbal,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_near,
+        |  CAST(CAST(ROUND(SUM(s_acctbal) OVER w, 2) AS DECIMAL(18,2)) AS DOUBLE) AS sum_near
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal
+        |             RANGE BETWEEN 500.0 PRECEDING AND CURRENT ROW)
+        |ORDER BY s_suppkey""".stripMargin),
+
+    // Q62 (B26 family) exact interpolated percentiles — Spark `percentile`
+    // and DuckDB `quantile_cont` share the linear-interpolation definition,
+    // so the values hash-compare after the usual DECIMAL pin. The
+    // approximate twin (approx_percentile ε-bound) is spec-only in
+    // CoverageSpec, mirroring the B32 HLL pattern.
+    Q("q62_quantile",
+      """SELECT o_orderpriority,
+        |  CAST(CAST(ROUND(percentile(o_totalprice, 0.25), 2) AS DECIMAL(18,2)) AS DOUBLE) AS p25,
+        |  CAST(CAST(ROUND(percentile(o_totalprice, 0.5), 2) AS DECIMAL(18,2)) AS DOUBLE) AS p50,
+        |  CAST(CAST(ROUND(percentile(o_totalprice, 0.75), 2) AS DECIMAL(18,2)) AS DOUBLE) AS p75,
+        |  CAST(CAST(ROUND(percentile(o_totalprice, 0.99), 2) AS DECIMAL(18,2)) AS DOUBLE) AS p99
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      """SELECT o_orderpriority,
+        |  CAST(CAST(ROUND(quantile_cont(o_totalprice, 0.25), 2) AS DECIMAL(18,2)) AS DOUBLE) AS p25,
+        |  CAST(CAST(ROUND(quantile_cont(o_totalprice, 0.5), 2) AS DECIMAL(18,2)) AS DOUBLE) AS p50,
+        |  CAST(CAST(ROUND(quantile_cont(o_totalprice, 0.75), 2) AS DECIMAL(18,2)) AS DOUBLE) AS p75,
+        |  CAST(CAST(ROUND(quantile_cont(o_totalprice, 0.99), 2) AS DECIMAL(18,2)) AS DOUBLE) AS p99
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
   )
 
   /** Q55 (B12) parameterized-query template: the Spark side binds this `?`

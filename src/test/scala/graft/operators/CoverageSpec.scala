@@ -85,4 +85,26 @@ class CoverageSpec extends SparkSpec {
     // one aggregation, no expand/distinct shuffle stage
     assert(!plan.contains("Expand"), plan)
   }
+
+  test("B26 approx twin: approx_percentile within 2% of exact (q62's sketch path)") {
+    // q62 oracle-checks the exact interpolated percentile; the sketch
+    // variant (one-pass mergeable t-digest-style summary — the 100 TB form,
+    // where exact percentile means a full sort per group) stays within the
+    // declared accuracy envelope instead of a hash compare.
+    Tables.ensure(spark, sfDir)
+    val r = spark.sql(
+      """SELECT percentile(o_totalprice, 0.5) AS exact,
+        |       approx_percentile(o_totalprice, 0.5, 10000) AS approx
+        |FROM orders""".stripMargin).head()
+    val (exact, approx) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.02,
+      s"approx $approx vs exact $exact")
+  }
+
+  test("x69: BM25 top-k ranks via per-partition heaps, not a global sort") {
+    Tables.ensure(spark, sfDir)
+    val q = graft.ext.Extensions.all.find(_.name == "x69_bm25").get.spark
+    val plan = spark.sql(q).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
 }
