@@ -138,6 +138,25 @@ object SparkEntry {
             saltBy = col("event_id"), salt = 16)
           .select("event_id", "user_id", "c_name")
           .orderBy("event_id")
+      }),
+      // x72: greedy sequence packing (ext/Packing) — token-budget bins per
+      // lang in doc_id order, streamed via flatMapSortedGroups (no group
+      // materialization). The assignment is sequential by definition, so
+      // the oracle IS the sequential semantics: DuckDB re-derives every
+      // pack id with a recursive CTE and the hash compare pins the whole
+      // assignment, not just summary stats.
+      "x72_pack" -> ((s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions.col
+        Tables.ensure(s, d)
+        val toks = s.sql(
+          """SELECT doc_id, lang,
+            |  size(array_remove(split(LOWER(text), ' '), '')) AS ntoks
+            |FROM documents""".stripMargin)
+        graft.ext.Packing.greedyPack(toks, "lang", "doc_id", "ntoks", 256)
+          .select(col("doc_id"), col("lang"),
+            col("ntoks").cast("int").as("ntoks"),
+            col("pack_id").cast("long").as("pack_id"))
+          .orderBy("lang", "doc_id")
       })
     )
 
@@ -253,6 +272,27 @@ object SparkEntry {
         """SELECT e.event_id, e.user_id, c.c_name
           |FROM events e JOIN customer c ON e.user_id = c.c_custkey
           |ORDER BY event_id""".stripMargin) +
+      ("x72_pack" ->
+        """WITH RECURSIVE
+          |d AS (SELECT doc_id, lang,
+          |        len(list_filter(string_split(LOWER(text), ' '), t -> t <> '')) AS ntoks
+          |      FROM documents),
+          |o AS (SELECT doc_id, lang, ntoks,
+          |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+          |      FROM d),
+          |r AS (
+          |  SELECT lang, rn, doc_id, ntoks,
+          |         CAST(ntoks AS BIGINT) AS acc, CAST(0 AS BIGINT) AS pack
+          |  FROM o WHERE rn = 1
+          |  UNION ALL
+          |  SELECT o.lang, o.rn, o.doc_id, o.ntoks,
+          |    CASE WHEN r.acc + o.ntoks > 256 THEN CAST(o.ntoks AS BIGINT)
+          |         ELSE r.acc + o.ntoks END,
+          |    CASE WHEN r.acc + o.ntoks > 256 THEN r.pack + 1 ELSE r.pack END
+          |  FROM r JOIN o ON o.lang = r.lang AND o.rn = r.rn + 1)
+          |SELECT doc_id, lang, CAST(ntoks AS INT) AS ntoks,
+          |       CAST(pack AS BIGINT) AS pack_id
+          |FROM r ORDER BY lang, doc_id""".stripMargin) +
       ("q57_asof" ->
         """SELECT l.event_id, l.user_id, r.view_id, r.view_value
           |FROM (SELECT * FROM events WHERE event_type = 'click') l
