@@ -362,33 +362,47 @@ object Extensions {
 
     // x68 repetition signals (the Gopher/C4-style quality gates x50 does
     // not cover): duplicate-token fraction, top-unigram fraction, and
-    // top-bigram fraction per document. Each is one scan + a per-doc
-    // explode/aggregate — the per-doc group is tiny (|doc| rows), so the
-    // shuffle key is doc_id and no group outgrows an executor at any
-    // corpus size. Bigrams via transform over positions (codegen'd HOF);
-    // single-token docs take top_bi_frac = 0 through the COALESCE.
+    // top-bigram fraction per document. The Spark side computes each top
+    // count as the longest run in the SORTED token/bigram array via one
+    // aggregate() scan — ZERO shuffles before the declared ORDER BY and
+    // O(ntoks) interpreted-lambda calls per doc, where the
+    // explode + groupBy(doc_id, tok) formulation paid two
+    // token-count-sized exchanges (9.7 s at sf0.1) and the
+    // distinct×filter HOF nesting paid O(ndist × ntoks) lambda calls
+    // (4.5 s); this form runs ~0.6 s. The DuckDB twin keeps the explode
+    // shape, where its vectorized hash agg wins. CASE guards sequence():
+    // Spark generates a DESCENDING range when start > stop, so ntoks = 1
+    // must not build bigram indexes; single-token docs take
+    // top_bi_frac = 0 via COALESCE.
     Q("x68_repetition",
       """WITH d AS (SELECT doc_id, array_remove(split(LOWER(text), ' '), '') AS toks
         |           FROM documents),
-        |m AS (SELECT doc_id, size(toks) AS ntoks, size(array_distinct(toks)) AS ndist
+        |m AS (SELECT doc_id, toks, size(toks) AS ntoks, size(array_distinct(toks)) AS ndist
         |      FROM d WHERE size(toks) > 0),
-        |u AS (SELECT doc_id, tok FROM d LATERAL VIEW explode(toks) AS tok),
-        |uc AS (SELECT doc_id, MAX(c) AS top_uni FROM (
-        |         SELECT doc_id, tok, COUNT(*) AS c FROM u GROUP BY doc_id, tok)
-        |       GROUP BY doc_id),
-        |b AS (SELECT doc_id, bg FROM (
-        |        SELECT doc_id, transform(sequence(1, size(toks) - 1),
-        |            i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))) AS bgs
-        |        FROM d WHERE size(toks) >= 2) LATERAL VIEW explode(bgs) AS bg),
-        |bc AS (SELECT doc_id, MAX(c) AS top_bi FROM (
-        |         SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg)
-        |       GROUP BY doc_id)
-        |SELECT m.doc_id AS doc_id, CAST(m.ntoks AS INT) AS ntoks,
-        |  CAST(CAST(ROUND(1.0 - CAST(ndist AS DOUBLE) / CAST(m.ntoks AS DOUBLE), 4) AS DECIMAL(18,4)) AS DOUBLE) AS dup_frac,
-        |  CAST(CAST(ROUND(CAST(top_uni AS DOUBLE) / CAST(m.ntoks AS DOUBLE), 4) AS DECIMAL(18,4)) AS DOUBLE) AS top_uni_frac,
-        |  COALESCE(CAST(CAST(ROUND(CAST(top_bi AS DOUBLE) / CAST(m.ntoks - 1 AS DOUBLE), 4) AS DECIMAL(18,4)) AS DOUBLE), 0.0) AS top_bi_frac
-        |FROM m JOIN uc ON m.doc_id = uc.doc_id LEFT JOIN bc ON m.doc_id = bc.doc_id
-        |ORDER BY doc_id""".stripMargin,
+        |g AS (SELECT doc_id, ntoks, ndist, array_sort(toks) AS st,
+        |        CASE WHEN ntoks >= 2 THEN array_sort(transform(sequence(1, ntoks - 1),
+        |            i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))) END AS sb
+        |      FROM m),
+        |f AS (SELECT doc_id, ntoks, ndist,
+        |        aggregate(st, named_struct('prev', '', 'run', 0, 'best', 0),
+        |          (s, t) -> named_struct('prev', t,
+        |            'run', CASE WHEN t = s.prev THEN s.run + 1 ELSE 1 END,
+        |            'best', GREATEST(s.best,
+        |              CASE WHEN t = s.prev THEN s.run + 1 ELSE 1 END)),
+        |          s -> s.best) AS top_uni,
+        |        CASE WHEN sb IS NOT NULL THEN
+        |          aggregate(sb, named_struct('prev', '', 'run', 0, 'best', 0),
+        |            (s, t) -> named_struct('prev', t,
+        |              'run', CASE WHEN t = s.prev THEN s.run + 1 ELSE 1 END,
+        |              'best', GREATEST(s.best,
+        |                CASE WHEN t = s.prev THEN s.run + 1 ELSE 1 END)),
+        |            s -> s.best) END AS top_bi
+        |      FROM g)
+        |SELECT doc_id, CAST(ntoks AS INT) AS ntoks,
+        |  CAST(CAST(ROUND(1.0 - CAST(ndist AS DOUBLE) / CAST(ntoks AS DOUBLE), 4) AS DECIMAL(18,4)) AS DOUBLE) AS dup_frac,
+        |  CAST(CAST(ROUND(CAST(top_uni AS DOUBLE) / CAST(ntoks AS DOUBLE), 4) AS DECIMAL(18,4)) AS DOUBLE) AS top_uni_frac,
+        |  COALESCE(CAST(CAST(ROUND(CAST(top_bi AS DOUBLE) / CAST(ntoks - 1 AS DOUBLE), 4) AS DECIMAL(18,4)) AS DOUBLE), 0.0) AS top_bi_frac
+        |FROM f ORDER BY doc_id""".stripMargin,
       """WITH d AS (SELECT doc_id, list_filter(string_split(LOWER(text), ' '), t -> t <> '') AS toks
         |           FROM documents),
         |m AS (SELECT doc_id, len(toks) AS ntoks, len(list_distinct(toks)) AS ndist
