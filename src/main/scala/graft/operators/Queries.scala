@@ -541,7 +541,67 @@ object Queries {
         |  CAST(CAST(ROUND(quantile_cont(o_totalprice, 0.5), 2) AS DECIMAL(18,2)) AS DOUBLE) AS p50,
         |  CAST(CAST(ROUND(quantile_cont(o_totalprice, 0.75), 2) AS DECIMAL(18,2)) AS DOUBLE) AS p75,
         |  CAST(CAST(ROUND(quantile_cont(o_totalprice, 0.99), 2) AS DECIMAL(18,2)) AS DOUBLE) AS p99
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // Q63 (B44-B47) INTERSECT / INTERSECT ALL / EXCEPT ALL — q32/q33 pin
+    // UNION and EXCEPT; the tagged union here pins the multiplicity
+    // semantics of the ALL variants (min-count for intersect, count
+    // difference for except), which Spark plans as aggregate-generate
+    // pairs, not joins.
+    Q.same("q63_setops",
+      """SELECT 'int' AS op, k FROM (
+        |  SELECT c_nationkey AS k FROM customer
+        |  INTERSECT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'int_all' AS op, k FROM (
+        |  SELECT c_nationkey AS k FROM customer
+        |  INTERSECT ALL SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'exc_all' AS op, k FROM (
+        |  SELECT c_nationkey AS k FROM customer
+        |  EXCEPT ALL SELECT s_nationkey FROM supplier)
+        |ORDER BY op, k""".stripMargin),
+
+    // Q64 (B48-B51 family) LATERAL correlated derived table — top-2
+    // suppliers per nation through a correlated ORDER BY/LIMIT subquery.
+    // Catalyst decorrelates this into the rank-window plan (one shuffle on
+    // the correlation key), so the declared nested-loop semantics execute
+    // set-at-a-time — the survey's "correlated subquery" row generalized
+    // from scalar (q35) to table-valued.
+    Q.same("q64_lateral",
+      """SELECT n.n_name, t.s_suppkey, t.s_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT s_suppkey, s_acctbal FROM supplier s
+        |  WHERE s.s_nationkey = n.n_nationkey
+        |  ORDER BY s_acctbal DESC, s_suppkey LIMIT 2) t
+        |ORDER BY n_name, s_suppkey""".stripMargin),
+
+    // Q65 (B31 family) UNPIVOT — q58's inverse, columns back to rows via
+    // Spark's native UNPIVOT clause (an Expand node: map-side fan-out, no
+    // shuffle); the DuckDB twin is the portable UNION ALL formulation
+    // with identical labels.
+    Q("q65_unpivot",
+      """SELECT yr, prio, amt FROM (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |    CAST(CAST(ROUND(SUM(CASE WHEN o_orderpriority='1-URGENT' THEN o_totalprice END),2) AS DECIMAL(18,2)) AS DOUBLE) AS urgent,
+        |    CAST(CAST(ROUND(SUM(CASE WHEN o_orderpriority='2-HIGH' THEN o_totalprice END),2) AS DECIMAL(18,2)) AS DOUBLE) AS high,
+        |    CAST(CAST(ROUND(SUM(CASE WHEN o_orderpriority='3-MEDIUM' THEN o_totalprice END),2) AS DECIMAL(18,2)) AS DOUBLE) AS medium,
+        |    CAST(CAST(ROUND(SUM(CASE WHEN o_orderpriority='5-LOW' THEN o_totalprice END),2) AS DECIMAL(18,2)) AS DOUBLE) AS low
+        |  FROM orders GROUP BY year(o_orderdate))
+        |UNPIVOT (amt FOR prio IN (urgent, high, medium, low))
+        |ORDER BY yr, prio""".stripMargin,
+      """WITH p AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |    CAST(CAST(ROUND(SUM(CASE WHEN o_orderpriority='1-URGENT' THEN o_totalprice END),2) AS DECIMAL(18,2)) AS DOUBLE) AS urgent,
+        |    CAST(CAST(ROUND(SUM(CASE WHEN o_orderpriority='2-HIGH' THEN o_totalprice END),2) AS DECIMAL(18,2)) AS DOUBLE) AS high,
+        |    CAST(CAST(ROUND(SUM(CASE WHEN o_orderpriority='3-MEDIUM' THEN o_totalprice END),2) AS DECIMAL(18,2)) AS DOUBLE) AS medium,
+        |    CAST(CAST(ROUND(SUM(CASE WHEN o_orderpriority='5-LOW' THEN o_totalprice END),2) AS DECIMAL(18,2)) AS DOUBLE) AS low
+        |  FROM orders GROUP BY 1)
+        |SELECT yr, 'urgent' AS prio, urgent AS amt FROM p
+        |UNION ALL SELECT yr, 'high' AS prio, high AS amt FROM p
+        |UNION ALL SELECT yr, 'medium' AS prio, medium AS amt FROM p
+        |UNION ALL SELECT yr, 'low' AS prio, low AS amt FROM p
+        |ORDER BY yr, prio""".stripMargin)
   )
 
   /** Q55 (B12) parameterized-query template: the Spark side binds this `?`
