@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -90,6 +90,68 @@ object TextSketch {
     }
     new GenericArrayData(keys)
   }
+
+  /** Returned by [[firstCommon]] when the arrays share no element. Real
+    * band keys are either non-negative (band id in the top byte) or the
+    * [[EmptyKey]] sentinel (Long.MinValue), so MinValue+1 can never equal a
+    * key — an EqualTo against it is simply false, no null channel needed. */
+  val NoCommon: Long = java.lang.Long.MIN_VALUE + 1
+
+  /** Sorted distinct 64-bit hashes of the word set — the per-document
+    * precomputation that replaces per-pair re-tokenization in the
+    * jaccard-join verify. Two 32-bit murmur seeds concatenated: the
+    * per-pair false-equality probability is ~|union|²/2⁶⁵, negligible even
+    * against the ~10⁷ candidate pairs a degenerate corpus can produce. */
+  def wordHashes(s: UTF8String): GenericArrayData = {
+    val ws = words(s)
+    val hs = new Array[Long](ws.length)
+    var i = 0
+    while (i < ws.length) {
+      val w = ws(i)
+      hs(i) = (scala.util.hashing.MurmurHash3.stringHash(w, 0x9E3779B9).toLong << 32) |
+        (scala.util.hashing.MurmurHash3.stringHash(w, 0x85EBCA6B).toLong & 0xFFFFFFFFL)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    new GenericArrayData(hs)
+  }
+
+  /** jaccard(A, B) ≥ t (or > t when strict) over two sorted distinct
+    * long arrays, allocation-free. Matches [[jaccard]]'s edge cases: both
+    * empty → 1.0, one empty → 0.0. */
+  def sortedJaccardGe(a: ArrayData, b: ArrayData, t: Double,
+      strict: Boolean): Boolean = {
+    val na = a.numElements(); val nb = b.numElements()
+    val jac =
+      if (na == 0 && nb == 0) 1.0
+      else if (na == 0 || nb == 0) 0.0
+      else {
+        var i = 0; var j = 0; var c = 0
+        while (i < na && j < nb) {
+          val x = a.getLong(i); val y = b.getLong(j)
+          if (x == y) { c += 1; i += 1; j += 1 }
+          else if (x < y) i += 1
+          else j += 1
+        }
+        c.toDouble / (na + nb - c).toDouble
+      }
+    if (strict) jac > t else jac >= t
+  }
+
+  /** First (= lowest) common element of two sorted long arrays, or
+    * [[NoCommon]] — the single-emission pick for a pair sharing several
+    * band keys, without `array_intersect`'s per-row hash set. */
+  def firstCommon(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) return x
+      else if (x < y) i += 1
+      else j += 1
+    }
+    NoCommon
+  }
 }
 
 /** Native expression: exact word-set Jaccard similarity of two strings
@@ -145,4 +207,93 @@ case class MinHashBandKeys(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(
       newChild: Expression): MinHashBandKeys = copy(child = newChild)
+}
+
+/** Native expression: [[TextSketch.wordHashes]] of a text column — planted
+  * by [[graft.plans.JaccardJoinRewrite]] on both join sides so the verify
+  * prices a sorted merge over per-doc precomputed hashes instead of
+  * re-tokenizing both texts for every candidate pair. */
+case class WordSetHashes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_set_hashes expects a string argument, got " +
+        s"${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_set_hashes"
+
+  override def nullSafeEval(a: Any): Any =
+    TextSketch.wordHashes(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextSketch.wordHashes($a);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WordSetHashes = copy(child = newChild)
+}
+
+/** Native expression: jaccard(A, B) ≥ t (> t when strict) over two sorted
+  * distinct long arrays — the banded join's exact verify, evaluated once
+  * per candidate pair inside whole-stage codegen with no allocation. */
+case class SortedJaccardGe(left: Expression, right: Expression,
+    threshold: Double, strict: Boolean) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"sorted_jaccard_ge expects two array<bigint> arguments, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "sorted_jaccard_ge"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextSketch.sortedJaccardGe(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData], threshold, strict)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextSketch.sortedJaccardGe(" +
+        s"$a, $b, $threshold, $strict);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedJaccardGe =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native expression: lowest common element of two sorted long arrays
+  * ([[TextSketch.NoCommon]] when disjoint) — the single-emission predicate
+  * `lEl = sorted_first_common(lk, rk)` without `array_intersect`'s per-row
+  * hash set and materialized array. */
+case class SortedFirstCommon(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"sorted_first_common expects two array<bigint> arguments, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_first_common"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextSketch.firstCommon(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextSketch.firstCommon($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedFirstCommon =
+    copy(left = newLeft, right = newRight)
 }
