@@ -55,6 +55,11 @@ object SparkEntry {
       // expected pairs from raw text and pin the booleans
       "x57_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashRecallCheck(s, d)),
       "x58_simhash"     -> ((s: SparkSession, d: String) => Dedup.simhashRecallCheck(s, d)),
+      // x75: near-dup pairs -> transitive dedup groups via distributed
+      // min-label propagation (ext/Components); oracle is a recursive
+      // transitive-closure CTE over the identical edge set
+      "x75_components" -> ((s: SparkSession, d: String) =>
+        Dedup.componentsQuery(s, d)),
       // x65: the JaccardJoinRewrite optimizer rule run end-to-end through
       // the oracle gate — a naive jaccard-threshold SQL join, rewritten to
       // the banded equi-join, must find every word-set-equal pair
@@ -254,8 +259,39 @@ object SparkEntry {
       |         (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT) AS checksum
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** x75 twin: recursive transitive closure over the SAME within-lang
+    * unigram-Jaccard>=0.8 edge set the Spark side feeds to
+    * [[graft.ext.Components.minLabelPropagation]]; component id = min
+    * reachable doc_id (the `reach.r < e.t` guard prunes non-improving
+    * expansions so the fixpoint terminates). */
+  private val componentsDuck =
+    """WITH RECURSIVE
+      |d AS (SELECT doc_id, lang,
+      |        list_filter(string_split(LOWER(text), ' '), t -> t <> '') AS toks
+      |      FROM documents),
+      |n AS (SELECT doc_id, lang, list_distinct(toks) AS w1,
+      |        len(list_distinct(toks)) AS n1 FROM d),
+      |t1 AS (SELECT lang, doc_id, n1, unnest(w1) AS tok FROM n),
+      |c1 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |              a.n1 AS na, b.n1 AS nb, COUNT(*) AS c
+      |       FROM t1 a JOIN t1 b
+      |         ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2, 3, 4),
+      |p AS (SELECT doc_a, doc_b FROM c1
+      |      WHERE CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE) >= 0.8),
+      |e AS (SELECT doc_a AS s, doc_b AS t FROM p
+      |      UNION ALL SELECT doc_b AS s, doc_a AS t FROM p),
+      |reach AS (
+      |  SELECT doc_id AS n, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT e.t AS n, reach.r FROM reach JOIN e ON e.s = reach.n
+      |  WHERE reach.r < e.t)
+      |SELECT n AS doc_id, CAST(MIN(r) AS BIGINT) AS comp
+      |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] =
     sqlBacked.map(q => q.name -> q.duck).toMap +
+      ("x75_components" -> componentsDuck) +
       ("x61_ann_expr" ->
         Extensions.all.find(_.name == "x55_ann_topk").get.duck) +
       ("x63_embed_dup" -> embedDupDuck) +

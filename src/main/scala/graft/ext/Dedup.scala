@@ -535,4 +535,35 @@ object Dedup {
     // re-execute the chunk join + pair expansion (see minhashPairsOf)
     pairs.localCheckpoint().orderBy("doc_a", "doc_b")
   }
+
+  /** x75: near-duplicate GROUPS from near-duplicate PAIRS — the retention
+    * step of a dedup pipeline (keep one representative per transitive
+    * cluster). Edges = within-lang unigram Jaccard >= 0.8 (x54's verified
+    * j1 formulation); components via [[Components.minLabelPropagation]].
+    * Jaccard similarity is not transitive, so unlike the x52 fingerprint
+    * groups this closure is a genuine graph computation — the DuckDB twin
+    * re-derives it with a recursive transitive-closure CTE over the same
+    * edge set. Output: every doc with its component id (= min reachable
+    * doc_id) — singletons map to themselves. */
+  def componentsQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.ensure(spark, dir)
+    val edges = spark.sql(
+      """WITH d AS (SELECT doc_id, lang,
+        |             filter(split(LOWER(text), ' '), t -> t <> '') AS toks
+        |           FROM documents),
+        |n AS (SELECT doc_id, lang, array_distinct(toks) AS w1 FROM d),
+        |nn AS (SELECT doc_id, lang, w1, size(w1) AS n1 FROM n),
+        |t1 AS (SELECT lang, doc_id, n1, tok FROM nn LATERAL VIEW explode(w1) AS tok),
+        |c1 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |              a.n1 AS na, b.n1 AS nb, COUNT(*) AS c
+        |       FROM t1 a JOIN t1 b
+        |         ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
+        |       GROUP BY a.doc_id, b.doc_id, a.n1, b.n1)
+        |SELECT doc_a, doc_b FROM c1
+        |WHERE CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE) >= 0.8""".stripMargin)
+    val nodes = spark.table("documents").select(col("doc_id").as("id"))
+    Components.minLabelPropagation(nodes, edges, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("label").cast("long").as("comp"))
+      .orderBy("doc_id")
+  }
 }

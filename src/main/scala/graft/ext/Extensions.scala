@@ -554,6 +554,130 @@ object Extensions {
         |SELECT doc_id, CAST(s / 40 AS INT) AS chunk_id,
         |  CAST(LEAST(s + 50, ntoks) - s AS INT) AS n_ctoks,
         |  array_to_string(list_slice(toks, s + 1, LEAST(s + 50, ntoks)), ' ') AS chunk
-        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin),
+
+    // x73 int8 symmetric quantization of the embedding column — the
+    // storage/serving compression step of an embedding pipeline. Per-vector
+    // scale = max |x|; q_i = floor(x_i * 127 / scale + 0.5) (floor-based
+    // half-up, identical in both dialects where ROUND's half-even vs
+    // half-away conventions could differ). All math in DOUBLE with the
+    // same operation order, so the IEEE results are bit-identical and the
+    // derived l1 / saturation-count / max reconstruction error
+    // hash-compare. Map-only: one scan, no shuffle before the declared
+    // ORDER BY.
+    Q("x73_quantize",
+      """WITH v AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, e, array_max(transform(e, x -> abs(x))) AS s FROM v),
+        |q AS (SELECT vec_id, s, e,
+        |        transform(e, x -> CAST(FLOOR(x * 127.0 / s + 0.5) AS BIGINT)) AS qv
+        |      FROM m WHERE s > 0)
+        |SELECT vec_id,
+        |  CAST(CAST(ROUND(s, 6) AS DECIMAL(18,6)) AS DOUBLE) AS scale,
+        |  CAST(aggregate(qv, CAST(0 AS BIGINT), (a, x) -> a + abs(x)) AS BIGINT) AS l1,
+        |  CAST(size(filter(qv, x -> abs(x) = 127)) AS INT) AS n_sat,
+        |  CAST(CAST(ROUND(aggregate(zip_with(qv, e,
+        |         (q, x) -> abs(CAST(q AS DOUBLE) * s / 127.0 - x)),
+        |       CAST(0 AS DOUBLE), (a, x) -> GREATEST(a, x)), 6)
+        |    AS DECIMAL(18,6)) AS DOUBLE) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS s FROM v),
+        |q AS (SELECT vec_id, s, e,
+        |        list_transform(e, x -> CAST(FLOOR(x * 127.0 / s + 0.5) AS BIGINT)) AS qv
+        |      FROM m WHERE s > 0)
+        |SELECT vec_id,
+        |  CAST(CAST(ROUND(s, 6) AS DECIMAL(18,6)) AS DOUBLE) AS scale,
+        |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS l1,
+        |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INT) AS n_sat,
+        |  CAST(CAST(ROUND(list_max(list_transform(list_zip(qv, e),
+        |         p -> abs(CAST(p[1] AS DOUBLE) * s / 127.0 - CAST(p[2] AS DOUBLE)))), 6)
+        |    AS DECIMAL(18,6)) AS DOUBLE) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin),
+
+    // x74 PII redaction — the scrub step of a web-corpus pipeline. The
+    // synthetic corpus is digit-free word salad, so (x63's planted-pair
+    // pattern) both dialects first build the SAME planted view injecting a
+    // deterministic email + numeric id into every 7th doc; the redaction
+    // counts and the md5 of the scrubbed text are then non-vacuous and
+    // hash-comparable. Patterns are backslash-free (q55's shared-oracle
+    // constraint) and use only syntax Java regex and RE2 read identically.
+    // DuckDB's regexp_replace is first-match-only without the 'g' flag —
+    // the one dialect split.
+    Q("x74_redact",
+      """WITH pd AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN concat(text, ' contact user',
+        |           CAST(doc_id AS STRING), '@mail.example.com ref 123456',
+        |           CAST(doc_id AS STRING))
+        |         ELSE text END AS text
+        |  FROM documents),
+        |r AS (SELECT doc_id, text,
+        |    regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+', '<EMAIL>'),
+        |      '[0-9][0-9][0-9][0-9][0-9][0-9]+', '<NUM>') AS red
+        |  FROM pd)
+        |SELECT doc_id,
+        |  CAST(size(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+', 0)) AS INT) AS n_email,
+        |  CAST(size(regexp_extract_all(text,
+        |    '[0-9][0-9][0-9][0-9][0-9][0-9]+', 0)) AS INT) AS n_num,
+        |  md5(red) AS red_md5, CAST(LENGTH(red) AS INT) AS red_len
+        |FROM r ORDER BY doc_id""".stripMargin,
+      """WITH pd AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN concat(text, ' contact user',
+        |           CAST(doc_id AS VARCHAR), '@mail.example.com ref 123456',
+        |           CAST(doc_id AS VARCHAR))
+        |         ELSE text END AS text
+        |  FROM documents),
+        |r AS (SELECT doc_id, text,
+        |    regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |      '[0-9][0-9][0-9][0-9][0-9][0-9]+', '<NUM>', 'g') AS red
+        |  FROM pd)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+', 0)) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[0-9][0-9][0-9][0-9][0-9][0-9]+', 0)) AS INT) AS n_num,
+        |  md5(red) AS red_md5, CAST(LENGTH(red) AS INT) AS red_len
+        |FROM r ORDER BY doc_id""".stripMargin),
+
+    // x76 benchmark decontamination — flag training docs sharing any word
+    // 3-gram with a held-out benchmark subset (doc_id % 97 = 0 plays the
+    // benchmark role). The canonical n-gram-overlap decontamination shape:
+    // explode distinct grams on both sides (map-side, linear in corpus
+    // tokens), one equi-join on the gram, aggregate per training doc. The
+    // benchmark side of the join is tiny by construction — at real scale
+    // it broadcasts, and the explode never shuffles before the join.
+    Q("x76_decontam",
+      """WITH toks AS (SELECT doc_id, filter(split(LOWER(text), ' '), t -> t <> '') AS tk
+        |              FROM documents),
+        |g AS (SELECT doc_id, gram FROM (
+        |        SELECT doc_id, explode(array_distinct(transform(
+        |          sequence(1, size(tk) - 2),
+        |          i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+        |                         element_at(tk, i + 2))))) AS gram
+        |        FROM toks WHERE size(tk) >= 3)),
+        |bg AS (SELECT gram, doc_id AS bench_id FROM g WHERE doc_id % 97 = 0),
+        |tg AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+        |SELECT tg.doc_id,
+        |  CAST(COUNT(DISTINCT tg.gram) AS BIGINT) AS n_shared,
+        |  CAST(MIN(bg.bench_id) AS BIGINT) AS first_bench
+        |FROM tg JOIN bg ON tg.gram = bg.gram
+        |GROUP BY tg.doc_id ORDER BY tg.doc_id""".stripMargin,
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(LOWER(text), ' '), t -> t <> '') AS tk
+        |              FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |        range(1, len(tk) - 1),
+        |        i -> array_to_string(list_slice(tk, i, i + 2), ' ')))) AS gram
+        |      FROM toks WHERE len(tk) >= 3),
+        |bg AS (SELECT gram, doc_id AS bench_id FROM g WHERE doc_id % 97 = 0),
+        |tg AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+        |SELECT tg.doc_id,
+        |  CAST(COUNT(DISTINCT tg.gram) AS BIGINT) AS n_shared,
+        |  CAST(MIN(bg.bench_id) AS BIGINT) AS first_bench
+        |FROM tg JOIN bg ON tg.gram = bg.gram
+        |GROUP BY tg.doc_id ORDER BY tg.doc_id""".stripMargin)
   )
 }

@@ -601,7 +601,47 @@ object Queries {
         |UNION ALL SELECT yr, 'high' AS prio, high AS amt FROM p
         |UNION ALL SELECT yr, 'medium' AS prio, medium AS amt FROM p
         |UNION ALL SELECT yr, 'low' AS prio, low AS amt FROM p
-        |ORDER BY yr, prio""".stripMargin)
+        |ORDER BY yr, prio""".stripMargin),
+
+    // Q66 (B27/B40 sugar) GROUP BY ALL + ORDER BY ALL — both dialects
+    // resolve the non-aggregate output columns as the grouping set and the
+    // full output list as the sort key; same text runs on both engines.
+    Q.same("q66_group_by_all",
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(CAST(ROUND(SUM(l_quantity), 2) AS DECIMAL(18,2)) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin),
+
+    // Q67 (B37/B62 bridge) time-interval RANGE frame — the batch twin of a
+    // sliding event-time window: peers by timestamp distance, not row
+    // count. PARTITION BY user_id keeps the frame evaluation parallel
+    // (the same no-unkeyed-window rule as q60).
+    Q.same("q67_ts_range_frame",
+      """SELECT event_id,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_hr,
+        |  CAST(CAST(ROUND(SUM(value) OVER w, 2) AS DECIMAL(18,2)) AS DOUBLE) AS v_hr
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin),
+
+    // Q68 (B34 family) top-1-per-group: Spark expresses it as the
+    // rank-window idiom (the plan Catalyst decorrelates q64 into); DuckDB
+    // ships DISTINCT ON sugar for the same semantics. Tie-break on
+    // c_custkey makes the winner unique, so the two formulations agree
+    // row-for-row.
+    Q("q68_distinct_on",
+      """SELECT c_nationkey, c_custkey,
+        |  CAST(CAST(ROUND(c_acctbal, 2) AS DECIMAL(18,2)) AS DOUBLE) AS bal
+        |FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer)
+        |WHERE rn = 1 ORDER BY c_nationkey""".stripMargin,
+      """SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey,
+        |  CAST(CAST(ROUND(c_acctbal, 2) AS DECIMAL(18,2)) AS DOUBLE) AS bal
+        |FROM customer
+        |ORDER BY c_nationkey, c_acctbal DESC, c_custkey""".stripMargin)
   )
 
   /** Q55 (B12) parameterized-query template: the Spark side binds this `?`
