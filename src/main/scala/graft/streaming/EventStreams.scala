@@ -67,6 +67,32 @@ object EventStreams {
   def dedupEvents(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", delay).dropDuplicates("event_id")
 
+  /** B65 (stream-stream): watermarked interval join — each click joins the
+    * views by the same user within the preceding hour. Both sides carry a
+    * watermark and the join condition bounds the time range in BOTH
+    * directions, so Spark can size each side's join state and evict rows
+    * once the watermark passes (unbounded state otherwise — the
+    * stream-stream analog of the no-unkeyed-window rule). Shuffle is keyed
+    * on user_id; state partitions horizontally. Batch twin: the same
+    * function over the static events frame (q57's as-of join is the
+    * latest-only variant of this many-to-many form). */
+  def clickViewJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "10 minutes")
+    clicks.join(views,
+      col("user_id") === col("v_user") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("view_ts") <= col("click_ts"))
+      .select(col("click_id"), col("user_id"), col("view_id"),
+        col("click_ts"), col("view_ts"))
+  }
+
   final case class UserRunning(user_id: Long, events: Long, total: Double)
 
   /** B67: custom stateful aggregation — running per-user event count and
