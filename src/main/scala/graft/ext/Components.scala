@@ -59,15 +59,19 @@ object Components {
       val pulled = sym.join(labels, sym("t") === labels("id"))
         .groupBy(sym("s").as("nid"))
         .agg(min("label").as("nlab"))
+      // Carry the previous label through the checkpoint: the convergence
+      // test is then a cheap scan over the materialized blocks — ONE
+      // distributed job per iteration, not a second join against the old
+      // labels.
       val next = labels.join(pulled, labels("id") === pulled("nid"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlab"), col("label")))
-            .as("label"))
+            .as("label"),
+          col("label").as("prev"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") < col("prev")).count()
+      changed = next.filter(col("label") < col("prev")).count()
       labels.unpersist()
-      labels = next
+      labels = next.drop("prev")
       iter += 1
     }
     labels

@@ -322,35 +322,15 @@ object Dedup {
                    threshold: Double = 0.8): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables.ensure(spark, dir)
-    // Each intermediate below is localCheckpoint()ed: (a) the lineage
-    // truncation keeps Spark's DeduplicateRelations from flakily throwing
-    // UnresolvedException when a windowed+joined subtree is referenced
-    // multiple times through CTE inlining, and (b) each stage is computed
-    // exactly once (the monolithic-CTE formulation recomputed the
-    // interpreted-lambda tokenization per referencing branch — 3× cost).
-    // On a cluster these would be checkpoint/bucketed intermediate tables.
     def ckpt(sql: String, view: String): Unit =
       spark.sql(sql).localCheckpoint().createOrReplaceTempView(view)
 
-    // ordered token positions per doc (codegen posexplode, no lambdas).
-    // Plain view: referenced once each by the t1 and trigram builds, and a
-    // straight scan recomputes cheaper than a checkpoint materializes.
-    spark.sql(
-      """SELECT doc_id, lang, pos, tok
-        |FROM (SELECT doc_id, lang,
-        |        array_remove(split(LOWER(text), ' '), '') AS toks
-        |      FROM documents)
-        |LATERAL VIEW posexplode(toks) AS pos, tok""".stripMargin)
-      .createOrReplaceTempView("__x54_tp")
-    // per-lang df-ascending dictionary: token → rank (rarest first)
-    ckpt(
-      """SELECT lang, tok,
-        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*), tok) AS rank
-        |FROM (SELECT DISTINCT doc_id, lang, tok FROM __x54_tp)
-        |GROUP BY lang, tok""".stripMargin, "__x54_v1")
-    // one scalar job: widest per-lang vocabulary → number of 64-bit words
-    val maxVocab = spark.sql("SELECT MAX(rank) FROM __x54_v1").head.getInt(0)
-    val nMask = ((maxVocab + 63) / 64).max(1)
+    // unigram candidate+verify stage (shared with x75; see below)
+    unigramPairs(spark, threshold).createOrReplaceTempView("__x54_q")
+
+    // token positions again for the trigram side (plain view — a straight
+    // scan recomputes cheaper than a checkpoint materializes)
+    spark.sql(tokenPosSql).createOrReplaceTempView("__x54_tp")
     // distinct word-trigram set per doc, built with a codegen'd window
     // lead() over token positions (the transform(sequence…) lambda
     // formulation evaluates interpreted), encoded as SORTED xxhash64
@@ -371,6 +351,75 @@ object Dedup {
         |SELECT doc_id, sort_array(collect_list(xxhash64(tok))) AS ranks3,
         |       COUNT(*) AS n3
         |FROM tri GROUP BY doc_id""".stripMargin, "__x54_r3")
+    val out = spark.sql(
+      s"""SELECT doc_a, doc_b,
+         |  CAST(CAST(ROUND(j1, 4) AS DECIMAL(18,4)) AS DOUBLE) AS j1,
+         |  CAST(CAST(ROUND(CASE WHEN n3a + n3b - i3 > 0 THEN
+         |           CAST(i3 AS DOUBLE) / CAST(n3a + n3b - i3 AS DOUBLE)
+         |         ELSE 0.0 END, 4) AS DECIMAL(18,4)) AS DOUBLE) AS j3
+         |FROM (SELECT q.doc_a, q.doc_b, q.j1,
+         |        sorted_intersect_count(
+         |          COALESCE(fa.ranks3, CAST(array() AS ARRAY<BIGINT>)),
+         |          COALESCE(fb.ranks3, CAST(array() AS ARRAY<BIGINT>))) AS i3,
+         |        COALESCE(fa.n3, 0) AS n3a, COALESCE(fb.n3, 0) AS n3b
+         |      FROM __x54_q q
+         |      LEFT JOIN __x54_r3 fa ON fa.doc_id = q.doc_a
+         |      LEFT JOIN __x54_r3 fb ON fb.doc_id = q.doc_b)""".stripMargin)
+      // materialize BEFORE the global sort: a range-partitioned ORDER BY
+      // first runs a sampling pass over its child to pick partition
+      // boundaries, and an unmaterialized child means the whole verify
+      // pipeline executes twice. The (much smaller) verified-pair result
+      // makes the sampling pass a cheap block-manager re-read.
+      .localCheckpoint()
+      .orderBy("doc_a", "doc_b")
+    // drop the scaffolding views: the returned plan holds the checkpointed
+    // RDDs directly, and dangling view references would pin their blocks in
+    // the block manager after the caller is done (clearCache can't free
+    // localCheckpoint blocks — only GC of the last RDD reference does)
+    Seq("__x54_tp", "__x54_r3", "__x54_q")
+      .foreach(spark.catalog.dropTempView)
+    out
+  }
+
+  // ordered token positions per doc (codegen posexplode, no lambdas)
+  private val tokenPosSql =
+    """SELECT doc_id, lang, pos, tok
+      |FROM (SELECT doc_id, lang,
+      |        array_remove(split(LOWER(text), ' '), '') AS toks
+      |      FROM documents)
+      |LATERAL VIEW posexplode(toks) AS pos, tok""".stripMargin
+
+  /** The PPJoin unigram candidate+verify stage of [[ngramJaccard]]: all
+    * pairs with word-set Jaccard >= threshold, each emitted exactly once,
+    * with the raw (un-rounded) j1. Shared by x54 (which joins the trigram
+    * arrays back for j3) and x75 (which feeds the pairs to [[Components]]
+    * as the near-dup graph edge set). Returns a localCheckpoint()ed frame
+    * (doc_a, doc_b, j1) — callers pay no recomputation when they branch.
+    * Caller must have run Tables.ensure + GraftFunctions.register.
+    *
+    * Each intermediate is localCheckpoint()ed: (a) the lineage truncation
+    * keeps Spark's DeduplicateRelations from flakily throwing
+    * UnresolvedException when a windowed+joined subtree is referenced
+    * multiple times through CTE inlining, and (b) each stage is computed
+    * exactly once (the monolithic-CTE formulation recomputed the
+    * interpreted-lambda tokenization per referencing branch — 3× cost).
+    * On a cluster these would be checkpoint/bucketed intermediate tables.
+    */
+  private[ext] def unigramPairs(spark: SparkSession,
+                                threshold: Double): DataFrame = {
+    def ckpt(sql: String, view: String): Unit =
+      spark.sql(sql).localCheckpoint().createOrReplaceTempView(view)
+
+    spark.sql(tokenPosSql).createOrReplaceTempView("__x54u_tp")
+    // per-lang df-ascending dictionary: token → rank (rarest first)
+    ckpt(
+      """SELECT lang, tok,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*), tok) AS rank
+        |FROM (SELECT DISTINCT doc_id, lang, tok FROM __x54u_tp)
+        |GROUP BY lang, tok""".stripMargin, "__x54_v1")
+    // one scalar job: widest per-lang vocabulary → number of 64-bit words
+    val maxVocab = spark.sql("SELECT MAX(rank) FROM __x54_v1").head.getInt(0)
+    val nMask = ((maxVocab + 63) / 64).max(1)
     // Per-doc unigram features in ONE aggregation (no per-doc windows, no
     // join-back): sorted rank array + set size + full bitset masks. The
     // PREFIX masks derive afterwards in pure codegen: the prefix is the
@@ -399,7 +448,7 @@ object Dedup {
          |      FROM (SELECT doc_id, lang, COUNT(*) AS n1,
          |              sort_array(collect_list(rank)) AS ranks1, $maskCols
          |            FROM (SELECT DISTINCT tp.doc_id, tp.lang, v.rank
-         |                  FROM __x54_tp tp
+         |                  FROM __x54u_tp tp
          |                  JOIN __x54_v1 v ON tp.lang = v.lang AND tp.tok = v.tok)
          |            GROUP BY doc_id, lang))""".stripMargin, "__x54_r1")
     val interSum = (0 until nMask)
@@ -423,47 +472,25 @@ object Dedup {
       .createOrReplaceTempView("__x54_pf")
     // inter/j1 computed ONCE in an inner projection (repeating the popcount
     // sum per reference defeats codegen subexpression reuse), dedup + j1
-    // filters applied in the same codegen stage — no extra shuffle.
+    // filters applied in the same codegen stage — no extra shuffle. The
+    // checkpoint materializes the (small) verified pair set so both
+    // callers' downstream branches re-read blocks instead of re-running
+    // the candidate join.
     val out = spark.sql(
-      s"""WITH q AS (
-         |  SELECT doc_a, doc_b,
-         |         CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS j1
-         |  FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |          a.n1 AS na, b.n1 AS nb, $interSum AS inter,
-         |          a.prank AS prank, $lowBitIdx AS lowbit
-         |        FROM __x54_pf a JOIN __x54_pf b
-         |          ON a.lang = b.lang AND a.prank = b.prank
-         |         AND a.doc_id < b.doc_id
-         |         AND LEAST(a.n1, b.n1) >= $threshold * GREATEST(a.n1, b.n1))
-         |  WHERE prank - 1 = lowbit
-         |    AND CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)
-         |          >= $threshold)
-         |SELECT doc_a, doc_b,
-         |  CAST(CAST(ROUND(j1, 4) AS DECIMAL(18,4)) AS DOUBLE) AS j1,
-         |  CAST(CAST(ROUND(CASE WHEN n3a + n3b - i3 > 0 THEN
-         |           CAST(i3 AS DOUBLE) / CAST(n3a + n3b - i3 AS DOUBLE)
-         |         ELSE 0.0 END, 4) AS DECIMAL(18,4)) AS DOUBLE) AS j3
-         |FROM (SELECT q.doc_a, q.doc_b, q.j1,
-         |        sorted_intersect_count(
-         |          COALESCE(fa.ranks3, CAST(array() AS ARRAY<BIGINT>)),
-         |          COALESCE(fb.ranks3, CAST(array() AS ARRAY<BIGINT>))) AS i3,
-         |        COALESCE(fa.n3, 0) AS n3a, COALESCE(fb.n3, 0) AS n3b
-         |      FROM q
-         |      LEFT JOIN __x54_r3 fa ON fa.doc_id = q.doc_a
-         |      LEFT JOIN __x54_r3 fb ON fb.doc_id = q.doc_b)""".stripMargin)
-      // materialize BEFORE the global sort: a range-partitioned ORDER BY
-      // first runs a sampling pass over its child to pick partition
-      // boundaries, and an unmaterialized child means the whole
-      // candidate-join + verify pipeline executes twice (measured 3.4 s of
-      // the query). Checkpointing the (much smaller) verified-pair result
-      // makes the sampling pass a cheap block-manager re-read.
+      s"""SELECT doc_a, doc_b,
+         |       CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS j1
+         |FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        a.n1 AS na, b.n1 AS nb, $interSum AS inter,
+         |        a.prank AS prank, $lowBitIdx AS lowbit
+         |      FROM __x54_pf a JOIN __x54_pf b
+         |        ON a.lang = b.lang AND a.prank = b.prank
+         |       AND a.doc_id < b.doc_id
+         |       AND LEAST(a.n1, b.n1) >= $threshold * GREATEST(a.n1, b.n1))
+         |WHERE prank - 1 = lowbit
+         |  AND CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)
+         |        >= $threshold""".stripMargin)
       .localCheckpoint()
-      .orderBy("doc_a", "doc_b")
-    // drop the scaffolding views: the returned plan holds the checkpointed
-    // RDDs directly, and dangling view references would pin their blocks in
-    // the block manager after the caller is done (clearCache can't free
-    // localCheckpoint blocks — only GC of the last RDD reference does)
-    Seq("__x54_tp", "__x54_v1", "__x54_r1", "__x54_r3", "__x54_pf")
+    Seq("__x54u_tp", "__x54_v1", "__x54_r1", "__x54_pf")
       .foreach(spark.catalog.dropTempView)
     out
   }
@@ -546,21 +573,14 @@ object Dedup {
     * edge set. Output: every doc with its component id (= min reachable
     * doc_id) — singletons map to themselves. */
   def componentsQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     graft.Tables.ensure(spark, dir)
-    val edges = spark.sql(
-      """WITH d AS (SELECT doc_id, lang,
-        |             filter(split(LOWER(text), ' '), t -> t <> '') AS toks
-        |           FROM documents),
-        |n AS (SELECT doc_id, lang, array_distinct(toks) AS w1 FROM d),
-        |nn AS (SELECT doc_id, lang, w1, size(w1) AS n1 FROM n),
-        |t1 AS (SELECT lang, doc_id, n1, tok FROM nn LATERAL VIEW explode(w1) AS tok),
-        |c1 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |              a.n1 AS na, b.n1 AS nb, COUNT(*) AS c
-        |       FROM t1 a JOIN t1 b
-        |         ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
-        |       GROUP BY a.doc_id, b.doc_id, a.n1, b.n1)
-        |SELECT doc_a, doc_b FROM c1
-        |WHERE CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE) >= 0.8""".stripMargin)
+    // Edge set = the PPJoin prefix-filter stage shared with x54: exact
+    // (recall 1) at the threshold, one emission per pair, no all-pairs
+    // stage — the naive within-lang token co-occurrence join formulation
+    // is value-identical (the x54 oracle pins that) but quadratic in each
+    // token's posting list.
+    val edges = unigramPairs(spark, 0.8)
     val nodes = spark.table("documents").select(col("doc_id").as("id"))
     Components.minLabelPropagation(nodes, edges, "doc_a", "doc_b")
       .select(col("id").as("doc_id"), col("label").cast("long").as("comp"))
