@@ -81,6 +81,9 @@ object SparkEntry {
       // "no_oracle by design" gap for the ANN sketches)
       "x59_ann_lsh"     -> ((s: SparkSession, d: String) => Similarity.lshRecallCheck(s, d)),
       "x60_mm_decode"   -> (Multimodal.decodeQuery _),
+      // x77: encode → frame-sample → per-frame byte stats; closed-form
+      // DuckDB twin over documents.text (see Multimodal.frameQuery)
+      "x77_framesample" -> (Multimodal.frameQuery _),
       "x62_ann_ivf"     -> ((s: SparkSession, d: String) => Similarity.ivfRecallCheck(s, d)),
       "x61_ann_expr"    -> ((s: SparkSession, d: String) => {
         graft.functions.GraftFunctions.register(s)
@@ -289,9 +292,32 @@ object SparkEntry {
       |SELECT n AS doc_id, CAST(MIN(r) AS BIGINT) AS comp
       |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin
 
+  /** x77 twin: the fake payload is header(12) ++ UTF-8 text (ASCII corpus
+    * ⇒ unicode(ch) == byte), so the frame grid, stride filter and byte
+    * sums all recompute closed-form. 'IMG1' = 73,77,71,49; width/height
+    * are < 2¹⁶ so their big-endian high bytes are 0. */
+  private val frameSampleDuck =
+    """WITH b AS (SELECT doc_id,
+      |  list_concat(
+      |    [CAST(73 AS BIGINT), 77, 71, 49,
+      |     0, 0, (64 + (doc_id % 16) * 32) // 256, (64 + (doc_id % 16) * 32) % 256,
+      |     0, 0, (64 + (doc_id % 9) * 32) // 256, (64 + (doc_id % 9) * 32) % 256],
+      |    list_transform(range(1, CAST(strlen(text) AS INT) + 1),
+      |      i -> CAST(unicode(text[i]) AS BIGINT))) AS bytes
+      |  FROM documents),
+      |f AS (SELECT doc_id, bytes,
+      |        unnest(range(0, CAST(len(bytes) // 32 AS INT))) AS fno
+      |      FROM b)
+      |SELECT doc_id, CAST(fno AS INT) AS frame_no, CAST(32 AS INT) AS frame_len,
+      |  CAST(list_sum(list_slice(bytes, CAST(fno * 32 + 1 AS INT),
+      |    CAST(fno * 32 + 32 AS INT))) AS BIGINT) AS byte_sum
+      |FROM f WHERE fno % 4 = 0
+      |ORDER BY doc_id, frame_no""".stripMargin
+
   def oracleSql: Map[String, String] =
     sqlBacked.map(q => q.name -> q.duck).toMap +
       ("x75_components" -> componentsDuck) +
+      ("x77_framesample" -> frameSampleDuck) +
       ("x61_ann_expr" ->
         Extensions.all.find(_.name == "x55_ann_topk").get.duck) +
       ("x63_embed_dup" -> embedDupDuck) +

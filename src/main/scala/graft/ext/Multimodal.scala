@@ -92,4 +92,26 @@ object Multimodal {
       .withColumnRenamed("col", "frame")
       .filter(pmod(col("frame_no"), lit(stride)) === 0)
   }
+
+  /** x77 driver row: encode → frame-sample → per-frame byte stats. The
+    * whole fake payload is a closed-form function of documents.text, so a
+    * DuckDB twin rebuilds the byte list and re-derives every sampled
+    * frame's sum — the oracle pins the frame boundaries, the stride
+    * filter, AND the payload bytes end-to-end. The explode is map-side
+    * (linear in payload bytes, full frames only — min corpus payload is
+    * 56 bytes so every doc emits ≥1 frame); the per-frame reduction runs
+    * in a typed mapPartitions, the same batch shape a real frame decoder
+    * would use. */
+  def frameQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sampleFrames(fakeEncode(spark, dir))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions(_.map { case (id, fno, frame) =>
+        (id, fno, frame.length, frame.foldLeft(0L)((a, b) => a + (b & 0xff)))
+      })
+      .toDF("doc_id", "frame_no", "frame_len", "byte_sum")
+      .select(col("doc_id"), col("frame_no"),
+        col("frame_len").cast("int").as("frame_len"), col("byte_sum"))
+      .orderBy("doc_id", "frame_no")
+  }
 }

@@ -28,8 +28,8 @@ class QueriesSpec extends SparkSpec {
   test("driver contract: entry() returns rows and every query has unique name") {
     assert(SparkEntry.entry(spark).count() > 0)
     val qs = SparkEntry.queries
-    assert(qs.size == 96,
-      s"expected 96 queries (q01-q68 + x49-x76), got ${qs.size}")
+    assert(qs.size == 97,
+      s"expected 97 queries (q01-q68 + x49-x77), got ${qs.size}")
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet),
       "oracle entries without a matching query")
     assert(SparkEntry.oracleSql.keySet == qs.keySet,
@@ -110,5 +110,37 @@ class QueriesSpec extends SparkSpec {
       "SELECT approx_count_distinct(l_partkey) FROM lineitem").head.getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx=$approx exact=$exact")
+  }
+
+  test("x73: quantization is map-only — the sole exchange is the ORDER BY") {
+    val plan = run("x73_quantize").queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1,
+      s"expected only the final sort's range exchange, got:\n$plan")
+  }
+
+  test("x76: the benchmark gram side broadcasts (tiny by construction)") {
+    val plan = run("x76_decontam").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "benchmark side should broadcast, not shuffle the training grams:\n" +
+        plan)
+  }
+
+  test("q67/q68: windows are keyed — no single-partition WindowExec") {
+    for (q <- Seq("q67_ts_range_frame", "q68_distinct_on")) {
+      val plan = run(q).queryExecution.executedPlan.toString
+      // an unkeyed window plans as 'Window [...] , SinglePartition'
+      assert(!plan.contains("SinglePartition"),
+        s"$q window moved all rows to one partition:\n$plan")
+    }
+  }
+
+  test("q68: top-1-per-group pushes the rank limit into the shuffle") {
+    val plan = run("q68_distinct_on").queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      "rn = 1 filter should prune rows before the full window sort:\n" +
+        plan)
   }
 }
