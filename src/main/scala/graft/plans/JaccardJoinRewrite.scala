@@ -87,12 +87,22 @@ object JaccardJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             // opt-in rule already documents)
             val verify = SortedJaccardGe(lwh.toAttribute, rwh.toAttribute,
               t, strict)
+            // PPJoin length filter: jaccard >= t implies the set sizes are
+            // within a factor t of each other — two integer comparisons
+            // that prune mismatched-length candidates before the O(n)
+            // merges (never changes the result, only skips doomed pairs)
+            val (lSz, rSz) = (Size(lwh.toAttribute), Size(rwh.toAttribute))
+            val lenFilter = And(
+              GreaterThanOrEqual(Cast(lSz, DoubleType),
+                Multiply(Literal(t), Cast(rSz, DoubleType))),
+              GreaterThanOrEqual(Cast(rSz, DoubleType),
+                Multiply(Literal(t), Cast(lSz, DoubleType))))
             // user's residual conjuncts (e.g. doc_id < doc_id) run before the
             // merge-based predicates: And short-circuits in codegen, so cheap
             // comparisons prune half the candidate rows for free
             val others = conjuncts.filterNot(_ eq p)
             val newCond = (Seq[Expression](EqualTo(lEl, rEl)) ++ others ++
-              Seq(firstShared, verify)).reduce(And)
+              Seq(lenFilter, firstShared, verify)).reduce(And)
             Project(j.output, Join(lGen, rGen, Inner, Some(newCond), hint))
           case _ => j
         }

@@ -48,6 +48,29 @@ class ComponentsSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("random graphs match a local union-find reference (seeded)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 30 + rnd.nextInt(40)
+      val nodes = (0L until n.toLong).toSeq
+      val edges = Seq.fill(rnd.nextInt(60))(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // local reference: union-find with min-id representative
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { val lo = math.min(ra, rb)
+          parent(math.max(ra, rb)) = lo }
+      }
+      val expected = nodes.map(v => v -> find(v.toInt).toLong).toMap
+      assert(run(nodes, edges) == expected,
+        s"n=$n edges=${edges.size}")
+    }
+  }
+
   test("componentSizes: one row per component with its cardinality") {
     val labels: DataFrame = Seq((0L, 0L), (1L, 0L), (2L, 0L), (5L, 5L))
       .toDF("id", "label")
