@@ -678,6 +678,84 @@ object Extensions {
         |  CAST(COUNT(DISTINCT tg.gram) AS BIGINT) AS n_shared,
         |  CAST(MIN(bg.bench_id) AS BIGINT) AS first_bench
         |FROM tg JOIN bg ON tg.gram = bg.gram
-        |GROUP BY tg.doc_id ORDER BY tg.doc_id""".stripMargin)
+        |GROUP BY tg.doc_id ORDER BY tg.doc_id""".stripMargin),
+
+    // x78 unigram-LM log-prob scoring — the perplexity-filter proxy: score
+    // each doc by the mean log corpus frequency of its tokens (low = rare/
+    // surprising text, the filtering signal). Vocabulary = one groupBy on
+    // token (the classic sparse-feature shuffle; the vocab aggregate is
+    // broadcast-sized at any corpus scale with a Zipfian vocabulary). The
+    // per-token log terms are ROUNDed then summed as DECIMAL so the
+    // aggregation is exact and order-independent — the established suite
+    // pattern for cross-engine FP aggregation (a double SUM would be
+    // shuffle-order-dependent in the last ulp).
+    Q("x78_unigram_lm",
+      """WITH t AS (SELECT doc_id,
+        |             explode(filter(split(LOWER(text), ' '), x -> x <> '')) AS tok
+        |           FROM documents),
+        |v AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM t GROUP BY tok),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM t),
+        |s AS (SELECT t.doc_id, COUNT(*) AS ntoks,
+        |        SUM(CAST(ROUND(LN(v.c / n.nn), 5) AS DECIMAL(18,5))) AS slp
+        |      FROM t JOIN v ON t.tok = v.tok CROSS JOIN n
+        |      GROUP BY t.doc_id)
+        |SELECT doc_id, CAST(ntoks AS BIGINT) AS ntoks,
+        |  CAST(CAST(ROUND(CAST(slp AS DOUBLE) / ntoks, 4) AS DECIMAL(18,4)) AS DOUBLE) AS logp
+        |FROM s ORDER BY doc_id""".stripMargin,
+      """WITH t AS (SELECT doc_id,
+        |             unnest(list_filter(string_split(LOWER(text), ' '), x -> x <> '')) AS tok
+        |           FROM documents),
+        |v AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM t GROUP BY tok),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM t),
+        |s AS (SELECT t.doc_id, COUNT(*) AS ntoks,
+        |        SUM(CAST(ROUND(LN(v.c / n.nn), 5) AS DECIMAL(18,5))) AS slp
+        |      FROM t JOIN v ON t.tok = v.tok CROSS JOIN n
+        |      GROUP BY t.doc_id)
+        |SELECT doc_id, CAST(ntoks AS BIGINT) AS ntoks,
+        |  CAST(CAST(ROUND(CAST(slp AS DOUBLE) / ntoks, 4) AS DECIMAL(18,4)) AS DOUBLE) AS logp
+        |FROM s ORDER BY doc_id""".stripMargin),
+
+    // x79 TF-IDF keyword extraction — top-3 terms per doc (tagging /
+    // retrieval-feature step). tf and df are two hash aggregates shuffled
+    // on (doc, token) / token; the per-doc top-3 runs through the rank
+    // window WindowGroupLimit prunes. Tie-break on the token makes the
+    // winners unique, so the rows hash-compare.
+    Q("x79_tfidf",
+      """WITH t AS (SELECT doc_id,
+        |             explode(filter(split(LOWER(text), ' '), x -> x <> '')) AS tok
+        |           FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+        |       FROM t GROUP BY doc_id, tok),
+        |df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+        |       FROM t GROUP BY tok),
+        |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd FROM t),
+        |s AS (SELECT tf.doc_id, tf.tok,
+        |        tf.tf * LN((n.nd + 1.0) / (df.df + 1.0)) AS score
+        |      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+        |w AS (SELECT doc_id, tok, score,
+        |        ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                           ORDER BY ROUND(score, 6) DESC, tok) AS rn
+        |      FROM s)
+        |SELECT doc_id, CAST(rn AS INT) AS rn, tok,
+        |  CAST(CAST(ROUND(score, 4) AS DECIMAL(18,4)) AS DOUBLE) AS score
+        |FROM w WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+      """WITH t AS (SELECT doc_id,
+        |             unnest(list_filter(string_split(LOWER(text), ' '), x -> x <> '')) AS tok
+        |           FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+        |       FROM t GROUP BY doc_id, tok),
+        |df AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+        |       FROM t GROUP BY tok),
+        |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd FROM t),
+        |s AS (SELECT tf.doc_id, tf.tok,
+        |        tf.tf * LN((n.nd + 1.0) / (df.df + 1.0)) AS score
+        |      FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+        |w AS (SELECT doc_id, tok, score,
+        |        ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                           ORDER BY ROUND(score, 6) DESC, tok) AS rn
+        |      FROM s)
+        |SELECT doc_id, CAST(rn AS INT) AS rn, tok,
+        |  CAST(CAST(ROUND(score, 4) AS DECIMAL(18,4)) AS DOUBLE) AS score
+        |FROM w WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin)
   )
 }
