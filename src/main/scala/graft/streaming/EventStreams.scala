@@ -93,6 +93,15 @@ object EventStreams {
         col("click_ts"), col("view_ts"))
   }
 
+  /** B65 (stream-static): enrich the stream with a static dimension —
+    * joins against a batch DataFrame need no watermark and no join state
+    * (the static side broadcasts per micro-batch), the state-free fast
+    * path to prefer whenever the right side isn't itself a stream. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+                    eventKey: String, dimKey: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim),
+      col(eventKey) === col(dimKey))
+
   final case class UserRunning(user_id: Long, events: Long, total: Double)
 
   /** B67: custom stateful aggregation — running per-user event count and

@@ -199,6 +199,26 @@ class EventStreamsSpec extends SparkSpec {
       "late event must not re-open the finalized window")
   }
 
+  test("B65 stream-static broadcast enrichment matches the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = spark.table("customer").select("c_custkey", "c_name")
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.enrichWithDim(mem.toDF(), dim, "user_id", "c_custkey")
+      .select("event_id", "c_name")
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    mem.addData(eventRows: _*); q.processAllAvailable()
+    val streamed = spark.table("enrich")
+      .as[(Long, String)].collect().toSet
+    q.stop()
+    val expected = EventStreams
+      .enrichWithDim(batchEvents, dim, "user_id", "c_custkey")
+      .select("event_id", "c_name").as[(Long, String)].collect().toSet
+    assert(streamed == expected)
+    assert(expected.nonEmpty)
+  }
+
   test("B65 stream-stream interval join matches the batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
