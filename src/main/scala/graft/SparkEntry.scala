@@ -55,6 +55,11 @@ object SparkEntry {
       // expected pairs from raw text and pin the booleans
       "x57_minhash_lsh" -> ((s: SparkSession, d: String) => Dedup.minhashRecallCheck(s, d)),
       "x58_simhash"     -> ((s: SparkSession, d: String) => Dedup.simhashRecallCheck(s, d)),
+      // x80: count-min heavy hitters — exact top-20 tokens checked
+      // against the sketch's never-underestimates guarantee (the sketch
+      // path shuffles a fixed 4×1024 grid, never the vocabulary)
+      "x80_heavy_hitters" -> ((s: SparkSession, d: String) =>
+        graft.ext.Frequency.heavyHitters(s, d)),
       // x75: near-dup pairs -> transitive dedup groups via distributed
       // min-label propagation (ext/Components); oracle is a recursive
       // transitive-closure CTE over the identical edge set
@@ -318,6 +323,7 @@ object SparkEntry {
     sqlBacked.map(q => q.name -> q.duck).toMap +
       ("x75_components" -> componentsDuck) +
       ("x77_framesample" -> frameSampleDuck) +
+      ("x80_heavy_hitters" -> graft.ext.Frequency.heavyHittersDuck) +
       ("x61_ann_expr" ->
         Extensions.all.find(_.name == "x55_ann_topk").get.duck) +
       ("x63_embed_dup" -> embedDupDuck) +
