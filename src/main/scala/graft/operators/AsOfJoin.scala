@@ -35,24 +35,41 @@ object AsOfJoin {
     * @param rightPayload right columns carried onto left rows (must not
     *                     collide with left column names)
     * @param tieBreak     one of `rightPayload`; largest value wins among
-    *                     right rows tied on (key, ts) */
+    *                     right rows tied on (key, ts)
+    * @param tolerance    optional max lookback as a SQL expression for the
+    *                     ts delta (`"INTERVAL 1 HOUR"` for timestamps, a
+    *                     number for numeric ts): a match older than
+    *                     `left.ts - tolerance` null-extends instead.
+    *                     Correct with the single running-last pass because
+    *                     the match IS the newest right row ≤ ts — if it is
+    *                     too old, every other candidate is older still. */
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
-           rightPayload: Seq[String], tieBreak: String): DataFrame = {
+           rightPayload: Seq[String], tieBreak: String,
+           tolerance: Option[String] = None): DataFrame = {
     require(rightPayload.contains(tieBreak),
       s"tieBreak '$tieBreak' must be one of rightPayload")
     require(!rightPayload.exists(left.columns.contains),
       "rightPayload column names must not collide with left columns")
     val l = left.withColumn("__side", lit(1))
+    // the right ts rides inside the payload struct so the tolerance check
+    // reads the MATCHED row's ts, not the left row's
     val r = right.select(col(key), col(ts),
-        struct(rightPayload.map(col): _*).as("__p"))
+        struct(col(ts).as("__rts") +: rightPayload.map(col): _*).as("__p"))
       .withColumn("__side", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(key)
       .orderBy(col(ts).asc, col("__side").asc,
         col("__p").getField(tieBreak).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+    val matched = last(col("__p"), ignoreNulls = true).over(w)
+    val gated = tolerance match {
+      case Some(tol) => when(
+        col("__m").getField("__rts") >= col(ts) - expr(tol), col("__m"))
+      case None => col("__m")
+    }
+    u.withColumn("__m", matched)
       .filter(col("__side") === 1)
+      .withColumn("__m", gated)
       .select(left.columns.map(col).toSeq ++
         rightPayload.map(c => col(s"__m.$c").as(c)): _*)
   }

@@ -44,6 +44,27 @@ class AsOfJoinSpec extends SparkSpec {
     ), got.toString)
   }
 
+  test("tolerance null-extends matches older than the lookback bound") {
+    val (l, r) = frames()
+    // 30-second lookback: event 1 (ts 100) still matches rid 12 (ts 90),
+    // but event 2 keeps its equal-ts match and nothing else changes;
+    // with a 5-second lookback event 1's ts-90 match ages out too
+    val got30 = AsOfJoin.asOf(l, r, "k", "ts", Seq("rid", "payload"), "rid",
+        tolerance = Some("INTERVAL 30 SECONDS"))
+      .select("event_id", "rid").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .toSet
+    assert(got30 == Set((1L, 12L), (2L, 11L), (3L, -1L), (4L, 42L),
+      (5L, -1L)), got30.toString)
+    val got5 = AsOfJoin.asOf(l, r, "k", "ts", Seq("rid", "payload"), "rid",
+        tolerance = Some("INTERVAL 5 SECONDS"))
+      .select("event_id", "rid").collect()
+      .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .toSet
+    assert(got5 == Set((1L, -1L), (2L, 11L), (3L, -1L), (4L, -1L),
+      (5L, -1L)), got5.toString)
+  }
+
   test("as-of plan is one hash shuffle per side + window — no range join") {
     val (l, r) = frames()
     val plan = AsOfJoin.asOf(l, r, "k", "ts", Seq("rid", "payload"), "rid")
