@@ -641,7 +641,24 @@ object Queries {
       """SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey,
         |  CAST(CAST(ROUND(c_acctbal, 2) AS DECIMAL(18,2)) AS DOUBLE) AS bal
         |FROM customer
-        |ORDER BY c_nationkey, c_acctbal DESC, c_custkey""".stripMargin)
+        |ORDER BY c_nationkey, c_acctbal DESC, c_custkey""".stripMargin),
+
+    // Q69 (B17 dialect) JOIN USING — single shared key column in the
+    // output (TPC-H column names never collide, so the derived tables
+    // rename the keys; both dialects agree on USING's column-merge rule).
+    Q.same("q69_join_using",
+      """SELECT nk, COUNT(*) AS customers, MIN(n_name) AS nation
+        |FROM (SELECT c_nationkey AS nk, c_custkey FROM customer)
+        |JOIN (SELECT n_nationkey AS nk, n_name FROM nation) USING (nk)
+        |GROUP BY nk ORDER BY nk""".stripMargin),
+
+    // Q70 (B17 dialect) NATURAL JOIN — implicit equi-join on every
+    // same-named column (nk, rk here), dedup'd in the output like USING.
+    Q.same("q70_natural_join",
+      """SELECT rk, r_name, COUNT(*) AS nations
+        |FROM (SELECT n_regionkey AS rk, n_name FROM nation)
+        |NATURAL JOIN (SELECT r_regionkey AS rk, r_name FROM region)
+        |GROUP BY rk, r_name ORDER BY rk""".stripMargin)
   )
 
   /** Q55 (B12) parameterized-query template: the Spark side binds this `?`

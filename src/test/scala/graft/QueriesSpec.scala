@@ -28,8 +28,8 @@ class QueriesSpec extends SparkSpec {
   test("driver contract: entry() returns rows and every query has unique name") {
     assert(SparkEntry.entry(spark).count() > 0)
     val qs = SparkEntry.queries
-    assert(qs.size == 100,
-      s"expected 100 queries (q01-q68 + x49-x80), got ${qs.size}")
+    assert(qs.size == 102,
+      s"expected 102 queries (q01-q70 + x49-x80), got ${qs.size}")
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet),
       "oracle entries without a matching query")
     assert(SparkEntry.oracleSql.keySet == qs.keySet,
