@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Single-import user surface of the library.
+  *
+  * The OLTP/engine side (the reference's own API shape) lives on
+  * [[graft.engine.GraftDb]] — `open`/`openInMemory` → `execute`/`query` →
+  * `close`, plus the HTTP surface in [[graft.server.HttpApi]]. This object
+  * fronts the ANALYTICS side: the training-data-pipeline operators that
+  * have no single entry point because they span `ext`, `operators` and
+  * `functions`. Each forwards verbatim to the implementing module — no
+  * logic here.
+  *
+  * Registration: `Graft.install(spark)` adds the native functions and the
+  * opt-in rewrite rules to a running session (the cluster-wide equivalent
+  * is `spark.sql.extensions=graft.functions.GraftExtensions`).
+  */
+object Graft {
+
+  /** Native functions + opt-in rewrite rules into an existing session. */
+  def install(spark: SparkSession): Unit = {
+    functions.GraftFunctions.register(spark)
+    Seq(plans.CosineJoinRewrite, plans.JaccardJoinRewrite).foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+    }
+  }
+
+  // ---- joins the built-in operator set lacks ----------------------------
+
+  /** Distributed LEFT as-of join (latest right row at-or-before each left
+    * ts per key); see [[operators.AsOfJoin.asOf]] for the contract. */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               rightPayload: Seq[String], tieBreak: String,
+               tolerance: Option[String] = None): DataFrame =
+    operators.AsOfJoin.asOf(left, right, key, ts, rightPayload, tieBreak,
+      tolerance)
+
+  /** Scale-safe `a.x < b.y` theta join via fixed-width value bands. */
+  def bandedLessThanJoin(left: DataFrame, leftCol: String,
+                         right: DataFrame, rightCol: String): DataFrame =
+    operators.RangeJoin.lessThanJoin(left, leftCol, right, rightCol)
+
+  /** Salted equi-join for skewed fact keys; row-identical to the plain
+    * join with the hot keys spread over `salt` partitions. */
+  def saltedJoin(fact: DataFrame, factKey: String, dim: DataFrame,
+                 dimKey: String, saltBy: org.apache.spark.sql.Column,
+                 salt: Int): DataFrame =
+    operators.SkewJoin.saltedJoin(fact, factKey, dim, dimKey, saltBy, salt)
+
+  // ---- dedup ------------------------------------------------------------
+
+  /** MinHash-LSH near-duplicate pairs over the documents table. */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    ext.Dedup.minhashPairs(spark, dir)
+
+  /** SimHash near-duplicate pairs (Hamming-chunk blocked). */
+  def simhashPairs(spark: SparkSession, dir: String,
+                   maxHamming: Int = 3): DataFrame =
+    ext.Dedup.simhashPairs(spark, dir, maxHamming)
+
+  /** Exact n-gram-Jaccard pairs via PPJoin prefix filtering. */
+  def jaccardPairs(spark: SparkSession, dir: String,
+                   threshold: Double = 0.8): DataFrame =
+    ext.Dedup.ngramJaccard(spark, dir, threshold)
+
+  /** Near-dup pairs → transitive dedup groups (connected components). */
+  def dedupGroups(spark: SparkSession, dir: String): DataFrame =
+    ext.Dedup.componentsQuery(spark, dir)
+
+  /** Min-label-propagation connected components over any pair graph. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          srcCol: String, dstCol: String,
+                          maxIters: Int = 50): DataFrame =
+    ext.Components.minLabelPropagation(nodes, edges, srcCol, dstCol,
+      maxIters)
+}
