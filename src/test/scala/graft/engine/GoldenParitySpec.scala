@@ -634,6 +634,31 @@ class GoldenParitySpec extends SparkSpec {
     assert(query(a2, q) == query(b, q))
   }
 
+  test("subqueries inside UPDATE/DELETE (sqlite 3.40 ground truth)") {
+    // ground truth captured with sqlite3 3.40.1:
+    //   UPDATE .. SET score=(SELECT MAX(id) FROM bar)
+    //     WHERE id IN (SELECT id FROM bar)      -> rows 1,3 updated, score 3.0
+    //   DELETE .. WHERE id NOT IN (SELECT ...)  -> removes id 2
+    //   SET name=(empty scalar subquery)        -> NULL, never an error
+    val db = memDb
+    exec(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT, score REAL)")
+    exec(db, "INSERT INTO foo VALUES (1,'fiona',10.0),(2,'aoife',20.0),(3,'brid',30.0)")
+    exec(db, "CREATE TABLE bar (id INTEGER, tag TEXT)")
+    exec(db, "INSERT INTO bar VALUES (1,'x'),(3,'y')")
+    assert(exec(db,
+      "UPDATE foo SET score = (SELECT MAX(id) FROM bar) WHERE id IN (SELECT id FROM bar)")
+      == """[{"last_insert_id":2,"rows_affected":2}]""")
+    assert(query(db, "SELECT id, name, score FROM foo ORDER BY id") ==
+      """[{"columns":["id","name","score"],"types":["integer","text","real"],"values":[[1,"fiona",3.0],[2,"aoife",20.0],[3,"brid",3.0]]}]""")
+    assert(exec(db, "DELETE FROM foo WHERE id NOT IN (SELECT id FROM bar)")
+      == """[{"last_insert_id":2,"rows_affected":1}]""")
+    assert(query(db, "SELECT id FROM foo ORDER BY id") ==
+      """[{"columns":["id"],"types":["integer"],"values":[[1],[3]]}]""")
+    exec(db, "UPDATE foo SET name = (SELECT tag FROM bar WHERE bar.id = 99) WHERE id = 1")
+    assert(query(db, "SELECT id, name FROM foo ORDER BY id") ==
+      """[{"columns":["id","name"],"types":["integer","text"],"values":[[1,null],[3,"brid"]]}]""")
+  }
+
   test("file-backed db persists and recovers (journal + manifest)") {
     val tmp = java.nio.file.Files.createTempDirectory("graftdb").toString
     val db = GraftDb.open(spark, s"$tmp/d1").fold(e => fail(e), identity)
