@@ -658,7 +658,20 @@ object Queries {
       """SELECT rk, r_name, COUNT(*) AS nations
         |FROM (SELECT n_regionkey AS rk, n_name FROM nation)
         |NATURAL JOIN (SELECT r_regionkey AS rk, r_name FROM region)
-        |GROUP BY rk, r_name ORDER BY rk""".stripMargin)
+        |GROUP BY rk, r_name ORDER BY rk""".stripMargin),
+
+    // Q71 (B16/ANSI) TRY_CAST — the null-on-failure cast both engines
+    // share by name (Spark runs ANSI mode where plain CAST throws; the
+    // pipeline-safe form is the one a dirty-data ingest actually uses).
+    // '1-URGENT' -> NULL as a whole, 1 from its first char; a VARCHAR
+    // status never parses as DATE.
+    Q.same("q71_try_cast",
+      """SELECT o_orderkey,
+        |  TRY_CAST(o_orderpriority AS INTEGER) AS full_num,
+        |  TRY_CAST(SUBSTRING(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+        |  TRY_CAST(o_orderstatus AS DATE) AS bad_date
+        |FROM orders WHERE o_orderkey <= 1000
+        |ORDER BY o_orderkey""".stripMargin)
   )
 
   /** Q55 (B12) parameterized-query template: the Spark side binds this `?`
