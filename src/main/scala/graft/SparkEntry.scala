@@ -60,6 +60,11 @@ object SparkEntry {
       // path shuffles a fixed 4×1024 grid, never the vocabulary)
       "x80_heavy_hitters" -> ((s: SparkSession, d: String) =>
         graft.ext.Frequency.heavyHitters(s, d)),
+      // x81: incremental batch dedup — new batch (doc_id%10=0) checked
+      // against the corpus via the exact PPJoin stage; per new doc the
+      // smallest matching corpus partner at j>=0.9 (or null extension)
+      "x81_incr_dedup" -> ((s: SparkSession, d: String) =>
+        Dedup.incrementalDedup(s, d)),
       // x75: near-dup pairs -> transitive dedup groups via distributed
       // min-label propagation (ext/Components); oracle is a recursive
       // transitive-closure CTE over the identical edge set
@@ -319,11 +324,36 @@ object SparkEntry {
       |FROM f WHERE fno % 4 = 0
       |ORDER BY doc_id, frame_no""".stripMargin
 
+  /** x81 twin: quadratic new-batch × corpus within-lang word-set Jaccard
+    * (the same exact j1 the PPJoin stage computes), per new doc the
+    * smallest corpus partner at the threshold, null-extended so every new
+    * doc gets a verdict row. */
+  private val incrDedupDuck =
+    """WITH d AS (SELECT doc_id, lang,
+      |        list_distinct(list_filter(string_split(LOWER(text), ' '),
+      |          t -> t <> '')) AS w1
+      |      FROM documents),
+      |n AS (SELECT doc_id, lang, w1, len(w1) AS n1 FROM d),
+      |p AS (SELECT a.doc_id AS new_doc, b.doc_id AS old_doc,
+      |        CAST(len(list_intersect(a.w1, b.w1)) AS DOUBLE)
+      |          / CAST(a.n1 + b.n1 - len(list_intersect(a.w1, b.w1)) AS DOUBLE) AS j1
+      |      FROM n a JOIN n b
+      |        ON a.lang = b.lang AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+      |       AND a.n1 > 0 AND b.n1 > 0),
+      |m AS (SELECT new_doc, MIN(old_doc) AS dup_of, MIN_BY(j1, old_doc) AS bj
+      |      FROM p WHERE j1 >= 0.9 GROUP BY new_doc)
+      |SELECT doc_id, CAST(dup_of AS BIGINT) AS dup_of,
+      |  CAST(CAST(ROUND(bj, 4) AS DECIMAL(18,4)) AS DOUBLE) AS j
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0)
+      |LEFT JOIN m ON doc_id = new_doc
+      |ORDER BY doc_id""".stripMargin
+
   def oracleSql: Map[String, String] =
     sqlBacked.map(q => q.name -> q.duck).toMap +
       ("x75_components" -> componentsDuck) +
       ("x77_framesample" -> frameSampleDuck) +
       ("x80_heavy_hitters" -> graft.ext.Frequency.heavyHittersDuck) +
+      ("x81_incr_dedup" -> incrDedupDuck) +
       ("x61_ann_expr" ->
         Extensions.all.find(_.name == "x55_ann_topk").get.duck) +
       ("x63_embed_dup" -> embedDupDuck) +

@@ -572,6 +572,40 @@ object Dedup {
     * re-derives it with a recursive transitive-closure CTE over the same
     * edge set. Output: every doc with its component id (= min reachable
     * doc_id) — singletons map to themselves. */
+  /** x81: incremental batch dedup — the daily-ingest pattern: an incoming
+    * batch (doc_id % 10 = 0 plays the new crawl) checks against the
+    * EXISTING corpus without re-clustering it. Candidates come from the
+    * exact PPJoin unigram stage at a lower bound, then the incremental
+    * contract keeps only (new × corpus) pairs at the real threshold and
+    * reports, per new doc, the smallest matching corpus doc (or a null
+    * extension — every new doc gets a verdict row). At scale the corpus
+    * side's prefix index is the persisted artifact; the new batch is the
+    * only data that moves.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String,
+                       mod: Int = 10, threshold: Double = 0.9): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.ensure(spark, dir)
+    val pairs = unigramPairs(spark, 0.8)
+      .filter(col("j1") >= threshold)
+    // orient every pair as (new, corpus); drop new×new and corpus×corpus
+    val oriented = pairs
+      .select(when(col("doc_a") % mod === 0, col("doc_a"))
+          .otherwise(col("doc_b")).as("new_doc"),
+        when(col("doc_a") % mod === 0, col("doc_b"))
+          .otherwise(col("doc_a")).as("old_doc"),
+        col("j1"))
+      .filter(col("new_doc") % mod === 0 && col("old_doc") % mod =!= 0)
+    val best = oriented.groupBy("new_doc")
+      .agg(min("old_doc").as("dup_of"),
+        expr("min_by(j1, old_doc)").as("bj"))
+    spark.sql(s"SELECT doc_id FROM documents WHERE doc_id % $mod = 0")
+      .join(best, col("doc_id") === col("new_doc"), "left")
+      .select(col("doc_id"), col("dup_of").cast("long").as("dup_of"),
+        expr("CAST(CAST(ROUND(bj, 4) AS DECIMAL(18,4)) AS DOUBLE)").as("j"))
+      .orderBy("doc_id")
+  }
+
   def componentsQuery(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     graft.Tables.ensure(spark, dir)
