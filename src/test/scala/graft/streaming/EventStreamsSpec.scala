@@ -199,6 +199,41 @@ class EventStreamsSpec extends SparkSpec {
       "late event must not re-open the finalized window")
   }
 
+  test("foreachBatch sinks a stream into the OLTP engine (both halves compose)") {
+    import graft.engine.GraftDb
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val db = GraftDb.openInMemory(spark)
+    db.executeStringStmt(
+      "CREATE TABLE ev (id INTEGER NOT NULL PRIMARY KEY, v REAL)")
+      .fold(e => fail(e), identity)
+    val mem = MemoryStream[Ev]
+    val q = mem.toDF().select("event_id", "value").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // one engine statement per micro-batch — the statement-journal
+        // write path, exactly how an ingest bridge would use the envelope
+        val rows = batch.collect().map(r =>
+          s"(${r.getLong(0)}, ${r.getDouble(1)})")
+        if (rows.nonEmpty)
+          db.executeStringStmt(s"INSERT INTO ev VALUES ${rows.mkString(",")}")
+            .fold(e => fail(e), identity)
+        ()
+      }
+      .start()
+    val (a, b) = eventRows.take(40).splitAt(20)
+    mem.addData(a: _*); q.processAllAvailable()
+    mem.addData(b: _*); q.processAllAvailable()
+    q.stop()
+    val got = db
+      .queryStringStmt("SELECT COUNT(*) AS n, MIN(id) AS lo, MAX(id) AS hi FROM ev")
+      .fold(e => fail(e), identity)
+    val ids = eventRows.take(40).map(_.event_id)
+    val vals = got.head.values.head.collect {
+      case graft.command.Value.Integer(v) => v
+    }
+    assert(vals == Seq(40L, ids.min, ids.max), got.toString)
+  }
+
   test("B65 stream-static broadcast enrichment matches the batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
