@@ -392,10 +392,15 @@ object Queries {
 
     // Q50 (B38) percent_rank / cume_dist (deterministic rank-derived
     // doubles, pinned at 6 decimals)
+    // FLOOR(x*1e6 + 0.5)/1e6, not ROUND(x, 6): percent_rank/cume_dist are
+    // small-denominator rationals whose doubles land EXACTLY on .5
+    // rounding boundaries (e.g. cume_dist = 0.5203125 at sf0.1), where
+    // Spark rounds half-up and DuckDB half-even — the floor form is the
+    // same IEEE ops in both engines (the x73 pattern).
     Q.same("q50_pct_rank",
       """SELECT c_custkey,
-        |       CAST(CAST(ROUND(PERCENT_RANK() OVER w, 6) AS DECIMAL(18,6)) AS DOUBLE) AS pr,
-        |       CAST(CAST(ROUND(CUME_DIST() OVER w, 6) AS DECIMAL(18,6)) AS DOUBLE) AS cd
+        |       CAST(CAST(FLOOR(PERCENT_RANK() OVER w * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS DOUBLE) AS pr,
+        |       CAST(CAST(FLOOR(CUME_DIST() OVER w * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS DOUBLE) AS cd
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
         |ORDER BY c_custkey""".stripMargin),
