@@ -343,7 +343,7 @@ object SparkEntry {
       |m AS (SELECT new_doc, MIN(old_doc) AS dup_of, MIN_BY(j1, old_doc) AS bj
       |      FROM p WHERE j1 >= 0.9 GROUP BY new_doc)
       |SELECT doc_id, CAST(dup_of AS BIGINT) AS dup_of,
-      |  CAST(CAST(ROUND(bj, 4) AS DECIMAL(18,4)) AS DOUBLE) AS j
+      |  CAST(CAST(FLOOR(bj * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS j
       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0)
       |LEFT JOIN m ON doc_id = new_doc
       |ORDER BY doc_id""".stripMargin

@@ -353,10 +353,10 @@ object Dedup {
         |FROM tri GROUP BY doc_id""".stripMargin, "__x54_r3")
     val out = spark.sql(
       s"""SELECT doc_a, doc_b,
-         |  CAST(CAST(ROUND(j1, 4) AS DECIMAL(18,4)) AS DOUBLE) AS j1,
-         |  CAST(CAST(ROUND(CASE WHEN n3a + n3b - i3 > 0 THEN
+         |  CAST(CAST(FLOOR(j1 * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS j1,
+         |  CAST(CAST(FLOOR((CASE WHEN n3a + n3b - i3 > 0 THEN
          |           CAST(i3 AS DOUBLE) / CAST(n3a + n3b - i3 AS DOUBLE)
-         |         ELSE 0.0 END, 4) AS DECIMAL(18,4)) AS DOUBLE) AS j3
+         |         ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS j3
          |FROM (SELECT q.doc_a, q.doc_b, q.j1,
          |        sorted_intersect_count(
          |          COALESCE(fa.ranks3, CAST(array() AS ARRAY<BIGINT>)),
@@ -602,7 +602,7 @@ object Dedup {
     spark.sql(s"SELECT doc_id FROM documents WHERE doc_id % $mod = 0")
       .join(best, col("doc_id") === col("new_doc"), "left")
       .select(col("doc_id"), col("dup_of").cast("long").as("dup_of"),
-        expr("CAST(CAST(ROUND(bj, 4) AS DECIMAL(18,4)) AS DOUBLE)").as("j"))
+        expr("CAST(CAST(FLOOR(bj * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE)").as("j"))
       .orderBy("doc_id")
   }
 

@@ -52,13 +52,13 @@ object Extensions {
        |        CAST(LENGTH($reReplace) AS INT) AS punct
        |      FROM t)
        |SELECT doc_id, nchars, ntoks,
-       |  CAST(CAST(ROUND(CAST(stop_hits AS DOUBLE)/CAST(GREATEST(ntoks,1) AS DOUBLE), 4)
+       |  CAST(CAST(FLOOR(CAST(stop_hits AS DOUBLE)/CAST(GREATEST(ntoks,1) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
        |       AS DECIMAL(18,4)) AS DOUBLE) AS stop_ratio,
-       |  CAST(CAST(ROUND(CAST(punct AS DOUBLE)/CAST(GREATEST(nchars,1) AS DOUBLE), 4)
+       |  CAST(CAST(FLOOR(CAST(punct AS DOUBLE)/CAST(GREATEST(nchars,1) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
        |       AS DECIMAL(18,4)) AS DOUBLE) AS punct_ratio,
-       |  CAST(CAST(ROUND(0.4*(CAST(stop_hits AS DOUBLE)/CAST(GREATEST(ntoks,1) AS DOUBLE))
+       |  CAST(CAST(FLOOR((0.4*(CAST(stop_hits AS DOUBLE)/CAST(GREATEST(ntoks,1) AS DOUBLE))
        |      + 0.3*LEAST(CAST(ntoks AS DOUBLE)/50.0, 1.0)
-       |      + 0.3*(1.0 - CAST(punct AS DOUBLE)/CAST(GREATEST(nchars,1) AS DOUBLE)), 4)
+       |      + 0.3*(1.0 - CAST(punct AS DOUBLE)/CAST(GREATEST(nchars,1) AS DOUBLE))) * 10000.0 + 0.5) / 10000.0
        |       AS DECIMAL(18,4)) AS DOUBLE) AS quality
        |FROM m ORDER BY doc_id""".stripMargin
 
@@ -161,11 +161,11 @@ object Extensions {
         |         ON a.lang = b.lang AND a.tok = b.tok AND a.doc_id < b.doc_id
         |       GROUP BY a.doc_id, b.doc_id, a.n3, b.n3)
         |SELECT p.doc_a, p.doc_b,
-        |  CAST(CAST(ROUND(p.j1, 4) AS DECIMAL(18,4)) AS DOUBLE) AS j1,
-        |  CAST(CAST(ROUND(CASE WHEN sa.n3 + sb.n3 - COALESCE(c3.c3, 0) > 0 THEN
+        |  CAST(CAST(FLOOR(p.j1 * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS j1,
+        |  CAST(CAST(FLOOR((CASE WHEN sa.n3 + sb.n3 - COALESCE(c3.c3, 0) > 0 THEN
         |         CAST(COALESCE(c3.c3, 0) AS DOUBLE)
         |         / CAST(sa.n3 + sb.n3 - COALESCE(c3.c3, 0) AS DOUBLE)
-        |       ELSE 0.0 END, 4) AS DECIMAL(18,4)) AS DOUBLE) AS j3
+        |       ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS j3
         |FROM p
         |JOIN n sa ON sa.doc_id = p.doc_a
         |JOIN n sb ON sb.doc_id = p.doc_b
@@ -181,12 +181,12 @@ object Extensions {
         |        ELSE [] END AS w3
         |      FROM d)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(CAST(ROUND(CAST(len(list_intersect(a.w1, b.w1)) AS DOUBLE)
-        |       / CAST(len(list_distinct(a.w1 || b.w1)) AS DOUBLE), 4) AS DECIMAL(18,4)) AS DOUBLE) AS j1,
-        |  CAST(CAST(ROUND(CASE WHEN len(list_distinct(a.w3 || b.w3)) > 0 THEN
+        |  CAST(CAST(FLOOR(CAST(len(list_intersect(a.w1, b.w1)) AS DOUBLE)
+        |       / CAST(len(list_distinct(a.w1 || b.w1)) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS j1,
+        |  CAST(CAST(FLOOR((CASE WHEN len(list_distinct(a.w3 || b.w3)) > 0 THEN
         |         CAST(len(list_intersect(a.w3, b.w3)) AS DOUBLE)
         |         / CAST(len(list_distinct(a.w3 || b.w3)) AS DOUBLE)
-        |       ELSE 0.0 END, 4) AS DECIMAL(18,4)) AS DOUBLE) AS j3
+        |       ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS j3
         |FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.w1, b.w1)) AS DOUBLE)
         |      / CAST(len(list_distinct(a.w1 || b.w1)) AS DOUBLE) >= 0.8
@@ -399,9 +399,9 @@ object Extensions {
         |            s -> s.best) END AS top_bi
         |      FROM g)
         |SELECT doc_id, CAST(ntoks AS INT) AS ntoks,
-        |  CAST(CAST(ROUND(1.0 - CAST(ndist AS DOUBLE) / CAST(ntoks AS DOUBLE), 4) AS DECIMAL(18,4)) AS DOUBLE) AS dup_frac,
-        |  CAST(CAST(ROUND(CAST(top_uni AS DOUBLE) / CAST(ntoks AS DOUBLE), 4) AS DECIMAL(18,4)) AS DOUBLE) AS top_uni_frac,
-        |  COALESCE(CAST(CAST(ROUND(CAST(top_bi AS DOUBLE) / CAST(ntoks - 1 AS DOUBLE), 4) AS DECIMAL(18,4)) AS DOUBLE), 0.0) AS top_bi_frac
+        |  CAST(CAST(FLOOR((1.0 - CAST(ndist AS DOUBLE) / CAST(ntoks AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS dup_frac,
+        |  CAST(CAST(FLOOR(CAST(top_uni AS DOUBLE) / CAST(ntoks AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS top_uni_frac,
+        |  COALESCE(CAST(CAST(FLOOR(CAST(top_bi AS DOUBLE) / CAST(ntoks - 1 AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE), 0.0) AS top_bi_frac
         |FROM f ORDER BY doc_id""".stripMargin,
       """WITH d AS (SELECT doc_id, list_filter(string_split(LOWER(text), ' '), t -> t <> '') AS toks
         |           FROM documents),
@@ -418,9 +418,9 @@ object Extensions {
         |         SELECT doc_id, bg, COUNT(*) AS c FROM b GROUP BY doc_id, bg)
         |       GROUP BY doc_id)
         |SELECT m.doc_id AS doc_id, CAST(m.ntoks AS INT) AS ntoks,
-        |  CAST(CAST(ROUND(1.0 - CAST(ndist AS DOUBLE) / CAST(m.ntoks AS DOUBLE), 4) AS DECIMAL(18,4)) AS DOUBLE) AS dup_frac,
-        |  CAST(CAST(ROUND(CAST(top_uni AS DOUBLE) / CAST(m.ntoks AS DOUBLE), 4) AS DECIMAL(18,4)) AS DOUBLE) AS top_uni_frac,
-        |  COALESCE(CAST(CAST(ROUND(CAST(top_bi AS DOUBLE) / CAST(m.ntoks - 1 AS DOUBLE), 4) AS DECIMAL(18,4)) AS DOUBLE), 0.0) AS top_bi_frac
+        |  CAST(CAST(FLOOR((1.0 - CAST(ndist AS DOUBLE) / CAST(m.ntoks AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS dup_frac,
+        |  CAST(CAST(FLOOR(CAST(top_uni AS DOUBLE) / CAST(m.ntoks AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS top_uni_frac,
+        |  COALESCE(CAST(CAST(FLOOR(CAST(top_bi AS DOUBLE) / CAST(m.ntoks - 1 AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE), 0.0) AS top_bi_frac
         |FROM m JOIN uc ON m.doc_id = uc.doc_id LEFT JOIN bc ON m.doc_id = bc.doc_id
         |ORDER BY doc_id""".stripMargin),
 
@@ -700,7 +700,7 @@ object Extensions {
         |      FROM t JOIN v ON t.tok = v.tok CROSS JOIN n
         |      GROUP BY t.doc_id)
         |SELECT doc_id, CAST(ntoks AS BIGINT) AS ntoks,
-        |  CAST(CAST(ROUND(CAST(slp AS DOUBLE) / ntoks, 4) AS DECIMAL(18,4)) AS DOUBLE) AS logp
+        |  CAST(CAST(FLOOR(CAST(slp AS DOUBLE) / ntoks * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS logp
         |FROM s ORDER BY doc_id""".stripMargin,
       """WITH t AS (SELECT doc_id,
         |             unnest(list_filter(string_split(LOWER(text), ' '), x -> x <> '')) AS tok
@@ -712,7 +712,7 @@ object Extensions {
         |      FROM t JOIN v ON t.tok = v.tok CROSS JOIN n
         |      GROUP BY t.doc_id)
         |SELECT doc_id, CAST(ntoks AS BIGINT) AS ntoks,
-        |  CAST(CAST(ROUND(CAST(slp AS DOUBLE) / ntoks, 4) AS DECIMAL(18,4)) AS DOUBLE) AS logp
+        |  CAST(CAST(FLOOR(CAST(slp AS DOUBLE) / ntoks * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS logp
         |FROM s ORDER BY doc_id""".stripMargin),
 
     // x79 TF-IDF keyword extraction — top-3 terms per doc (tagging /
