@@ -65,6 +65,23 @@ object SparkEntry {
       // smallest matching corpus partner at j>=0.9 (or null extension)
       "x81_incr_dedup" -> ((s: SparkSession, d: String) =>
         Dedup.incrementalDedup(s, d)),
+      // x82: asymmetric containment search (quote/subset detection) — the
+      // prefix-filter + inverted-index join in Dedup.containmentQuery;
+      // oracle is the quadratic probe×corpus trigram-containment twin
+      "x82_containment" -> ((s: SparkSession, d: String) =>
+        Dedup.containmentQuery(s, d)),
+      // x83: Z-order (Morton) interleave — the codegen'd layout expression
+      // behind Layout.zorderBy, value-pinned against DuckDB's bit-shift
+      // reconstruction of the same 42-bit code
+      "x83_zorder" -> ((s: SparkSession, d: String) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.ensure(s, d)
+        s.sql(
+          """SELECT l_orderkey, l_linenumber,
+            |  zorder2(CAST(l_partkey AS INT), CAST(l_suppkey AS INT)) AS z
+            |FROM lineitem WHERE l_orderkey <= 200
+            |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+      }),
       // x75: near-dup pairs -> transitive dedup groups via distributed
       // min-label propagation (ext/Components); oracle is a recursive
       // transitive-closure CTE over the identical edge set
@@ -348,9 +365,64 @@ object SparkEntry {
       |LEFT JOIN m ON doc_id = new_doc
       |ORDER BY doc_id""".stripMargin
 
+  /** x82 twin: quadratic probe×corpus within-lang trigram containment —
+    * the same |A∩B|/|A| the prefix-filtered Spark path computes (exact
+    * trigram strings here vs xxhash64-encoded sets there; a count diverges
+    * only on a 64-bit collision inside one compared pair). */
+  private val containmentDuck =
+    """WITH pv AS (SELECT doc_id, lang, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, lang,
+      |    array_to_string(list_slice(
+      |      list_filter(string_split(LOWER(text), ' '), t -> t <> ''),
+      |      4, 15), ' ') AS text
+      |  FROM documents WHERE doc_id < 10),
+      |d AS (SELECT doc_id, lang,
+      |        list_filter(string_split(LOWER(text), ' '), t -> t <> '') AS toks
+      |      FROM pv),
+      |g AS (SELECT doc_id, lang,
+      |        CASE WHEN len(toks) >= 3 THEN
+      |          list_distinct([array_to_string(toks[i:i+2], ' ')
+      |                         for i in range(1, len(toks)-1)])
+      |        ELSE [] END AS w3
+      |      FROM d),
+      |n AS (SELECT doc_id, lang, w3, len(w3) AS n3 FROM g),
+      |p AS (SELECT a.doc_id AS probe, b.doc_id AS cand,
+      |        CAST(len(list_intersect(a.w3, b.w3)) AS DOUBLE)
+      |          / CAST(a.n3 AS DOUBLE) AS c
+      |      FROM n a JOIN n b ON a.lang = b.lang
+      |        AND (a.doc_id % 20 = 0 OR a.doc_id >= 1000000)
+      |        AND b.doc_id <> a.doc_id AND a.n3 > 0 AND b.n3 > 0),
+      |m AS (SELECT probe, COUNT(*) AS containers, MIN(cand) AS first_container,
+      |             MAX(c) AS cmax
+      |      FROM p WHERE c >= 0.8 GROUP BY probe)
+      |SELECT d.doc_id, CAST(COALESCE(n.n3, 0) AS INT) AS n3,
+      |  CAST(COALESCE(m.containers, 0) AS INT) AS containers,
+      |  CAST(m.first_container AS BIGINT) AS first_container,
+      |  CAST(CAST(FLOOR(m.cmax * 10000.0 + 0.5) / 10000.0
+      |       AS DECIMAL(18,4)) AS DOUBLE) AS cmax
+      |FROM (SELECT doc_id FROM pv
+      |      WHERE doc_id % 20 = 0 OR doc_id >= 1000000) d
+      |LEFT JOIN n ON n.doc_id = d.doc_id
+      |LEFT JOIN m ON m.probe = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** x83 twin: the Morton code rebuilt from plain bit arithmetic — bit i
+    * of each key lands at output bits 2i / 2i+1 (21 bits per key). */
+  private val zorderDuck =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(list_sum(list_transform(range(0, 21),
+      |    i -> (CAST((l_partkey >> i) & 1 AS BIGINT) << (2 * i))
+      |       + (CAST((l_suppkey >> i) & 1 AS BIGINT) << (2 * i + 1))))
+      |    AS BIGINT) AS z
+      |FROM lineitem WHERE l_orderkey <= 200
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   def oracleSql: Map[String, String] =
     sqlBacked.map(q => q.name -> q.duck).toMap +
       ("x75_components" -> componentsDuck) +
+      ("x82_containment" -> containmentDuck) +
+      ("x83_zorder" -> zorderDuck) +
       ("x77_framesample" -> frameSampleDuck) +
       ("x80_heavy_hitters" -> graft.ext.Frequency.heavyHittersDuck) +
       ("x81_incr_dedup" -> incrDedupDuck) +

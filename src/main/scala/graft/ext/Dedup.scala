@@ -606,6 +606,108 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** x82: asymmetric containment search ("quote / subset detection") —
+    * for each probe doc (doc_id % mod = 0), find every corpus doc whose
+    * word-trigram set covers ≥ `threshold` of the PROBE's trigram set
+    * (|A∩B| / |A| ≥ t). Containment is the right measure when a small doc
+    * is embedded inside a much larger one: the Jaccard of a quote and its
+    * source is tiny, so the symmetric dedup ops (x54/x57/x58) cannot see
+    * it.
+    *
+    * Distributed shape (prefix filter + inverted index, no all-pairs):
+    *  1. distinct trigram sets per doc as SORTED xxhash64 arrays (the x54
+    *     encoding — only intersection counts are consumed, collision odds
+    *     ≈ d²/2⁶⁵ per pair and deterministic for a fixed corpus);
+    *  2. containment prefix: if |A∩B| ≥ t·|A| then B holds one of A's
+    *     p = ⌊(1−t)·|A|⌋+1 smallest hashes (at most n−⌈t·n⌉ elements of A
+    *     are missing from B), so candidates come from probe-PREFIX rows
+    *     joined against the full corpus posting list on (lang, hash) —
+    *     the shuffle is keyed by trigram hash; only the probe side
+    *     explodes a prefix, the corpus side is the inverted index a real
+    *     deployment persists;
+    *  3. verify joins the sorted arrays back for DISTINCT candidate pairs
+    *     only and prices each at one allocation-free
+    *     [[graft.functions.SortedIntersectCount]] merge.
+    *
+    * Output: one verdict row per probe doc (null-extended like x81):
+    * trigram-set size, number of covering docs, smallest coverer, best
+    * containment (floor-rounded to 4dp in the shared cross-engine form).
+    *
+    * Probes are the `doc_id % mod = 0` natural docs (the raw corpus has no
+    * containment pairs at 0.8 — those rows pin the null-extension path)
+    * PLUS ten PLANTED quotes (x63's planted-duplicate pattern): doc k < 10
+    * re-enters at doc_id k+1,000,000 carrying words 4..15 of k's text. A
+    * contiguous word slice's trigrams are a subset of the source's, so
+    * each planted probe is found at containment 1.0 by construction and
+    * the op is non-vacuous on any corpus.
+    */
+  def containmentQuery(spark: SparkSession, dir: String,
+                       mod: Int = 20, threshold: Double = 0.8): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.ensure(spark, dir)
+    spark.sql(
+      """SELECT doc_id, lang, text FROM documents
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id, lang,
+        |  array_join(slice(array_remove(split(LOWER(text), ' '), ''), 4, 12),
+        |             ' ') AS text
+        |FROM documents WHERE doc_id < 10""".stripMargin)
+      .createOrReplaceTempView("__x82_docs")
+    spark.sql(tokenPosSql.replace("FROM documents", "FROM __x82_docs"))
+      .createOrReplaceTempView("__x82_tp")
+    spark.sql(
+      """WITH tri AS (SELECT DISTINCT doc_id, lang, tok FROM (
+        |  SELECT doc_id, lang,
+        |    concat_ws(' ', tok,
+        |      lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+        |      lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS tok,
+        |    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+        |  FROM __x82_tp) WHERE t2 IS NOT NULL)
+        |SELECT doc_id, lang, sort_array(collect_list(xxhash64(tok))) AS h3,
+        |       COUNT(*) AS n3
+        |FROM tri GROUP BY doc_id, lang""".stripMargin)
+      .localCheckpoint()
+      .createOrReplaceTempView("__x82_t3")
+    val out = spark.sql(
+      s"""WITH probe_pf AS (
+         |  SELECT doc_id, lang, n3, h FROM __x82_t3
+         |  LATERAL VIEW explode(
+         |    slice(h3, 1, CAST(n3 - CEIL($threshold * n3) + 1 AS INT))) AS h
+         |  WHERE doc_id % $mod = 0 OR doc_id >= 1000000),
+         |postings AS (
+         |  SELECT doc_id, lang, h FROM __x82_t3 LATERAL VIEW explode(h3) AS h),
+         |cand AS (
+         |  SELECT p.doc_id AS probe, c.doc_id AS cand
+         |  FROM probe_pf p JOIN postings c
+         |    ON p.lang = c.lang AND p.h = c.h AND p.doc_id <> c.doc_id
+         |  GROUP BY p.doc_id, c.doc_id),
+         |v AS (
+         |  SELECT probe, cand,
+         |    CAST(sorted_intersect_count(a.h3, b.h3) AS DOUBLE)
+         |      / CAST(a.n3 AS DOUBLE) AS c
+         |  FROM cand
+         |  JOIN __x82_t3 a ON a.doc_id = cand.probe
+         |  JOIN __x82_t3 b ON b.doc_id = cand.cand),
+         |m AS (
+         |  SELECT probe, COUNT(*) AS containers, MIN(cand) AS first_container,
+         |         MAX(c) AS cmax
+         |  FROM v WHERE c >= $threshold GROUP BY probe)
+         |SELECT d.doc_id, CAST(COALESCE(t.n3, 0) AS INT) AS n3,
+         |  CAST(COALESCE(m.containers, 0) AS INT) AS containers,
+         |  CAST(m.first_container AS BIGINT) AS first_container,
+         |  CAST(CAST(FLOOR(m.cmax * 10000.0 + 0.5) / 10000.0
+         |       AS DECIMAL(18,4)) AS DOUBLE) AS cmax
+         |FROM (SELECT doc_id FROM __x82_docs
+         |      WHERE doc_id % $mod = 0 OR doc_id >= 1000000) d
+         |LEFT JOIN __x82_t3 t ON t.doc_id = d.doc_id
+         |LEFT JOIN m ON m.probe = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin)
+      .localCheckpoint()
+    Seq("__x82_docs", "__x82_tp", "__x82_t3")
+      .foreach(spark.catalog.dropTempView)
+    out
+  }
+
   def componentsQuery(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     graft.Tables.ensure(spark, dir)

@@ -756,6 +756,37 @@ object Extensions {
         |      FROM s)
         |SELECT doc_id, CAST(rn AS INT) AS rn, tok,
         |  CAST(CAST(ROUND(score, 4) AS DECIMAL(18,4)) AS DOUBLE) AS score
-        |FROM w WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin)
+        |FROM w WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin),
+
+    // x84 (B54/B71) edit-distance verify for fuzzy dedup: candidate pairs
+    // come from the x52 bag-of-words fingerprint (word-SET-equal docs —
+    // the same blocking key the sketch recall floors use), then each pair
+    // is priced with ONE levenshtein on the raw texts. Set-equal docs can
+    // still differ in word order and multiplicity, so lev > 0 rows carry
+    // real signal (reorder distance) while lev = 0 pins exact duplicates.
+    // Both engines implement the identical classic DP, and the pair set is
+    // tiny after blocking — the quadratic DP runs per PAIR, never per
+    // corpus. At 100 TB the fingerprint equi-join shuffles on fp only.
+    Q("x84_edit_distance",
+      """WITH f AS (SELECT doc_id, text,
+        |    md5(array_join(sort_array(array_distinct(
+        |      array_remove(split(LOWER(text), ' '), ''))), ' ')) AS fp
+        |  FROM documents
+        |  WHERE size(array_remove(split(LOWER(text), ' '), '')) > 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.text, b.text) AS INT) AS lev,
+        |  CAST((length(a.text) = length(b.text)) AS INT) AS same_len
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+      """WITH f AS (SELECT doc_id, text,
+        |    md5(array_to_string(list_sort(list_distinct(
+        |      list_filter(string_split(LOWER(text), ' '), t -> t <> ''))), ' ')) AS fp
+        |  FROM documents
+        |  WHERE len(list_filter(string_split(LOWER(text), ' '), t -> t <> '')) > 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.text, b.text) AS INT) AS lev,
+        |  CAST((length(a.text) = length(b.text)) AS INT) AS same_len
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin)
   )
 }

@@ -80,6 +80,15 @@ object GraftFunctions {
     classOf[SimHash64].getName, null, "simhash64",
     "simhash64(words) - 64-bit SimHash of a word array", "")
 
+  private def zorderBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "zorder2 takes exactly 2 arguments")
+    ZOrder2(args.head, args(1))
+  }
+
+  private val zorderInfo = new ExpressionInfo(
+    classOf[ZOrder2].getName, null, "zorder2",
+    "zorder2(x, y) - 42-bit Morton (Z-order) interleave of two ints", "")
+
   private def xxSortedBuilder(args: Seq[Expression]): Expression = {
     require(args.length == 1, "xxhash64_sorted takes exactly 1 argument")
     XxHash64Sorted(args.head)
@@ -108,6 +117,8 @@ object GraftFunctions {
       FunctionIdentifier("simhash64"), simhashInfo, simhashBuilder _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("xxhash64_sorted"), xxSortedInfo, xxSortedBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("zorder2"), zorderInfo, zorderBuilder _)
     spark.udf.register("minhash_sig",
       org.apache.spark.sql.functions.udaf(MinHashAgg))
   }
@@ -153,6 +164,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "xxhash64_sorted",
         "xxhash64_sorted(words) - sorted xxhash64 array of a word array", ""),
       (args: Seq[Expression]) => XxHash64Sorted(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("zorder2"),
+      new ExpressionInfo(classOf[ZOrder2].getName, null, "zorder2",
+        "zorder2(x, y) - 42-bit Morton (Z-order) interleave of two ints", ""),
+      (args: Seq[Expression]) => ZOrder2(args.head, args(1))))
     // opt-in similarity-join rewrites (spark.graft.cosineJoinRewrite.enabled
     // / spark.graft.jaccardJoinRewrite.enabled)
     ext.injectOptimizerRule(_ => graft.plans.CosineJoinRewrite)

@@ -676,7 +676,125 @@ object Queries {
         |  TRY_CAST(SUBSTRING(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
         |  TRY_CAST(o_orderstatus AS DATE) AS bad_date
         |FROM orders WHERE o_orderkey <= 1000
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // Q72 (B54) regex functions — extract (group ref), replace (Spark
+    // replaces ALL matches; DuckDB needs the explicit 'g' flag), and a
+    // regex predicate (RLIKE / regexp_matches). Patterns stay in the
+    // RE2-compatible subset both engines execute identically.
+    Q("q72_regexp",
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        |  regexp_replace(p_name, '[aeiou]', '*') AS devoweled
+        |FROM part WHERE p_name RLIKE '(red|blue)'
+        |ORDER BY p_partkey""".stripMargin,
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        |  regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled
+        |FROM part WHERE regexp_matches(p_name, '(red|blue)')
+        |ORDER BY p_partkey""".stripMargin),
+
+    // Q73 (B57) date arithmetic — day offset, calendar-month add (both
+    // engines clamp Jan 31 + 1 mo -> Feb 28), month-end, day diff,
+    // day-of-week (Spark: 1=Sunday; DuckDB dayofweek: 0=Sunday, hence +1).
+    // o_orderdate is a TIMESTAMP in the parquet; both sides CAST to DATE
+    // first so the arithmetic is calendar-day, not interval-on-instant.
+    Q("q73_date_arith",
+      """SELECT o_orderkey,
+        |  date_add(CAST(o_orderdate AS DATE), 30) AS d30,
+        |  add_months(CAST(o_orderdate AS DATE), 2) AS m2,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom,
+        |  datediff(DATE '1998-12-31', CAST(o_orderdate AS DATE)) AS to_end,
+        |  CAST(extract(DAYOFWEEK FROM CAST(o_orderdate AS DATE)) AS INT) AS dow
+        |FROM orders WHERE o_orderkey <= 500
+        |ORDER BY o_orderkey""".stripMargin,
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) + 30 AS d30,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS m2,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS to_end,
+        |  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow
+        |FROM orders WHERE o_orderkey <= 500
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // Q74 (B60) array construction + positional ops — sequence/slice
+    // (Spark slice(arr, start, LENGTH) == DuckDB list_slice(arr, start,
+    // END) with end = start+len-1), membership, and 1-based position
+    // (both engines return 0 on a miss). Scalar outputs only, per the
+    // standing no-nested-outputs convention (array_join flattens).
+    Q("q74_array_ops",
+      """SELECT o_orderkey,
+        |  array_join(slice(sequence(1, CAST(o_orderkey % 5 + 3 AS INT)), 2, 3),
+        |             ',') AS seq_slice,
+        |  CAST(array_contains(split(o_orderpriority, '-'), 'URGENT') AS INT)
+        |    AS has_urgent,
+        |  CAST(array_position(split(o_orderpriority, '-'), 'HIGH') AS INT)
+        |    AS pos_high
+        |FROM orders WHERE o_orderkey <= 500
+        |ORDER BY o_orderkey""".stripMargin,
+      """SELECT o_orderkey,
+        |  array_to_string(list_slice(generate_series(1,
+        |      CAST(o_orderkey % 5 + 3 AS INT)), 2, 4), ',') AS seq_slice,
+        |  CAST(list_contains(string_split(o_orderpriority, '-'), 'URGENT') AS INT)
+        |    AS has_urgent,
+        |  CAST(list_position(string_split(o_orderpriority, '-'), 'HIGH') AS INT)
+        |    AS pos_high
+        |FROM orders WHERE o_orderkey <= 500
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // Q75 (B54) string manipulation II — edit distance (same classic DP
+    // definition in both engines), character translation, padding,
+    // affix extraction, 1-based substring position. initcap is Spark-only
+    // (no DuckDB twin), so it stays out of the declared row.
+    Q.same("q75_string_fns",
+      """SELECT p_partkey,
+        |  levenshtein(p_name, p_brand) AS lev,
+        |  translate(p_brand, '#1', '-I') AS tr,
+        |  lpad(CAST(p_size AS STRING), 4, '0') AS pad,
+        |  left(p_name, 8) AS l8, right(p_type, 6) AS r6,
+        |  CAST(instr(p_name, 'o') AS BIGINT) AS first_o
+        |FROM part WHERE p_partkey <= 400
+        |ORDER BY p_partkey""".stripMargin),
+
+    // Q76 (B26) bitwise aggregates — AND/OR/XOR folds (both engines
+    // define the identical bit-fold; XOR doubles as a parity check over
+    // the key set).
+    Q.same("q76_bit_agg",
+      """SELECT o_orderpriority,
+        |  CAST(bit_and(o_orderkey) AS BIGINT) AS band,
+        |  CAST(bit_or(o_orderkey) AS BIGINT) AS bor,
+        |  CAST(bit_xor(o_orderkey) AS BIGINT) AS bxor
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+
+    // Q77 (B26) statistical aggregates — stddev / correlation via exact
+    // DECIMAL power sums, NOT the builtin stddev_samp/corr: the builtins
+    // accumulate doubles in partition order, which is deterministic per
+    // engine but not ACROSS engines (and not across repartitioning). The
+    // two-pass closed form sums exactly (DECIMAL), then runs the same
+    // scalar IEEE ops on both sides — bit-identical by construction, and
+    // the distributed plan is still one map-side-combined aggregation.
+    Q.same("q77_stat_agg",
+      """SELECT l_returnflag,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(CAST(FLOOR(SQRT(
+        |    (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(dx * dx) AS DOUBLE)
+        |      - CAST(SUM(dx) AS DOUBLE) * CAST(SUM(dx) AS DOUBLE))
+        |    / (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) - 1 AS DOUBLE)))
+        |    * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS sd_qty,
+        |  CAST(CAST(FLOOR(
+        |    (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(dx * dy) AS DOUBLE)
+        |      - CAST(SUM(dx) AS DOUBLE) * CAST(SUM(dy) AS DOUBLE))
+        |    / (SQRT(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(dx * dx) AS DOUBLE)
+        |            - CAST(SUM(dx) AS DOUBLE) * CAST(SUM(dx) AS DOUBLE))
+        |     * SQRT(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(dy * dy) AS DOUBLE)
+        |            - CAST(SUM(dy) AS DOUBLE) * CAST(SUM(dy) AS DOUBLE)))
+        |    * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS corr_qp
+        |FROM (SELECT l_returnflag,
+        |        CAST(l_quantity AS DECIMAL(18,2)) AS dx,
+        |        CAST(l_extendedprice AS DECIMAL(18,2)) AS dy
+        |      FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
   )
 
   /** Q55 (B12) parameterized-query template: the Spark side binds this `?`

@@ -167,6 +167,27 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
   }
 
+  test("containment finds every planted quote at 1.0; no all-pairs stage") {
+    val out = Dedup.containmentQuery(spark, sfDir)
+    val rows = out.collect()
+    // one verdict row per probe: the %20 naturals plus the 10 planted quotes
+    val planted = rows.filter(_.getLong(0) >= 1000000L)
+    assert(planted.length == 10)
+    planted.foreach { r =>
+      assert(r.getAs[Int]("containers") >= 1, r.toString)
+      assert(r.getAs[Double]("cmax") == 1.0, r.toString)
+      // the source doc (quote id - 1,000,000) must be among the coverers:
+      // first_container is the SMALLEST coverer, and the source is a
+      // natural doc, so first_container <= source id
+      assert(r.getAs[Long]("first_container") <= r.getLong(0) - 1000000L,
+        r.toString)
+    }
+    // every probe gets exactly one null-extended verdict row
+    val naturalProbes = spark.table("documents")
+      .filter("doc_id % 20 = 0").count()
+    assert(rows.length == naturalProbes + 10)
+  }
+
   test("collapsed minhash pipeline is value-identical to banding every doc") {
     // uncollapsed formulation = repCandidates with EVERY doc as its own
     // representative (no signature grouping at all); bands are a pure
