@@ -787,6 +787,69 @@ object Extensions {
         |  CAST(levenshtein(a.text, b.text) AS INT) AS lev,
         |  CAST((length(a.text) = length(b.text)) AS INT) AS same_len
         |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |ORDER BY doc_a, doc_b""".stripMargin)
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // x85 (B70/B73) collocation mining — top-20 within-doc word bigrams by
+    // LIFT = p(xy) / (p(x)·p(y)) = c2·N² / (M·c1x·c1y), the rational PMI
+    // core: every factor is an exact integer count, so the one double
+    // expression evaluates bit-identically on both engines (log-PMI would
+    // hinge on each engine's ln rounding). Ranking reuses x79's
+    // ROUND(·,6)+tie-break idiom; support floor c2 ≥ 5 bounds the ranked
+    // set. Bigrams never cross doc boundaries (per-doc lead window /
+    // per-doc comprehension). At 100 TB: two count shuffles (bigram,
+    // token) + a broadcast of the two scalar totals; the global top-20
+    // window sees only the support-filtered survivors.
+    Q("x85_collocations",
+      """WITH tp AS (SELECT doc_id, pos, tok
+        |  FROM (SELECT doc_id, array_remove(split(LOWER(text), ' '), '') AS toks
+        |        FROM documents)
+        |  LATERAL VIEW posexplode(toks) AS pos, tok),
+        |bg AS (SELECT tok AS w1,
+        |         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |       FROM tp),
+        |b2 AS (SELECT w1, w2 FROM bg WHERE w2 IS NOT NULL),
+        |cb AS (SELECT w1, w2, COUNT(*) AS c2 FROM b2 GROUP BY w1, w2),
+        |c1 AS (SELECT tok, COUNT(*) AS c1 FROM tp GROUP BY tok),
+        |tot AS (SELECT (SELECT COUNT(*) FROM tp) AS n,
+        |               (SELECT COUNT(*) FROM b2) AS m),
+        |s AS (SELECT concat_ws(' ', cb.w1, cb.w2) AS bigram, cb.c2,
+        |        (CAST(cb.c2 AS DOUBLE) * CAST(tot.n AS DOUBLE)
+        |           * CAST(tot.n AS DOUBLE))
+        |        / (CAST(tot.m AS DOUBLE) * CAST(a.c1 AS DOUBLE)
+        |           * CAST(b.c1 AS DOUBLE)) AS lift
+        |      FROM cb JOIN c1 a ON cb.w1 = a.tok JOIN c1 b ON cb.w2 = b.tok
+        |      CROSS JOIN tot WHERE cb.c2 >= 5),
+        |w AS (SELECT bigram, c2, lift,
+        |        ROW_NUMBER() OVER (ORDER BY ROUND(lift, 6) DESC, bigram) AS rn
+        |      FROM s)
+        |SELECT CAST(rn AS INT) AS rn, bigram, CAST(c2 AS BIGINT) AS c2,
+        |  CAST(CAST(FLOOR(lift * 10000.0 + 0.5) / 10000.0
+        |       AS DECIMAL(18,4)) AS DOUBLE) AS lift
+        |FROM w WHERE rn <= 20 ORDER BY rn""".stripMargin,
+      """WITH d AS (SELECT doc_id,
+        |        list_filter(string_split(LOWER(text), ' '), t -> t <> '') AS toks
+        |      FROM documents),
+        |tp AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        |b2 AS (SELECT unnest([toks[i] for i in range(1, len(toks))]) AS w1,
+        |              unnest([toks[i+1] for i in range(1, len(toks))]) AS w2
+        |       FROM d),
+        |cb AS (SELECT w1, w2, COUNT(*) AS c2 FROM b2 GROUP BY w1, w2),
+        |c1 AS (SELECT tok, COUNT(*) AS c1 FROM tp GROUP BY tok),
+        |tot AS (SELECT (SELECT COUNT(*) FROM tp) AS n,
+        |               (SELECT COUNT(*) FROM b2) AS m),
+        |s AS (SELECT cb.w1 || ' ' || cb.w2 AS bigram, cb.c2,
+        |        (CAST(cb.c2 AS DOUBLE) * CAST(tot.n AS DOUBLE)
+        |           * CAST(tot.n AS DOUBLE))
+        |        / (CAST(tot.m AS DOUBLE) * CAST(a.c1 AS DOUBLE)
+        |           * CAST(b.c1 AS DOUBLE)) AS lift
+        |      FROM cb JOIN c1 a ON cb.w1 = a.tok JOIN c1 b ON cb.w2 = b.tok
+        |      CROSS JOIN tot WHERE cb.c2 >= 5),
+        |w AS (SELECT bigram, c2, lift,
+        |        ROW_NUMBER() OVER (ORDER BY ROUND(lift, 6) DESC, bigram) AS rn
+        |      FROM s)
+        |SELECT CAST(rn AS INT) AS rn, bigram, CAST(c2 AS BIGINT) AS c2,
+        |  CAST(CAST(FLOOR(lift * 10000.0 + 0.5) / 10000.0
+        |       AS DECIMAL(18,4)) AS DOUBLE) AS lift
+        |FROM w WHERE rn <= 20 ORDER BY rn""".stripMargin)
   )
 }
