@@ -65,6 +65,13 @@ object SparkEntry {
       // smallest matching corpus partner at j>=0.9 (or null extension)
       "x81_incr_dedup" -> ((s: SparkSession, d: String) =>
         Dedup.incrementalDedup(s, d)),
+      // x84: overrides the SQL-text variant in Extensions — same pairs and
+      // oracle, but the levenshtein verify runs AFTER a round-robin
+      // rebalance of the pair set (blocking keys concentrate duplicate
+      // clusters, so the fp-keyed join stage is maximally skewed exactly
+      // where the DP work is)
+      "x84_edit_distance" -> ((s: SparkSession, d: String) =>
+        Dedup.editDistanceQuery(s, d)),
       // x82: asymmetric containment search (quote/subset detection) — the
       // prefix-filter + inverted-index join in Dedup.containmentQuery;
       // oracle is the quadratic probe×corpus trigram-containment twin
