@@ -794,7 +794,37 @@ object Queries {
         |        CAST(l_quantity AS DECIMAL(18,2)) AS dx,
         |        CAST(l_extendedprice AS DECIMAL(18,2)) AS dy
         |      FROM lineitem)
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // Q78 (B36/B55) nth_value window + GREATEST/LEAST — the positional
+    // window accessor beyond first/last (q27), over the full-frame window
+    // both engines define identically; the variadic comparisons stay on
+    // exact integer expressions so no float tie can flip the winner.
+    Q.same("q78_nth_value",
+      """SELECT l_orderkey, l_linenumber,
+        |  nth_value(l_partkey, 2) OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_part,
+        |  CAST(greatest(l_partkey % 100, l_suppkey % 100, l_linenumber * 10)
+        |       AS BIGINT) AS g,
+        |  CAST(least(l_partkey % 100, l_suppkey % 100, l_linenumber * 10)
+        |       AS BIGINT) AS l
+        |FROM lineitem WHERE l_orderkey <= 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // Q79 (B57) calendar parts II — ISO week (both engines ISO-8601:
+    // week 1 holds Jan 4; year-boundary dates fall in the neighboring
+    // year's week), day-of-year, quarter, and hex rendering (identical
+    // unpadded uppercase in both dialects).
+    Q.same("q79_calendar",
+      """SELECT o_orderkey,
+        |  CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS wk,
+        |  CAST(dayofyear(CAST(o_orderdate AS DATE)) AS INT) AS doy,
+        |  CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS q,
+        |  hex(o_orderkey) AS hx
+        |FROM orders WHERE o_orderkey <= 1000
+        |ORDER BY o_orderkey""".stripMargin)
   )
 
   /** Q55 (B12) parameterized-query template: the Spark side binds this `?`
