@@ -824,6 +824,16 @@ object Queries {
         |  CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS q,
         |  hex(o_orderkey) AS hx
         |FROM orders WHERE o_orderkey <= 1000
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // Q80 (B13) row-value constructor in an IN predicate — multi-column
+    // membership both engines parse identically (QUALIFY and quantified
+    // ANY/ALL subqueries were probed and are NOT in Spark 4.1's parser,
+    // so they stay out of the declared surface).
+    Q.same("q80_row_in",
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+        |WHERE (o_orderstatus, o_orderpriority)
+        |      IN (('F', '5-LOW'), ('O', '1-URGENT'))
         |ORDER BY o_orderkey""".stripMargin)
   )
 
