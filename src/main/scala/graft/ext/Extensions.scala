@@ -794,11 +794,14 @@ object Extensions {
     // core: every factor is an exact integer count, so the one double
     // expression evaluates bit-identically on both engines (log-PMI would
     // hinge on each engine's ln rounding). Ranking reuses x79's
-    // ROUND(·,6)+tie-break idiom; support floor c2 ≥ 5 bounds the ranked
-    // set. Bigrams never cross doc boundaries (per-doc lead window /
-    // per-doc comprehension). At 100 TB: two count shuffles (bigram,
-    // token) + a broadcast of the two scalar totals; the global top-20
-    // window sees only the support-filtered survivors.
+    // ROUND(·,6)+tie-break idiom, but the global top-20 is selected with
+    // ORDER BY + LIMIT (Spark plans a distributed TakeOrderedAndProject —
+    // per-partition heaps, no single-partition window over the candidate
+    // set, which at a real vocabulary is millions of surviving bigrams);
+    // the rn window then runs over the 20 survivors only. Support floor
+    // c2 ≥ 5 bounds the ranked set. Bigrams never cross doc boundaries
+    // (per-doc lead window / per-doc comprehension). At 100 TB: two count
+    // shuffles (bigram, token) + a broadcast of the two scalar totals.
     Q("x85_collocations",
       """WITH tp AS (SELECT doc_id, pos, tok
         |  FROM (SELECT doc_id, array_remove(split(LOWER(text), ' '), '') AS toks
@@ -819,13 +822,15 @@ object Extensions {
         |           * CAST(b.c1 AS DOUBLE)) AS lift
         |      FROM cb JOIN c1 a ON cb.w1 = a.tok JOIN c1 b ON cb.w2 = b.tok
         |      CROSS JOIN tot WHERE cb.c2 >= 5),
+        |t20 AS (SELECT bigram, c2, lift FROM s
+        |        ORDER BY ROUND(lift, 6) DESC, bigram LIMIT 20),
         |w AS (SELECT bigram, c2, lift,
         |        ROW_NUMBER() OVER (ORDER BY ROUND(lift, 6) DESC, bigram) AS rn
-        |      FROM s)
+        |      FROM t20)
         |SELECT CAST(rn AS INT) AS rn, bigram, CAST(c2 AS BIGINT) AS c2,
         |  CAST(CAST(FLOOR(lift * 10000.0 + 0.5) / 10000.0
         |       AS DECIMAL(18,4)) AS DOUBLE) AS lift
-        |FROM w WHERE rn <= 20 ORDER BY rn""".stripMargin,
+        |FROM w ORDER BY rn""".stripMargin,
       """WITH d AS (SELECT doc_id,
         |        list_filter(string_split(LOWER(text), ' '), t -> t <> '') AS toks
         |      FROM documents),
@@ -844,12 +849,14 @@ object Extensions {
         |           * CAST(b.c1 AS DOUBLE)) AS lift
         |      FROM cb JOIN c1 a ON cb.w1 = a.tok JOIN c1 b ON cb.w2 = b.tok
         |      CROSS JOIN tot WHERE cb.c2 >= 5),
+        |t20 AS (SELECT bigram, c2, lift FROM s
+        |        ORDER BY ROUND(lift, 6) DESC, bigram LIMIT 20),
         |w AS (SELECT bigram, c2, lift,
         |        ROW_NUMBER() OVER (ORDER BY ROUND(lift, 6) DESC, bigram) AS rn
-        |      FROM s)
+        |      FROM t20)
         |SELECT CAST(rn AS INT) AS rn, bigram, CAST(c2 AS BIGINT) AS c2,
         |  CAST(CAST(FLOOR(lift * 10000.0 + 0.5) / 10000.0
         |       AS DECIMAL(18,4)) AS DOUBLE) AS lift
-        |FROM w WHERE rn <= 20 ORDER BY rn""".stripMargin)
+        |FROM w ORDER BY rn""".stripMargin)
   )
 }

@@ -76,6 +76,14 @@ class QueriesSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("x85: global top-k is a distributed TakeOrderedAndProject") {
+    // the rn window must see only the 20 survivors — the candidate set
+    // (all support-filtered bigrams; millions at a real vocabulary) goes
+    // through per-partition top-k heaps, never a single-partition window
+    val plan = run("x85_collocations").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
   test("q18: aggregation is partial (map-side) then final") {
     val plan = run("q18_tpch_q1").queryExecution.executedPlan.toString
     assert(plan.contains("HashAggregate"), plan)
