@@ -857,6 +857,105 @@ object Extensions {
         |SELECT CAST(rn AS INT) AS rn, bigram, CAST(c2 AS BIGINT) AS c2,
         |  CAST(CAST(FLOOR(lift * 10000.0 + 0.5) / 10000.0
         |       AS DECIMAL(18,4)) AS DOUBLE) AS lift
-        |FROM w ORDER BY rn""".stripMargin)
+        |FROM w ORDER BY rn""".stripMargin),
+
+    // x86 (B54/B73) URL parsing + domain blocklist — the web-corpus
+    // curation step that drops blocklisted domains before the per-domain
+    // rollup. URLs are synthesized deterministically from (source, lang,
+    // doc_id); the Spark side parses them with the codegen'd parse_url
+    // (HOST / PATH / per-key QUERY), the DuckDB twin with anchored
+    // regexes over the same strings. At 100 TB: map-only parse + one
+    // hash aggregation on domain — no shuffle before the blocklist
+    // filter prunes.
+    Q("x86_url_domains",
+      """WITH u AS (SELECT doc_id, lang,
+        |    concat('https://', source, '.example.org/', lang, '/',
+        |           CAST(doc_id AS STRING), '?ref=', source) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id, parse_url(url, 'HOST') AS domain,
+        |        parse_url(url, 'PATH') AS path,
+        |        parse_url(url, 'QUERY', 'ref') AS ref
+        |      FROM u)
+        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+        |  CAST(count_if(path LIKE '/en/%') AS BIGINT) AS n_en,
+        |  MIN(ref) AS ref
+        |FROM p
+        |WHERE domain NOT IN ('src3.example.org', 'src7.example.org',
+        |                     'src13.example.org')
+        |GROUP BY domain ORDER BY domain""".stripMargin,
+      """WITH u AS (SELECT doc_id, lang,
+        |    concat('https://', source, '.example.org/', lang, '/',
+        |           CAST(doc_id AS STRING), '?ref=', source) AS url
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |        regexp_extract(url, 'https?://([^/?#]+)', 1) AS domain,
+        |        regexp_extract(url, 'https?://[^/?#]+([^?#]*)', 1) AS path,
+        |        regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref
+        |      FROM u)
+        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+        |  CAST(count_if(path LIKE '/en/%') AS BIGINT) AS n_en,
+        |  MIN(ref) AS ref
+        |FROM p
+        |WHERE domain NOT IN ('src3.example.org', 'src7.example.org',
+        |                     'src13.example.org')
+        |GROUP BY domain ORDER BY domain""".stripMargin),
+
+    // x87 (B73) token-distribution entropy — the diversity/boilerplate
+    // quality signal (low-entropy docs are repetitive templates). Exact
+    // per-(doc, token) counts; the Shannon sum uses x78's determinism
+    // idiom — each c·ln(c) term is ROUNDed to 5 decimals and summed as
+    // DECIMAL, so the aggregate is shuffle-order- and engine-independent;
+    // ln 2 enters as a shared literal so no engine evaluates LN(2.0).
+    // H_bits = (ln n − Σ c·ln c / n) / ln 2. Two keyed hash aggregations,
+    // no window, no join.
+    Q("x87_entropy",
+      """WITH t AS (SELECT doc_id,
+        |             explode(filter(split(LOWER(text), ' '), x -> x <> '')) AS tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS c
+        |      FROM t GROUP BY doc_id, tok),
+        |s AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n,
+        |        COUNT(*) AS nd,
+        |        SUM(CAST(ROUND(c * LN(c), 5) AS DECIMAL(18,5))) AS sclc
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, CAST(n AS BIGINT) AS ntoks, CAST(nd AS BIGINT) AS n_distinct,
+        |  CAST(CAST(FLOOR(
+        |    (CAST(CAST(ROUND(LN(n), 5) AS DECIMAL(18,5)) AS DOUBLE)
+        |       - CAST(sclc AS DOUBLE) / n) / 0.6931471805599453
+        |    * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS h_bits
+        |FROM s ORDER BY doc_id""".stripMargin,
+      """WITH t AS (SELECT doc_id,
+        |             unnest(list_filter(string_split(LOWER(text), ' '), x -> x <> '')) AS tok
+        |           FROM documents),
+        |c AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS c
+        |      FROM t GROUP BY doc_id, tok),
+        |s AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n,
+        |        COUNT(*) AS nd,
+        |        SUM(CAST(ROUND(c * LN(c), 5) AS DECIMAL(18,5))) AS sclc
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, CAST(n AS BIGINT) AS ntoks, CAST(nd AS BIGINT) AS n_distinct,
+        |  CAST(CAST(FLOOR(
+        |    (CAST(CAST(ROUND(LN(n), 5) AS DECIMAL(18,5)) AS DOUBLE)
+        |       - CAST(sclc AS DOUBLE) / n) / 0.6931471805599453
+        |    * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS h_bits
+        |FROM s ORDER BY doc_id""".stripMargin),
+
+    // x88 (B34/B73) per-domain cap sampling — keep at most K docs per
+    // source, selected by a deterministic md5 order (the per-domain cap
+    // step of web-corpus curation; hash order ≈ uniform sample but
+    // reproducible across engines and runs — doc_id in the hash input
+    // makes ties impossible). The window is keyed on source, so at
+    // 100 TB this is one hash shuffle on the cap key and
+    // WindowGroupLimit prunes below the sort; no global window.
+    Q.same("x88_domain_cap",
+      """WITH w AS (SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(concat(CAST(doc_id AS STRING), text)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(rn AS INT) AS rn
+        |FROM w WHERE rn <= 15
+        |ORDER BY source, rn""".stripMargin)
   )
 }

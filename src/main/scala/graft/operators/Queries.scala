@@ -834,7 +834,43 @@ object Queries {
       """SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
         |WHERE (o_orderstatus, o_orderpriority)
         |      IN (('F', '5-LOW'), ('O', '1-URGENT'))
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // Q81 (B26,B33) boolean / conditional aggregates — bool_and/bool_or
+    // folds, count_if, and a popcount fold (SUM over the scalar
+    // bit_count). All four are identical definitions in both engines;
+    // booleans are CAST to INT in the projection per the no-bool-output
+    // rendering convention. One map-side-combined hash aggregation.
+    Q.same("q81_bool_agg",
+      """SELECT o_orderpriority,
+        |  CAST(bool_and(o_totalprice > 1000.0) AS INT) AS all_over_1k,
+        |  CAST(bool_or(o_orderstatus = 'F') AS INT) AS any_f,
+        |  CAST(count_if(o_totalprice > 100000.0) AS BIGINT) AS n_big,
+        |  CAST(SUM(bit_count(o_orderkey)) AS BIGINT) AS popbits
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+
+    // Q82 (B54,B27) width_bucket binning → histogram rollup. DuckDB has no
+    // width_bucket, so the twin reconstructs the definition arithmetically
+    // (v < lo → 0, v >= hi → n+1, else floor((v-lo)/width)+1). The bounds
+    // are chosen so width = (hi-lo)/n = 1000.0 exactly; every c_acctbal is
+    // a two-decimal double, so (v-lo)/1000.0 and n*(v-lo)/(hi-lo) round to
+    // the same bucket — the two evaluation orders can only diverge within
+    // an ulp of an integer boundary, which the cent-grid values never hit.
+    Q("q82_width_bucket",
+      """SELECT CAST(width_bucket(c_acctbal, -1000.0, 10000.0, 11) AS INT) AS bkt,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(c_custkey) AS BIGINT) AS min_cust
+        |FROM customer GROUP BY width_bucket(c_acctbal, -1000.0, 10000.0, 11)
+        |ORDER BY bkt""".stripMargin,
+      """SELECT CAST(CASE WHEN c_acctbal < -1000.0 THEN 0
+        |            WHEN c_acctbal >= 10000.0 THEN 12
+        |            ELSE CAST(FLOOR((c_acctbal + 1000.0) / 1000.0) AS INT) + 1
+        |       END AS INT) AS bkt,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(c_custkey) AS BIGINT) AS min_cust
+        |FROM customer GROUP BY 1
+        |ORDER BY bkt""".stripMargin)
   )
 
   /** Q55 (B12) parameterized-query template: the Spark side binds this `?`
