@@ -122,19 +122,29 @@ object TextSketch {
   def sortedJaccardGe(a: ArrayData, b: ArrayData, t: Double,
       strict: Boolean): Boolean = {
     val na = a.numElements(); val nb = b.numElements()
-    val jac =
-      if (na == 0 && nb == 0) 1.0
-      else if (na == 0 || nb == 0) 0.0
+    // size bound: jac ≤ min/max, so a pair whose sizes are out of ratio
+    // can never reach t — rejected before touching either array's data.
+    // Exact (a necessary condition of jac ≥ t, and of jac > t a fortiori);
+    // on a banded candidate join most pairs fail the threshold, so the
+    // bounds, not the merge, price the typical pair.
+    if (na == 0 && nb == 0) return if (strict) 1.0 > t else 1.0 >= t
+    if (na == 0 || nb == 0) return if (strict) 0.0 > t else 0.0 >= t
+    // both bounds carry 1e-9 slack so their own FP rounding can never
+    // out-vote the exact final comparison on a 1-ulp boundary pair
+    if (math.min(na, nb) + 1e-9 < t * math.max(na, nb)) return false
+    // jac ≥ t ⟺ |A∩B| ≥ t·(na+nb)/(1+t); once even matching every
+    // remaining element cannot reach that floor, stop the merge early
+    val cMin = t * (na + nb) / (1.0 + t) - 1e-9
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
       else {
-        var i = 0; var j = 0; var c = 0
-        while (i < na && j < nb) {
-          val x = a.getLong(i); val y = b.getLong(j)
-          if (x == y) { c += 1; i += 1; j += 1 }
-          else if (x < y) i += 1
-          else j += 1
-        }
-        c.toDouble / (na + nb - c).toDouble
+        if (x < y) i += 1 else j += 1
+        if (c + math.min(na - i, nb - j) < cMin) return false
       }
+    }
+    val jac = c.toDouble / (na + nb - c).toDouble
     if (strict) jac > t else jac >= t
   }
 

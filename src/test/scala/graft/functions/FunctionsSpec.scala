@@ -69,6 +69,35 @@ class FunctionsSpec extends SparkSpec {
     assert(bad == 0, s"$bad mismatching pairs")
   }
 
+  test("sorted_jaccard_ge early-exit bounds agree with the exact merge, incl. boundary t") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(13)
+    def naiveJac(a: Array[Long], b: Array[Long]): Double = {
+      if (a.isEmpty && b.isEmpty) return 1.0
+      if (a.isEmpty || b.isEmpty) return 0.0
+      val c = a.toSet.intersect(b.toSet).size
+      c.toDouble / (a.length + b.length - c).toDouble
+    }
+    (0 until 500).foreach { _ =>
+      def arr() = {
+        val n = rnd.nextInt(40)
+        (0 until n).map(_ => rnd.nextInt(50).toLong).distinct.sorted.toArray
+      }
+      val (a, b) = (arr(), arr())
+      val (ad, bd) = (new GenericArrayData(a), new GenericArrayData(b))
+      val jac = naiveJac(a, b)
+      // sweep generic thresholds plus the pair's own exact jaccard — the
+      // adversarial case for the size/merge early-exits: ge must hold AT
+      // the boundary, strict must not
+      Seq(0.0, 0.1, 0.5, 0.8, 0.9, 1.0, jac).foreach { t =>
+        assert(TextSketch.sortedJaccardGe(ad, bd, t, false) == (jac >= t),
+          s"ge: jac=$jac t=$t na=${a.length} nb=${b.length}")
+        assert(TextSketch.sortedJaccardGe(ad, bd, t, true) == (jac > t),
+          s"gt: jac=$jac t=$t na=${a.length} nb=${b.length}")
+      }
+    }
+  }
+
   test("sorted_intersect_count stays inside whole-stage codegen and handles nulls") {
     GraftFunctions.register(spark)
     val plan = spark.sql(
