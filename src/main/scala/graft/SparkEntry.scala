@@ -94,6 +94,12 @@ object SparkEntry {
       // transitive-closure CTE over the identical edge set
       "x75_components" -> ((s: SparkSession, d: String) =>
         Dedup.componentsQuery(s, d)),
+      // x90: deterministic k-means assignment (the SemDeDup partitioning
+      // step) — centroids = embeddings of vec_id < 8, broadcast; argmax by
+      // rounded cosine with lowest-cid tiebreak, so the DuckDB twin can
+      // replay the assignment exactly (see ext/Clustering)
+      "x90_kmeans" -> ((s: SparkSession, d: String) =>
+        graft.ext.Clustering.assignQuery(s, d)),
       // x65: the JaccardJoinRewrite optimizer rule run end-to-end through
       // the oracle gate — a naive jaccard-threshold SQL join, rewritten to
       // the banded equi-join, must find every word-set-equal pair
@@ -301,6 +307,29 @@ object SparkEntry {
     * [[graft.ext.Components.minLabelPropagation]]; component id = min
     * reachable doc_id (the `reach.r < e.t` guard prunes non-improving
     * expansions so the fixpoint terminates). */
+  /** DuckDB twin of [[graft.ext.Clustering.assignQuery]]: the same
+    * broadcast-argmax replayed as a cross join + ROW_NUMBER — identical
+    * rounded-6 cosines (x55's list formulation) and the identical
+    * lowest-cid tiebreak. */
+  private val kmeansDuck =
+    """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cemb
+      |           FROM embeddings WHERE vec_id < 8),
+      |s AS (SELECT e.vec_id, c.cid,
+      |        ROUND(list_sum(list_transform(list_zip(e.embedding, c.cemb),
+      |            s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+      |        / (SQRT(list_sum(list_transform(e.embedding,
+      |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * SQRT(list_sum(list_transform(c.cemb,
+      |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+      |      FROM embeddings e, c),
+      |r AS (SELECT vec_id, cid, cos,
+      |        ROW_NUMBER() OVER (PARTITION BY vec_id
+      |                           ORDER BY cos DESC, cid) AS rn
+      |      FROM s)
+      |SELECT vec_id, cid,
+      |  CAST(CAST(ROUND(cos, 4) AS DECIMAL(18,4)) AS DOUBLE) AS cos
+      |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   private val componentsDuck =
     """WITH RECURSIVE
       |d AS (SELECT doc_id, lang,
@@ -428,6 +457,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     sqlBacked.map(q => q.name -> q.duck).toMap +
       ("x75_components" -> componentsDuck) +
+      ("x90_kmeans" -> kmeansDuck) +
       ("x82_containment" -> containmentDuck) +
       ("x83_zorder" -> zorderDuck) +
       ("x77_framesample" -> frameSampleDuck) +

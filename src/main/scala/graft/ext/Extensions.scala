@@ -956,6 +956,51 @@ object Extensions {
         |  FROM documents)
         |SELECT doc_id, source, CAST(rn AS INT) AS rn
         |FROM w WHERE rn <= 15
-        |ORDER BY source, rn""".stripMargin)
+        |ORDER BY source, rn""".stripMargin),
+
+    // x89 (B71/B73) paragraph-level exact dedup (boilerplate removal, the
+    // CCNet/RefinedWeb line-dedup step): split each doc into fixed 3-token
+    // "paragraphs", keep only the globally FIRST occurrence of each
+    // distinct paragraph (order = (doc_id, position)), and reassemble the
+    // cleaned text per doc. The corpus vocabulary is ~31 words, so 3-token
+    // chunks genuinely collide across docs — the removal is non-vacuous.
+    // At 100 TB: one hash shuffle keyed on the paragraph text for the
+    // keep-first window, one shuffle keyed on doc_id for reassembly; no
+    // global ordering, no driver state. WindowGroupLimit prunes the
+    // rn-per-paragraph sort below the shuffle.
+    Q("x89_para_dedup",
+      """WITH d AS (SELECT doc_id, array_remove(split(LOWER(text), ' '), '') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, s, toks FROM (
+        |        SELECT doc_id, toks FROM d WHERE size(toks) > 0)
+        |      LATERAL VIEW explode(sequence(0, size(toks) - 1, 3)) AS s),
+        |p AS (SELECT doc_id, CAST(s / 3 AS INT) AS pidx,
+        |        array_join(slice(toks, s + 1, LEAST(3, size(toks) - s)), ' ') AS para
+        |      FROM c),
+        |r AS (SELECT doc_id, pidx, para,
+        |        ROW_NUMBER() OVER (PARTITION BY para
+        |                           ORDER BY doc_id, pidx) AS rn
+        |      FROM p)
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_paras,
+        |  CAST(COUNT(CASE WHEN rn > 1 THEN 1 END) AS INT) AS n_dropped,
+        |  CONCAT_WS(' ', TRANSFORM(ARRAY_SORT(
+        |    FILTER(COLLECT_LIST(STRUCT(pidx, para, rn)), s -> s.rn = 1)),
+        |    s -> s.para)) AS cleaned
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, list_filter(string_split(LOWER(text), ' '), t -> t <> '') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, unnest(range(0, len(toks), 3)) AS s, toks
+        |      FROM d WHERE len(toks) > 0),
+        |p AS (SELECT doc_id, CAST(s / 3 AS INT) AS pidx,
+        |        array_to_string(list_slice(toks, s + 1, LEAST(s + 3, len(toks))), ' ') AS para
+        |      FROM c),
+        |r AS (SELECT doc_id, pidx, para,
+        |        ROW_NUMBER() OVER (PARTITION BY para
+        |                           ORDER BY doc_id, pidx) AS rn
+        |      FROM p)
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_paras,
+        |  CAST(COUNT(CASE WHEN rn > 1 THEN 1 END) AS INT) AS n_dropped,
+        |  COALESCE(string_agg(para, ' ' ORDER BY pidx) FILTER (WHERE rn = 1), '') AS cleaned
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 }
