@@ -315,19 +315,20 @@ object SparkEntry {
     """WITH c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cemb
       |           FROM embeddings WHERE vec_id < 8),
       |s AS (SELECT e.vec_id, c.cid,
-      |        ROUND(list_sum(list_transform(list_zip(e.embedding, c.cemb),
+      |        FLOOR(list_sum(list_transform(list_zip(e.embedding, c.cemb),
       |            s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
       |        / (SQRT(list_sum(list_transform(e.embedding,
       |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
       |         * SQRT(list_sum(list_transform(c.cemb,
-      |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cos
+      |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) * 1e6 + 0.5)
+      |          / 1e6 AS cos
       |      FROM embeddings e, c),
       |r AS (SELECT vec_id, cid, cos,
       |        ROW_NUMBER() OVER (PARTITION BY vec_id
       |                           ORDER BY cos DESC, cid) AS rn
       |      FROM s)
       |SELECT vec_id, cid,
-      |  CAST(CAST(ROUND(cos, 4) AS DECIMAL(18,4)) AS DOUBLE) AS cos
+      |  CAST(CAST(FLOOR(cos * 1e4 + 0.5) / 1e4 AS DECIMAL(18,4)) AS DOUBLE) AS cos
       |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
   private val componentsDuck =

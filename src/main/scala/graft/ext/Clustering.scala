@@ -34,17 +34,22 @@ object Clustering {
     val e = spark.table("embeddings")
     val c = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cemb"))
+    // FLOOR(x·10^n + 0.5)/10^n, never ROUND: Spark rounds the shortest
+    // decimal rendering half-up while DuckDB rounds the binary value, and
+    // they diverge on exact-looking halves (0.08045 → .0805 vs .0804);
+    // the floor form is the same IEEE ops on the same bits in both engines
     val scored = e.crossJoin(broadcast(c))
       .select(col("vec_id"),
         col("cid"),
-        round(expr("cosine_sim(embedding, cemb)"), 6).as("cos"))
+        expr("FLOOR(cosine_sim(embedding, cemb) * 1e6 + 0.5) / 1e6").as("cos"))
     // argmax as a partial aggregate, not a window: max(struct) picks the
     // highest cos, then the highest -cid = LOWEST cid on a rounded tie
     scored.groupBy("vec_id")
       .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("b"))
       .select(col("vec_id"),
         (-col("b.ncid")).cast("int").as("cid"),
-        expr("CAST(CAST(ROUND(b.cos, 4) AS DECIMAL(18,4)) AS DOUBLE)").as("cos"))
+        expr("CAST(CAST(FLOOR(b.cos * 1e4 + 0.5) / 1e4 AS DECIMAL(18,4)) AS DOUBLE)")
+          .as("cos"))
       .orderBy("vec_id")
   }
 
@@ -75,7 +80,7 @@ object Clustering {
       }).toDF("cid", "cemb")
       e.crossJoin(broadcast(c))
         .select(col("vec_id"), col("cid"),
-          round(expr("cosine_sim(embedding, cemb)"), 6).as("cos"))
+          expr("FLOOR(cosine_sim(embedding, cemb) * 1e6 + 0.5) / 1e6").as("cos"))
         .groupBy("vec_id")
         .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("b"))
         .select(col("vec_id"), (-col("b.ncid")).cast("int").as("cid"),

@@ -23,7 +23,7 @@ class ClusteringSpec extends SparkSpec {
       val (vid, cid) = (r.getLong(0), r.getInt(1))
       val best = centroids
         .map { case (c, v) =>
-          (BigDecimal(cos(vecs(vid), v)).setScale(6, BigDecimal.RoundingMode.HALF_UP), c)
+          (math.floor(cos(vecs(vid), v) * 1e6 + 0.5) / 1e6, c)
         }
         .maxBy { case (s, c) => (s, -c) }._2
       assert(cid == best, s"vec $vid assigned $cid, brute force says $best")
