@@ -76,4 +76,17 @@ object Graft {
                           maxIters: Int = 50): DataFrame =
     ext.Components.minLabelPropagation(nodes, edges, srcCol, dstCol,
       maxIters)
+
+  // ---- clustering -------------------------------------------------------
+
+  /** Deterministic nearest-centroid assignment over the embeddings table
+    * (the SemDeDup partitioning step; centroids = vec_id < k). */
+  def kmeansAssign(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    ext.Clustering.assignQuery(spark, dir, k)
+
+  /** Spherical k-means (Lloyd), deterministic init; see
+    * [[ext.Clustering.kmeans]] for the scale contract. */
+  def kmeans(spark: SparkSession, dir: String, k: Int = 8,
+             iters: Int = 4): DataFrame =
+    ext.Clustering.kmeans(spark, dir, k, iters)
 }

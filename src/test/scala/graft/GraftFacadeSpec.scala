@@ -39,5 +39,9 @@ class GraftFacadeSpec extends SparkSpec {
     val b = operators.AsOfJoin.asOf(clicks, views, "user_id", "ts",
       Seq("view_id"), "view_id").count()
     assert(a == b && a > 0)
+
+    val k1 = Graft.kmeansAssign(spark, sfDir).collect().toSeq
+    val k2 = ext.Clustering.assignQuery(spark, sfDir).collect().toSeq
+    assert(k1 == k2 && k1.nonEmpty)
   }
 }
