@@ -100,6 +100,12 @@ object SparkEntry {
       // replay the assignment exactly (see ext/Clustering)
       "x90_kmeans" -> ((s: SparkSession, d: String) =>
         graft.ext.Clustering.assignQuery(s, d)),
+      // x91: SemDeDup end-to-end — cluster (x90's argmax over the x63
+      // planted-dup view), then within-cluster keep-first pruning at
+      // cosine >= 0.9; the quadratic join runs per cluster, never across
+      // the corpus (see ext/Clustering.semDedupQuery)
+      "x91_semdedup" -> ((s: SparkSession, d: String) =>
+        graft.ext.Clustering.semDedupQuery(s, d)),
       // x65: the JaccardJoinRewrite optimizer rule run end-to-end through
       // the oracle gate — a naive jaccard-threshold SQL join, rewritten to
       // the banded equi-join, must find every word-set-equal pair
@@ -331,6 +337,53 @@ object SparkEntry {
       |  CAST(CAST(FLOOR(cos * 1e4 + 0.5) / 1e4 AS DECIMAL(18,4)) AS DOUBLE) AS cos
       |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin
 
+  /** DuckDB twin of [[graft.ext.Clustering.semDedupQuery]]: the planted
+    * view (x63's), [[kmeansDuck]]'s assignment argmax, then the identical
+    * within-cluster keep-first pruning — every cosine floor-rounded at 6
+    * decimals on both engines. */
+  private val semDedupDuck =
+    """WITH pv AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(CAST(x AS DOUBLE) + 0.02 AS FLOAT)) AS embedding
+      |  FROM embeddings WHERE vec_id < 3
+      |  UNION ALL
+      |  SELECT vec_id + 2000000 AS vec_id, embedding
+      |  FROM embeddings WHERE vec_id BETWEEN 3 AND 5),
+      |c AS (SELECT CAST(vec_id AS INT) AS cid, embedding AS cemb
+      |      FROM embeddings WHERE vec_id < 8),
+      |s AS (SELECT p.vec_id, c.cid,
+      |        FLOOR(list_sum(list_transform(list_zip(p.embedding, c.cemb),
+      |            s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+      |        / (SQRT(list_sum(list_transform(p.embedding,
+      |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |         * SQRT(list_sum(list_transform(c.cemb,
+      |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) * 1e6 + 0.5)
+      |          / 1e6 AS cos
+      |      FROM pv p, c),
+      |a AS (SELECT vec_id, cid FROM (
+      |        SELECT vec_id, cid,
+      |               ROW_NUMBER() OVER (PARTITION BY vec_id
+      |                                  ORDER BY cos DESC, cid) AS rn
+      |        FROM s) t WHERE rn = 1),
+      |a2 AS (SELECT a.vec_id, a.cid, pv.embedding
+      |       FROM a JOIN pv ON a.vec_id = pv.vec_id),
+      |d AS (SELECT DISTINCT y.vec_id
+      |      FROM a2 x JOIN a2 y
+      |        ON x.cid = y.cid AND x.vec_id < y.vec_id
+      |      WHERE FLOOR(list_sum(list_transform(list_zip(x.embedding, y.embedding),
+      |            s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))
+      |        / (SQRT(list_sum(list_transform(x.embedding,
+      |             e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))
+      |         * SQRT(list_sum(list_transform(y.embedding,
+      |             e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))) * 1e6 + 0.5)
+      |          / 1e6 >= 0.9)
+      |SELECT a2.vec_id, a2.cid, d.vec_id IS NULL AS kept
+      |FROM a2 LEFT JOIN d ON a2.vec_id = d.vec_id
+      |ORDER BY a2.vec_id""".stripMargin
+
   private val componentsDuck =
     """WITH RECURSIVE
       |d AS (SELECT doc_id, lang,
@@ -459,6 +512,7 @@ object SparkEntry {
     sqlBacked.map(q => q.name -> q.duck).toMap +
       ("x75_components" -> componentsDuck) +
       ("x90_kmeans" -> kmeansDuck) +
+      ("x91_semdedup" -> semDedupDuck) +
       ("x82_containment" -> containmentDuck) +
       ("x83_zorder" -> zorderDuck) +
       ("x77_framesample" -> frameSampleDuck) +

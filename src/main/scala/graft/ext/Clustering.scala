@@ -113,4 +113,48 @@ object Clustering {
     * Lloyd iterations must not decrease. */
   def objective(assignment: DataFrame): Double =
     assignment.agg(avg(col("cos"))).head.getDouble(0)
+
+  /** x91 driver query — SemDeDup end-to-end: cluster the corpus
+    * ([[assignQuery]]'s broadcast argmax, here over the x63 planted-dup
+    * view so the pruning is non-vacuous), then WITHIN each cluster drop
+    * every vector that has a smaller-id neighbor at cosine ≥ `threshold`
+    * (keep-first, the same deterministic policy as x89's paragraph dedup —
+    * no sequential greedy-MIS dependency, so the drop set is one
+    * aggregation).
+    *
+    * Scale shape — the whole point of SemDeDup: the quadratic similarity
+    * join runs per cluster, never across the corpus, so its cost is
+    * Σ|cluster|² with |cluster| ≈ N/k controlled by k; the join shuffles on
+    * cid, the drop set is a DISTINCT on vec_id, and nothing collects.
+    * Every cosine is floor-rounded at 6 decimals (the cross-engine-safe
+    * form) so the DuckDB twin replays assignment AND pruning exactly. */
+  def semDedupQuery(spark: SparkSession, dir: String, k: Int = 8,
+                    threshold: Double = 0.9): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.ensure(spark, dir)
+    val v = Similarity.plantedVecs(spark, dir)
+    val c = spark.table("embeddings").filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cemb"))
+    val assigned = v.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        expr("FLOOR(cosine_sim(embedding, cemb) * 1e6 + 0.5) / 1e6").as("cos"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("cos"), (-col("cid")).as("ncid"))).as("b"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), (-col("b.ncid")).cast("int").as("cid"),
+        col("embedding"))
+      // reused by both sides of the pair join AND the final projection —
+      // materialize once instead of re-scanning and re-assigning 3×
+      .localCheckpoint()
+    val dropped = assigned.alias("a").join(assigned.alias("b"),
+        col("a.cid") === col("b.cid") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          expr("FLOOR(cosine_sim(a.embedding, b.embedding) * 1e6 + 0.5) / 1e6")
+            >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+      .withColumn("dr", lit(true))
+    assigned.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"), col("dr").isNull.as("kept"))
+      .orderBy("vec_id")
+  }
 }

@@ -46,6 +46,30 @@ class ClusteringSpec extends SparkSpec {
     assert(obj4 >= obj2 - 1e-6, s"iter 4 objective $obj4 < iter 2 $obj2")
   }
 
+  test("x91 semdedup drops the planted copies, keeps their originals") {
+    val rows = Clustering.semDedupQuery(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // exact copies (vec_id+2000000 of 3..5) share their original's cluster
+    // and sit at cosine 1.0 — keep-first must drop the copy, not the
+    // original (the original's id is smaller)
+    (3L to 5L).foreach { id =>
+      assert(rows(id + 2000000) == false, s"planted copy of $id not dropped")
+      assert(rows(id) == true, s"original $id wrongly dropped")
+    }
+  }
+
+  test("x91 similarity join is keyed on the cluster id, not all-pairs") {
+    val plan = Clustering.semDedupQuery(spark, sfDir).queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"all-pairs similarity join:\n$plan")
+    // the assignment is checkpointed before the self-join, so the final
+    // plan must contain NO nested-loop join at all — the within-cluster
+    // pair join is an equi-join on cid over the materialized assignment
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"pair join not keyed on cid:\n$plan")
+  }
+
   test("kmeans is deterministic across runs and covers every vector") {
     val a = Clustering.kmeans(spark, sfDir, k = 8, iters = 2)
       .orderBy("vec_id").collect().map(r => (r.getLong(0), r.getInt(1)))
