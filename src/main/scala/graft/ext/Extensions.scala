@@ -1001,6 +1001,114 @@ object Extensions {
         |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_paras,
         |  CAST(COUNT(CASE WHEN rn > 1 THEN 1 END) AS INT) AS n_dropped,
         |  COALESCE(string_agg(para, ' ' ORDER BY pidx) FILTER (WHERE rn = 1), '') AS cleaned
-        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // x92 (B71/B73) exact substring-window dedup (the fixed-width variant of
+    // suffix-array substring dedup from "Deduplicating Training Data Makes
+    // Language Models Better", Lee et al. 2022): every 8-token sliding
+    // window is fingerprinted, and a window instance is "duplicated" if its
+    // text occurs anywhere else in the corpus (same doc or another). Unlike
+    // x89 (disjoint 3-token paragraphs, keep-first) this measures OVERLAPPING
+    // window duplication — the signal that catches partially-copied spans
+    // crossing paragraph boundaries. At 100 TB: the explode is map-side (8×
+    // amplification), the occurrence count shuffles the md5 fingerprint (one
+    // COUNT window, never the window text as the join payload — no w×g
+    // re-join), and the per-doc rollup shuffles doc_id. Docs under 8 tokens
+    // carry no window on either engine, so the per-doc frame stays aligned.
+    Q("x92_substring_dup",
+      """WITH d AS (SELECT doc_id, array_remove(split(LOWER(text), ' '), '') AS toks
+        |           FROM documents),
+        |w AS (SELECT doc_id,
+        |        md5(array_join(slice(toks, pos, 8), ' ')) AS wh
+        |      FROM (SELECT doc_id, toks FROM d WHERE size(toks) >= 8)
+        |      LATERAL VIEW explode(sequence(1, size(toks) - 7)) AS pos),
+        |r AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY wh) AS occ FROM w)
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_windows,
+        |  CAST(COUNT(CASE WHEN occ > 1 THEN 1 END) AS INT) AS dup_windows,
+        |  CAST(CAST(FLOOR(CAST(COUNT(CASE WHEN occ > 1 THEN 1 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |    AS DECIMAL(18,4)) AS DOUBLE) AS dup_ratio
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, list_filter(string_split(LOWER(text), ' '), t -> t <> '') AS toks
+        |           FROM documents),
+        |w AS (SELECT doc_id,
+        |        md5(array_to_string(list_slice(toks, CAST(pos AS INT),
+        |          CAST(pos + 7 AS INT)), ' ')) AS wh
+        |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS pos
+        |            FROM d WHERE len(toks) >= 8)),
+        |r AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY wh) AS occ FROM w)
+        |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_windows,
+        |  CAST(COUNT(CASE WHEN occ > 1 THEN 1 END) AS INT) AS dup_windows,
+        |  CAST(CAST(FLOOR(CAST(COUNT(CASE WHEN occ > 1 THEN 1 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+        |    AS DECIMAL(18,4)) AS DOUBLE) AS dup_ratio
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // x93 (B73) BPE pair statistics — the merge-selection table of byte-pair
+    // encoding tokenizer training: count adjacent character pairs across all
+    // word occurrences, emit the top-20 (the first BPE merge is the argmax
+    // row; the full iterative trainer is a driver loop over exactly this
+    // aggregate). Distinct from x85 (word-level collocation lift): this is
+    // the char-level frequency table. Exact integer counts only. At 100 TB:
+    // map-side explode (≈ word length × corpus), one hash aggregation on a
+    // ≤ 26² key space (partial aggregation collapses almost everything
+    // map-side), and the top-20 is TakeOrderedAndProject — a distributed
+    // top-k, not a global window sort.
+    Q("x93_bpe_pairs",
+      """WITH t AS (SELECT explode(filter(split(LOWER(text), ' '), x -> x <> '')) AS w
+        |           FROM documents),
+        |p AS (SELECT substr(w, i, 2) AS pair
+        |      FROM (SELECT w FROM t WHERE length(w) >= 2)
+        |      LATERAL VIEW explode(sequence(1, length(w) - 1)) AS i),
+        |c AS (SELECT pair, COUNT(*) AS n FROM p GROUP BY pair)
+        |SELECT pair, CAST(n AS BIGINT) AS n FROM c
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+      """WITH t AS (SELECT unnest(list_filter(string_split(LOWER(text), ' '), x -> x <> '')) AS w
+        |           FROM documents),
+        |p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair
+        |      FROM (SELECT w, unnest(range(1, length(w))) AS i FROM t
+        |            WHERE length(w) >= 2)),
+        |c AS (SELECT pair, COUNT(*) AS n FROM p GROUP BY pair)
+        |SELECT pair, CAST(n AS BIGINT) AS n FROM c
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin),
+
+    // x94 (B34/B73) temperature-based mixture sampling — the multilingual /
+    // multi-source rebalancing step of LLM corpus assembly: per-language
+    // sampling weight ∝ (token mass)^α with α = 0.5, so low-resource
+    // languages are upsampled relative to their share (en holds 44% of the
+    // sf0.01 docs but 30% of the sample). Weights are integerized
+    // (⌊√tokens·1000⌋ summed as BIGINT — exact, order-independent) and
+    // quotas use integer division, so no cross-engine float summation;
+    // within a language the quota is filled in deterministic md5 order
+    // (x88's reproducible-uniform idiom). At 100 TB: one hash aggregation
+    // for the weights (5 rows, broadcast back), one keyed window —
+    // WindowGroupLimit prunes below the per-lang sort; no global ordering.
+    Q("x94_temp_sample",
+      """WITH d AS (SELECT doc_id, lang,
+        |             size(filter(split(LOWER(text), ' '), t -> t <> '')) AS ntoks
+        |           FROM documents),
+        |s AS (SELECT lang, CAST(FLOOR(SQRT(CAST(SUM(ntoks) AS DOUBLE)) * 1000.0) AS BIGINT) AS w
+        |      FROM d GROUP BY lang),
+        |qt AS (SELECT lang, CAST((200 * w) DIV (SELECT SUM(w) FROM s) AS INT) AS quota
+        |       FROM s),
+        |r AS (SELECT d.doc_id, d.lang, qt.quota,
+        |        ROW_NUMBER() OVER (PARTITION BY d.lang
+        |          ORDER BY md5(concat(d.lang, '|', CAST(d.doc_id AS STRING))), d.doc_id) AS rn
+        |      FROM d JOIN qt ON d.lang = qt.lang)
+        |SELECT doc_id, lang, CAST(quota AS INT) AS quota, CAST(rn AS INT) AS rn
+        |FROM r WHERE rn <= quota ORDER BY lang, rn""".stripMargin,
+      """WITH d AS (SELECT doc_id, lang,
+        |             len(list_filter(string_split(LOWER(text), ' '), t -> t <> '')) AS ntoks
+        |           FROM documents),
+        |s AS (SELECT lang, CAST(FLOOR(SQRT(CAST(SUM(ntoks) AS DOUBLE)) * 1000.0) AS BIGINT) AS w
+        |      FROM d GROUP BY lang),
+        |qt AS (SELECT lang, CAST((200 * w) // (SELECT SUM(w) FROM s) AS INT) AS quota
+        |       FROM s),
+        |r AS (SELECT d.doc_id, d.lang, qt.quota,
+        |        ROW_NUMBER() OVER (PARTITION BY d.lang
+        |          ORDER BY md5(concat(d.lang, '|', CAST(d.doc_id AS STRING))), d.doc_id) AS rn
+        |      FROM d JOIN qt ON d.lang = qt.lang)
+        |SELECT doc_id, lang, CAST(quota AS INT) AS quota, CAST(rn AS INT) AS rn
+        |FROM r WHERE rn <= quota ORDER BY lang, rn""".stripMargin)
   )
 }
