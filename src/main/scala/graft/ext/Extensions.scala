@@ -1109,6 +1109,104 @@ object Extensions {
         |          ORDER BY md5(concat(d.lang, '|', CAST(d.doc_id AS STRING))), d.doc_id) AS rn
         |      FROM d JOIN qt ON d.lang = qt.lang)
         |SELECT doc_id, lang, CAST(quota AS INT) AS quota, CAST(rn AS INT) AS rn
-        |FROM r WHERE rn <= quota ORDER BY lang, rn""".stripMargin)
+        |FROM r WHERE rn <= quota ORDER BY lang, rn""".stripMargin),
+
+    // x96 (B34/B73) per-language quality-quantile filtering — the "keep the
+    // top 75% by quality score within each language" curation step. The
+    // score is x50's weighted quality (floor-rounded to 4 decimals BEFORE
+    // the comparison, so the rank order is cross-engine-deterministic with
+    // the doc_id tiebreak); the quantile cut is pure integer arithmetic
+    // (rn·4 ≤ cnt·3 ⇔ rn ≤ ⌊3n/4⌋ — no interpolated percentile, whose
+    // engine-specific formula would be a determinism trap). At 100 TB: one
+    // scan + one keyed window shuffle on lang; no global sort.
+    Q("x96_quality_filter",
+      """WITH t AS (SELECT doc_id, lang, text, CAST(LENGTH(text) AS INT) AS nchars,
+        |             filter(split(text, ' '), x -> x <> '') AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id, lang, nchars, CAST(size(toks) AS INT) AS ntoks,
+        |        CAST(size(filter(toks, x -> x IN ('the','and','of','to','in','is','it','that','a','for'))) AS INT) AS stop_hits,
+        |        CAST(LENGTH(regexp_replace(text, '[a-zA-Z0-9 ]', '')) AS INT) AS punct
+        |      FROM t),
+        |s AS (SELECT doc_id, lang,
+        |        CAST(CAST(FLOOR((0.4*(CAST(stop_hits AS DOUBLE)/CAST(GREATEST(ntoks,1) AS DOUBLE))
+        |            + 0.3*LEAST(CAST(ntoks AS DOUBLE)/50.0, 1.0)
+        |            + 0.3*(1.0 - CAST(punct AS DOUBLE)/CAST(GREATEST(nchars,1) AS DOUBLE))) * 10000.0 + 0.5) / 10000.0
+        |          AS DECIMAL(18,4)) AS DOUBLE) AS q
+        |      FROM m),
+        |r AS (SELECT doc_id, lang, q,
+        |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rn,
+        |        COUNT(*) OVER (PARTITION BY lang) AS cnt
+        |      FROM s)
+        |SELECT doc_id, lang, q, CAST(rn AS INT) AS rn
+        |FROM r WHERE rn * 4 <= cnt * 3 ORDER BY lang, rn""".stripMargin,
+      """WITH t AS (SELECT doc_id, lang, text, CAST(LENGTH(text) AS INT) AS nchars,
+        |             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id, lang, nchars, CAST(len(toks) AS INT) AS ntoks,
+        |        CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','it','that','a','for'))) AS INT) AS stop_hits,
+        |        CAST(LENGTH(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS INT) AS punct
+        |      FROM t),
+        |s AS (SELECT doc_id, lang,
+        |        CAST(CAST(FLOOR((0.4*(CAST(stop_hits AS DOUBLE)/CAST(GREATEST(ntoks,1) AS DOUBLE))
+        |            + 0.3*LEAST(CAST(ntoks AS DOUBLE)/50.0, 1.0)
+        |            + 0.3*(1.0 - CAST(punct AS DOUBLE)/CAST(GREATEST(nchars,1) AS DOUBLE))) * 10000.0 + 0.5) / 10000.0
+        |          AS DECIMAL(18,4)) AS DOUBLE) AS q
+        |      FROM m),
+        |r AS (SELECT doc_id, lang, q,
+        |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rn,
+        |        COUNT(*) OVER (PARTITION BY lang) AS cnt
+        |      FROM s)
+        |SELECT doc_id, lang, q, CAST(rn AS INT) AS rn
+        |FROM r WHERE rn * 4 <= cnt * 3 ORDER BY lang, rn""".stripMargin),
+
+    // x97 (B73) Gopher/RedPajama-style rule filtering — the per-document
+    // hard-rule battery (word count bounds, mean word length, alphabetic
+    // word fraction, symbol ratio, minimum stopword hits) with the combined
+    // keep verdict. Every ratio is floor-rounded before comparison so the
+    // booleans are engine-independent; all counting is exact integers.
+    // Non-degenerate on the corpus: 224 of 500 docs pass at sf0.01 (the
+    // stopword rule is English-centric by design — as in Gopher). One scan,
+    // map-only; the only shuffle is the output ORDER BY.
+    Q("x97_rule_filter",
+      """WITH t AS (SELECT doc_id, text, CAST(LENGTH(text) AS INT) AS nchars,
+        |             filter(split(LOWER(text), ' '), x -> x <> '') AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id, nchars, CAST(size(toks) AS INT) AS n_words,
+        |        AGGREGATE(toks, CAST(0 AS BIGINT), (acc, w) -> acc + length(w)) AS wchars,
+        |        CAST(size(filter(toks, w -> w RLIKE '[a-z]')) AS INT) AS alpha_words,
+        |        CAST(size(filter(toks, w -> w IN ('the','and','of','to','in','is','it','that'))) AS INT) AS stop_hits,
+        |        CAST(LENGTH(regexp_replace(text, '[a-zA-Z0-9 ]', '')) AS INT) AS punct
+        |      FROM t),
+        |r AS (SELECT doc_id, n_words,
+        |        CAST(CAST(FLOOR(CAST(wchars AS DOUBLE)/CAST(GREATEST(n_words,1) AS DOUBLE) * 100.0 + 0.5)/100.0 AS DECIMAL(18,2)) AS DOUBLE) AS mean_wlen,
+        |        CAST(CAST(FLOOR(CAST(alpha_words AS DOUBLE)/CAST(GREATEST(n_words,1) AS DOUBLE) * 10000.0 + 0.5)/10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS alpha_frac,
+        |        CAST(CAST(FLOOR(CAST(punct AS DOUBLE)/CAST(GREATEST(nchars,1) AS DOUBLE) * 10000.0 + 0.5)/10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS sym_ratio,
+        |        stop_hits
+        |      FROM m)
+        |SELECT doc_id, n_words, mean_wlen, alpha_frac, sym_ratio,
+        |  CAST(stop_hits AS INT) AS stop_hits,
+        |  (n_words BETWEEN 10 AND 100000) AND (mean_wlen BETWEEN 2.0 AND 10.0)
+        |    AND alpha_frac >= 0.8 AND sym_ratio <= 0.1 AND stop_hits >= 2 AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+      """WITH t AS (SELECT doc_id, text, CAST(LENGTH(text) AS INT) AS nchars,
+        |             list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS toks
+        |           FROM documents),
+        |m AS (SELECT doc_id, nchars, CAST(len(toks) AS INT) AS n_words,
+        |        CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) AS wchars,
+        |        CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS INT) AS alpha_words,
+        |        CAST(len(list_filter(toks, w -> w IN ('the','and','of','to','in','is','it','that'))) AS INT) AS stop_hits,
+        |        CAST(LENGTH(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS INT) AS punct
+        |      FROM t),
+        |r AS (SELECT doc_id, n_words,
+        |        CAST(CAST(FLOOR(CAST(wchars AS DOUBLE)/CAST(GREATEST(n_words,1) AS DOUBLE) * 100.0 + 0.5)/100.0 AS DECIMAL(18,2)) AS DOUBLE) AS mean_wlen,
+        |        CAST(CAST(FLOOR(CAST(alpha_words AS DOUBLE)/CAST(GREATEST(n_words,1) AS DOUBLE) * 10000.0 + 0.5)/10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS alpha_frac,
+        |        CAST(CAST(FLOOR(CAST(punct AS DOUBLE)/CAST(GREATEST(nchars,1) AS DOUBLE) * 10000.0 + 0.5)/10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS sym_ratio,
+        |        stop_hits
+        |      FROM m)
+        |SELECT doc_id, n_words, mean_wlen, alpha_frac, sym_ratio,
+        |  CAST(stop_hits AS INT) AS stop_hits,
+        |  (n_words BETWEEN 10 AND 100000) AND (mean_wlen BETWEEN 2.0 AND 10.0)
+        |    AND alpha_frac >= 0.8 AND sym_ratio <= 0.1 AND stop_hits >= 2 AS keep
+        |FROM r ORDER BY doc_id""".stripMargin)
   )
 }
