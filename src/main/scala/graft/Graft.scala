@@ -89,4 +89,17 @@ object Graft {
   def kmeans(spark: SparkSession, dir: String, k: Int = 8,
              iters: Int = 4): DataFrame =
     ext.Clustering.kmeans(spark, dir, k, iters)
+
+  // ---- tokenizer training ----------------------------------------------
+
+  /** BPE merge-table training over a word-occurrence column (one
+    * distributed pair-count job per merge, map-only merge pass; see
+    * [[ext.Bpe.train]] for the scale contract). */
+  def bpeTrain(words: DataFrame, numMerges: Int): Seq[(String, String, Long)] =
+    ext.Bpe.train(words, numMerges)
+
+  /** Apply a learned BPE merge table to a single word (driver-local
+    * encode; the distributed encode maps the same fold over a column). */
+  def bpeEncode(word: String, merges: Seq[(String, String, Long)]): Seq[String] =
+    ext.Bpe.encode(word, merges)
 }

@@ -28,8 +28,8 @@ class QueriesSpec extends SparkSpec {
   test("driver contract: entry() returns rows and every query has unique name") {
     assert(SparkEntry.entry(spark).count() > 0)
     val qs = SparkEntry.queries
-    assert(qs.size == 125,
-      s"expected 125 queries (q01-q82 + x49-x91), got ${qs.size}")
+    assert(qs.size == 130,
+      s"expected 130 queries (q01-q82 + x49-x97), got ${qs.size}")
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet),
       "oracle entries without a matching query")
     assert(SparkEntry.oracleSql.keySet == qs.keySet,
@@ -150,5 +150,50 @@ class QueriesSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       "rn = 1 filter should prune rows before the full window sort:\n" +
         plan)
+  }
+
+  test("x92: occurrence counting is a fingerprint window, not a self-join") {
+    // the window-instance occurrence count must come from COUNT OVER
+    // (PARTITION BY wh) — a re-join of the exploded window table against
+    // its own aggregate would shuffle the 8-token window payload twice
+    val plan = run("x92_substring_dup").queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      "x92 should not join the window table against itself:\n" +
+        plan.take(2000))
+    assert(!plan.contains("SinglePartition"),
+      "x92 occurrence window must be keyed on the fingerprint:\n" +
+        plan.take(2000))
+  }
+
+  test("x93: BPE pair top-20 is a distributed TakeOrderedAndProject") {
+    val plan = run("x93_bpe_pairs").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(plan.contains("partial"),
+      "pair counting should partially aggregate map-side:\n" +
+        plan.take(2000))
+  }
+
+  test("x94/x96: sampling/filter windows are keyed per lang") {
+    // x94's 5-row total-weight aggregate is a scalar subquery and MAY
+    // single-partition (it is language-count-sized, not corpus-sized); the
+    // corpus-sized stages must shuffle on lang and broadcast the quota dim
+    val p94 = run("x94_temp_sample").queryExecution.executedPlan.toString
+    assert(p94.contains("Exchange hashpartitioning(lang"),
+      "x94 quota window must be keyed on lang:\n" + p94.take(2000))
+    assert(p94.contains("BroadcastHashJoin"),
+      "x94 per-lang quotas should broadcast, not shuffle the corpus:\n" +
+        p94.take(2000))
+    val p96 = run("x96_quality_filter").queryExecution.executedPlan.toString
+    assert(!p96.contains("SinglePartition"),
+      "x96 window moved all rows to one partition:\n" + p96.take(2000))
+  }
+
+  test("x97: rule filtering is map-only — the sole exchange is the ORDER BY") {
+    val plan = run("x97_rule_filter").queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1,
+      s"expected only the final sort's range exchange, got:\n$plan")
   }
 }
