@@ -870,7 +870,26 @@ object Queries {
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(MIN(c_custkey) AS BIGINT) AS min_cust
         |FROM customer GROUP BY 1
-        |ORDER BY bkt""".stripMargin)
+        |ORDER BY bkt""".stripMargin),
+
+    // Q83 (B70) positional explode / UNNEST WITH ORDINALITY — the generator
+    // variant that carries the element index (token position), the input
+    // shape for positional n-gram work (x85/x93 build on windows of it).
+    // Spark's posexplode is 0-based; DuckDB's generate_subscripts is
+    // 1-based, mapped with a −1. Map-side generator, no shuffle but the
+    // output sort.
+    Q("q83_posexplode",
+      """SELECT doc_id, CAST(pos AS INT) AS pos, tok
+        |FROM (SELECT doc_id, filter(split(LOWER(text), ' '), t -> t <> '') AS toks
+        |      FROM documents WHERE doc_id < 30)
+        |LATERAL VIEW posexplode(toks) AS pos, tok
+        |ORDER BY doc_id, pos""".stripMargin,
+      """WITH d AS (SELECT doc_id,
+        |             list_filter(string_split(LOWER(text), ' '), t -> t <> '') AS toks
+        |           FROM documents WHERE doc_id < 30)
+        |SELECT doc_id, CAST(generate_subscripts(toks, 1) - 1 AS INT) AS pos,
+        |       unnest(toks) AS tok
+        |FROM d ORDER BY doc_id, pos""".stripMargin)
   )
 
   /** Q55 (B12) parameterized-query template: the Spark side binds this `?`
