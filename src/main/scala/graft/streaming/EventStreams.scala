@@ -63,9 +63,25 @@ object EventStreams {
       .select(col("user_id"), col("w.start").as("ws"), col("w.end").as("we"),
         col("n"))
 
-  /** B66: streaming dedup on event_id with bounded state via watermark. */
+  /** B66: streaming dedup on event_id. NOTE the state caveat: with
+    * `dropDuplicates(key)` a watermark only evicts state when the
+    * event-time column is PART of the key — on a bare id key every seen id
+    * is retained forever, which leaks at 100 TB. Kept as the exact-forever
+    * semantics variant; [[dedupEventsBounded]] is the scale default. */
   def dedupEvents(events: DataFrame, delay: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", delay).dropDuplicates("event_id")
+
+  /** B66 at scale: `dropDuplicatesWithinWatermark` — dedup on the bare id
+    * key with state EVICTED once the id's first-seen event time ages past
+    * the watermark. Semantics trade: an id recurring later than `delay`
+    * after its first occurrence is emitted again (the standard
+    * crawl/telemetry contract — duplicates arrive close together);
+    * in exchange state is bounded by the watermark window, not the
+    * key cardinality. */
+  def dedupEventsBounded(events: DataFrame,
+                         delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** B65 (stream-stream): watermarked interval join — each click joins the
     * views by the same user within the preceding hour. Both sides carry a

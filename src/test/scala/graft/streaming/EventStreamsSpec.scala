@@ -89,6 +89,23 @@ class EventStreamsSpec extends SparkSpec {
     assert(n == 50, s"expected 50 distinct events, got $n")
   }
 
+  test("B66 bounded-state dedup drops close-together duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStreams.dedupEventsBounded(mem.toDF()).writeStream
+      .format("memory").queryName("dedup_b").outputMode("append").start()
+    val dupes = eventRows.take(50)
+    // duplicates within the watermark window: dropped exactly like the
+    // unbounded variant (the contract difference only appears for an id
+    // recurring later than the delay, which this corpus never does)
+    mem.addData(dupes: _*); q.processAllAvailable()
+    mem.addData(dupes: _*); q.processAllAvailable()
+    val n = spark.table("dedup_b").count()
+    q.stop()
+    assert(n == 50, s"expected 50 distinct events, got $n")
+  }
+
   test("B67 mapGroupsWithState keeps running per-user state across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
