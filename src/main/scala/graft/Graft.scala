@@ -90,6 +90,16 @@ object Graft {
              iters: Int = 4): DataFrame =
     ext.Clustering.kmeans(spark, dir, k, iters)
 
+  // ---- end-to-end curation ---------------------------------------------
+
+  /** One-call corpus curation: rule filter → per-lang quality quantile →
+    * exact dedup → word-set near-dup → temperature sampling → greedy
+    * packing; returns the curated frame and per-stage counts (see
+    * [[ext.Pipeline.curate]] for the scale contract). */
+  def curate(spark: SparkSession, dir: String, sampleTarget: Int = 200,
+             tokenBudget: Int = 256): (DataFrame, ext.Pipeline.CurationStats) =
+    ext.Pipeline.curate(spark, dir, sampleTarget, tokenBudget)
+
   // ---- tokenizer training ----------------------------------------------
 
   /** BPE merge-table training over a word-occurrence column (one
