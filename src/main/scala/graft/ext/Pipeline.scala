@@ -119,7 +119,11 @@ object Pipeline {
     val weights = near.groupBy("lang")
       .agg(floor(sqrt(sum("ntoks").cast("double")) * 1000.0)
         .cast("long").as("w"))
-    val totW = weights.agg(sum("w")).head.getLong(0)
+    val totRow = weights.agg(sum("w")).head
+    require(!totRow.isNullAt(0) && totRow.getLong(0) > 0,
+      "curate: no documents survived filtering/dedup — cannot derive " +
+        "sampling quotas (ANSI division by a zero weight total)")
+    val totW = totRow.getLong(0)
     val quotas = weights.withColumn("quota",
       (lit(sampleTarget.toLong) * col("w")).divide(lit(totW)).cast("long"))
       .select("lang", "quota")
