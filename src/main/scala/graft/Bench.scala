@@ -20,9 +20,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // Warm the session (JIT, codegen cache, parquet footer reads) so the
-    // first timed query doesn't absorb one-time startup cost.
-    Tables.ensure(spark, sfDir)
-    Tables.names.foreach(t => spark.table(t).limit(1).count())
+    // first timed query doesn't absorb one-time startup cost. Best-effort:
+    // a data-shape surprise here must degrade to per-query err rows in the
+    // timed loop below, not kill the JVM before a single query runs.
+    try {
+      Tables.ensure(spark, sfDir)
+      Tables.names.foreach(t => spark.table(t).limit(1).count())
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] table warmup failed: ${e.getMessage}")
+    }
     spark.range(1000).selectExpr("sum(id)").collect()
 
     val wanted: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =

@@ -287,9 +287,12 @@ object SparkEntry {
        |FROM ($setEqualPairsDuck)
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** x65 twin — the doc_id < 2000 cap mirrors the Spark side's demo-corpus
+    * slice (see [[graft.ext.Dedup.jaccardRewriteRecallCheck]]). */
   private val jaccardRuleDuck =
     s"""SELECT doc_a, doc_b, TRUE AS found
        |FROM ($setEqualPairsDuck)
+       |WHERE doc_a < 2000 AND doc_b < 2000
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** x60 twin: the fake decode is a closed-form function of documents.text

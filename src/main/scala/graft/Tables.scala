@@ -23,25 +23,42 @@ object Tables {
 
   /** Register all testdata views for `dir` (idempotent).
     *
-    * events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects by default; we read it as a long (nanosAsLong) and
-    * rebuild a microsecond TimestampType column with integer division (a
-    * double division would lose precision above 2^53 ns).
+    * events.parquet has stored ts in two encodings across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's parquet reader rejects
+    * by default — we enable nanosAsLong and it arrives as a BIGINT of
+    * nanoseconds) and plain timestamp[us]/[ns] (which arrives as a
+    * timestamp type directly). Branch on the dtype actually read so either
+    * encoding yields the same microsecond TimestampType column. The nanos
+    * path uses integer division (a double division would lose precision
+    * above 2^53 ns); the timestamp path casts TIMESTAMP_NTZ → TimestampType
+    * under the session's UTC timezone, which is value-identical for this
+    * data.
     */
   def ensure(spark: SparkSession, dir: String): Unit = synchronized {
     if (!spark.conf.getOption(RegisteredKey).contains(dir)) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       names.foreach { n =>
         val raw = spark.read.parquet(s"$dir/$n.parquet")
-        val df =
-          if (n == "events")
-            raw.withColumn("ts",
-              org.apache.spark.sql.functions.timestamp_micros(
-                org.apache.spark.sql.functions.expr("ts div 1000")))
-          else raw
+        val df = if (n == "events") normalizeEventsTs(raw) else raw
         df.createOrReplaceTempView(n)
       }
       spark.conf.set(RegisteredKey, dir)
+    }
+  }
+
+  /** Rebuild `ts` as microsecond TimestampType from whichever encoding the
+    * parquet file used (see ensure's doc). Public for the encoding
+    * robustness spec.
+    */
+  def normalizeEventsTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType => // legacy TIMESTAMP(NANOS) read as nanos-as-long
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => // TIMESTAMP_NTZ or other timestamp flavor
+        raw.withColumn("ts", col("ts").cast(TimestampType))
     }
   }
 

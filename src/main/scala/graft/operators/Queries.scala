@@ -531,9 +531,12 @@ object Queries {
 
     // Q62 (B26 family) exact interpolated percentiles — Spark `percentile`
     // and DuckDB `quantile_cont` share the linear-interpolation definition,
-    // so the values hash-compare after the usual DECIMAL pin. The
-    // approximate twin (approx_percentile ε-bound) is spec-only in
-    // CoverageSpec, mirroring the B32 HLL pattern.
+    // so the values hash-compare after the usual DECIMAL pin.
+    // SCALE NOTE: exact percentile's aggregation buffer holds every
+    // distinct (value, count) of the group — at 100× per-group cardinality
+    // that is an executor-memory hazard. This row stays for oracle
+    // exactness at test sf; q84_quantile_approx is the bounded-memory
+    // sketch variant a 100 TB job should run (see its comment).
     Q("q62_quantile",
       """SELECT o_orderpriority,
         |  CAST(CAST(ROUND(percentile(o_totalprice, 0.25), 2) AS DECIMAL(18,2)) AS DOUBLE) AS p25,
@@ -546,6 +549,29 @@ object Queries {
         |  CAST(CAST(ROUND(quantile_cont(o_totalprice, 0.5), 2) AS DECIMAL(18,2)) AS DOUBLE) AS p50,
         |  CAST(CAST(ROUND(quantile_cont(o_totalprice, 0.75), 2) AS DECIMAL(18,2)) AS DOUBLE) AS p75,
         |  CAST(CAST(ROUND(quantile_cont(o_totalprice, 0.99), 2) AS DECIMAL(18,2)) AS DOUBLE) AS p99
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // Q84 (B26/B33 family) sketch quantile — the 100 TB posture for q62.
+    // Exact `percentile` buffers every distinct (value, count) per group in
+    // the aggregation buffer, an executor-memory hazard when per-group
+    // cardinality scales 100× (same reason B32 pairs exact COUNT(DISTINCT)
+    // with HLL). `approx_percentile` keeps a bounded Greenwald–Khanna
+    // summary (size ~ accuracy, independent of group cardinality) and is
+    // the variant a cluster job should use. The sketch's exact interior is
+    // engine-specific, so — the x59/x62 recall-check pattern — the driver
+    // row asserts the ε-bound as a deterministic boolean next to the
+    // DECIMAL-pinned exact value: rank error ≤ n/accuracy = ~3 rows at
+    // sf0.1's ~30k-row groups, far inside the 1% relative tolerance, and
+    // the bound tightens as sf grows (error ratio is constant in n).
+    Q("q84_quantile_approx",
+      """SELECT o_orderpriority,
+        |  CAST(CAST(ROUND(percentile(o_totalprice, 0.5), 2) AS DECIMAL(18,2)) AS DOUBLE) AS p50_exact,
+        |  (abs(approx_percentile(o_totalprice, 0.5, 10000)
+        |       / percentile(o_totalprice, 0.5) - 1.0) <= 0.01) AS approx_ok
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      """SELECT o_orderpriority,
+        |  CAST(CAST(ROUND(quantile_cont(o_totalprice, 0.5), 2) AS DECIMAL(18,2)) AS DOUBLE) AS p50_exact,
+        |  TRUE AS approx_ok
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
     // Q63 (B44-B47) INTERSECT / INTERSECT ALL / EXCEPT ALL — q32/q33 pin

@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pins [[Tables.normalizeEventsTs]] — the seam `Tables.ensure` routes
+  * events through — against every ts encoding the driver testdata has
+  * shipped, so a testdata regeneration can never again kill table
+  * registration (round 8 lost its entire scoreboard to exactly that:
+  * events.ts drifted from TIMESTAMP(NANOS)-read-as-long to timestamp[us]
+  * and an unconditional `ts div 1000` failed analysis for all 131 queries).
+  *
+  * Fixtures are written on the fly (Spark can author int64 and
+  * timestamp[us]/NTZ parquet; the legacy TIMESTAMP(NANOS) annotation it
+  * cannot write, but under nanosAsLong that file READS as LongType, which
+  * is byte-for-byte the same input `normalizeEventsTs` dispatches on).
+  */
+class TablesEncodingSpec extends SparkSpec {
+
+  // one known instant, expressed per-encoding
+  private val microsOfEpoch = 1700000000123456L // 2023-11-14T22:13:20.123456Z
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-ts-enc").toString
+
+  test("int64 nanos encoding (legacy TIMESTAMP(NANOS) read path) normalizes") {
+    val dir = tmp()
+    spark.range(1).select(
+      lit(1L).as("event_id"),
+      lit(microsOfEpoch * 1000).as("ts"), // nanos as plain long
+      lit("click").as("kind"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Tables.normalizeEventsTs(spark.read.parquet(s"$dir/events.parquet"))
+    assert(out.schema("ts").dataType === TimestampType)
+    val got = out.select(col("ts")).head().getTimestamp(0)
+    assert(got === Timestamp.from(java.time.Instant.ofEpochSecond(
+      microsOfEpoch / 1000000, (microsOfEpoch % 1000000) * 1000)))
+  }
+
+  test("timestamp_ntz (timestamp[us] parquet, the regenerated-testdata shape) normalizes") {
+    val dir = tmp()
+    spark.range(1).select(
+      lit(1L).as("event_id"),
+      timestamp_micros(lit(microsOfEpoch)).cast(TimestampNTZType).as("ts"),
+      lit("click").as("kind"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    assert(raw.schema("ts").dataType === TimestampNTZType) // the r8 crash shape
+    val out = Tables.normalizeEventsTs(raw)
+    assert(out.schema("ts").dataType === TimestampType)
+    val got = out.select(col("ts")).head().getTimestamp(0)
+    // session tz is UTC, so NTZ -> TZ cast is value-identical
+    assert(got === Timestamp.from(java.time.Instant.ofEpochSecond(
+      microsOfEpoch / 1000000, (microsOfEpoch % 1000000) * 1000)))
+  }
+
+  test("timestamp (already TimestampType) passes through unchanged") {
+    val dir = tmp()
+    spark.range(1).select(
+      lit(1L).as("event_id"),
+      timestamp_micros(lit(microsOfEpoch)).as("ts"),
+      lit("click").as("kind"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = Tables.normalizeEventsTs(spark.read.parquet(s"$dir/events.parquet"))
+    assert(out.schema("ts").dataType === TimestampType)
+    assert(out.select(col("ts")).head().getTimestamp(0) ===
+      Timestamp.from(java.time.Instant.ofEpochSecond(
+        microsOfEpoch / 1000000, (microsOfEpoch % 1000000) * 1000)))
+  }
+
+  test("Tables.ensure registers both encodings end-to-end") {
+    // a full fixture "database": real events in one encoding + stub tables
+    // for the other nine names, run through the SAME entry point the
+    // driver uses
+    def fixtureDir(ntz: Boolean): String = {
+      val dir = tmp()
+      val ts =
+        if (ntz) timestamp_micros(lit(microsOfEpoch)).cast(TimestampNTZType)
+        else lit(microsOfEpoch * 1000) // nanos-as-long legacy shape
+      spark.range(3).select(
+        col("id").as("event_id"), ts.as("ts"), lit("click").as("kind"))
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      Tables.names.filterNot(_ == "events").foreach { n =>
+        spark.range(1).select(col("id"))
+          .write.mode("overwrite").parquet(s"$dir/$n.parquet")
+      }
+      dir
+    }
+    Seq(true, false).foreach { ntz =>
+      Tables.ensure(spark, fixtureDir(ntz))
+      val events = spark.table("events")
+      assert(events.schema("ts").dataType === TimestampType)
+      assert(events.count() === 3)
+      assert(events.select(min(col("ts"))).head().getTimestamp(0) ===
+        Timestamp.from(java.time.Instant.ofEpochSecond(
+          microsOfEpoch / 1000000, (microsOfEpoch % 1000000) * 1000)))
+    }
+    // leave the session pointing back at the real testdata for other suites
+    Tables.ensure(spark, sfDir)
+  }
+}
