@@ -37,10 +37,23 @@ object Tables {
   def ensure(spark: SparkSession, dir: String): Unit = synchronized {
     if (!spark.conf.getOption(RegisteredKey).contains(dir)) {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Per-table isolation: one unreadable/drifted table must only red the
+      // queries that reference it (TABLE_OR_VIEW_NOT_FOUND), not all of
+      // them — round 8 lost its whole scoreboard to a single-table schema
+      // drift failing the shared registration loop.
       names.foreach { n =>
-        val raw = spark.read.parquet(s"$dir/$n.parquet")
-        val df = if (n == "events") normalizeEventsTs(raw) else raw
-        df.createOrReplaceTempView(n)
+        try {
+          val raw = spark.read.parquet(s"$dir/$n.parquet")
+          val df = if (n == "events") normalizeEventsTs(raw) else raw
+          df.createOrReplaceTempView(n)
+        } catch {
+          case e: Throwable =>
+            // drop any same-named view from a previously registered dir:
+            // a loud TABLE_OR_VIEW_NOT_FOUND beats silently stale data
+            spark.catalog.dropTempView(n)
+            System.err.println(
+              s"[tables] skipping view '$n' ($dir): ${e.getMessage}")
+        }
       }
       spark.conf.set(RegisteredKey, dir)
     }

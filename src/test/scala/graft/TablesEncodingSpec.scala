@@ -74,7 +74,10 @@ class TablesEncodingSpec extends SparkSpec {
   test("Tables.ensure registers both encodings end-to-end") {
     // a full fixture "database": real events in one encoding + stub tables
     // for the other nine names, run through the SAME entry point the
-    // driver uses
+    // driver uses. Registration runs in an ISOLATED session (own temp-view
+    // catalog + conf, shared context): suites execute in parallel against
+    // the shared SparkSpec session, so re-pointing ITS views at fixture
+    // dirs would race every other suite's queries.
     def fixtureDir(ntz: Boolean): String = {
       val dir = tmp()
       val ts =
@@ -90,15 +93,29 @@ class TablesEncodingSpec extends SparkSpec {
       dir
     }
     Seq(true, false).foreach { ntz =>
-      Tables.ensure(spark, fixtureDir(ntz))
-      val events = spark.table("events")
+      val session = spark.newSession()
+      Tables.ensure(session, fixtureDir(ntz))
+      val events = session.table("events")
       assert(events.schema("ts").dataType === TimestampType)
       assert(events.count() === 3)
       assert(events.select(min(col("ts"))).head().getTimestamp(0) ===
         Timestamp.from(java.time.Instant.ofEpochSecond(
           microsOfEpoch / 1000000, (microsOfEpoch % 1000000) * 1000)))
     }
-    // leave the session pointing back at the real testdata for other suites
-    Tables.ensure(spark, sfDir)
+  }
+
+  test("a single broken table only reds queries that touch it") {
+    val dir = tmp()
+    Tables.names.filterNot(_ == "events").foreach { n =>
+      spark.range(2).select(col("id"))
+        .write.mode("overwrite").parquet(s"$dir/$n.parquet")
+    }
+    Files.writeString(
+      java.nio.file.Paths.get(s"$dir/events.parquet"), "not a parquet file")
+    val session = spark.newSession() // isolated views — see above
+    Tables.ensure(session, dir) // must not throw
+    assert(session.table("region").count() === 2) // healthy table usable
+    // broken table fails loudly (not stale data from a previous dir)
+    intercept[Exception] { session.table("events").count() }
   }
 }
