@@ -142,7 +142,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
 
   def close(): Either[String, Unit] = lock.synchronized {
     if (closed) Left("db connection is already closed")
-    else { closed = true; Right(()) }
+    else { closed = true; journalCloseStream(); Right(()) }
   }
 
   def enableFkConstraints(flag: Boolean): Unit =
@@ -1208,27 +1208,6 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           case None => idx.toSeq
         }
       }
-    val raw = source match {
-      case Left(tail) =>
-        val tuples = SqlText.splitTopLevel(tail).map(_.trim).filter(_.nonEmpty)
-        val arity = SqlText.splitTopLevel(
-          tuples.head.stripPrefix("(").stripSuffix(")")).size
-        if (arity != targetCols.size)
-          return Left(s"table $tname has ${td.cols.size} columns but $arity values were supplied")
-        val alias = (1 to arity).map(i => s"c$i").mkString(",")
-        session.sql(
-          s"SELECT * FROM (VALUES ${tuples.mkString(",")}) AS __v($alias)")
-      case Right(select) =>
-        registerViews(work)
-        val df0 = session.sql(SqlText.fixQuotedIdents(select))
-        if (df0.columns.length != targetCols.size)
-          return Left(s"table $tname has ${td.cols.size} columns but ${df0.columns.length} values were supplied")
-        df0.toDF((1 to df0.columns.length).map(i => s"c$i"): _*)
-    }
-    val casts = targetCols.zipWithIndex.map { case (ci, i) =>
-      s"CAST(c${i + 1} AS ${sparkTypeName(td.cols(ci))}) AS c${i + 1}"
-    }
-    val df = raw.selectExpr(casts: _*)
     // unspecified columns take their declared DEFAULT (constant,
     // evaluated once through Catalyst), else NULL — SQLite semantics
     val defaults: Map[Int, Any] = td.cols.zipWithIndex.collect {
@@ -1239,6 +1218,16 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     }.toMap
     val rowidIdx = td.rowidAlias.map(c => td.colIndex(c.name)).getOrElse(-1)
     val probeCap = math.min(maxDriverRows, Int.MaxValue - 2L).toInt
+    // All-literal VALUES whose literals exactly type-match the declared
+    // columns build their Rows on the driver (see [[FastValues]]): the
+    // Catalyst round-trip below costs ~4 ms/statement, which dominated
+    // single-row OLTP throughput. Any other shape keeps the Catalyst path
+    // bit-for-bit (FastValues only accepts combinations it can reproduce
+    // exactly, and bails — not errors — on everything else).
+    val fastRows: Option[IndexedSeq[Row]] = source match {
+      case Left(tail) => FastValues.rows(tail, targetCols.map(td.cols(_)))
+      case Right(_) => None
+    }
     // A SELECT source is materialized ONCE (localCheckpoint — blocks live on
     // executors) before the cap probe, so a nondeterministic source can
     // never yield a spill decision inconsistent with the rows actually
@@ -1246,12 +1235,38 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     // uuid() SQL for statement-log replication; this keeps the invariant by
     // construction for any internal caller too.)
     val (stable, incomingOpt): (DataFrame, Option[IndexedSeq[Row]]) =
-      source match {
-        case Left(_) => (df, Some(df.collect().toIndexedSeq))
-        case Right(_) =>
-          val ck = df.localCheckpoint()
-          val p = ck.limit(probeCap + 1).collect()
-          (ck, if (p.length > probeCap) None else Some(p.toIndexedSeq))
+      fastRows match {
+        case Some(rows) => (null, Some(rows))
+        case None =>
+          val raw = source match {
+            case Left(tail) =>
+              val tuples =
+                SqlText.splitTopLevel(tail).map(_.trim).filter(_.nonEmpty)
+              val arity = SqlText.splitTopLevel(
+                tuples.head.stripPrefix("(").stripSuffix(")")).size
+              if (arity != targetCols.size)
+                return Left(s"table $tname has ${td.cols.size} columns but $arity values were supplied")
+              val alias = (1 to arity).map(i => s"c$i").mkString(",")
+              session.sql(
+                s"SELECT * FROM (VALUES ${tuples.mkString(",")}) AS __v($alias)")
+            case Right(select) =>
+              registerViews(work)
+              val df0 = session.sql(SqlText.fixQuotedIdents(select))
+              if (df0.columns.length != targetCols.size)
+                return Left(s"table $tname has ${td.cols.size} columns but ${df0.columns.length} values were supplied")
+              df0.toDF((1 to df0.columns.length).map(i => s"c$i"): _*)
+          }
+          val casts = targetCols.zipWithIndex.map { case (ci, i) =>
+            s"CAST(c${i + 1} AS ${sparkTypeName(td.cols(ci))}) AS c${i + 1}"
+          }
+          val df = raw.selectExpr(casts: _*)
+          source match {
+            case Left(_) => (df, Some(df.collect().toIndexedSeq))
+            case Right(_) =>
+              val ck = df.localCheckpoint()
+              val p = ck.limit(probeCap + 1).collect()
+              (ck, if (p.length > probeCap) None else Some(p.toIndexedSeq))
+          }
       }
     incomingOpt match {
       case None =>
@@ -2306,15 +2321,43 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
 
   private var journalSeq = 0L
   private var version = 0L
-  private val CheckpointEvery = 64L
+  // Snapshot cadence (batches between automatic checkpoints). Durability
+  // does NOT depend on this — the per-batch journal append is the commit;
+  // the checkpoint only compacts (bounds recovery replay and journal
+  // growth, DOC/DESIGN.md:54-55's "configurable number of changes"). Each
+  // checkpoint is a Spark parquet write (~0.3 s even for tiny tables), so
+  // a small cadence dominates single-row OLTP throughput: at 64 it charged
+  // ~4.7 ms to every insert (measured via OltpBench — 194 ops/sec where
+  // the statement apply itself costs ~0.3 ms); 512 keeps replay bounded at
+  // a few hundred statements (sub-second with the literal fast path) while
+  // the amortized snapshot cost drops under the apply cost.
+  private val CheckpointEvery = 512L
+
+  // One long-lived append stream instead of an open/append/close cycle per
+  // batch (measured ~2 ms/batch — the second-largest single-row OLTP cost
+  // after snapshot cadence). flush() pushes each line to the OS exactly
+  // like the per-call Files.write did, so crash durability is unchanged;
+  // the stream is closed around journal truncation (checkpoint) and close().
+  private var journalOut: Option[java.io.OutputStream] = None
+
+  private def journalCloseStream(): Unit = {
+    journalOut.foreach(os => try os.close() catch { case _: Exception => })
+    journalOut = None
+  }
 
   private def journalAppend(tx: Boolean, stmts: Seq[String]): Unit =
     root.foreach { r =>
       journalSeq += 1
       val line = s"""{"id":$journalSeq,"transaction":$tx,"statements":[""" +
         stmts.map(s => "\"" + Json.escape(s) + "\"").mkString(",") + "]}\n"
-      Files.write(r.resolve("journal.jsonl"), line.getBytes("UTF-8"),
-        StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+      val os = journalOut.getOrElse {
+        val s = Files.newOutputStream(r.resolve("journal.jsonl"),
+          StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+        journalOut = Some(s)
+        s
+      }
+      os.write(line.getBytes("UTF-8"))
+      os.flush()
     }
 
   private def persist(): Unit = {
@@ -2382,6 +2425,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     Files.move(tmp, r.resolve("manifest.json"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     // journal truncation: everything ≤ appliedBatch is in the snapshot
+    // (close the append stream first — a delete under an open stream would
+    // keep appending to the unlinked inode)
+    journalCloseStream()
     Files.deleteIfExists(r.resolve("journal.jsonl"))
     // GC: keep the previous version for readers mid-swap, drop older ones
     deleteRecursively(r.resolve(s"v${version - 2}"))
