@@ -90,6 +90,17 @@ class QueriesSpec extends SparkSpec {
     assert(plan.contains("partial"), "no map-side partial aggregation:\n" + plan)
   }
 
+  test("q84: quantile sketch aggregates partially (bounded buffer per task)") {
+    // the 100 TB point of q84 over q62: approx_percentile's GK summary is
+    // fixed-size, so the partial/final split must survive — a plan that
+    // shipped raw values to one final agg would void the bounded-memory
+    // claim
+    val plan = run("q84_quantile_approx").queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      plan.take(2000))
+    assert(plan.contains("partial"), "no map-side partial aggregation:\n" + plan)
+  }
+
   test("x55: ANN scores the corpus against a broadcast query side") {
     val plan = run("x55_ann_topk").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") ||
