@@ -442,13 +442,19 @@ object Dedup {
         s"shiftleft(CAST(1 AS BIGINT), CAST((rank - 1) % 64 AS INT)) " +
         s"ELSE CAST(0 AS BIGINT) END) AS m$k"
     }.mkString(", ")
+    // low-bits(j) via shiftrightunsigned(-1, 64 - j), NOT
+    // shiftleft(1, j) - 1: when the prefix boundary lands on bit 63 of a
+    // mask word (pm - lo = 63) the latter computes Long.MinValue - 1 — an
+    // ANSI overflow a 31-word vocabulary never reaches but any ≥64-rank
+    // one does (found by an 8× vocabulary scale run; pinned in
+    // DedupWideVocabSpec).
     val prefixCols = (0 until nMask).map { k =>
       val lo = 64 * k
       val hi = 64 * (k + 1)
       s"""m$k & (CASE WHEN pm >= $hi THEN CAST(-1 AS BIGINT)
          |           WHEN pm <= $lo THEN CAST(0 AS BIGINT)
-         |           ELSE shiftleft(CAST(1 AS BIGINT), CAST(pm - $lo AS INT))
-         |                - 1 END) AS p$k""".stripMargin
+         |           ELSE shiftrightunsigned(CAST(-1 AS BIGINT),
+         |                CAST($hi - pm AS INT)) END) AS p$k""".stripMargin
     }.mkString(", ")
     ckpt(
       s"""SELECT doc_id, lang, n1, ranks1, $prefixCols,
@@ -467,11 +473,18 @@ object Dedup {
       .map(k => s"bit_count(a.m$k & b.m$k)").mkString(" + ")
     // keep this pair only at the LOWEST shared prefix rank → exactly one
     // emission per pair, no DISTINCT/groupBy shuffle. trailing_zeros(s) =
-    // bit_count((s & -s) - 1).
+    // bit_count((s & -s) - 1), with the s = Long.MinValue corner guarded:
+    // when the only shared prefix bit in a word is bit 63, BOTH -s and
+    // (s & -s) - 1 overflow under ANSI mode (same ≥64-rank-vocabulary
+    // exposure as the prefix-mask fix above; CASE branches evaluate
+    // lazily, the documented ANSI-safe idiom).
     val lowBitIdx = {
+      val minLong = "CAST(-9223372036854775808 AS BIGINT)"
       val whens = (0 until nMask).map { k =>
         val s = s"(a.p$k & b.p$k)"
-        s"WHEN $s <> 0 THEN ${k * 64} + bit_count(($s & -$s) - 1)"
+        s"""WHEN $s <> 0 THEN ${k * 64} +
+           | (CASE WHEN $s = $minLong THEN 63
+           |       ELSE bit_count(($s & -$s) - 1) END)""".stripMargin
       }.mkString(" ")
       s"CASE $whens ELSE -1 END"
     }
