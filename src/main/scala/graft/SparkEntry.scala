@@ -199,6 +199,13 @@ object SparkEntry {
       // the oracle IS the sequential semantics: DuckDB re-derives every
       // pack id with a recursive CTE and the hash compare pins the whole
       // assignment, not just summary stats.
+      // x95: x76's decontamination join with the training-side gram stream
+      // pruned map-side by a broadcast Bloom sketch of the benchmark grams
+      // (Spark's own runtime-filter expressions, driven explicitly). The
+      // exact verify join removes Bloom false positives, so the output is
+      // value-identical to x76 and shares its DuckDB twin. See ext/Decontam.
+      "x95_bloom_decontam" -> ((s: SparkSession, d: String) =>
+        graft.ext.Decontam.bloomDecontamQuery(s, d)),
       "x72_pack" -> ((s: SparkSession, d: String) => {
         import org.apache.spark.sql.functions.col
         Tables.ensure(s, d)
@@ -524,6 +531,8 @@ object SparkEntry {
       ("x61_ann_expr" ->
         Extensions.all.find(_.name == "x55_ann_topk").get.duck) +
       ("x63_embed_dup" -> embedDupDuck) +
+      ("x95_bloom_decontam" ->
+        Extensions.all.find(_.name == "x76_decontam").get.duck) +
       ("x59_ann_lsh" -> recallDuck) +
       ("x62_ann_ivf" -> recallDuck) +
       ("x57_minhash_lsh" -> minhashDuck) +

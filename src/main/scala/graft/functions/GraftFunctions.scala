@@ -98,6 +98,41 @@ object GraftFunctions {
     classOf[XxHash64Sorted].getName, null, "xxhash64_sorted",
     "xxhash64_sorted(words) - sorted xxhash64 array of a word array", "")
 
+  // Spark's own runtime-join-filter Bloom machinery (BloomFilterAggregate /
+  // BloomFilterMightContain, spark-catalyst), surfaced as SQL functions so
+  // the decontamination pipeline can build one sketch per benchmark set and
+  // probe it as a broadcast scalar — the exact pattern InjectRuntimeFilter
+  // plans for shuffle-join pruning. Builders return the raw AggregateFunction
+  // (the analyzer wraps it in AggregateExpression, as with builtin aggs).
+  private def bloomAggBuilder(args: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    args match {
+      case Seq(c)       => new BloomFilterAggregate(c)
+      case Seq(c, n)    => new BloomFilterAggregate(c, n)
+      case Seq(c, n, b) => new BloomFilterAggregate(c, n, b)
+      case _ => throw new IllegalArgumentException(
+        "bloom_filter_agg takes 1-3 arguments")
+    }
+  }
+
+  private val bloomAggInfo = new ExpressionInfo(
+    "org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate",
+    null, "bloom_filter_agg",
+    "bloom_filter_agg(xxhash64(x)[, est_items[, num_bits]]) - Bloom filter sketch bytes",
+    "")
+
+  private def mightContainBuilder(args: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    require(args.length == 2, "might_contain takes exactly 2 arguments")
+    BloomFilterMightContain(args.head, args(1))
+  }
+
+  private val mightContainInfo = new ExpressionInfo(
+    "org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain",
+    null, "might_contain",
+    "might_contain(bloom, xxhash64(x)) - Bloom membership probe (no false negatives)",
+    "")
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_sim"), cosineInfo, cosineBuilder _)
@@ -119,6 +154,11 @@ object GraftFunctions {
       FunctionIdentifier("xxhash64_sorted"), xxSortedInfo, xxSortedBuilder _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("zorder2"), zorderInfo, zorderBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("bloom_filter_agg"), bloomAggInfo, bloomAggBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("might_contain"), mightContainInfo,
+      mightContainBuilder _)
     spark.udf.register("minhash_sig",
       org.apache.spark.sql.functions.udaf(MinHashAgg))
   }
