@@ -1207,6 +1207,109 @@ object Extensions {
         |  CAST(stop_hits AS INT) AS stop_hits,
         |  (n_words BETWEEN 10 AND 100000) AND (mean_wlen BETWEEN 2.0 AND 10.0)
         |    AND alpha_frac >= 0.8 AND sym_ratio <= 0.1 AND stop_hits >= 2 AS keep
-        |FROM r ORDER BY doc_id""".stripMargin)
+        |FROM r ORDER BY doc_id""".stripMargin),
+
+    // x98 DSIR-style importance resampling (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling"): weight
+    // each doc by the log-likelihood ratio of a target unigram LM (the
+    // lang='en' slice plays the target distribution) vs the raw-corpus
+    // source LM, both add-1 smoothed over the shared vocabulary, then
+    // accept docs whose deterministic per-doc uniform (md5(text) hex →
+    // 16-bit integer, bit-identical in any engine) falls under the
+    // sigmoid-squashed mean ratio. Every stage is a hash aggregate or a
+    // map: vocab aggregates shuffle on token (broadcast-sized under a
+    // Zipfian vocab at any corpus scale), the per-doc sum shuffles on
+    // doc_id once, and the accept decision is pure integer arithmetic
+    // (u16 * 10000 < p_bps * 65536) so the sampled booleans hash-compare
+    // exactly. Per-token log terms ROUND→DECIMAL before SUM — the suite's
+    // order-independent FP-aggregation pattern (see x78).
+    Q("x98_dsir_sample",
+      """WITH t AS (SELECT doc_id, lang,
+        |             explode(filter(split(LOWER(text), ' '), x -> x <> '')) AS tok
+        |           FROM documents),
+        |src AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+        |tgt AS (SELECT tok, COUNT(*) AS c FROM t WHERE lang = 'en' GROUP BY tok),
+        |ns AS (SELECT CAST(SUM(c) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v FROM src),
+        |nt AS (SELECT CAST(COALESCE(SUM(c), 0) AS DOUBLE) AS n FROM tgt),
+        |r AS (SELECT s.tok,
+        |        CAST(ROUND(LN(((COALESCE(g.c, 0) + 1.0) / (nt.n + ns.v))
+        |                    / ((s.c + 1.0) / (ns.n + ns.v))), 5) AS DECIMAL(18,5)) AS lr
+        |      FROM src s LEFT JOIN tgt g ON s.tok = g.tok
+        |      CROSS JOIN nt CROSS JOIN ns),
+        |d AS (SELECT t.doc_id, COUNT(*) AS ntoks, SUM(r.lr) AS slr
+        |      FROM t JOIN r ON t.tok = r.tok GROUP BY t.doc_id),
+        |u AS (SELECT doc_id,
+        |        CAST((((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+        |              + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1)) * 16
+        |              + (instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1)) * 16
+        |              + (instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1) AS INT) AS u16
+        |      FROM documents),
+        |f AS (SELECT d.doc_id, d.ntoks,
+        |        CAST(d.slr AS DOUBLE) / d.ntoks AS score, u.u16
+        |      FROM d JOIN u ON d.doc_id = u.doc_id)
+        |SELECT doc_id, CAST(ntoks AS BIGINT) AS ntoks,
+        |  CAST(CAST(FLOOR(score * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS lr_score,
+        |  CAST(FLOOR(10000.0 / (1.0 + EXP(-score)) + 0.5) AS INT) AS p_bps,
+        |  u16,
+        |  CAST(u16 AS BIGINT) * 10000
+        |    < CAST(FLOOR(10000.0 / (1.0 + EXP(-score)) + 0.5) AS BIGINT) * 65536 AS sampled
+        |FROM f ORDER BY doc_id""".stripMargin,
+      """WITH t AS (SELECT doc_id, lang,
+        |             unnest(list_filter(string_split(LOWER(text), ' '), x -> x <> '')) AS tok
+        |           FROM documents),
+        |src AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+        |tgt AS (SELECT tok, COUNT(*) AS c FROM t WHERE lang = 'en' GROUP BY tok),
+        |ns AS (SELECT CAST(SUM(c) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v FROM src),
+        |nt AS (SELECT CAST(COALESCE(SUM(c), 0) AS DOUBLE) AS n FROM tgt),
+        |r AS (SELECT s.tok,
+        |        CAST(ROUND(LN(((COALESCE(g.c, 0) + 1.0) / (nt.n + ns.v))
+        |                    / ((s.c + 1.0) / (ns.n + ns.v))), 5) AS DECIMAL(18,5)) AS lr
+        |      FROM src s LEFT JOIN tgt g ON s.tok = g.tok
+        |      CROSS JOIN nt CROSS JOIN ns),
+        |d AS (SELECT t.doc_id, COUNT(*) AS ntoks, SUM(r.lr) AS slr
+        |      FROM t JOIN r ON t.tok = r.tok GROUP BY t.doc_id),
+        |u AS (SELECT doc_id,
+        |        CAST((((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+        |              + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1)) * 16
+        |              + (instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1)) * 16
+        |              + (instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1) AS INT) AS u16
+        |      FROM documents),
+        |f AS (SELECT d.doc_id, d.ntoks,
+        |        CAST(d.slr AS DOUBLE) / d.ntoks AS score, u.u16
+        |      FROM d JOIN u ON d.doc_id = u.doc_id)
+        |SELECT doc_id, CAST(ntoks AS BIGINT) AS ntoks,
+        |  CAST(CAST(FLOOR(score * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS lr_score,
+        |  CAST(FLOOR(10000.0 / (1.0 + EXP(-score)) + 0.5) AS INT) AS p_bps,
+        |  u16,
+        |  CAST(u16 AS BIGINT) * 10000
+        |    < CAST(FLOOR(10000.0 / (1.0 + EXP(-score)) + 0.5) AS BIGINT) * 65536 AS sampled
+        |FROM f ORDER BY doc_id""".stripMargin),
+
+    // x99 text normalization — the canonical pre-dedup canonicalization
+    // pass (lowercase, strip non-alphanumerics, collapse whitespace) every
+    // curation pipeline runs before fingerprinting. Pure map stage: no
+    // shuffle at any scale; the normalized text is pinned by md5 + prefix
+    // so the oracle hash-checks the full string without shipping it.
+    Q("x99_normalize",
+      """WITH n AS (SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' '), ' +', ' ')) AS norm
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(LENGTH(text) AS INT) AS raw_len,
+        |  CAST(LENGTH(norm) AS INT) AS norm_len,
+        |  CAST(size(filter(split(norm, ' '), x -> x <> '')) AS INT) AS norm_toks,
+        |  md5(norm) AS norm_md5,
+        |  substr(norm, 1, 40) AS norm_head
+        |FROM n ORDER BY doc_id""".stripMargin,
+      """WITH n AS (SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(LOWER(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(LENGTH(text) AS INT) AS raw_len,
+        |  CAST(LENGTH(norm) AS INT) AS norm_len,
+        |  CAST(len(list_filter(string_split(norm, ' '), x -> x <> '')) AS INT) AS norm_toks,
+        |  md5(norm) AS norm_md5,
+        |  substr(norm, 1, 40) AS norm_head
+        |FROM n ORDER BY doc_id""".stripMargin)
   )
 }
