@@ -206,6 +206,12 @@ object SparkEntry {
       // value-identical to x76 and shares its DuckDB twin. See ext/Decontam.
       "x95_bloom_decontam" -> ((s: SparkSession, d: String) =>
         graft.ext.Decontam.bloomDecontamQuery(s, d)),
+      // x100: distributed BPE encode with corpus-derived merges — the
+      // tokenizer-APPLICATION side of x93/the Bpe trainer, oracle-checked
+      // end-to-end (the DuckDB twin replays the same selection + merge
+      // chain on a delimited-string form; see ext/Bpe.encodeQuery)
+      "x100_bpe_encode" -> ((s: SparkSession, d: String) =>
+        graft.ext.Bpe.encodeQuery(s, d)),
       "x72_pack" -> ((s: SparkSession, d: String) => {
         import org.apache.spark.sql.functions.col
         Tables.ensure(s, d)
@@ -533,6 +539,7 @@ object SparkEntry {
       ("x63_embed_dup" -> embedDupDuck) +
       ("x95_bloom_decontam" ->
         Extensions.all.find(_.name == "x76_decontam").get.duck) +
+      ("x100_bpe_encode" -> graft.ext.Bpe.encodeDuck) +
       ("x59_ann_lsh" -> recallDuck) +
       ("x62_ann_ivf" -> recallDuck) +
       ("x57_minhash_lsh" -> minhashDuck) +

@@ -101,4 +101,24 @@ class BpeSpec extends SparkSpec {
       s"first BPE merge ${merges.head} != x93 top pair ${top.getString(0)}")
     assert(merges.head._3 == top.getLong(1))
   }
+
+  test("x100 distributed encode matches the driver-local encode per word") {
+    graft.Tables.ensure(spark, sfDir)
+    // learn the same 5 merges the query derives: occurrence-row training is
+    // equivalent to the query's count-weighted vocabulary training
+    val words = spark.sql(
+      """SELECT explode(filter(split(LOWER(text), ' '), x -> x <> '')) AS word
+        |FROM documents""".stripMargin)
+    val merges = Bpe.train(words, 5)
+    val rows = Bpe.encodeQuery(spark, sfDir).collect()
+    assert(rows.length == 30)
+    rows.foreach { r =>
+      val w = r.getString(0)
+      val enc = r.getString(3).split('|').toSeq
+      assert(enc == Bpe.encode(w, merges),
+        s"distributed encode of '$w' diverges from the reference fold")
+      assert(enc.mkString == w, s"encode of '$w' must round-trip")
+      assert(r.getInt(2) == enc.length)
+    }
+  }
 }
