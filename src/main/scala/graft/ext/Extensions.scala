@@ -1310,6 +1310,97 @@ object Extensions {
         |  CAST(len(list_filter(string_split(norm, ' '), x -> x <> '')) AS INT) AS norm_toks,
         |  md5(norm) AS norm_md5,
         |  substr(norm, 1, 40) AS norm_head
-        |FROM n ORDER BY doc_id""".stripMargin)
+        |FROM n ORDER BY doc_id""".stripMargin),
+
+    // x101 feature hashing (the "hashing trick", Weinberger et al. 2009) —
+    // the classifier-featurization step: each doc becomes a fixed 16-bucket
+    // hashed bag-of-words. The bucket is the first md5 hex nibble of the
+    // token — md5 is bit-identical in every engine, so the whole feature
+    // matrix is oracle-checkable (Spark's own hashing would be
+    // xxhash-based and engine-private). Map + ONE hash aggregate keyed by
+    // doc_id; the output width is fixed at any corpus scale, which is the
+    // point of the trick — no vocabulary state, no second pass.
+    Q("x101_feature_hash",
+      featureHashSql("explode(filter(split(LOWER(text), ' '), x -> x <> ''))"),
+      featureHashSql(
+        "unnest(list_filter(string_split(LOWER(text), ' '), x -> x <> ''))")),
+
+    // x102 quality-classifier inference — distributed scoring of a linear
+    // model (fixed interpretable weights over the x97 feature family:
+    // stopword fraction, alphabetic fraction, symbol ratio, mean word
+    // length, log length) with a sigmoid output and a keep cut at the
+    // corpus's median operating point (0.85 — the synthetic corpus is all
+    // reasonably clean text, so a 0.5 cut would be vacuously true) —
+    // the FineWeb-style "educational quality classifier" step, reduced to
+    // its Spark shape: pure map over the corpus, no shuffle, no UDF. The
+    // logit is assembled from integer-derived ratios FLOOR-rounded at 4dp
+    // before the sigmoid so both engines see identical inputs; p lands in
+    // basis points (integer) and the keep decision compares integers.
+    Q("x102_quality_score",
+      qualityScoreSql(
+        toksExpr = "filter(split(LOWER(text), ' '), x -> x <> '')",
+        sizeFn = "size", filterFn = "filter",
+        wcharsExpr =
+          "AGGREGATE(toks, CAST(0 AS BIGINT), (acc, w) -> acc + length(w))",
+        alphaPred = "w RLIKE '[a-z]'", reFlag = ""),
+      qualityScoreSql(
+        toksExpr = "list_filter(string_split(LOWER(text), ' '), x -> x <> '')",
+        sizeFn = "len", filterFn = "list_filter",
+        wcharsExpr =
+          "CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT)",
+        alphaPred = "regexp_matches(w, '[a-z]')", reFlag = ", 'g'"))
   )
+
+  /** x101 SQL (dialect differs only in the explode/unnest clause): 16
+    * SUM(CASE) columns over the md5-nibble bucket. */
+  private def featureHashSql(explodeClause: String): String = {
+    val cols = (0 until 16).map(i =>
+      s"  CAST(SUM(CASE WHEN bkt = $i THEN 1 ELSE 0 END) AS INT) AS f$i")
+      .mkString(",\n")
+    s"""WITH t AS (SELECT doc_id, $explodeClause AS tok FROM documents),
+       |b AS (SELECT doc_id,
+       |        instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1 AS bkt
+       |      FROM t)
+       |SELECT doc_id,
+       |$cols
+       |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** x102 SQL: shared feature extraction + linear logit + sigmoid; the
+    * dialect plugs in its list/size/filter spellings and regexp flag.
+    * Every ratio feature FLOOR-rounds at fixed scale BEFORE entering the
+    * logit so both engines feed the sigmoid identical doubles; p lands in
+    * basis points and the keep decision compares integers. */
+  private def qualityScoreSql(toksExpr: String, sizeFn: String,
+                              filterFn: String, wcharsExpr: String,
+                              alphaPred: String, reFlag: String): String =
+    s"""WITH t AS (SELECT doc_id, text, CAST(LENGTH(text) AS INT) AS nchars,
+       |             $toksExpr AS toks
+       |           FROM documents),
+       |m AS (SELECT doc_id, nchars, CAST($sizeFn(toks) AS INT) AS n_words,
+       |        $wcharsExpr AS wchars,
+       |        CAST($sizeFn($filterFn(toks, w -> $alphaPred)) AS INT) AS alpha_words,
+       |        CAST($sizeFn($filterFn(toks, w -> w IN ($enStops))) AS INT) AS stop_hits,
+       |        CAST(LENGTH(regexp_replace(text, '[a-zA-Z0-9 ]', ''$reFlag)) AS INT) AS punct
+       |      FROM t),
+       |r AS (SELECT doc_id, n_words,
+       |        FLOOR(CAST(stop_hits AS DOUBLE) / GREATEST(n_words, 1) * 10000.0 + 0.5) / 10000.0 AS stop_frac,
+       |        FLOOR(CAST(alpha_words AS DOUBLE) / GREATEST(n_words, 1) * 10000.0 + 0.5) / 10000.0 AS alpha_frac,
+       |        FLOOR(CAST(punct AS DOUBLE) / GREATEST(nchars, 1) * 10000.0 + 0.5) / 10000.0 AS sym_ratio,
+       |        FLOOR(CAST(wchars AS DOUBLE) / GREATEST(n_words, 1) * 100.0 + 0.5) / 100.0 AS mean_wlen,
+       |        FLOOR(LN(nchars + 1.0) * 10000.0 + 0.5) / 10000.0 AS log_len
+       |      FROM m),
+       |s AS (SELECT doc_id, n_words, stop_frac, alpha_frac, sym_ratio,
+       |        mean_wlen, log_len,
+       |        -2.0 + 6.0 * stop_frac + 2.0 * alpha_frac - 12.0 * sym_ratio
+       |          + 0.1 * mean_wlen + 0.2 * log_len AS logit
+       |      FROM r)
+       |SELECT doc_id, n_words,
+       |  CAST(CAST(stop_frac AS DECIMAL(18,4)) AS DOUBLE) AS stop_frac,
+       |  CAST(CAST(alpha_frac AS DECIMAL(18,4)) AS DOUBLE) AS alpha_frac,
+       |  CAST(CAST(sym_ratio AS DECIMAL(18,4)) AS DOUBLE) AS sym_ratio,
+       |  CAST(CAST(mean_wlen AS DECIMAL(18,2)) AS DOUBLE) AS mean_wlen,
+       |  CAST(FLOOR(10000.0 / (1.0 + EXP(-logit)) + 0.5) AS INT) AS p_bps,
+       |  CAST(FLOOR(10000.0 / (1.0 + EXP(-logit)) + 0.5) AS INT) >= 8500 AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
 }
