@@ -101,6 +101,33 @@ class QueriesSpec extends SparkSpec {
     assert(plan.contains("partial"), "no map-side partial aggregation:\n" + plan)
   }
 
+  test("x99/x102: normalization and classifier inference stay map-only") {
+    // the 100 TB posture of both rows is "pure map over the corpus" — a
+    // plan with more than the one output-ordering exchange would mean a
+    // shuffle crept into what must stay embarrassingly parallel
+    Seq("x99_normalize", "x102_quality_score").foreach { name =>
+      val plan = run(name).queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges <= 2, s"$name must be map-only + final sort:\n$plan")
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("HashJoin"),
+        s"$name must not join:\n$plan")
+    }
+  }
+
+  test("x101: feature hashing is one partial-final hash aggregate") {
+    val plan = run("x101_feature_hash").queryExecution.executedPlan.toString
+    assert(plan.contains("partial"),
+      "bucket counts must combine map-side:\n" + plan)
+    assert(!plan.contains("Join"), "no join belongs in the hashing trick:\n" + plan)
+  }
+
+  test("x98: DSIR joins shuffle on token/doc keys, never nested-loop") {
+    val plan = run("x98_dsir_sample").queryExecution.executedPlan.toString
+    // the vocab-side joins are equi-joins; the two single-row totals
+    // (nt/ns) broadcast — any BNLJ beyond those 1-row sides is a plan bug
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("x55: ANN scores the corpus against a broadcast query side") {
     val plan = run("x55_ann_topk").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") ||
