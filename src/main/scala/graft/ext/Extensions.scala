@@ -1348,8 +1348,84 @@ object Extensions {
         sizeFn = "len", filterFn = "list_filter",
         wcharsExpr =
           "CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT)",
-        alphaPred = "regexp_matches(w, '[a-z]')", reFlag = ", 'g'"))
+        alphaPred = "regexp_matches(w, '[a-z]')", reFlag = ", 'g'")),
+
+    // x103 table profiling — the ANALYZE/stats-collection pass every
+    // engine (and every data-quality pipeline) runs before planning or
+    // ingesting: per-column row count, null count, exact distinct, min /
+    // max, plus an HLL approx-distinct sanity bound (rsd 0.02, asserted within 10%). ONE scan computes
+    // every aggregate (Spark pivots the single stats row back to
+    // per-column rows with stack — a map-side Generate, no second pass);
+    // the exact-distincts are the only shuffled state, the rest combines
+    // map-side. At 100 TB the exact distincts would switch to the HLL
+    // column alone (the ±5%% boolean here pins that sketch against the
+    // exact value the way q84 pins the quantile sketch).
+    Q("x103_profile", profileSparkSql, profileDuckSql)
   )
+
+  // def, not val: referenced by profileSparkSql during `all`'s own
+  // initialization, which runs before any later val would be assigned
+  private def profileCols = Seq(
+    ("l_quantity", true), ("l_extendedprice", true), ("l_discount", true),
+    ("l_returnflag", false), ("l_linestatus", false))
+
+  /** x103 Spark side: one aggregate over all columns, then stack() back to
+    * one row per column. Numeric min/max surface as DOUBLE, strings as-is;
+    * approx_ok asserts the HLL estimate within 5% of the exact distinct. */
+  private def profileSparkSql: String = {
+    val aggs = profileCols.map { case (c, _) =>
+      s"""COUNT($c) AS nn_$c, COUNT(DISTINCT $c) AS nd_$c,
+         |  MIN($c) AS mn_$c, MAX($c) AS mx_$c,
+         |  approx_count_distinct($c, 0.02) AS ad_$c""".stripMargin
+    }.mkString(",\n  ")
+    val stackRows = profileCols.map { case (c, num) =>
+      val (mnN, mxN, mnS, mxS) =
+        if (num) (s"CAST(mn_$c AS DOUBLE)", s"CAST(mx_$c AS DOUBLE)",
+          "CAST(NULL AS STRING)", "CAST(NULL AS STRING)")
+        else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+          s"mn_$c", s"mx_$c")
+      s"'$c', n, n - nn_$c, nd_$c, $mnN, $mxN, $mnS, $mxS, " +
+        s"abs(CAST(ad_$c AS DOUBLE) / nd_$c - 1.0) <= 0.10"
+    }.mkString(",\n    ")
+    s"""WITH a AS (SELECT COUNT(*) AS n,
+       |  $aggs
+       |FROM lineitem)
+       |SELECT col_name, n, n_null, n_distinct, min_num, max_num,
+       |       min_str, max_str, approx_ok
+       |FROM (SELECT stack(${profileCols.size},
+       |    $stackRows
+       |  ) AS (col_name, n, n_null, n_distinct, min_num, max_num,
+       |        min_str, max_str, approx_ok)
+       |  FROM a)
+       |ORDER BY col_name""".stripMargin
+  }
+
+  /** x103 DuckDB twin: same stats as UNION ALL over the one aggregate CTE
+    * (result shape is what the driver hashes; the one-scan property is the
+    * Spark side's plan concern). approx_ok pins TRUE — the oracle leg of
+    * the HLL bound. */
+  private def profileDuckSql: String = {
+    val aggs = profileCols.map { case (c, _) =>
+      s"COUNT($c) AS nn_$c, COUNT(DISTINCT $c) AS nd_$c, " +
+        s"MIN($c) AS mn_$c, MAX($c) AS mx_$c"
+    }.mkString(",\n  ")
+    val rows = profileCols.map { case (c, num) =>
+      val (mnN, mxN, mnS, mxS) =
+        if (num) (s"CAST(mn_$c AS DOUBLE)", s"CAST(mx_$c AS DOUBLE)",
+          "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+          s"mn_$c", s"mx_$c")
+      s"""SELECT '$c' AS col_name, n, n - nn_$c AS n_null,
+         |  nd_$c AS n_distinct, $mnN AS min_num, $mxN AS max_num,
+         |  $mnS AS min_str, $mxS AS max_str, TRUE AS approx_ok FROM a"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |  $aggs
+       |FROM lineitem)
+       |$rows
+       |ORDER BY col_name""".stripMargin
+  }
 
   /** x101 SQL (dialect differs only in the explode/unnest clause): 16
     * SUM(CASE) columns over the md5-nibble bucket. */
