@@ -1350,6 +1350,36 @@ object Extensions {
           "CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT)",
         alphaPred = "regexp_matches(w, '[a-z]')", reFlag = ", 'g'")),
 
+    // x104 corpus overlap matrix — the cross-source contamination report
+    // curation teams compute before mixing corpora: for every (lang, lang)
+    // pair, how many doc pairs share the x52 word-set fingerprint and how
+    // many distinct duplicate groups span the pair. One fingerprint map
+    // (no shuffle), one equi-join keyed on the fingerprint, one aggregate
+    // on ≤|langs|² keys. Pair expansion is bounded by duplicate-group
+    // sizes, the same blocking-key contract as x52/x84.
+    Q("x104_overlap_matrix",
+      """WITH f AS (SELECT doc_id, lang,
+        |             md5(CAST(array_join(array_sort(array_distinct(
+        |               filter(split(LOWER(text), ' '), t -> t <> ''))), ' ')
+        |               AS BINARY)) AS fp
+        |           FROM documents),
+        |p AS (SELECT LEAST(a.lang, b.lang) AS lang_a,
+        |        GREATEST(a.lang, b.lang) AS lang_b, a.fp
+        |      FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+        |SELECT lang_a, lang_b, CAST(COUNT(*) AS BIGINT) AS dup_pairs,
+        |       CAST(COUNT(DISTINCT fp) AS BIGINT) AS dup_groups
+        |FROM p GROUP BY lang_a, lang_b ORDER BY lang_a, lang_b""".stripMargin,
+      """WITH f AS (SELECT doc_id, lang,
+        |             md5(array_to_string(list_sort(list_distinct(
+        |               list_filter(string_split(LOWER(text), ' '), t -> t <> ''))), ' ')) AS fp
+        |           FROM documents),
+        |p AS (SELECT LEAST(a.lang, b.lang) AS lang_a,
+        |        GREATEST(a.lang, b.lang) AS lang_b, a.fp
+        |      FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+        |SELECT lang_a, lang_b, CAST(COUNT(*) AS BIGINT) AS dup_pairs,
+        |       CAST(COUNT(DISTINCT fp) AS BIGINT) AS dup_groups
+        |FROM p GROUP BY lang_a, lang_b ORDER BY lang_a, lang_b""".stripMargin),
+
     // x103 table profiling — the ANALYZE/stats-collection pass every
     // engine (and every data-quality pipeline) runs before planning or
     // ingesting: per-column row count, null count, exact distinct, min /

@@ -574,6 +574,23 @@ object Queries {
         |  TRUE AS approx_ok
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
 
+    // Q85 (B57 family) VARIANT semi-structured type (Spark 4.x) — q41
+    // reads JSON with string path extraction; this row parses once into
+    // the binary VARIANT encoding and does typed extraction
+    // (variant_get with a target type) plus a missing-path try_ probe.
+    // At scale VARIANT beats per-access get_json_object: one parse, typed
+    // access, no per-path re-tokenization. DuckDB's JSON type plays the
+    // same role in the twin.
+    Q("q85_variant",
+      """SELECT event_id,
+        |  CAST(variant_get(parse_json(props), '$.k', 'bigint') AS BIGINT) AS k,
+        |  try_variant_get(parse_json(props), '$.device', 'string') AS device
+        |FROM events ORDER BY event_id""".stripMargin,
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  json_extract_string(props, '$.device') AS device
+        |FROM events ORDER BY event_id""".stripMargin),
+
     // Q63 (B44-B47) INTERSECT / INTERSECT ALL / EXCEPT ALL — q32/q33 pin
     // UNION and EXCEPT; the tagged union here pins the multiplicity
     // semantics of the ALL variants (min-count for intersect, count

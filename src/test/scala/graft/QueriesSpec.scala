@@ -28,8 +28,8 @@ class QueriesSpec extends SparkSpec {
   test("driver contract: entry() returns rows and every query has unique name") {
     assert(SparkEntry.entry(spark).count() > 0)
     val qs = SparkEntry.queries
-    assert(qs.size == 139,
-      s"expected 139 queries (q01-q84 + x49-x103), got ${qs.size}")
+    assert(qs.size == 141,
+      s"expected 141 queries (q01-q85 + x49-x104), got ${qs.size}")
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet),
       "oracle entries without a matching query")
     assert(SparkEntry.oracleSql.keySet == qs.keySet,
