@@ -112,4 +112,27 @@ object Graft {
     * encode; the distributed encode maps the same fold over a column). */
   def bpeEncode(word: String, merges: Seq[(String, String, Long)]): Seq[String] =
     ext.Bpe.encode(word, merges)
+
+  // ---- round-9 additions ------------------------------------------------
+
+  /** Bloom-prefiltered benchmark decontamination: benchmark-gram sketch
+    * broadcast via scalar subquery, map-side might_contain pruning, exact
+    * verify join (result identical to the exact join — see
+    * [[ext.Decontam.bloomDecontamQuery]]). */
+  def bloomDecontam(spark: SparkSession, dir: String): DataFrame =
+    ext.Decontam.bloomDecontamQuery(spark, dir)
+
+  /** Distributed BPE encode of the corpus vocabulary with corpus-derived
+    * merges (x100; see [[ext.Bpe.encodeQuery]]). */
+  def bpeEncodeCorpus(spark: SparkSession, dir: String): DataFrame =
+    ext.Bpe.encodeQuery(spark, dir)
+
+  /** Streaming MinHash near-duplicate suppression with watermark-bounded
+    * per-band representative state (see
+    * [[streaming.NearDupStream.nearDupSuppress]]). */
+  def nearDupSuppress(docs: DataFrame, threshold: Double = 0.9,
+                      perBandCap: Int = 16, delay: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[streaming.NearDupStream.NearDupHit] =
+    streaming.NearDupStream.nearDupSuppress(docs, threshold, perBandCap,
+      delay)
 }
