@@ -44,7 +44,11 @@ object Tables {
       names.foreach { n =>
         try {
           val raw = spark.read.parquet(s"$dir/$n.parquet")
-          val df = if (n == "events") normalizeEventsTs(raw) else raw
+          val df = n match {
+            case "events"     => normalizeEventsTs(raw)
+            case "embeddings" => normalizeEmbedding(raw)
+            case _            => raw
+          }
           df.createOrReplaceTempView(n)
         } catch {
           case e: Throwable =>
@@ -72,6 +76,24 @@ object Tables {
       case TimestampType => raw
       case _ => // TIMESTAMP_NTZ or other timestamp flavor
         raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
+  }
+
+  /** Pin `embedding` to ARRAY<FLOAT> regardless of the generator's element
+    * type (float32 today; a float64 regeneration would otherwise break the
+    * native CosineSim/LshBuckets expressions exactly the way the r8 ts
+    * drift broke events — same environment-drift class, same defense). */
+  def normalizeEmbedding(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    raw.schema("embedding").dataType match {
+      case ArrayType(FloatType, _) => raw
+      case _: ArrayType =>
+        raw.withColumn("embedding",
+          col("embedding").cast(ArrayType(FloatType)))
+      case other =>
+        throw new IllegalStateException(
+          s"embeddings.embedding read as ${other.simpleString}; expected an array")
     }
   }
 

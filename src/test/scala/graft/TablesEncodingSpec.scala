@@ -118,4 +118,30 @@ class TablesEncodingSpec extends SparkSpec {
     // broken table fails loudly (not stale data from a previous dir)
     intercept[Exception] { session.table("events").count() }
   }
+
+  test("embedding element-type drift (float64 regeneration) normalizes to float") {
+    val dir = tmp()
+    spark.range(1).select(
+      lit(0L).as("vec_id"),
+      array(lit(0.25d), lit(-1.5d)).as("embedding")) // doubles, not floats
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Tables.normalizeEmbedding(
+      spark.read.parquet(s"$dir/embeddings.parquet"))
+    assert(out.schema("embedding").dataType ===
+      ArrayType(FloatType, containsNull = true))
+    // and the native expression consumes it (the r8-class failure mode)
+    graft.functions.GraftFunctions.register(spark)
+    out.createOrReplaceTempView("emb_drift")
+    val self = spark.sql(
+      "SELECT cosine_sim(embedding, embedding) AS c FROM emb_drift")
+      .head().getDouble(0)
+    assert(math.abs(self - 1.0) < 1e-6)
+  }
+
+  test("float32 embeddings pass through normalizeEmbedding untouched") {
+    Tables.ensure(spark, sfDir)
+    val dt = spark.table("embeddings").schema("embedding").dataType
+    assert(dt === ArrayType(FloatType, containsNull = true) ||
+      dt === ArrayType(FloatType, containsNull = false), dt.toString)
+  }
 }
