@@ -206,6 +206,24 @@ object SparkEntry {
       // value-identical to x76 and shares its DuckDB twin. See ext/Decontam.
       "x95_bloom_decontam" -> ((s: SparkSession, d: String) =>
         graft.ext.Decontam.bloomDecontamQuery(s, d)),
+      // x105: host-graph PageRank over the mirror graph (edge = two
+      // sources serving word-set-identical docs); 5 damped iterations on
+      // integer-quantized contributions so both engines carry identical
+      // trajectories. See ext/Rank.
+      "x105_pagerank" -> ((s: SparkSession, d: String) =>
+        graft.ext.Rank.hostRankQuery(s, d)),
+      // q86: interval overlap self-join — every pair of same-user events
+      // whose 5-minute windows overlap, via the time-banded equi-join in
+      // operators/IntervalJoin (the q56 banding idea on the time axis);
+      // oracle is DuckDB's plain theta formulation of the same pairs
+      "q86_interval_join" -> ((s: SparkSession, d: String) => {
+        import org.apache.spark.sql.functions.col
+        Tables.ensure(s, d)
+        graft.operators.IntervalJoin
+          .overlapSelfJoin(s.table("events"), "user_id", "ts", "event_id",
+            durationSec = 300L)
+          .orderBy(col("user_id"), col("id_a"), col("id_b"))
+      }),
       // x100: distributed BPE encode with corpus-derived merges — the
       // tokenizer-APPLICATION side of x93/the Bpe trainer, oracle-checked
       // end-to-end (the DuckDB twin replays the same selection + merge
@@ -540,6 +558,13 @@ object SparkEntry {
       ("x95_bloom_decontam" ->
         Extensions.all.find(_.name == "x76_decontam").get.duck) +
       ("x100_bpe_encode" -> graft.ext.Bpe.encodeDuck) +
+      ("x105_pagerank" -> graft.ext.Rank.duckSql) +
+      ("q86_interval_join" ->
+        """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+          |FROM events a JOIN events b
+          |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+          | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) < 300000000
+          |ORDER BY a.user_id, id_a, id_b""".stripMargin) +
       ("x59_ann_lsh" -> recallDuck) +
       ("x62_ann_ivf" -> recallDuck) +
       ("x57_minhash_lsh" -> minhashDuck) +

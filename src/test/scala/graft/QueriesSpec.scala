@@ -28,8 +28,8 @@ class QueriesSpec extends SparkSpec {
   test("driver contract: entry() returns rows and every query has unique name") {
     assert(SparkEntry.entry(spark).count() > 0)
     val qs = SparkEntry.queries
-    assert(qs.size == 141,
-      s"expected 141 queries (q01-q85 + x49-x104), got ${qs.size}")
+    assert(qs.size == 143,
+      s"expected 143 queries (q01-q86 + x49-x105), got ${qs.size}")
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet),
       "oracle entries without a matching query")
     assert(SparkEntry.oracleSql.keySet == qs.keySet,
@@ -126,6 +126,34 @@ class QueriesSpec extends SparkSpec {
     // the vocab-side joins are equi-joins; the two single-row totals
     // (nt/ns) broadcast — any BNLJ beyond those 1-row sides is a plan bug
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q86: interval overlap join bands time, never nested-loops, matches theta") {
+    Tables.ensure(spark, sfDir)
+    val banded = SparkEntry.queries("q86_interval_join")(spark, sfDir)
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "time-banded plan must be an equi-join:\n" + plan)
+    val naive = spark.sql(
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(unix_micros(a.ts) - unix_micros(b.ts)) < 300000000
+        |ORDER BY a.user_id, id_a, id_b""".stripMargin).collect().toSeq
+    assert(banded.collect().toSeq == naive,
+      "banded interval join diverges from the theta formulation")
+    assert(naive.nonEmpty, "overlap fixture must be non-vacuous")
+  }
+
+  test("x105: pagerank is deterministic and mass stays within rounding") {
+    val a = graft.ext.Rank.hostRankQuery(spark, sfDir).collect()
+    val b = graft.ext.Rank.hostRankQuery(spark, sfDir).collect()
+    assert(a.toSeq == b.toSeq, "pagerank must be run-deterministic")
+    assert(a.length > 1, "host graph degenerated to <2 nodes")
+    val mass = a.map(_.getDouble(1)).sum
+    assert(mass > 0.9 && mass < 1.1,
+      s"rank mass $mass drifted beyond rounding tolerance")
   }
 
   test("x55: ANN scores the corpus against a broadcast query side") {
