@@ -1350,6 +1350,62 @@ object Extensions {
           "CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT)",
         alphaPred = "regexp_matches(w, '[a-z]')", reFlag = ", 'g'")),
 
+    // x106 interpolated bigram LM scoring — the second-order LM the
+    // perplexity-filter family actually uses (x78 is the unigram floor):
+    // p(w_i | w_{i-1}) = λ·c(w_{i-1}w_i)/c(w_{i-1}) + (1−λ)·c(w_i)/N with
+    // λ = 0.7, doc score = mean log p over positions ≥ 2. Two vocabulary
+    // aggregates (unigram + bigram — the bigram key space is Zipfian, so
+    // partial aggregation collapses almost everything map-side), two
+    // equi-joins back to the position stream, one per-doc sum. The log
+    // terms ROUND→DECIMAL before summing (the x78 order-independence
+    // idiom).
+    Q("x106_bigram_lm",
+      """WITH t AS (SELECT doc_id, filter(split(LOWER(text), ' '), x -> x <> '') AS tk
+        |           FROM documents),
+        |u AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c1
+        |      FROM (SELECT explode(tk) AS tok FROM t) GROUP BY tok),
+        |n AS (SELECT CAST(SUM(c1) AS DOUBLE) AS nn FROM u),
+        |bp AS (SELECT doc_id, p.prev AS prev, p.cur AS cur FROM (
+        |         SELECT doc_id, explode(transform(sequence(2, size(tk)),
+        |           i -> struct(element_at(tk, i - 1) AS prev,
+        |                       element_at(tk, i) AS cur))) AS p
+        |         FROM t WHERE size(tk) >= 2)),
+        |b2 AS (SELECT prev, cur, CAST(COUNT(*) AS DOUBLE) AS c2
+        |       FROM bp GROUP BY prev, cur),
+        |s AS (SELECT bp.doc_id, COUNT(*) AS npairs,
+        |        SUM(CAST(ROUND(LN(0.7 * b2.c2 / up.c1 + 0.3 * uc.c1 / n.nn), 5)
+        |            AS DECIMAL(18,5))) AS slp
+        |      FROM bp JOIN b2 ON bp.prev = b2.prev AND bp.cur = b2.cur
+        |      JOIN u up ON bp.prev = up.tok
+        |      JOIN u uc ON bp.cur = uc.tok
+        |      CROSS JOIN n
+        |      GROUP BY bp.doc_id)
+        |SELECT doc_id, CAST(npairs AS BIGINT) AS npairs,
+        |  CAST(CAST(FLOOR(CAST(slp AS DOUBLE) / npairs * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS logp
+        |FROM s ORDER BY doc_id""".stripMargin,
+      """WITH t AS (SELECT doc_id, list_filter(string_split(LOWER(text), ' '), x -> x <> '') AS tk
+        |           FROM documents),
+        |u AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c1
+        |      FROM (SELECT unnest(tk) AS tok FROM t) GROUP BY tok),
+        |n AS (SELECT CAST(SUM(c1) AS DOUBLE) AS nn FROM u),
+        |bp AS (SELECT doc_id, tk[CAST(i AS INT) - 1] AS prev,
+        |         tk[CAST(i AS INT)] AS cur
+        |       FROM (SELECT doc_id, tk, unnest(range(2, len(tk) + 1)) AS i
+        |             FROM t WHERE len(tk) >= 2)),
+        |b2 AS (SELECT prev, cur, CAST(COUNT(*) AS DOUBLE) AS c2
+        |       FROM bp GROUP BY prev, cur),
+        |s AS (SELECT bp.doc_id, COUNT(*) AS npairs,
+        |        SUM(CAST(ROUND(LN(0.7 * b2.c2 / up.c1 + 0.3 * uc.c1 / n.nn), 5)
+        |            AS DECIMAL(18,5))) AS slp
+        |      FROM bp JOIN b2 ON bp.prev = b2.prev AND bp.cur = b2.cur
+        |      JOIN u up ON bp.prev = up.tok
+        |      JOIN u uc ON bp.cur = uc.tok
+        |      CROSS JOIN n
+        |      GROUP BY bp.doc_id)
+        |SELECT doc_id, CAST(npairs AS BIGINT) AS npairs,
+        |  CAST(CAST(FLOOR(CAST(slp AS DOUBLE) / npairs * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS logp
+        |FROM s ORDER BY doc_id""".stripMargin),
+
     // x104 corpus overlap matrix — the cross-source contamination report
     // curation teams compute before mixing corpora: for every (lang, lang)
     // pair, how many doc pairs share the x52 word-set fingerprint and how
@@ -1383,13 +1439,15 @@ object Extensions {
     // x103 table profiling — the ANALYZE/stats-collection pass every
     // engine (and every data-quality pipeline) runs before planning or
     // ingesting: per-column row count, null count, exact distinct, min /
-    // max, plus an HLL approx-distinct sanity bound (rsd 0.02, asserted within 10%). ONE scan computes
-    // every aggregate (Spark pivots the single stats row back to
-    // per-column rows with stack — a map-side Generate, no second pass);
-    // the exact-distincts are the only shuffled state, the rest combines
-    // map-side. At 100 TB the exact distincts would switch to the HLL
-    // column alone (the ±5%% boolean here pins that sketch against the
-    // exact value the way q84 pins the quantile sketch).
+    // max, plus an HLL approx-distinct sanity bound (rsd 0.02, asserted
+    // within 10%). One PRUNED columnar scan per column (parquet reads
+    // exactly that column — how real profilers shard the work), each with
+    // a single COUNT(DISTINCT): packing all five distincts into one
+    // aggregate triggers Spark's Expand-based multi-distinct rewrite (6×
+    // row blowup through a sort aggregate — measured 96 s vs 2 s at
+    // sf0.1). At 100 TB the exact distincts would switch to the HLL
+    // column alone (the ±10% boolean pins that sketch against the exact
+    // value the way q84 pins the quantile sketch).
     Q("x103_profile", profileSparkSql, profileDuckSql)
   )
 
@@ -1399,35 +1457,27 @@ object Extensions {
     ("l_quantity", true), ("l_extendedprice", true), ("l_discount", true),
     ("l_returnflag", false), ("l_linestatus", false))
 
-  /** x103 Spark side: one aggregate over all columns, then stack() back to
-    * one row per column. Numeric min/max surface as DOUBLE, strings as-is;
-    * approx_ok asserts the HLL estimate within 5% of the exact distinct. */
+  /** x103 Spark side: one single-column aggregate per profiled column
+    * (each scan prunes to that column; single COUNT(DISTINCT) per
+    * aggregate avoids the Expand multi-distinct rewrite), UNION ALL back
+    * to per-column rows. Numeric min/max surface as DOUBLE, strings
+    * as-is; approx_ok asserts the HLL estimate within 10% of exact. */
   private def profileSparkSql: String = {
-    val aggs = profileCols.map { case (c, _) =>
-      s"""COUNT($c) AS nn_$c, COUNT(DISTINCT $c) AS nd_$c,
-         |  MIN($c) AS mn_$c, MAX($c) AS mx_$c,
-         |  approx_count_distinct($c, 0.02) AS ad_$c""".stripMargin
-    }.mkString(",\n  ")
-    val stackRows = profileCols.map { case (c, num) =>
+    val rows = profileCols.map { case (c, num) =>
       val (mnN, mxN, mnS, mxS) =
-        if (num) (s"CAST(mn_$c AS DOUBLE)", s"CAST(mx_$c AS DOUBLE)",
+        if (num) (s"CAST(MIN($c) AS DOUBLE)", s"CAST(MAX($c) AS DOUBLE)",
           "CAST(NULL AS STRING)", "CAST(NULL AS STRING)")
         else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
-          s"mn_$c", s"mx_$c")
-      s"'$c', n, n - nn_$c, nd_$c, $mnN, $mxN, $mnS, $mxS, " +
-        s"abs(CAST(ad_$c AS DOUBLE) / nd_$c - 1.0) <= 0.10"
-    }.mkString(",\n    ")
-    s"""WITH a AS (SELECT COUNT(*) AS n,
-       |  $aggs
-       |FROM lineitem)
-       |SELECT col_name, n, n_null, n_distinct, min_num, max_num,
-       |       min_str, max_str, approx_ok
-       |FROM (SELECT stack(${profileCols.size},
-       |    $stackRows
-       |  ) AS (col_name, n, n_null, n_distinct, min_num, max_num,
-       |        min_str, max_str, approx_ok)
-       |  FROM a)
-       |ORDER BY col_name""".stripMargin
+          s"MIN($c)", s"MAX($c)")
+      s"""SELECT '$c' AS col_name, COUNT(*) AS n,
+         |  COUNT(*) - COUNT($c) AS n_null,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  $mnN AS min_num, $mxN AS max_num, $mnS AS min_str, $mxS AS max_str,
+         |  abs(CAST(approx_count_distinct($c, 0.02) AS DOUBLE)
+         |      / COUNT(DISTINCT $c) - 1.0) <= 0.10 AS approx_ok
+         |FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$rows\nORDER BY col_name"
   }
 
   /** x103 DuckDB twin: same stats as UNION ALL over the one aggregate CTE

@@ -591,6 +591,21 @@ object Queries {
         |  json_extract_string(props, '$.device') AS device
         |FROM events ORDER BY event_id""".stripMargin),
 
+    // Q87 (B10/B16 family) collated comparison (Spark 4.x) — predicate
+    // evaluation under a case-insensitive collation instead of wrapping
+    // every operand in lower() (which blocks pushdown and per-row
+    // re-derives the fold); DuckDB plays the twin with the lower()
+    // rewrite, which is the semantic definition of UTF8_LCASE equality.
+    Q("q87_collation",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_name COLLATE UTF8_LCASE IN
+        |  ('CUSTOMER#000000007', 'customer#000000011', 'CusTomer#000000013')
+        |ORDER BY c_custkey""".stripMargin,
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE lower(c_name) IN
+        |  ('customer#000000007', 'customer#000000011', 'customer#000000013')
+        |ORDER BY c_custkey""".stripMargin),
+
     // Q63 (B44-B47) INTERSECT / INTERSECT ALL / EXCEPT ALL — q32/q33 pin
     // UNION and EXCEPT; the tagged union here pins the multiplicity
     // semantics of the ALL variants (min-count for intersect, count
