@@ -1406,6 +1406,68 @@ object Extensions {
         |  CAST(CAST(FLOOR(CAST(slp AS DOUBLE) / npairs * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS logp
         |FROM s ORDER BY doc_id""".stripMargin),
 
+    // x107 leakage-free train/test split — the composition every eval
+    // pipeline needs done ATOMICALLY: a deterministic 90/10 doc split
+    // (x70's md5-uniform idiom), then every TRAIN doc sharing a word
+    // 5-gram with any TEST doc is quarantined to 'drop' (x76's leak
+    // check) so the train side cannot contaminate the held-out side.
+    // Shape: map for the split bit, one distinct-gram explode, one
+    // gram-keyed equi-join whose test side is 10% of the corpus (and
+    // broadcastable at any scale if the test fraction is fixed-size),
+    // one semi-join back. Emitting the decision as one atomic op removes
+    // the classic pipeline bug of splitting and decontaminating against
+    // different corpus snapshots.
+    Q("x107_clean_split",
+      """WITH d AS (SELECT doc_id, text,
+        |    (((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+        |      + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1)) * 16
+        |      + (instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1)) * 16
+        |      + (instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1) AS u16
+        |  FROM documents),
+        |s AS (SELECT doc_id, text, u16 < 6554 AS is_test FROM d),
+        |toks AS (SELECT doc_id, is_test,
+        |           filter(split(LOWER(text), ' '), t -> t <> '') AS tk
+        |         FROM s),
+        |g AS (SELECT doc_id, is_test, gram FROM (
+        |        SELECT doc_id, is_test, explode(array_distinct(transform(
+        |          sequence(1, size(tk) - 4),
+        |          i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+        |                         element_at(tk, i + 2), element_at(tk, i + 3),
+        |                         element_at(tk, i + 4))))) AS gram
+        |        FROM toks WHERE size(tk) >= 5)),
+        |leak AS (SELECT DISTINCT tg.doc_id
+        |         FROM g tg JOIN g bg ON tg.gram = bg.gram
+        |         WHERE NOT tg.is_test AND bg.is_test)
+        |SELECT s.doc_id,
+        |  CASE WHEN s.is_test THEN 'test'
+        |       WHEN l.doc_id IS NOT NULL THEN 'drop'
+        |       ELSE 'train' END AS split
+        |FROM s LEFT JOIN leak l ON s.doc_id = l.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+      """WITH d AS (SELECT doc_id, text,
+        |    (((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+        |      + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1)) * 16
+        |      + (instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1)) * 16
+        |      + (instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1) AS u16
+        |  FROM documents),
+        |s AS (SELECT doc_id, text, u16 < 6554 AS is_test FROM d),
+        |toks AS (SELECT doc_id, is_test,
+        |           list_filter(string_split(LOWER(text), ' '), t -> t <> '') AS tk
+        |         FROM s),
+        |g AS (SELECT doc_id, is_test, unnest(list_distinct(list_transform(
+        |        range(1, len(tk) - 3),
+        |        i -> array_to_string(list_slice(tk, i, i + 4), ' ')))) AS gram
+        |      FROM toks WHERE len(tk) >= 5),
+        |leak AS (SELECT DISTINCT tg.doc_id
+        |         FROM g tg JOIN g bg ON tg.gram = bg.gram
+        |         WHERE NOT tg.is_test AND bg.is_test)
+        |SELECT s.doc_id,
+        |  CASE WHEN s.is_test THEN 'test'
+        |       WHEN l.doc_id IS NOT NULL THEN 'drop'
+        |       ELSE 'train' END AS split
+        |FROM s LEFT JOIN leak l ON s.doc_id = l.doc_id
+        |ORDER BY s.doc_id""".stripMargin),
+
     // x104 corpus overlap matrix — the cross-source contamination report
     // curation teams compute before mixing corpora: for every (lang, lang)
     // pair, how many doc pairs share the x52 word-set fingerprint and how
