@@ -156,6 +156,28 @@ class QueriesSpec extends SparkSpec {
       s"rank mass $mass drifted beyond rounding tolerance")
   }
 
+  test("plan hygiene: no CartesianProduct anywhere except declared crosses") {
+    // The blanket regression net over EVERY declared row: a
+    // CartesianProduct (non-broadcast, partition-pairing cross) is the
+    // one plan shape that cannot survive any scale-up. Broadcast
+    // nested-loop joins are allowed — every 1-row-totals CROSS JOIN and
+    // broadcast-query-side ANN row uses one by design; the broadcast
+    // bound keeps them scale-safe. Exceptions are the rows whose DECLARED
+    // semantics are a cross of two unbounded sides.
+    val declaredCross = Set(
+      "q11_cross" // declared CROSS JOIN row (SURVEY B19)
+    )
+    Tables.ensure(spark, sfDir)
+    val offenders = (Queries.all ++ Extensions.all)
+      .filterNot(q => declaredCross(q.name))
+      .flatMap { q =>
+        val plan = spark.sql(q.spark).queryExecution.executedPlan.toString
+        if (plan.contains("CartesianProduct")) Some(q.name) else None
+      }
+    assert(offenders.isEmpty,
+      s"CartesianProduct leaked into: ${offenders.mkString(", ")}")
+  }
+
   test("x55: ANN scores the corpus against a broadcast query side") {
     val plan = run("x55_ann_topk").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin") ||
