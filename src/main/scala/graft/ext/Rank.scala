@@ -24,6 +24,10 @@ import graft.Tables
   *    loop is data-independent, fixed 5 iterations, no convergence
   *    collect).
   *
+  * Reference: dust has no analytics surface of its own (SURVEY.md §0 —
+  * the SQL layer is delegated, `db/src/db.rs:77-101`); this extends the
+  * engine's LLM-pipeline layer (SURVEY.md §2.2 B71-B73 cluster).
+  *
   * Determinism (cross-engine): every per-edge contribution FLOOR-half-up
   * quantizes onto the 1e-9 grid as a BIGINT and sums exactly
   * (order-independent integer arithmetic — the x94 idiom); each

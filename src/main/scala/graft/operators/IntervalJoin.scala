@@ -23,6 +23,11 @@ import org.apache.spark.sql.functions._
   * with AQE-splittable skew, work proportional to candidates ≈ output.
   * The output itself is inherently quadratic in per-key-per-window
   * density — no plan changes that.
+  *
+  * Reference: dust delegates joins to SQLite's nested loop verbatim
+  * (`db/src/db.rs:413` prepares statements as-is); this operator exists
+  * because that declared shape cannot survive a 100× scale-up — the same
+  * argument as [[RangeJoin]].
   */
 object IntervalJoin {
 

@@ -34,6 +34,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Determinism: rows within a micro-batch group are processed in
   * (ts, doc_id) order, so representative choice does not depend on
   * shuffle arrival order.
+  *
+  * Reference: dust has no streaming surface (SURVEY.md §0); this is the
+  * streaming form of the mandated near-dup dedup (SURVEY.md §2.2 B71),
+  * built on Structured Streaming's state-store contract.
   */
 object NearDupStream {
 
