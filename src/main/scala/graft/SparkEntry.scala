@@ -94,6 +94,10 @@ object SparkEntry {
       // transitive-closure CTE over the identical edge set
       "x75_components" -> ((s: SparkSession, d: String) =>
         Dedup.componentsQuery(s, d)),
+      // x108: x75's dup groups resolved by quality argmax (keep the
+      // longest doc per component) — see Dedup.keepBestQuery
+      "x108_keep_best" -> ((s: SparkSession, d: String) =>
+        Dedup.keepBestQuery(s, d)),
       // x90: deterministic k-means assignment (the SemDeDup partitioning
       // step) — centroids = embeddings of vec_id < 8, broadcast; argmax by
       // rounded cosine with lowest-cid tiebreak, so the DuckDB twin can
@@ -443,6 +447,23 @@ object SparkEntry {
       |SELECT n AS doc_id, CAST(MIN(r) AS BIGINT) AS comp
       |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin
 
+  /** x108 twin: x75's component derivation with the final keep decision
+    * replaced by the quality argmax (longest doc per component, doc_id
+    * tiebreak) — built by rewriting componentsDuck's output stage so the
+    * two twins can never drift on the edge/closure definition. */
+  private val keepBestDuck = componentsDuck.replace(
+    "SELECT n AS doc_id, CAST(MIN(r) AS BIGINT) AS comp\nFROM reach GROUP BY n ORDER BY doc_id",
+    """comp AS (SELECT n AS doc_id, CAST(MIN(r) AS BIGINT) AS comp
+      |         FROM reach GROUP BY n),
+      |q AS (SELECT doc_id,
+      |        len(list_filter(string_split(LOWER(text), ' '), t -> t <> '')) AS ntoks
+      |      FROM documents)
+      |SELECT c.doc_id, c.comp, CAST(q.ntoks AS INT) AS ntoks,
+      |  ROW_NUMBER() OVER (PARTITION BY c.comp
+      |                     ORDER BY q.ntoks DESC, c.doc_id) = 1 AS keep
+      |FROM comp c JOIN q ON c.doc_id = q.doc_id ORDER BY c.doc_id""".stripMargin)
+    .replace("WHERE reach.r < e.t)\ncomp AS", "WHERE reach.r < e.t),\ncomp AS")
+
   /** x77 twin: the fake payload is header(12) ++ UTF-8 text (ASCII corpus
     * ⇒ unicode(ch) == byte), so the frame grid, stride filter and byte
     * sums all recompute closed-form. 'IMG1' = 73,77,71,49; width/height
@@ -545,6 +566,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     sqlBacked.map(q => q.name -> q.duck).toMap +
       ("x75_components" -> componentsDuck) +
+      ("x108_keep_best" -> keepBestDuck) +
       ("x90_kmeans" -> kmeansDuck) +
       ("x91_semdedup" -> semDedupDuck) +
       ("x82_containment" -> containmentDuck) +

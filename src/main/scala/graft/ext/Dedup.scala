@@ -784,4 +784,24 @@ object Dedup {
       .select(col("id").as("doc_id"), col("label").cast("long").as("comp"))
       .orderBy("doc_id")
   }
+
+  /** x108: keep-BEST dedup — x75's transitive dup groups resolved by a
+    * quality argmax instead of keep-first: within each component the
+    * longest doc survives (token count, doc_id tiebreak), the practice
+    * real pipelines prefer over keep-lowest-id (the canonical copy is
+    * usually the most complete one). One join of the component labels to
+    * per-doc token counts + one keyed window (WindowGroupLimit-prunable);
+    * everything upstream is x75's scale story. */
+  def keepBestQuery(spark: SparkSession, dir: String): DataFrame = {
+    componentsQuery(spark, dir).createOrReplaceTempView("__x108_comp")
+    spark.sql(
+      """WITH q AS (SELECT doc_id,
+        |             size(filter(split(LOWER(text), ' '), t -> t <> '')) AS ntoks
+        |           FROM documents)
+        |SELECT c.doc_id, c.comp, CAST(q.ntoks AS INT) AS ntoks,
+        |  ROW_NUMBER() OVER (PARTITION BY c.comp
+        |                     ORDER BY q.ntoks DESC, c.doc_id) = 1 AS keep
+        |FROM __x108_comp c JOIN q ON c.doc_id = q.doc_id
+        |ORDER BY c.doc_id""".stripMargin)
+  }
 }
