@@ -43,4 +43,62 @@ object ManagedTables {
       .sortBy("o_custkey")
       .saveAsTable(table)
   }
+
+  /** Small-file compaction (the OPTIMIZE pass of every lakehouse): rewrite
+    * a partitioned parquet directory so each hive partition carries
+    * `filesPerPartition` files instead of the write-parallelism shrapnel
+    * a streaming/micro-batch producer leaves behind. At 100 TB the
+    * small-file problem is a planning-time cost (one parquet footer fetch
+    * and one task per file — a million 1 MB files is a million tasks);
+    * compaction restores `maxPartitionBytes`-sized splits.
+    *
+    * The rewrite stages into `<dir>.__compact` and swaps via two renames —
+    * the crash window leaves either the old or the staged directory
+    * intact, never a half state (same swap discipline as the engine's
+    * manifest checkpoint, `engine/GraftDb` §7.4).
+    *
+    * Returns (filesBefore, filesAfter) for the caller's audit.
+    */
+  def compact(spark: SparkSession, dir: String, partitionCol: String,
+              filesPerPartition: Int = 1): (Long, Long) = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    def countFiles(p: String): Long = {
+      val root = Paths.get(p)
+      if (!Files.exists(root)) 0L
+      else {
+        val s = Files.walk(root)
+        try s.filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet")).count()
+        finally s.close()
+      }
+    }
+    val before = countFiles(dir)
+    val staged = dir + ".__compact"
+    val old = dir + ".__old"
+    val df = spark.read.parquet(dir)
+    // hash-repartition on (partition column [, salt]) so each hive
+    // partition's rows land in exactly filesPerPartition tasks — without
+    // this, every task holding rows of a partition writes its own file
+    // there. The salt is a deterministic row hash, so the layout is
+    // reproducible.
+    val keys =
+      if (filesPerPartition <= 1) Seq(col(partitionCol))
+      else Seq(col(partitionCol),
+        pmod(xxhash64(struct(df.columns.map(col): _*)),
+          lit(filesPerPartition.toLong)))
+    df.repartition(keys: _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(staged)
+    Files.move(Paths.get(dir), Paths.get(old),
+      StandardCopyOption.ATOMIC_MOVE)
+    Files.move(Paths.get(staged), Paths.get(dir),
+      StandardCopyOption.ATOMIC_MOVE)
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rmTree))
+      f.delete(): Unit
+    }
+    rmTree(new java.io.File(old))
+    (before, countFiles(dir))
+  }
 }

@@ -55,4 +55,34 @@ class ManagedTablesSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS orders_bucketed")
     }
   }
+
+  test("compaction collapses write shrapnel to one file per partition") {
+    val dir = s"$tmp/li_frag"
+    // produce a fragmented layout: high write parallelism over a
+    // partitioned table → many files per partition
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .repartition(16)
+      .write.partitionBy("ship_month").parquet(dir)
+    val pre = spark.read.parquet(dir)
+    val preRows = pre.count()
+    val preSum = pre.agg(sum("l_quantity")).head.getDouble(0)
+    val nParts = pre.select("ship_month").distinct().count()
+    val (before, after) =
+      ManagedTables.compact(spark, dir, "ship_month")
+    assert(before > nParts,
+      s"fixture not fragmented: $before files over $nParts partitions")
+    assert(after == nParts,
+      s"expected exactly one file per partition, got $after for $nParts")
+    // content identical through the swap
+    val post = spark.read.parquet(dir)
+    assert(post.count() == preRows)
+    assert(post.agg(sum("l_quantity")).head.getDouble(0) == preSum)
+    // pruning still works on the compacted layout
+    val m = post.select("ship_month").distinct().orderBy("ship_month")
+      .head.getString(0)
+    val plan = post.filter(col("ship_month") === m)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+  }
 }
