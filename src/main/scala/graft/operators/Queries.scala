@@ -606,6 +606,167 @@ object Queries {
         |  ('customer#000000007', 'customer#000000011', 'customer#000000013')
         |ORDER BY c_custkey""".stripMargin),
 
+    // Q88 funnel analysis — the ordered-sequence event query (did the user
+    // view, THEN click within 12 h, THEN purchase within 12 h?) every
+    // product-analytics engine ships. The min-ts chaining form (step N's
+    // candidate events must fall in (prev_ts, prev_ts + horizon]) is three hash
+    // aggregates + three equi-joins ALL keyed on user_id: one partitioning
+    // reused across every stage, no window over the full event stream, no
+    // per-user event-list materialization — at 100 TB each step's frame is
+    // |users| rows, not |events|, and AQE broadcasts the shrinking step
+    // frames. convert_sec stays in integer seconds (epoch subtraction) so
+    // the twin is exact, not float-rounded.
+    Q("q88_funnel",
+      """WITH v AS (SELECT user_id, MIN(ts) AS ts1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.ts1
+        |        AND e.ts <= v.ts1 + INTERVAL 12 HOUR GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.ts2
+        |        AND e.ts <= c.ts2 + INTERVAL 12 HOUR GROUP BY e.user_id)
+        |SELECT v.user_id,
+        |       CASE WHEN p.user_id IS NOT NULL THEN 3
+        |            WHEN c.user_id IS NOT NULL THEN 2 ELSE 1 END AS step_reached,
+        |       v.ts1 AS first_view,
+        |       (unix_micros(p.ts3) - unix_micros(v.ts1)) DIV 1000000 AS convert_sec
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
+      """WITH v AS (SELECT user_id, MIN(ts) AS ts1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.ts1
+        |        AND e.ts <= v.ts1 + INTERVAL 12 HOUR GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.ts2
+        |        AND e.ts <= c.ts2 + INTERVAL 12 HOUR GROUP BY e.user_id)
+        |SELECT v.user_id,
+        |       CASE WHEN p.user_id IS NOT NULL THEN 3
+        |            WHEN c.user_id IS NOT NULL THEN 2 ELSE 1 END AS step_reached,
+        |       v.ts1 AS first_view,
+        |       (epoch_us(p.ts3) - epoch_us(v.ts1)) // 1000000 AS convert_sec
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin),
+
+    // Q89 cohort retention — the (cohort week × week offset → active
+    // users) matrix behind every retention curve. Weeks are integer
+    // epoch-week indexes (epoch_sec div 604800) so both engines derive
+    // the same grid with no calendar/locale semantics in play. Shape: one
+    // DISTINCT on (user_id, week) — the only shuffle proportional to
+    // |events| — then a user-keyed min-agg and a user-keyed join, then an
+    // aggregate on |cohorts|×|offsets| keys (tiny). The cohort frame is
+    // |users| rows; at 100 TB AQE broadcasts it into the activity join.
+    Q("q89_retention",
+      """WITH a AS (SELECT DISTINCT user_id,
+        |             CAST(unix_micros(ts) DIV 604800000000 AS INT) AS wk FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS cohort FROM a GROUP BY user_id)
+        |SELECT f.cohort, a.wk - f.cohort AS week_offset,
+        |       CAST(COUNT(*) AS BIGINT) AS active_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY f.cohort, a.wk - f.cohort
+        |ORDER BY cohort, week_offset""".stripMargin,
+      """WITH a AS (SELECT DISTINCT user_id,
+        |             CAST(epoch_us(ts) // 604800000000 AS INT) AS wk FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS cohort FROM a GROUP BY user_id)
+        |SELECT f.cohort, a.wk - f.cohort AS week_offset,
+        |       CAST(COUNT(*) AS BIGINT) AS active_users
+        |FROM a JOIN f ON a.user_id = f.user_id
+        |GROUP BY f.cohort, a.wk - f.cohort
+        |ORDER BY cohort, week_offset""".stripMargin),
+
+    // Q90 time-series gap fill + forward fill — regularize an event stream
+    // onto a daily calendar spine (missing days materialized with n=0) and
+    // carry the last observed daily sum forward (last_value IGNORE NULLS).
+    // The spine is generated per user from its own [min_day, max_day] span
+    // (sequence + explode: map-side, |users|·|span| rows, no driver
+    // calendar), the spine⋈daily join and the ffill window both key on
+    // user_id — one partitioning end-to-end. This is the batch form of the
+    // as-of/ffill resample every metrics pipeline needs; at 100 TB the
+    // span explode is the only row amplification and it is bounded by the
+    // calendar length, not the event count.
+    Q("q90_gap_fill",
+      """WITH daily AS (SELECT user_id, CAST(date_trunc('DAY', ts) AS DATE) AS d,
+        |                      CAST(COUNT(*) AS BIGINT) AS n,
+        |                      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+        |               FROM events GROUP BY user_id, CAST(date_trunc('DAY', ts) AS DATE)),
+        |span AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY user_id),
+        |spine AS (SELECT user_id, explode(sequence(d0, d1)) AS d FROM span),
+        |j AS (SELECT s.user_id, s.d, daily.n, daily.v
+        |      FROM spine s LEFT JOIN daily
+        |        ON s.user_id = daily.user_id AND s.d = daily.d)
+        |SELECT user_id, d, COALESCE(n, 0) AS n,
+        |       CAST(last_value(v) IGNORE NULLS OVER (
+        |            PARTITION BY user_id ORDER BY d
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS v_ffill
+        |FROM j ORDER BY user_id, d""".stripMargin,
+      """WITH daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+        |                      CAST(COUNT(*) AS BIGINT) AS n,
+        |                      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+        |               FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY user_id),
+        |spine AS (SELECT user_id,
+        |            CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+        |          FROM span),
+        |j AS (SELECT s.user_id, s.d, daily.n, daily.v
+        |      FROM spine s LEFT JOIN daily
+        |        ON s.user_id = daily.user_id AND s.d = daily.d)
+        |SELECT user_id, d, COALESCE(n, 0) AS n,
+        |       CAST(last_value(v IGNORE NULLS) OVER (
+        |            PARTITION BY user_id ORDER BY d
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS v_ffill
+        |FROM j ORDER BY user_id, d""".stripMargin),
+
+    // Q91 event-transition matrix — first-order Markov transitions over
+    // per-user event sequences (the sequence-mining primitive behind
+    // next-action prediction and path analysis). One LEAD window per user
+    // (the only shuffle proportional to |events|) feeding an aggregate on
+    // |types|² keys — transition matrices stay tiny no matter the corpus.
+    // The (ts, event_id) order key makes the sequence total, so the
+    // matrix is deterministic under any partitioning.
+    Q.same("q91_transitions",
+      """WITH s AS (SELECT user_id, event_type,
+        |             LEAD(event_type) OVER (PARTITION BY user_id
+        |                                    ORDER BY ts, event_id) AS nxt
+        |           FROM events)
+        |SELECT event_type AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM s WHERE nxt IS NOT NULL
+        |GROUP BY event_type, nxt ORDER BY src, dst""".stripMargin),
+
+    // Q92 trailing-window z-score anomaly detection — each user-day's
+    // value scored against its own previous ≤7 days (frame excludes the
+    // current row, so the score never explains itself). The q77 idiom
+    // keeps it engine-exact: mean and sample-stddev derive from windowed
+    // SUM(v)/SUM(v·v) over DECIMAL (exact in both engines), so the only
+    // float ops run on bit-identical inputs and the 3dp half-up rounding
+    // is deterministic. Shape: one daily hash agg + one user-keyed window
+    // — same partitioning, no extra shuffle; at 100 TB this is the
+    // standard streaming-compatible anomaly scan (the frame is row-
+    // bounded, never whole-history).
+    Q.same("q92_anomaly",
+      """WITH daily AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d,
+        |                      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+        |               FROM events GROUP BY user_id, CAST(date_trunc('day', ts) AS DATE)),
+        |w AS (SELECT user_id, d, v,
+        |        CAST(SUM(v) OVER tw AS DOUBLE) AS s1,
+        |        CAST(SUM(v * v) OVER tw AS DOUBLE) AS s2,
+        |        CAST(COUNT(*) OVER tw AS DOUBLE) AS cnt
+        |      FROM daily
+        |      WINDOW tw AS (PARTITION BY user_id ORDER BY d
+        |                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, d,
+        |       CAST(CAST(FLOOR((CAST(v AS DOUBLE) - s1 / cnt)
+        |            / SQRT((cnt * s2 - s1 * s1) / (cnt * (cnt - 1.0)))
+        |            * 1000.0 + 0.5) / 1000.0 AS DECIMAL(18,3)) AS DOUBLE) AS z
+        |FROM w
+        |WHERE cnt >= 4 AND (cnt * s2 - s1 * s1) > 0.000001
+        |ORDER BY user_id, d""".stripMargin),
+
     // Q63 (B44-B47) INTERSECT / INTERSECT ALL / EXCEPT ALL — q32/q33 pin
     // UNION and EXCEPT; the tagged union here pins the multiplicity
     // semantics of the ALL variants (min-count for intersect, count
