@@ -767,6 +767,23 @@ object Queries {
         |WHERE cnt >= 4 AND (cnt * s2 - s1 * s1) > 0.000001
         |ORDER BY user_id, d""".stripMargin),
 
+    // Q93 equi-depth histogram — decile bin edges + counts via NTILE over
+    // a total order (value, key) so ties break deterministically. This is
+    // the one-column form of the statistics pass planners build histograms
+    // from; the q62/q84 family covers quantile POINTS, this row pins the
+    // BIN semantics (every bucket's lo/hi/count). One window sort is the
+    // only shuffle; at 100 TB the same result would come from
+    // approx_percentile edges (q84's sketch posture) — NTILE is the exact
+    // oracle-checkable form.
+    Q.same("q93_histogram",
+      """WITH b AS (SELECT o_totalprice,
+        |             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        |           FROM orders)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(MIN(o_totalprice) AS DOUBLE) AS lo,
+        |       CAST(MAX(o_totalprice) AS DOUBLE) AS hi
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
+
     // Q63 (B44-B47) INTERSECT / INTERSECT ALL / EXCEPT ALL — q32/q33 pin
     // UNION and EXCEPT; the tagged union here pins the multiplicity
     // semantics of the ALL variants (min-count for intersect, count
