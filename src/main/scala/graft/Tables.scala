@@ -45,9 +45,9 @@ object Tables {
         try {
           val raw = spark.read.parquet(s"$dir/$n.parquet")
           val df = n match {
-            case "events"     => normalizeEventsTs(raw)
+            case "events"     => pinSchema(n, normalizeEventsTs(raw))
             case "embeddings" => normalizeEmbedding(raw)
-            case _            => raw
+            case _            => pinSchema(n, raw)
           }
           df.createOrReplaceTempView(n)
         } catch {
@@ -96,6 +96,65 @@ object Tables {
           s"embeddings.embedding read as ${other.simpleString}; expected an array")
     }
   }
+
+  /** Canonical column types every query in the suite assumes (r8 lesson,
+    * generalized from events.ts and embeddings.embedding to the whole
+    * catalog): a regenerated testdata file that widens a key, re-types a
+    * numeric, or re-encodes a timestamp must not change any query's
+    * output schema — or, worse, fail registration. Columns are pinned by
+    * NAME; missing columns are left alone (the queries that need them
+    * fail loudly), extra columns pass through untouched.
+    */
+  private val canonicalTypes: Map[String, Map[String, org.apache.spark.sql.types.DataType]] = {
+    import org.apache.spark.sql.types._
+    val key64 = LongType; val key32 = IntegerType
+    Map(
+      "region" -> Map("r_regionkey" -> key32, "r_name" -> StringType),
+      "nation" -> Map("n_nationkey" -> key32, "n_name" -> StringType,
+        "n_regionkey" -> key32),
+      "customer" -> Map("c_custkey" -> key64, "c_name" -> StringType,
+        "c_nationkey" -> key32, "c_acctbal" -> DoubleType,
+        "c_mktsegment" -> StringType),
+      "supplier" -> Map("s_suppkey" -> key64, "s_name" -> StringType,
+        "s_nationkey" -> key32, "s_acctbal" -> DoubleType),
+      "part" -> Map("p_partkey" -> key64, "p_name" -> StringType,
+        "p_brand" -> StringType, "p_type" -> StringType,
+        "p_size" -> key32, "p_retailprice" -> DoubleType),
+      "orders" -> Map("o_orderkey" -> key64, "o_custkey" -> key64,
+        "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+        // the generator writes isAdjustedToUTC=false parquet timestamps →
+        // NTZ is what every green query has always seen; a regeneration
+        // that flips to instant semantics casts back (value-identical
+        // under the UTC session)
+        "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType),
+      "lineitem" -> Map("l_orderkey" -> key64, "l_partkey" -> key64,
+        "l_suppkey" -> key64, "l_linenumber" -> key32,
+        "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+        "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+        "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+        "l_shipdate" -> TimestampNTZType),
+      "events" -> Map("event_id" -> key64, "ts" -> TimestampType,
+        "user_id" -> key64, "event_type" -> StringType,
+        "value" -> DoubleType, "props" -> StringType),
+      "documents" -> Map("doc_id" -> key64, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType, "n_chars" -> key64))
+  }
+
+  /** Cast any drifted column back to its canonical type (no-op on the
+    * expected schema — the common path adds zero plan nodes). */
+  def pinSchema(table: String, df: DataFrame): DataFrame =
+    canonicalTypes.get(table).fold(df) { want =>
+      want.foldLeft(df) { case (acc, (c, t)) =>
+        acc.schema.find(_.name == c) match {
+          case Some(f) if f.dataType != t =>
+            System.err.println(
+              s"[tables] $table.$c read as ${f.dataType.simpleString}; " +
+                s"pinning to ${t.simpleString}")
+            acc.withColumn(c, org.apache.spark.sql.functions.col(c).cast(t))
+          case _ => acc
+        }
+      }
+    }
 
   /** Lift a SQL text into the driver's (session, sfDir) => DataFrame shape. */
   def sql(q: String): (SparkSession, String) => DataFrame =

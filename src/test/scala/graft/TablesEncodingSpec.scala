@@ -138,6 +138,34 @@ class TablesEncodingSpec extends SparkSpec {
     assert(math.abs(self - 1.0) < 1e-6)
   }
 
+  test("pinSchema casts drifted columns back to canonical types") {
+    // a regenerated lineitem that widened l_linenumber to int64, narrowed
+    // l_quantity to float32, and re-typed l_orderkey as int32 — each the
+    // r8 drift class on a different column
+    val dir = tmp()
+    spark.range(4).select(
+      col("id").cast(IntegerType).as("l_orderkey"), // narrowed key
+      col("id").as("l_linenumber"), // widened line number
+      (col("id") * 2).cast(FloatType).as("l_quantity"), // float32 numeric
+      lit("A").as("l_returnflag"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = Tables.pinSchema("lineitem",
+      spark.read.parquet(s"$dir/lineitem.parquet"))
+    assert(out.schema("l_orderkey").dataType === LongType)
+    assert(out.schema("l_linenumber").dataType === IntegerType)
+    assert(out.schema("l_quantity").dataType === DoubleType)
+    assert(out.schema("l_returnflag").dataType === StringType)
+    // values survive the pin
+    assert(out.agg(sum(col("l_quantity"))).head().getDouble(0) === 12.0)
+  }
+
+  test("pinSchema is a no-op on the canonical shape (no extra plan nodes)") {
+    Tables.ensure(spark, sfDir)
+    val raw = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val pinned = Tables.pinSchema("lineitem", raw)
+    assert(pinned eq raw, "canonical schema must short-circuit")
+  }
+
   test("float32 embeddings pass through normalizeEmbedding untouched") {
     Tables.ensure(spark, sfDir)
     val dt = spark.table("embeddings").schema("embedding").dataType
