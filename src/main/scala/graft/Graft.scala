@@ -135,4 +135,14 @@ object Graft {
       : org.apache.spark.sql.Dataset[streaming.NearDupStream.NearDupHit] =
     streaming.NearDupStream.nearDupSuppress(docs, threshold, perBandCap,
       delay)
+
+  /** Streaming funnel progression with three-scalar per-user state and
+    * watermark eviction (see [[streaming.FunnelStream.funnel]]; batch
+    * twin q88). */
+  def funnelStream(events: DataFrame,
+                   steps: Seq[String] = Seq("view", "click", "purchase"),
+                   horizonMs: Long = 12L * 3600 * 1000,
+                   delay: String = "10 minutes")
+      : org.apache.spark.sql.Dataset[streaming.FunnelStream.FunnelEvent] =
+    streaming.FunnelStream.funnel(events, steps, horizonMs, delay)
 }

@@ -134,6 +134,46 @@ object Extensions {
         |       JOIN i ic ON p.cons = ic.event_type
         |ORDER BY ante, cons""".stripMargin),
 
+    // x111 per-document novelty scoring — what fraction of each doc's
+    // distinct word 3-grams first appear IN that doc (first = smallest
+    // doc_id over the corpus)? The dataset-growth diagnostic curation
+    // teams plot before adding a source: near-1 novelty = fresh content,
+    // near-0 = the corpus already has it. Shape: one distinct-gram
+    // explode, one gram-keyed min-aggregate (map-side partial), one
+    // gram-keyed join back, one doc-keyed count — every stage keyed and
+    // partial-aggregated, no pairwise anything; ratios FLOOR-rounded
+    // from integer counts.
+    Q("x111_novelty",
+      """WITH toks AS (SELECT doc_id,
+        |                filter(split(LOWER(text), ' '), t -> t <> '') AS tk
+        |              FROM documents),
+        |g AS (SELECT DISTINCT doc_id, gram FROM (
+        |        SELECT doc_id, explode(transform(sequence(1, size(tk) - 2),
+        |          i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+        |                         element_at(tk, i + 2)))) AS gram
+        |        FROM toks WHERE size(tk) >= 3)),
+        |fst AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+        |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS grams,
+        |  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel,
+        |  CAST(CAST(FLOOR(CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |       / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS novelty
+        |FROM g JOIN fst f ON g.gram = f.gram
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+      """WITH toks AS (SELECT doc_id,
+        |                list_filter(string_split(LOWER(text), ' '), t -> t <> '') AS tk
+        |              FROM documents),
+        |g AS (SELECT DISTINCT doc_id, gram FROM (
+        |        SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1),
+        |          i -> array_to_string(list_slice(tk, i, i + 2), ' '))) AS gram
+        |        FROM toks WHERE len(tk) >= 3)),
+        |fst AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+        |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS grams,
+        |  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel,
+        |  CAST(CAST(FLOOR(CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |       / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS novelty
+        |FROM g JOIN fst f ON g.gram = f.gram
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin),
+
     // x49 (B73) language identification via per-language stopword hit counts
     // — pure higher-order-function pipeline, one scan, no shuffle.
     Q("x49_lang_id",

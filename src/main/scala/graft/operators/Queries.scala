@@ -784,6 +784,36 @@ object Queries {
         |       CAST(MAX(o_totalprice) AS DOUBLE) AS hi
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin),
 
+    // Q94 linear-regression aggregates — slope / intercept / r² per group
+    // (the regr_* family; the fit behind Zipf-slope and scaling-law
+    // diagnostics over corpus stats). Same engine-exactness contract as
+    // q77: all five moments accumulate as DECIMAL sums (exact, order-
+    // independent), the closed-form estimators then run float ops on
+    // bit-identical inputs, and FLOOR-half-up rounding pins the render.
+    // One partial-aggregated groupBy is the whole plan — the estimator
+    // is a pure post-aggregation projection at any scale.
+    Q.same("q94_regression",
+      """WITH s AS (SELECT l_returnflag,
+        |             CAST(COUNT(*) AS DOUBLE) AS n,
+        |             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+        |             CAST(SUM(y * y) AS DOUBLE) AS syy,
+        |             CAST(SUM(x * y) AS DOUBLE) AS sxy
+        |           FROM (SELECT l_returnflag,
+        |                   CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        |                   CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |                 FROM lineitem)
+        |           GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(CAST(FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 10000.0 + 0.5)
+        |       / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS slope,
+        |  CAST(CAST(FLOOR((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+        |       * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS intercept,
+        |  CAST(CAST(FLOOR((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |       / ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1000000.0 + 0.5)
+        |       / 1000000.0 AS DECIMAL(18,6)) AS DOUBLE) AS r2
+        |FROM s ORDER BY l_returnflag""".stripMargin),
+
     // Q63 (B44-B47) INTERSECT / INTERSECT ALL / EXCEPT ALL — q32/q33 pin
     // UNION and EXCEPT; the tagged union here pins the multiplicity
     // semantics of the ALL variants (min-count for intersect, count
