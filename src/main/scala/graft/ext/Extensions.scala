@@ -174,6 +174,66 @@ object Extensions {
         |FROM g JOIN fst f ON g.gram = f.gram
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin),
 
+    // x112 Zipf-slope fit — the log-log linear fit over the token
+    // frequency-rank curve, the standard corpus-health diagnostic (natural
+    // text ≈ -1; synthetic/templated corpora flatten). Composes the x51
+    // token-count aggregate with the q94 regression estimator; the LN
+    // terms ROUND→DECIMAL(12,9) before the moment sums (the x98/x106
+    // idiom), so both engines accumulate exactly and the closed-form
+    // slope runs on bit-identical doubles. DECIMAL(12,9), not wider: the
+    // x·x moments square the precision (12→25) and a wide input pushes
+    // the product past the 38-digit cap, where Spark and DuckDB truncate
+    // DIFFERENTLY (observed: slope -0.1825 vs -0.18251 at DECIMAL(28,9)).
+    // Top-1000 ranks: the fit input is vocabulary-bounded, never
+    // corpus-bounded.
+    Q("x112_zipf",
+      """WITH tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |              SELECT explode(filter(split(LOWER(text), ' '), t -> t <> '')) AS tok
+        |              FROM documents) GROUP BY tok),
+        |rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r FROM tc),
+        |m AS (SELECT CAST(CAST(ROUND(LN(CAST(r AS DOUBLE)), 9) AS DECIMAL(12,9)) AS DECIMAL(12,9)) AS x,
+        |             CAST(CAST(ROUND(LN(CAST(c AS DOUBLE)), 9) AS DECIMAL(12,9)) AS DECIMAL(12,9)) AS y
+        |      FROM rk WHERE r <= 1000),
+        |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |        CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |        CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(x * y) AS DOUBLE) AS sxy
+        |      FROM m)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(CAST(FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 100000.0 + 0.5)
+        |       / 100000.0 AS DECIMAL(18,5)) AS DOUBLE) AS zipf_slope
+        |FROM s""".stripMargin,
+      """WITH tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |              SELECT unnest(list_filter(string_split(LOWER(text), ' '), t -> t <> '')) AS tok
+        |              FROM documents) GROUP BY tok),
+        |rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r FROM tc),
+        |m AS (SELECT CAST(CAST(ROUND(LN(CAST(r AS DOUBLE)), 9) AS DECIMAL(12,9)) AS DECIMAL(12,9)) AS x,
+        |             CAST(CAST(ROUND(LN(CAST(c AS DOUBLE)), 9) AS DECIMAL(12,9)) AS DECIMAL(12,9)) AS y
+        |      FROM rk WHERE r <= 1000),
+        |s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |        CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |        CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(x * y) AS DOUBLE) AS sxy
+        |      FROM m)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(CAST(FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 100000.0 + 0.5)
+        |       / 100000.0 AS DECIMAL(18,5)) AS DOUBLE) AS zipf_slope
+        |FROM s""".stripMargin),
+
+    // x113 k-anonymity audit — the privacy-risk scan run before releasing
+    // or mixing a corpus: any (lang, source, length-bucket) cell with
+    // fewer than k members could single out documents, so it is flagged
+    // for suppression/generalization. One hash aggregate on the
+    // quasi-identifier tuple — cell count is bounded by the attribute
+    // product, not the corpus. FLOOR before the INT cast (DuckDB CAST
+    // rounds doubles, Spark truncates — FLOOR makes them agree).
+    Q.same("x113_k_anon",
+      """WITH b AS (SELECT lang, source,
+        |             CAST(FLOOR(n_chars / 200) AS INT) AS len_bucket, doc_id
+        |           FROM documents),
+        |g AS (SELECT lang, source, len_bucket, CAST(COUNT(*) AS BIGINT) AS k
+        |      FROM b GROUP BY lang, source, len_bucket)
+        |SELECT lang, source, len_bucket, k, k < 5 AS risky
+        |FROM g ORDER BY lang, source, len_bucket""".stripMargin),
+
     // x49 (B73) language identification via per-language stopword hit counts
     // — pure higher-order-function pipeline, one scan, no shuffle.
     Q("x49_lang_id",

@@ -814,6 +814,22 @@ object Queries {
         |       / 1000000.0 AS DECIMAL(18,6)) AS DOUBLE) AS r2
         |FROM s ORDER BY l_returnflag""".stripMargin),
 
+    // Q95 cross-source quantile normalization — every doc's length mapped
+    // to its percentile WITHIN its source (the calibration step before
+    // comparing quality scores across heterogeneous corpora: raw scores
+    // are source-biased, ranks are not). PERCENT_RANK over a total
+    // (value, key) order is deterministic, and partitioning by source
+    // makes the window shuffle-bounded by the largest single source, not
+    // the corpus. 6dp FLOOR rounding pins the render.
+    Q.same("q95_quantile_norm",
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |             PERCENT_RANK() OVER (PARTITION BY source
+        |                                  ORDER BY n_chars, doc_id) AS pr
+        |           FROM documents)
+        |SELECT doc_id, source,
+        |  CAST(CAST(FLOOR(pr * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6)) AS DOUBLE) AS q_norm
+        |FROM r ORDER BY doc_id""".stripMargin),
+
     // Q63 (B44-B47) INTERSECT / INTERSECT ALL / EXCEPT ALL — q32/q33 pin
     // UNION and EXCEPT; the tagged union here pins the multiplicity
     // semantics of the ALL variants (min-count for intersect, count
