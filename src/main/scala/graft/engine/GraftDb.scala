@@ -2429,9 +2429,57 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     // keep appending to the unlinked inode)
     journalCloseStream()
     Files.deleteIfExists(r.resolve("journal.jsonl"))
-    // GC: keep the previous version for readers mid-swap, drop older ones
-    deleteRecursively(r.resolve(s"v${version - 2}"))
+    // GC: retain the last `retainVersions` snapshots (≥2 so readers
+    // mid-swap always have the previous one); older dirs are dropped —
+    // the retention horizon of [[tableAsOf]], exactly a lakehouse VACUUM
+    deleteRecursively(r.resolve(s"v${version - retainVersions}"))
   }
+
+  // Snapshot retention for time-travel reads (-Dgraft.retainVersions=N,
+  // min 2). Each retained version is a full columnar copy of the
+  // database, so the knob trades disk for history depth — same contract
+  // as Delta/Iceberg retention before VACUUM.
+  private val retainVersions: Long =
+    math.max(2L, sys.props.getOrElse("graft.retainVersions", "2").toLong)
+
+  /** Snapshot versions currently readable by [[tableAsOf]] (ascending).
+    * Bounded by the retention knob; empty for in-memory databases. */
+  def versions(): Seq[Long] = root.toSeq.flatMap { r =>
+    val s = Files.list(r)
+    try {
+      val out = Seq.newBuilder[Long]
+      s.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.matches("v\\d+") && Files.isDirectory(p)) out += n.drop(1).toLong
+      }
+      out.result().sorted
+    } finally s.close()
+  }
+
+  /** Time-travel read: the committed contents of `table` at snapshot
+    * `version`, in the engine's row order, internal columns stripped.
+    *
+    * The statement journal (the Raft-log analog) makes checkpoints
+    * immutable full-copy snapshots, so AS OF reads are plain parquet
+    * scans of the retained v{N} dir — no replay, no locks, fully
+    * distributed. The horizon is the retention knob: versions older than
+    * `retainVersions` checkpoints are GC'd (ask for them → explicit
+    * error, never silently-current data).
+    */
+  def tableAsOf(table: String, version: Long): Either[String, DataFrame] =
+    root match {
+      case None => Left("time travel requires a disk-backed database")
+      case Some(r) =>
+        val pq = r.resolve(s"v$version").resolve(table.toLowerCase + ".parquet")
+        if (!Files.exists(pq))
+          Left(s"no snapshot of '$table' at version $version " +
+            s"(retained: ${versions().mkString(",")})")
+        else {
+          val df = session.read.parquet(pq.toString)
+          val cols = df.columns.filterNot(c => c == "__ord" || c == "__rowid")
+          Right(df.orderBy("__ord").select(cols.head, cols.tail: _*))
+        }
+    }
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
