@@ -15,6 +15,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // STATIC conf, must be set on the first session in the JVM: the
+      // default generated-class cache holds 100 entries, and a 160-query
+      // suite (several codegen stages each) thrashes it — the warmup
+      // phase's compiled+JIT'd classes are evicted before their timed run,
+      // which re-compiles AND re-runs C1 while C2 catches up (measured:
+      // heavy sketch rows at 2-4x steady state). Size it to the suite.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
