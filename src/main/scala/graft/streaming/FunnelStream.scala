@@ -28,6 +28,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * processed in (ts, event_type) order so results never depend on shuffle
   * arrival order.
   *
+  * Repeat funnels: a completed (or abandoned) funnel's state is evicted at
+  * the timeout horizon, after which the SAME user entering the first step
+  * again starts a fresh funnel — each conversion cycle is reported
+  * independently, the long-running-stream semantics product funnels use.
+  * The q88 single-pass chaining is the within-one-horizon view
+  * (FunnelPropertySpec pins that regime's exact parity).
+  *
   * Reference: dust has no streaming surface (SURVEY.md §0); this extends
   * the mandated streaming operator family (SURVEY.md §2.2 B62-B67) with
   * the product-analytics sequence operator whose batch twin is q88.
