@@ -234,6 +234,71 @@ object Extensions {
         |SELECT lang, source, len_bucket, k, k < 5 AS risky
         |FROM g ORDER BY lang, source, len_bucket""".stripMargin),
 
+    // x114 boilerplate removal — the per-source frequent-content strip
+    // every web-corpus pipeline runs (navbars/footers/cookie banners
+    // repeat across a site's pages): any word 5-gram occurring in ≥10
+    // distinct docs of the SAME source is boilerplate; every token
+    // position covered by a boilerplate occurrence is removed and the
+    // cleaned doc re-emitted (kept-token count + position-tagged
+    // fingerprint, so the oracle pins the exact surviving tokens, not
+    // just a count). Shape: gram explode → (source, gram) doc-frequency
+    // agg → join back to positions → covered-position explode (bounded
+    // by gram hits × 5) → one anti-join on (doc, position) → per-doc
+    // agg. Every join is keyed; the boilerplate set is df-thresholded so
+    // it is tiny and broadcastable at any corpus size.
+    Q("x114_boilerplate",
+      """WITH toks AS (SELECT doc_id, source,
+        |                filter(split(LOWER(text), ' '), t -> t <> '') AS tk
+        |              FROM documents),
+        |pos AS (SELECT doc_id, source, p + 1 AS i,
+        |          concat_ws(' ', element_at(tk, p + 1), element_at(tk, p + 2),
+        |                    element_at(tk, p + 3), element_at(tk, p + 4),
+        |                    element_at(tk, p + 5)) AS gram
+        |        FROM (SELECT doc_id, source, tk,
+        |                posexplode(sequence(1, size(tk) - 4)) AS (p, _i)
+        |              FROM toks WHERE size(tk) >= 5)),
+        |bp AS (SELECT source, gram
+        |       FROM (SELECT source, gram, COUNT(DISTINCT doc_id) AS df
+        |             FROM pos GROUP BY source, gram)
+        |       WHERE df >= 10),
+        |cover AS (SELECT DISTINCT p.doc_id, explode(sequence(p.i, p.i + 4)) AS j
+        |          FROM pos p JOIN bp b ON p.source = b.source AND p.gram = b.gram),
+        |tokpos AS (SELECT doc_id, source, p + 1 AS j, tok
+        |           FROM (SELECT doc_id, source, posexplode(tk) AS (p, tok)
+        |                 FROM toks)),
+        |kept AS (SELECT t.doc_id, t.j, t.tok
+        |         FROM tokpos t LEFT JOIN cover c
+        |           ON t.doc_id = c.doc_id AND t.j = c.j
+        |         WHERE c.doc_id IS NULL)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_toks,
+        |  md5(CAST(array_join(sort_array(collect_list(
+        |    concat(tok, ':', CAST(j AS STRING)))), ' ') AS BINARY)) AS clean_fp
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      """WITH toks AS (SELECT doc_id, source,
+        |                list_filter(string_split(LOWER(text), ' '), t -> t <> '') AS tk
+        |              FROM documents),
+        |pos AS (SELECT doc_id, source, i,
+        |          array_to_string(list_slice(tk, i, i + 4), ' ') AS gram
+        |        FROM (SELECT doc_id, source, tk, unnest(range(1, len(tk) - 3)) AS i
+        |              FROM toks WHERE len(tk) >= 5)),
+        |bp AS (SELECT source, gram
+        |       FROM (SELECT source, gram, COUNT(DISTINCT doc_id) AS df
+        |             FROM pos GROUP BY source, gram)
+        |       WHERE df >= 10),
+        |cover AS (SELECT DISTINCT p.doc_id, unnest(range(p.i, p.i + 5)) AS j
+        |          FROM pos p JOIN bp b ON p.source = b.source AND p.gram = b.gram),
+        |tokpos AS (SELECT doc_id, source, j, tok FROM (
+        |             SELECT doc_id, source, unnest(tk) AS tok,
+        |                    unnest(range(1, len(tk) + 1)) AS j
+        |             FROM toks)),
+        |kept AS (SELECT t.doc_id, t.j, t.tok
+        |         FROM tokpos t LEFT JOIN cover c
+        |           ON t.doc_id = c.doc_id AND t.j = c.j
+        |         WHERE c.doc_id IS NULL)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_toks,
+        |  md5(array_to_string(list_sort(list(tok || ':' || CAST(j AS VARCHAR))), ' ')) AS clean_fp
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // x49 (B73) language identification via per-language stopword hit counts
     // — pure higher-order-function pipeline, one scan, no shuffle.
     Q("x49_lang_id",
