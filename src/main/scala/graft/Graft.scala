@@ -92,13 +92,22 @@ object Graft {
 
   // ---- end-to-end curation ---------------------------------------------
 
-  /** One-call corpus curation: rule filter → per-lang quality quantile →
-    * exact dedup → word-set near-dup → temperature sampling → greedy
-    * packing; returns the curated frame and per-stage counts (see
-    * [[ext.Pipeline.curate]] for the scale contract). */
+  /** One-call corpus curation: [optional boilerplate strip →] rule filter
+    * → per-lang quality quantile → exact dedup → word-set near-dup →
+    * temperature sampling → greedy packing; returns the curated frame and
+    * per-stage counts (see [[ext.Pipeline.curate]] for the scale
+    * contract). */
   def curate(spark: SparkSession, dir: String, sampleTarget: Int = 200,
-             tokenBudget: Int = 256): (DataFrame, ext.Pipeline.CurationStats) =
-    ext.Pipeline.curate(spark, dir, sampleTarget, tokenBudget)
+             tokenBudget: Int = 256, stripBoilerplate: Boolean = false,
+             boilerplateMinDf: Long = 10)
+      : (DataFrame, ext.Pipeline.CurationStats) =
+    ext.Pipeline.curate(spark, dir, sampleTarget, tokenBudget,
+      stripBoilerplate, boilerplateMinDf)
+
+  /** Per-source frequent-5-gram boilerplate strip in DataFrame form (the
+    * x114 operator; see [[ext.Extensions.stripBoilerplate]]). */
+  def stripBoilerplate(docs: DataFrame, minDf: Long = 10): DataFrame =
+    ext.Extensions.stripBoilerplate(docs, minDf)
 
   // ---- tokenizer training ----------------------------------------------
 

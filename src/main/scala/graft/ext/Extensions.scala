@@ -1875,4 +1875,46 @@ object Extensions {
        |  CAST(FLOOR(10000.0 / (1.0 + EXP(-logit)) + 0.5) AS INT) AS p_bps,
        |  CAST(FLOOR(10000.0 / (1.0 + EXP(-logit)) + 0.5) AS INT) >= 8500 AS keep
        |FROM s ORDER BY doc_id""".stripMargin
+
+  /** DataFrame form of x114 for pipeline composition ([[Pipeline.curate]]'s
+    * opt-in pre-stage): strip per-source frequent-5-gram boilerplate and
+    * rebuild `text` from the surviving tokens in original order (n_chars
+    * recomputed; other columns pass through). Same plan shape as the x114
+    * row — keyed joins only, df-thresholded boilerplate set. Documents
+    * whose tokens are ALL boilerplate drop (empty docs are of no use to
+    * any downstream stage, and the q46-family sketches skip empties
+    * anyway).
+    */
+  def stripBoilerplate(docs: org.apache.spark.sql.DataFrame,
+                       minDf: Long = 10): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val toks = docs.withColumn("tk",
+      filter(split(lower(col("text")), " "), t => t =!= ""))
+    val pos = toks.filter(size(col("tk")) >= 5)
+      .select(col("doc_id"), col("source"),
+        posexplode(expr(
+          """transform(sequence(1, size(tk) - 4),
+            |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+            |       element_at(tk, i + 2), element_at(tk, i + 3),
+            |       element_at(tk, i + 4)))""".stripMargin)).as(Seq("p", "gram")))
+      .withColumn("i", col("p") + 1).drop("p")
+    val bp = pos.groupBy("source", "gram")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= minDf)
+      .select("source", "gram")
+    val cover = pos.join(bp, Seq("source", "gram"))
+      .select(col("doc_id"), explode(expr("sequence(i, i + 4)")).as("j"))
+      .distinct()
+    val tokpos = toks
+      .select(toks.columns.map(col) :+
+        posexplode(col("tk")).as(Seq("p", "tok")): _*)
+      .withColumn("j", col("p") + 1).drop("p", "tk", "text")
+    val passThrough = docs.columns.filterNot(c => c == "text" || c == "n_chars")
+    tokpos.join(cover, Seq("doc_id", "j"), "left_anti")
+      .groupBy(passThrough.map(col): _*)
+      .agg(concat_ws(" ", expr(
+        "transform(array_sort(collect_list(struct(j, tok))), s -> s.tok)"))
+        .as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
 }

@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
 /** End-to-end corpus curation: the composed one-call pipeline a training
   * run starts from, chaining the individually-oracle-checked stages —
   *
-  *   rule filter (x97) → per-lang quality quantile (x96) → exact dedup
-  *   (q46/x53) → word-set near-dup keep-first (x52) → temperature
-  *   sampling (x94) → greedy sequence packing (x72)
+  *   [opt-in boilerplate strip (x114)] → rule filter (x97) → per-lang
+  *   quality quantile (x96) → exact dedup (q46/x53) → word-set near-dup
+  *   keep-first (x52) → temperature sampling (x94) → greedy sequence
+  *   packing (x72)
   *
   * Every stage is a distributed Spark job; driver state is the seven
   * stage-count scalars in [[Pipeline.CurationStats]] and nothing else.
@@ -39,12 +40,25 @@ object Pipeline {
     * @return (curated frame: doc_id, lang, ntoks, quality, pack_id; stats)
     */
   def curate(spark: SparkSession, dir: String, sampleTarget: Int = 200,
-             tokenBudget: Int = 256): (DataFrame, CurationStats) = {
+             tokenBudget: Int = 256,
+             stripBoilerplate: Boolean = false,
+             boilerplateMinDf: Long = 10): (DataFrame, CurationStats) = {
     Tables.ensure(spark, dir)
     val stopsArr = array(Stops.map(lit): _*)
 
+    // optional pre-stage: per-source frequent-5-gram boilerplate strip
+    // (the x114 operator in DataFrame form) — rewrites `text` BEFORE any
+    // feature derivation so every downstream rule/score/dedup stage sees
+    // the cleaned content; checkpointed because two stages scan it
+    val source =
+      if (stripBoilerplate)
+        Extensions.stripBoilerplate(spark.table("documents"),
+            boilerplateMinDf)
+          .localCheckpoint()
+      else spark.table("documents")
+
     // one scan computes every per-doc feature the stages need
-    val base = spark.table("documents")
+    val base = source
       .withColumn("toks",
         filter(split(lower(col("text")), " "), t => t =!= ""))
       .withColumn("ntoks", size(col("toks")))

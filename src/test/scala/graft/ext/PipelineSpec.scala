@@ -85,4 +85,28 @@ class PipelineSpec extends SparkSpec {
       assert(a == b, "curated set depends on parallelism")
     } finally spark.conf.set("spark.sql.shuffle.partitions", p)
   }
+
+  test("boilerplate pre-stage strips frequent grams, stays deterministic") {
+    graft.Tables.ensure(spark, sfDir)
+    val raw = spark.table("documents")
+    val cleaned = Extensions.stripBoilerplate(raw, minDf = 2)
+    // content actually shrinks (the synthetic corpus repeats grams within
+    // sources), and no doc GROWS
+    val joined = raw.select(col("doc_id"), length(col("text")).as("a"))
+      .join(cleaned.select(col("doc_id"), length(col("text")).as("b")), "doc_id")
+    assert(joined.filter(col("b") > col("a")).count() === 0)
+    assert(joined.filter(col("b") < col("a")).count() > 0,
+      "expected at least one doc to lose boilerplate")
+    // (the exact surviving-token set is the x114 oracle row's job — its
+    // position-tagged fingerprint pins token identity AND order)
+    val (c1, s1) = Pipeline.curate(spark, sfDir, 100, 128,
+      stripBoilerplate = true, boilerplateMinDf = 2)
+    val (c2, s2) = Pipeline.curate(spark, sfDir, 100, 128,
+      stripBoilerplate = true, boilerplateMinDf = 2)
+    assert(s1 == s2, s"boilerplate curation stats diverge: $s1 vs $s2")
+    assert(c1.orderBy("doc_id").collect().toSeq ===
+      c2.orderBy("doc_id").collect().toSeq)
+    // the strip changes the curated outcome vs the default path
+    assert(s1 != stats, "pre-stage had no effect on the pipeline")
+  }
 }
