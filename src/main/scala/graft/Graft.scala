@@ -154,4 +154,12 @@ object Graft {
                    delay: String = "10 minutes")
       : org.apache.spark.sql.Dataset[streaming.FunnelStream.FunnelEvent] =
     streaming.FunnelStream.funnel(events, steps, horizonMs, delay)
+
+  /** Streaming Space-Saving heavy hitters with buckets×capacity bounded
+    * state (see [[streaming.FrequencyStream.topkSummary]]; batch twin
+    * x80). */
+  def heavyHittersStream(tokens: DataFrame, buckets: Int = 16,
+                         capacity: Int = 32)
+      : org.apache.spark.sql.Dataset[streaming.FrequencyStream.HeavyHit] =
+    streaming.FrequencyStream.topkSummary(tokens, buckets, capacity)
 }
