@@ -57,6 +57,38 @@ class FrequencyStreamSpec extends SparkSpec {
     }
   }
 
+  test("corpus stream: summary covers the exact batch top-10 (x80 contract)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    graft.Tables.ensure(spark, sfDir)
+    // exact batch truth (what the x80 count-min row asserts against)
+    val toks = spark.table("documents")
+      .select(explode(filter(split(lower(col("text")), " "),
+        t => t =!= "")).as("token"))
+    val exact = toks.groupBy("token").count()
+      .orderBy(col("count").desc, col("token"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val top10 = exact.take(10)
+
+    val mem = MemoryStream[Tok]
+    val q = FrequencyStream.topkSummary(mem.toDF(), buckets = 8, capacity = 32)
+      .writeStream.format("memory").queryName("corpusheavy")
+      .outputMode("update").start()
+    val all = toks.collect().map(r => Tok(r.getString(0)))
+    all.grouped(5000).foreach { c => mem.addData(c.toSeq: _*); q.processAllAvailable() }
+    val rows = spark.table("corpusheavy").as[FrequencyStream.HeavyHit]
+      .collect().toSeq
+    q.stop()
+    val summary = latest(rows).map(h => h.token -> h).toMap
+    top10.foreach { case (t, n) =>
+      assert(summary.contains(t), s"exact-top token '$t' missing")
+      assert(summary(t).est >= n, s"'$t' undercounted: ${summary(t).est} < $n")
+      assert(summary(t).est - summary(t).err <= n,
+        s"'$t' bound violated: ${summary(t)} vs true $n")
+    }
+  }
+
   test("state and output are deterministic across runs") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
