@@ -299,6 +299,22 @@ object Extensions {
         |  md5(array_to_string(list_sort(list(tok || ':' || CAST(j AS VARCHAR))), ' ')) AS clean_fp
         |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin),
 
+    // x115 stratified K-fold assignment — the cross-validation split an
+    // eval pipeline needs with EXACT per-stratum balance: rank docs
+    // within each lang by a content-derived uniform key (md5 — engine
+    // portable, reshuffle-proof, and re-running on a grown corpus moves
+    // as few docs as a hash split), fold = rank mod K, so every (lang,
+    // fold) cell is within 1 doc of every other. Complements x70 (plain
+    // shuffle split) and x107 (split + leakage quarantine). One keyed
+    // window is the whole plan; shuffle bounded by the largest stratum.
+    Q.same("x115_kfold",
+      """WITH r AS (SELECT doc_id, lang,
+        |             ROW_NUMBER() OVER (PARTITION BY lang
+        |                                ORDER BY md5(text), doc_id) AS rn
+        |           FROM documents)
+        |SELECT doc_id, lang, CAST((rn - 1) % 5 AS INT) AS fold
+        |FROM r ORDER BY doc_id""".stripMargin),
+
     // x49 (B73) language identification via per-language stopword hit counts
     // — pure higher-order-function pipeline, one scan, no shuffle.
     Q("x49_lang_id",
