@@ -315,6 +315,50 @@ object Extensions {
         |SELECT doc_id, lang, CAST((rn - 1) % 5 AS INT) AS fold
         |FROM r ORDER BY doc_id""".stripMargin),
 
+    // x116 token-budget apportionment — mix a multi-source corpus to an
+    // exact token budget: each source gets ⌊B·toks/total⌋, then the
+    // leftover seats go to the largest remainders (the Hamilton/
+    // largest-remainder method — the standard exact-integer apportionment;
+    // x94's temperature sampler reweights, this one hits the budget
+    // EXACTLY: Σalloc = B by construction). All arithmetic is 64-bit
+    // integer — multiply-before-divide, integer mod — so both engines
+    // agree bit-for-bit with no rounding idiom needed. Plan: one doc-level
+    // map + one source agg + a |sources|-row window — corpus-scale cost is
+    // the token count, the apportionment is free.
+    Q("x116_apportion",
+      """WITH d AS (SELECT source,
+        |             CAST(size(filter(split(LOWER(text), ' '), t -> t <> '')) AS BIGINT) AS ntoks
+        |           FROM documents),
+        |w AS (SELECT source, CAST(SUM(ntoks) AS BIGINT) AS toks FROM d GROUP BY source),
+        |t AS (SELECT CAST(SUM(toks) AS BIGINT) AS tot FROM w),
+        |b AS (SELECT source, toks,
+        |        CAST(10000 * toks DIV (SELECT tot FROM t) AS BIGINT) AS base,
+        |        CAST(10000 * toks % (SELECT tot FROM t) AS BIGINT) AS rem
+        |      FROM w),
+        |r AS (SELECT source, toks, base, rem,
+        |        ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+        |        (SELECT CAST(10000 - SUM(base) AS BIGINT) FROM b) AS leftover
+        |      FROM b)
+        |SELECT source, toks,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r ORDER BY source""".stripMargin,
+      """WITH d AS (SELECT source,
+        |             CAST(len(list_filter(string_split(LOWER(text), ' '), t -> t <> '')) AS BIGINT) AS ntoks
+        |           FROM documents),
+        |w AS (SELECT source, CAST(SUM(ntoks) AS BIGINT) AS toks FROM d GROUP BY source),
+        |t AS (SELECT CAST(SUM(toks) AS BIGINT) AS tot FROM w),
+        |b AS (SELECT source, toks,
+        |        CAST(10000 * toks // (SELECT tot FROM t) AS BIGINT) AS base,
+        |        CAST(10000 * toks % (SELECT tot FROM t) AS BIGINT) AS rem
+        |      FROM w),
+        |r AS (SELECT source, toks, base, rem,
+        |        ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+        |        (SELECT CAST(10000 - SUM(base) AS BIGINT) FROM b) AS leftover
+        |      FROM b)
+        |SELECT source, toks,
+        |  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r ORDER BY source""".stripMargin),
+
     // x49 (B73) language identification via per-language stopword hit counts
     // — pure higher-order-function pipeline, one scan, no shuffle.
     Q("x49_lang_id",
