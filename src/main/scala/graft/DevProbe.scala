@@ -13,6 +13,7 @@ import org.apache.spark.sql.SparkSession
 object DevProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -30,9 +31,9 @@ object DevProbe {
         case None => println(s"[probe] $name: no such query")
         case Some(fn) =>
           val t0 = System.nanoTime()
-          fn(spark, "/root/testdata/sf0.01")
+          fn(spark, warmDir)
             .write.format("noop").mode("overwrite").save()
-          println(f"[probe] $name warm sf0.01 ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+          println(f"[probe] $name warm $warmDir ${(System.nanoTime() - t0) / 1e9}%8.2f s")
           spark.catalog.clearCache()
           (1 to 3).foreach { i =>
             val t1 = System.nanoTime()

@@ -2430,9 +2430,13 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     journalCloseStream()
     Files.deleteIfExists(r.resolve("journal.jsonl"))
     // GC: retain the last `retainVersions` snapshots (≥2 so readers
-    // mid-swap always have the previous one); older dirs are dropped —
+    // mid-swap always have the previous one); sweep EVERY older dir, not
+    // just the one that crossed the horizon this checkpoint — the knob
+    // can be lowered between runs (5 → 2) and the horizon must hold —
     // the retention horizon of [[tableAsOf]], exactly a lakehouse VACUUM
-    deleteRecursively(r.resolve(s"v${version - retainVersions}"))
+    versions().foreach { v =>
+      if (v <= version - retainVersions) deleteRecursively(r.resolve(s"v$v"))
+    }
   }
 
   // Snapshot retention for time-travel reads (-Dgraft.retainVersions=N,

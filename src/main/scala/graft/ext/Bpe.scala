@@ -1,5 +1,6 @@
 package graft.ext
 
+import Stages.StageOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -48,7 +49,7 @@ object Bpe {
       .select(expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))")
         .as("syms"))
-      .localCheckpoint()
+      .stageMaterialize
 
     val merges = Seq.newBuilder[(String, String, Long)]
     var i = 0
@@ -75,7 +76,7 @@ object Bpe {
         case Some((a, b, n)) =>
           merges += ((a, b, n))
           syms = syms.select(expr(mergeFoldSql("syms", a, b)).as("syms"))
-            .localCheckpoint()
+            .stageMaterialize
           i += 1
       }
     }
@@ -143,7 +144,7 @@ object Bpe {
         |      FROM (SELECT explode(filter(split(LOWER(text), ' '),
         |                                  x -> x <> '')) AS w
         |            FROM documents)
-        |      GROUP BY w)""".stripMargin).localCheckpoint()
+        |      GROUP BY w)""".stripMargin).stageMaterialize
     var k = 0
     var exhausted = false
     while (k < 5 && !exhausted) {
@@ -162,7 +163,7 @@ object Bpe {
         val (a, b) = (top.head.getString(0), top.head.getString(1))
         cur = cur.select(col("w"), col("cnt"),
           org.apache.spark.sql.functions.expr(mergeFoldSql("syms", a, b))
-            .as("syms")).localCheckpoint()
+            .as("syms")).stageMaterialize
         k += 1
       }
     }

@@ -1,5 +1,6 @@
 package graft.ext
 
+import Stages.StageOps
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -65,7 +66,7 @@ object Clustering {
     graft.functions.GraftFunctions.register(spark)
     Tables.ensure(spark, dir)
     val e = spark.table("embeddings").select("vec_id", "embedding")
-      .localCheckpoint() // iterated over; cut lineage once
+      .stageMaterialize // iterated over; cut lineage once
     val dim = e.select(size(col("embedding"))).head.getInt(0)
 
     var centroids: Array[(Int, Array[Double])] =
@@ -145,7 +146,7 @@ object Clustering {
         col("embedding"))
       // reused by both sides of the pair join AND the final projection —
       // materialize once instead of re-scanning and re-assigning 3×
-      .localCheckpoint()
+      .stageMaterialize
     val dropped = assigned.alias("a").join(assigned.alias("b"),
         col("a.cid") === col("b.cid") &&
           col("a.vec_id") < col("b.vec_id") &&

@@ -1,5 +1,6 @@
 package graft.ext
 
+import Stages.StageOps
 import org.apache.spark.sql.{DataFrame, functions => F}
 import org.apache.spark.sql.functions.{coalesce, col, least, lit, min}
 
@@ -43,10 +44,10 @@ object Components {
     val e = edges.select(col(srcCol).as("s"), col(dstCol).as("t"))
     // Symmetrize once: propagation must flow both directions.
     val sym = e.union(e.select(col("t").as("s"), col("s").as("t")))
-      .localCheckpoint()
+      .stageMaterialize
 
     var labels = nodes.select(col("id"), col("id").as("label"))
-      .localCheckpoint()
+      .stageMaterialize
     var iter = 0
     var changed = 1L
     while (changed > 0) {
@@ -68,7 +69,7 @@ object Components {
           least(col("label"), coalesce(col("nlab"), col("label")))
             .as("label"),
           col("label").as("prev"))
-        .localCheckpoint()
+        .stageMaterialize
       changed = next.filter(col("label") < col("prev")).count()
       labels.unpersist()
       labels = next.drop("prev")

@@ -1,5 +1,6 @@
 package graft.ext
 
+import Stages.StageOps
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -183,7 +184,7 @@ object Dedup {
       // sampling pass would otherwise re-execute the whole pair-expansion
       // + verify pipeline (measured: the sort cost 14.5 s unmaterialized
       // vs ~1 s over checkpointed rows at sf0.1)
-      .localCheckpoint()
+      .stageMaterialize
       .orderBy("doc_a", "doc_b")
   }
 
@@ -335,7 +336,7 @@ object Dedup {
     graft.functions.GraftFunctions.register(spark)
     Tables.ensure(spark, dir)
     def ckpt(sql: String, view: String): Unit =
-      spark.sql(sql).localCheckpoint().createOrReplaceTempView(view)
+      spark.sql(sql).stageMaterialize.createOrReplaceTempView(view)
 
     // unigram candidate+verify stage (shared with x75; see below)
     unigramPairs(spark, threshold).createOrReplaceTempView("__x54_q")
@@ -382,7 +383,7 @@ object Dedup {
       // boundaries, and an unmaterialized child means the whole verify
       // pipeline executes twice. The (much smaller) verified-pair result
       // makes the sampling pass a cheap block-manager re-read.
-      .localCheckpoint()
+      .stageMaterialize
       .orderBy("doc_a", "doc_b")
     // drop the scaffolding views: the returned plan holds the checkpointed
     // RDDs directly, and dangling view references would pin their blocks in
@@ -405,22 +406,23 @@ object Dedup {
     * pairs with word-set Jaccard >= threshold, each emitted exactly once,
     * with the raw (un-rounded) j1. Shared by x54 (which joins the trigram
     * arrays back for j3) and x75 (which feeds the pairs to [[Components]]
-    * as the near-dup graph edge set). Returns a localCheckpoint()ed frame
+    * as the near-dup graph edge set). Returns a stage-materialized frame
     * (doc_a, doc_b, j1) — callers pay no recomputation when they branch.
     * Caller must have run Tables.ensure + GraftFunctions.register.
     *
-    * Each intermediate is localCheckpoint()ed: (a) the lineage truncation
-    * keeps Spark's DeduplicateRelations from flakily throwing
-    * UnresolvedException when a windowed+joined subtree is referenced
-    * multiple times through CTE inlining, and (b) each stage is computed
-    * exactly once (the monolithic-CTE formulation recomputed the
+    * Each intermediate is materialized via [[Stages.materialize]]: (a) the
+    * lineage truncation keeps Spark's DeduplicateRelations from flakily
+    * throwing UnresolvedException when a windowed+joined subtree is
+    * referenced multiple times through CTE inlining, and (b) each stage is
+    * computed exactly once (the monolithic-CTE formulation recomputed the
     * interpreted-lambda tokenization per referencing branch — 3× cost).
-    * On a cluster these would be checkpoint/bucketed intermediate tables.
+    * On a cluster run with `-Dgraft.stageMaterialize=reliable|table` these
+    * become fault-tolerant checkpoints / parquet intermediate tables.
     */
   private[ext] def unigramPairs(spark: SparkSession,
                                 threshold: Double): DataFrame = {
     def ckpt(sql: String, view: String): Unit =
-      spark.sql(sql).localCheckpoint().createOrReplaceTempView(view)
+      spark.sql(sql).stageMaterialize.createOrReplaceTempView(view)
 
     spark.sql(tokenPosSql).createOrReplaceTempView("__x54u_tp")
     // per-lang df-ascending dictionary: token → rank (rarest first)
@@ -514,7 +516,7 @@ object Dedup {
          |WHERE prank - 1 = lowbit
          |  AND CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)
          |        >= $threshold""".stripMargin)
-      .localCheckpoint()
+      .stageMaterialize
     Seq("__x54u_tp", "__x54_v1", "__x54_r1", "__x54_pf")
       .foreach(spark.catalog.dropTempView)
     out
@@ -585,7 +587,7 @@ object Dedup {
       }
     // materialize before the global sort — the range sampling pass would
     // re-execute the chunk join + pair expansion (see minhashPairsOf)
-    pairs.localCheckpoint().orderBy("doc_a", "doc_b")
+    pairs.stageMaterialize.orderBy("doc_a", "doc_b")
   }
 
   /** x75: near-duplicate GROUPS from near-duplicate PAIRS — the retention
@@ -691,7 +693,7 @@ object Dedup {
         |SELECT doc_id, lang, sort_array(collect_list(xxhash64(tok))) AS h3,
         |       COUNT(*) AS n3
         |FROM tri GROUP BY doc_id, lang""".stripMargin)
-      .localCheckpoint()
+      .stageMaterialize
       .createOrReplaceTempView("__x82_t3")
     val out = spark.sql(
       s"""WITH probe_pf AS (
@@ -727,7 +729,7 @@ object Dedup {
          |LEFT JOIN __x82_t3 t ON t.doc_id = d.doc_id
          |LEFT JOIN m ON m.probe = d.doc_id
          |ORDER BY d.doc_id""".stripMargin)
-      .localCheckpoint()
+      .stageMaterialize
     Seq("__x82_docs", "__x82_tp", "__x82_t3")
       .foreach(spark.catalog.dropTempView)
     out
@@ -766,7 +768,7 @@ object Dedup {
       .selectExpr("doc_a", "doc_b",
         "CAST(levenshtein(ta, tb) AS INT) AS lev",
         "CAST((length(ta) = length(tb)) AS INT) AS same_len")
-      .localCheckpoint()
+      .stageMaterialize
     scored.orderBy("doc_a", "doc_b")
   }
 

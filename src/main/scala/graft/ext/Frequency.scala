@@ -20,13 +20,18 @@ object Frequency {
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.ensure(spark, dir)
+    // materialize the token explode once — the sketch pass and the exact
+    // top-20 pass both scan it, and re-exploding the corpus is the whole
+    // cost of this row
     val toks = spark.sql(
       """SELECT explode(filter(split(LOWER(text), ' '), x -> x <> '')) AS tok
-        |FROM documents""".stripMargin).as[String]
-    val sketch = toks.select(CountMin.agg.toColumn).head()
-    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("tok")).limit(20)
-      .as[(String, Long)].collect()
+        |FROM documents""".stripMargin).as[String].persist()
+    val (sketch, top) = try {
+      (toks.select(CountMin.agg.toColumn).head(),
+        toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tok")).limit(20)
+          .as[(String, Long)].collect())
+    } finally toks.unpersist()
     top.map { case (tok, c) =>
       (tok, c, CountMin.estimate(sketch, tok) >= c)
     }.toSeq.toDF("tok", "c", "est_ok")

@@ -1,5 +1,6 @@
 package graft.ext
 
+import Stages.StageOps
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -54,7 +55,7 @@ object Pipeline {
       if (stripBoilerplate)
         Extensions.stripBoilerplate(spark.table("documents"),
             boilerplateMinDf)
-          .localCheckpoint()
+          .stageMaterialize
       else spark.table("documents")
 
     // one scan computes every per-doc feature the stages need
@@ -85,7 +86,7 @@ object Pipeline {
         fr(col("punct").cast("double") /
           greatest(col("nchars"), lit(1)).cast("double"), 10000.0) <= 0.1 &&
         col("stop_hits") >= 2)
-      .localCheckpoint()
+      .stageMaterialize
     val afterRules = rules.count()
 
     // x96: x50's quality score, floor-rounded BEFORE ranking; keep the
@@ -103,7 +104,7 @@ object Pipeline {
       .withColumn("cnt", count(lit(1)).over(wLang))
       .filter(col("rn") * 4 <= col("cnt") * 3)
       .drop("rn", "cnt")
-      .localCheckpoint()
+      .stageMaterialize
     val afterQuality = quality.count()
 
     // q46/x53: exact dedup on whitespace-normalized text, keep-first
@@ -125,7 +126,7 @@ object Pipeline {
           .cast("binary")))
       .withColumn("rn", row_number().over(setW))
       .filter(col("rn") === 1).drop("rn")
-      .localCheckpoint()
+      .stageMaterialize
     val afterNear = near.count()
 
     // x94: temperature sampling — per-lang quota ∝ ⌊√tokenMass·1000⌋,
@@ -148,7 +149,7 @@ object Pipeline {
         col("doc_id"))))
       .filter(col("rn") <= col("quota"))
       .drop("rn", "quota")
-      .localCheckpoint()
+      .stageMaterialize
     val afterSampling = sampled.count()
 
     // x72: greedy per-lang sequence packing in doc_id order (greedyPack

@@ -1,5 +1,6 @@
 package graft.ext
 
+import Stages.StageOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
@@ -98,7 +99,7 @@ object Rank {
     val edgeSql =
       full.substring(0, full.indexOf(",\ndeg AS")) + "\nSELECT * FROM edges"
     require(cut > 0, "rankSql shape changed; update the split point")
-    val edges = spark.sql(edgeSql).localCheckpoint()
+    val edges = spark.sql(edgeSql).stageMaterialize
     edges.createOrReplaceTempView("__x105_edges")
     val tail = full.substring(full.indexOf("deg AS"))
     spark.sql("WITH edges AS (SELECT * FROM __x105_edges),\n" + tail)

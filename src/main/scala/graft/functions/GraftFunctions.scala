@@ -134,6 +134,11 @@ object GraftFunctions {
     "")
 
   def register(spark: SparkSession): Unit = {
+    // idempotent per session: operators call this defensively before use,
+    // so skip (and silence the registry's "replaced a previously
+    // registered function" warnings) once the suite is already installed
+    if (spark.sessionState.functionRegistry
+          .functionExists(FunctionIdentifier("minhash_sig"))) return
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cosine_sim"), cosineInfo, cosineBuilder _)
     spark.sessionState.functionRegistry.registerFunction(

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.functions.{abs, col, hash}
+import org.apache.spark.sql.functions.{col, hash, lit, pmod}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming heavy hitters via Space-Saving (Metwally et al.) — the
@@ -57,10 +57,12 @@ object FrequencyStream {
     import spark.implicits._
 
     // per-batch pre-aggregation happens inside the state function on the
-    // iterator (cheap, per-group); the bucket key is a plain hash mod
+    // iterator (cheap, per-group); the bucket key is pmod, NOT abs(..)%:
+    // abs(Int.MinValue) == Int.MinValue, so abs%b can yield a negative
+    // bucket id for hash collisions on that one value — pmod is total
     val keyed = tokens
       .select(col("token"),
-        (abs(hash(col("token"))) % buckets).cast("int").as("bucket"))
+        pmod(hash(col("token")), lit(buckets)).cast("int").as("bucket"))
       .as[(String, Int)]
 
     keyed.groupByKey(_._2)

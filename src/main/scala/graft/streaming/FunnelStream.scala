@@ -100,12 +100,23 @@ object FunnelStream {
                 }
             }
             if (cur.step > 0) {
-              state.update(cur)
               // reclaim once the funnel can no longer advance; never set a
-              // timeout behind the current watermark (the API rejects it)
+              // timeout behind the current watermark (the API rejects it).
+              // If the horizon is ALREADY behind the watermark (a chatty
+              // user emitting only non-advancing events would otherwise
+              // re-arm to wm+60s forever), emit the abandonment inline and
+              // drop state now — keeps the O(active users) bound honest.
               val wm = state.getCurrentWatermarkMs()
-              state.setTimeoutTimestamp(
-                math.max(cur.stepMs + horMs, wm + 60000L))
+              if (cur.stepMs + horMs > wm) {
+                state.update(cur)
+                state.setTimeoutTimestamp(cur.stepMs + horMs)
+              } else {
+                state.remove()
+                if (cur.step < steps.length)
+                  out += FunnelEvent(userId, cur.step, steps(cur.step - 1),
+                    new java.sql.Timestamp(cur.stepMs),
+                    (cur.stepMs - cur.startMs) / 1000L, abandoned = true)
+              }
             }
             out.result().iterator
           }
