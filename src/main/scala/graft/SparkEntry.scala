@@ -216,6 +216,15 @@ object SparkEntry {
       // trajectories. See ext/Rank.
       "x105_pagerank" -> ((s: SparkSession, d: String) =>
         graft.ext.Rank.hostRankQuery(s, d)),
+      // x104/x109: override the SQL-text variants in Extensions — same
+      // oracles, but the fingerprint frame (x104) and the mirror-edge set
+      // (x109, = x105's) come from the session shared-stage registry, so
+      // running the three graph rows in one session derives each
+      // corpus-scale stage once. See ext/CorpusGraph.
+      "x104_overlap_matrix" -> ((s: SparkSession, d: String) =>
+        graft.ext.CorpusGraph.overlapMatrixQuery(s, d)),
+      "x109_triangles" -> ((s: SparkSession, d: String) =>
+        graft.ext.CorpusGraph.trianglesQuery(s, d)),
       // q86: interval overlap self-join — every pair of same-user events
       // whose 5-minute windows overlap, via the time-banded equi-join in
       // operators/IntervalJoin (the q56 banding idea on the time axis);

@@ -21,6 +21,12 @@ object Tables {
 
   private val RegisteredKey = "graft.registered.dir"
 
+  /** The data dir whose views are currently registered in `spark` (None
+    * before the first [[ensure]]) — the cache key the shared-stage
+    * registry ([[graft.ext.Stages.shared]]) scopes its entries to. */
+  def registeredDir(spark: SparkSession): Option[String] =
+    spark.conf.getOption(RegisteredKey)
+
   /** Register all testdata views for `dir` (idempotent).
     *
     * events.parquet has stored ts in two encodings across testdata

@@ -420,6 +420,16 @@ object Dedup {
     * become fault-tolerant checkpoints / parquet intermediate tables.
     */
   private[ext] def unigramPairs(spark: SparkSession,
+                                threshold: Double): DataFrame =
+    // shared across x54 (trigram join-back), x75 (component edges) and
+    // x108 (keep-best on x75) — one PPJoin per (session, dir, threshold);
+    // the returned frame is fully materialized and its temp views dropped,
+    // so the cached value is self-contained
+    Stages.shared(spark, "unigramPairs", s"t=$threshold") {
+      unigramPairsBuild(spark, threshold)
+    }
+
+  private def unigramPairsBuild(spark: SparkSession,
                                 threshold: Double): DataFrame = {
     def ckpt(sql: String, view: String): Unit =
       spark.sql(sql).stageMaterialize.createOrReplaceTempView(view)
@@ -779,12 +789,18 @@ object Dedup {
     // (recall 1) at the threshold, one emission per pair, no all-pairs
     // stage — the naive within-lang token co-occurrence join formulation
     // is value-identical (the x54 oracle pins that) but quadratic in each
-    // token's posting list.
-    val edges = unigramPairs(spark, 0.8)
-    val nodes = spark.table("documents").select(col("doc_id").as("id"))
-    Components.minLabelPropagation(nodes, edges, "doc_a", "doc_b")
-      .select(col("id").as("doc_id"), col("label").cast("long").as("comp"))
-      .orderBy("doc_id")
+    // token's posting list. The label frame is itself a shared stage (the
+    // propagation is deterministic), so x108's keep-best resolution costs
+    // its join + window, not a second propagation.
+    val labels = Stages.shared(spark, "components", "t=0.8") {
+      val edges = unigramPairs(spark, 0.8)
+      val nodes = spark.table("documents").select(col("doc_id").as("id"))
+      Stages.materialize(
+        Components.minLabelPropagation(nodes, edges, "doc_a", "doc_b")
+          .select(col("id").as("doc_id"),
+            col("label").cast("long").as("comp")))
+    }
+    labels.orderBy("doc_id")
   }
 
   /** x108: keep-BEST dedup — x75's transitive dup groups resolved by a

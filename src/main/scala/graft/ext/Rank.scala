@@ -87,21 +87,23 @@ object Rank {
       |      list_filter(string_split(LOWER(text), ' '), t -> t <> ''))), ' '))"""
       .stripMargin)
 
-  /** Spark side of x105 — the shared SQL with the corpus-scale edge stage
-    * materialized once (localCheckpoint), so the 5 iteration levels replay
-    * over the tiny host graph instead of re-deriving the fingerprint join
-    * per level (Spark inlines CTEs; the duck twin runs at sf0.01 where the
-    * 5× re-derivation is free). */
+  /** Spark side of x105 — the corpus-scale stage is the SHARED mirror-pair
+    * set ([[CorpusGraph.mirrorPairs]], also x109's edge set and derived
+    * from x104's fingerprint stage), materialized once per session; the 5
+    * iteration levels replay over the tiny host graph instead of
+    * re-deriving the fingerprint join per level (Spark inlines CTEs; the
+    * duck twin runs at sf0.01 where the 5× re-derivation is free). */
   def hostRankQuery(spark: SparkSession, dir: String): DataFrame = {
     Tables.ensure(spark, dir)
+    CorpusGraph.mirrorPairs(spark, dir).createOrReplaceTempView("__x105_pairs")
     val full = sparkSql
     val cut = full.indexOf("deg AS")
-    val edgeSql =
-      full.substring(0, full.indexOf(",\ndeg AS")) + "\nSELECT * FROM edges"
     require(cut > 0, "rankSql shape changed; update the split point")
-    val edges = spark.sql(edgeSql).stageMaterialize
-    edges.createOrReplaceTempView("__x105_edges")
-    val tail = full.substring(full.indexOf("deg AS"))
-    spark.sql("WITH edges AS (SELECT * FROM __x105_edges),\n" + tail)
+    val tail = full.substring(cut)
+    spark.sql(
+      """WITH edges AS (SELECT s1 AS src, s2 AS dst FROM __x105_pairs
+        |               UNION ALL
+        |               SELECT s2 AS src, s1 AS dst FROM __x105_pairs),
+        |""".stripMargin + tail)
   }
 }

@@ -95,4 +95,52 @@ object Stages {
   implicit class StageOps(private val df: DataFrame) extends AnyVal {
     def stageMaterialize: DataFrame = materialize(df)
   }
+
+  // ---------------------------------------------------------------------
+  // Session-level shared-stage registry (VERDICT r9 next-round #4).
+  //
+  // Several driver rows branch off the SAME corpus-scale intermediate:
+  // x54/x75/x108 all need the PPJoin unigram pair set, x104/x105/x109 all
+  // need the word-set-fingerprint frame (and x105/x109 the mirror-edge
+  // set derived from it). Each row stays independently correct — a cache
+  // MISS recomputes exactly what the row computed before — but a library
+  // user composing these operators in one session should pay the
+  // corpus-scale stage once, the `Tables.ensure` idempotence pattern
+  // applied to derived stages.
+  //
+  // Keyed per (session, registered data dir, materialize mode, stage,
+  // params); at most ONE live entry per (session, mode, stage, params) —
+  // looking the stage up under a different data dir drops the stale
+  // entry (releasing its localCheckpoint blocks / checkpoint refs to the
+  // ContextCleaner) and rebuilds, so a session that walks multiple scale
+  // factors (Bench: warmup sf0.01, timed sf0.1) never reads stale data
+  // and never accretes per-dir copies.
+  // ---------------------------------------------------------------------
+
+  private final case class SharedKey(session: Int, mode: String,
+                                     stage: String, params: String)
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[SharedKey, (String, DataFrame)]()
+  private val buildCounter = new AtomicLong(0)
+
+  /** Number of shared-stage BUILDS so far (cache misses) — observability
+    * for specs and perf triage; a hit leaves it unchanged. */
+  def sharedBuilds: Long = buildCounter.get()
+
+  /** Drop every cached shared stage (tests; or to force re-derivation). */
+  def clearShared(): Unit = registry.clear()
+
+  /** Return the materialized stage `stage(params)` for this session and
+    * its currently registered data dir, building (and caching) it with
+    * `build` on first use. `build` MUST return an already-materialized,
+    * self-contained frame (run it through [[materialize]]; do not leave
+    * temp-view references live in its plan). */
+  def shared(spark: org.apache.spark.sql.SparkSession, stage: String,
+             params: String = "")(build: => DataFrame): DataFrame = {
+    val dir = graft.Tables.registeredDir(spark).getOrElse("")
+    val key = SharedKey(System.identityHashCode(spark), mode, stage, params)
+    registry.compute(key, (_, cur) =>
+      if (cur != null && cur._1 == dir) cur
+      else { buildCounter.incrementAndGet(); (dir, build) })._2
+  }
 }
