@@ -2,7 +2,7 @@ package graft.engine
 
 import graft.command._
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, lit}
+import org.apache.spark.sql.functions.{broadcast, col, expr, lit}
 import org.apache.spark.sql.types._
 import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import scala.collection.mutable
@@ -142,7 +142,14 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
 
   def close(): Either[String, Unit] = lock.synchronized {
     if (closed) Left("db connection is already closed")
-    else { closed = true; journalCloseStream(); Right(()) }
+    else {
+      closed = true; journalCloseStream()
+      // live Big bucket files are session-scoped (snapshots under v{N}/
+      // are the durable form) — reclaim them on clean close
+      try root.foreach(r => deleteRecursively(r.resolve("big")))
+      catch { case _: Exception => }
+      Right(())
+    }
   }
 
   def enableFkConstraints(flag: Boolean): Unit =
@@ -1856,16 +1863,27 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             validate(work, td, newRows, changed.map(_._2))
               .map { _ => ts.store = Mem(newRows); affected }
           case big: Big =>
-            // copy-on-write as a Spark job: reproject every row (the CASE
-            // keeps unaffected rows bit-identical), validate the affected
-            // subset with distributed checks, then swap the version
+            // copy-on-write as a Spark job: validate the affected subset
+            // with distributed checks, then swap the version. Disk-backed
+            // dbs rewrite ONLY the rowid buckets holding matching rows
+            // (partition-scoped, see the Big-bucket helpers); memory dbs
+            // reproject every row (the CASE keeps unaffected rows
+            // bit-identical) into a fresh localCheckpoint.
             val newDf = session.sql(
               s"SELECT `__ord`, `__rowid`, $proj FROM ${ridView(td.name)}")
             val changedDf = session.sql(
               s"SELECT `__ord`, `__rowid`, $proj FROM ${ridView(td.name)} " +
                 s"WHERE $cond")
             validateUpdateBig(work, td, newDf, changedDf).map { _ =>
-              ts.store = Big(newDf.localCheckpoint(), big.n, big.nextOrd)
+              ts.store =
+                if (root.isEmpty)
+                  Big(newDf.localCheckpoint(), big.n, big.nextOrd)
+                else Option(bigParts.get(big.df)) match {
+                  case None =>
+                    bigPartitionedFull(td.name, newDf, big.n, big.nextOrd)
+                  case Some(files) =>
+                    bigScopedUpdate(td.name, big, files, cond, proj)
+                }
               affected
             }
         }
@@ -1929,11 +1947,12 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
               ts.store = Mem(remaining)
               doomed.size.toLong
             }
-          case _: Big =>
+          case big: Big =>
             // copy-on-write as a Spark job: count the doomed rows, derive
             // the remaining version (a NULL predicate keeps the row, like
             // WHERE-filter semantics on the Mem path), guard FKs with
-            // anti-joins, then swap the version
+            // anti-joins, then swap the version. Disk-backed dbs rewrite
+            // only the rowid buckets holding doomed rows.
             val affected = session.sql(
               s"SELECT COUNT(*) FROM ${ridView(ts.d.name)} WHERE $cond")
               .head.getLong(0)
@@ -1941,7 +1960,15 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
               s"SELECT * FROM ${ridView(ts.d.name)} " +
                 s"WHERE NOT COALESCE($cond, false)")
             fkDeleteGuard(work, ts, Right(remainingDf), Set.empty).map { _ =>
-              ts.store = mkBig(remainingDf)
+              ts.store =
+                if (root.isEmpty) mkBig(remainingDf)
+                else Option(bigParts.get(big.df)) match {
+                  case None =>
+                    bigPartitionedFull(ts.d.name, remainingDf,
+                      big.n - affected, big.nextOrd)
+                  case Some(files) =>
+                    bigScopedDelete(ts.d.name, big, files, cond, affected)
+                }
               affected
             }
         }
@@ -2179,6 +2206,131 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     val c = df.localCheckpoint()
     val r = c.selectExpr("count(*) AS c", "coalesce(max(__ord), -1) AS m").head()
     Big(c, r.getLong(0), r.getLong(1) + 1L)
+  }
+
+  // ---------- partition-scoped Big mutations (disk-backed dbs) -----------
+  // SURVEY §7.6: at 100 TB a whole-table copy-on-write per UPDATE/DELETE is
+  // the wrong cost model — mutations must rewrite only the partitions whose
+  // rows match the predicate. Disk-backed databases therefore keep each Big
+  // version as parquet files bucketed by __rowid range (`__pid = __rowid
+  // DIV graft.bigPartRows`): the FIRST partition-scoped statement on a
+  // version writes the full bucketed layout once; every subsequent
+  // UPDATE/DELETE computes its touched bucket set from the predicate,
+  // writes a new generation for ONLY those buckets, and the new version
+  // references the untouched buckets' existing files verbatim — zero data
+  // movement for them (BigTableSpec pins byte-identity). Any OTHER mutation
+  // shape (insert merge, ON CONFLICT, ALTER) swaps in a version without
+  // bucket metadata, and the next UPDATE/DELETE re-buckets — self-healing
+  // by construction because metadata is keyed on the immutable version's
+  // identity. Old-generation files are GC'd at open (stale from a previous
+  // process) and close, never mid-session: the lock-free `none`-level
+  // readers may hold any committed version's DataFrame, and versions never
+  // outlive the session (snapshots — the durable form — are separate full
+  // copies under v{N}/). Memory-backed dbs keep the localCheckpoint path.
+
+  /** Rows per rowid bucket (`-Dgraft.bigPartRows=N`; specs use a tiny
+    * value). Bucketing by rowid RANGE makes fresh inserts land in the tail
+    * bucket only, and point/range predicates on the rowid alias prune to
+    * their buckets arithmetically. */
+  private val bigPartRows: Long =
+    math.max(1L, sys.props.get("graft.bigPartRows").map(_.toLong)
+      .getOrElse(1L << 20))
+  /** pid → that bucket's parquet paths, keyed by the owning version's
+    * DataFrame identity (versions are immutable; a rolled-back or
+    * superseded version simply stops being looked up). */
+  private val bigParts =
+    new java.util.IdentityHashMap[DataFrame, Map[Long, Seq[String]]]()
+  private val bigGen = mutable.Map.empty[String, Long].withDefaultValue(0L)
+
+  private def bigPidExpr = s"`__rowid` DIV $bigPartRows"
+
+  private def nextBigGenDir(t: String): Path = {
+    val g = bigGen(t) + 1
+    bigGen(t) = g
+    root.get.resolve("big").resolve(t).resolve(s"g$g")
+  }
+
+  private def listPidDirs(out: Path): Map[Long, Seq[String]] =
+    if (!Files.exists(out)) Map.empty
+    else {
+      val s = Files.list(out)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("__pid="))
+        .map(p => p.getFileName.toString.stripPrefix("__pid=").toLong ->
+          Seq(p.toString))
+        .toMap
+      finally s.close()
+    }
+
+  /** Assemble a Big version from bucket files and record its bucket map. */
+  private def bigFromFiles(files: Map[Long, Seq[String]], n: Long,
+                           nextOrd: Long, schema: StructType): Big = {
+    val paths = files.values.flatten.toSeq
+    val df =
+      if (paths.isEmpty)
+        session.createDataFrame(session.sparkContext.emptyRDD[Row], schema)
+      else session.read.parquet(paths: _*)
+    bigParts.put(df, files)
+    Big(df, n, nextOrd)
+  }
+
+  /** Full bucketed write of `df` — the lazy first materialization of the
+    * partition-scoped layout (also the fallback when a statement touches
+    * most buckets: one sequential write beats bucket-count small jobs). */
+  private def bigPartitionedFull(t: String, df: DataFrame, n: Long,
+                                 nextOrd: Long): Big = {
+    val out = nextBigGenDir(t)
+    df.withColumn("__pid", expr(bigPidExpr))
+      .write.partitionBy("__pid").mode("overwrite").parquet(out.toString)
+    bigFromFiles(listPidDirs(out), n, nextOrd, df.schema)
+  }
+
+  /** The touched bucket set of a predicate against the current version. */
+  private def bigTouchedPids(tname: String, cond: String): Set[Long] =
+    session.sql(s"SELECT DISTINCT $bigPidExpr AS p FROM ${ridView(tname)} " +
+        s"WHERE $cond")
+      .collect().map(_.getLong(0)).toSet
+
+  /** Partition-scoped UPDATE: rewrite only the buckets holding matching
+    * rows; untouched buckets keep their files. `proj` is the CASE-guarded
+    * column projection the full-rewrite path uses. */
+  private def bigScopedUpdate(tname: String, big: Big,
+                              files: Map[Long, Seq[String]], cond: String,
+                              proj: String): Big = {
+    val touched = bigTouchedPids(tname, cond)
+    if (touched.isEmpty) return big
+    if (2 * touched.size >= files.size)
+      return bigPartitionedFull(tname, session.sql(
+        s"SELECT `__ord`, `__rowid`, $proj FROM ${ridView(tname)}"),
+        big.n, big.nextOrd)
+    val out = nextBigGenDir(tname)
+    session.sql(s"SELECT `__ord`, `__rowid`, $proj FROM ${ridView(tname)} " +
+        s"WHERE $bigPidExpr IN (${touched.mkString(",")})")
+      .withColumn("__pid", expr(bigPidExpr))
+      .write.partitionBy("__pid").mode("overwrite").parquet(out.toString)
+    bigFromFiles(files -- touched ++ listPidDirs(out), big.n, big.nextOrd,
+      big.df.schema)
+  }
+
+  /** Partition-scoped DELETE: rewrite the touched buckets to their
+    * surviving rows (a fully-emptied bucket just leaves the version). */
+  private def bigScopedDelete(tname: String, big: Big,
+                              files: Map[Long, Seq[String]], cond: String,
+                              affected: Long): Big = {
+    val touched = bigTouchedPids(tname, cond)
+    if (touched.isEmpty) return big
+    if (2 * touched.size >= files.size)
+      return bigPartitionedFull(tname, session.sql(
+        s"SELECT * FROM ${ridView(tname)} WHERE NOT COALESCE($cond, false)"),
+        big.n - affected, big.nextOrd)
+    val out = nextBigGenDir(tname)
+    session.sql(s"SELECT * FROM ${ridView(tname)} " +
+        s"WHERE $bigPidExpr IN (${touched.mkString(",")}) " +
+        s"AND NOT COALESCE($cond, false)")
+      .withColumn("__pid", expr(bigPidExpr))
+      .write.partitionBy("__pid").mode("overwrite").parquet(out.toString)
+    bigFromFiles(files -- touched ++ listPidDirs(out), big.n - affected,
+      big.nextOrd, big.df.schema)
   }
 
   /** The ord/rowid-prefixed DataFrame of a store, for either representation. */
@@ -2485,6 +2637,51 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         }
     }
 
+  /** Time-travel read batch — the SQL surface over [[tableAsOf]], wired to
+    * the envelope as `/db/query?version=N` (the same query-parameter shape
+    * as `?level=`). Runs the batch's row-returning statements on a fresh
+    * session whose tables are the v{version} snapshot parquet copies, in
+    * the engine's row order with internal columns stripped. Lock-free by
+    * the same argument as the `none`-level read: snapshots are immutable
+    * full copies, and the retention GC only ever deletes versions past the
+    * horizon this method refuses to serve. */
+  def queryAsOf(req: Request, version: Long): Either[String, Seq[RowsResult]] = {
+    if (closed) return Left("db connection is already closed")
+    root match {
+      case None => Left("time travel requires a disk-backed database")
+      case Some(r) =>
+        val vdir = r.resolve(s"v$version")
+        if (!Files.isDirectory(vdir))
+          return Left(s"no snapshot at version $version " +
+            s"(retained: ${versions().mkString(",")})")
+        val s = parent.newSession()
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        val ls = Files.list(vdir)
+        try ls.forEach { p =>
+          val n = p.getFileName.toString
+          if (n.endsWith(".parquet") && Files.isDirectory(p)) {
+            val df = s.read.parquet(p.toString)
+            val cols = df.columns
+              .filterNot(c => c == "__ord" || c == "__rowid")
+            df.orderBy("__ord").select(cols.head, cols.tail: _*)
+              .createOrReplaceTempView(n.stripSuffix(".parquet"))
+          }
+        } finally ls.close()
+        val out = Seq.newBuilder[RowsResult]
+        req.statements.foreach { st =>
+          val sql = SqlText.bind(st.sql, st.parameters)
+          if (sql.trim.nonEmpty) {
+            if (!isRowReturning(sql))
+              return Left("version reads support read statements only")
+            try out += envelope(
+              s.sql(SqlText.aliasSelectList(SqlText.fixQuotedIdents(sql))))
+            catch { case e: Exception => return Left(friendlyError(e)) }
+          }
+        }
+        Right(out.result())
+    }
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       val s = Files.walk(p)
@@ -2494,6 +2691,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     }
 
   private def load(): Unit = root.foreach { r =>
+    // stale Big bucket files from a previous process (crash before close)
+    // are dead — recovery rebuilds stores from the snapshot + journal
+    try deleteRecursively(r.resolve("big"))
+    catch { case _: Exception => }
     val mf = r.resolve("manifest.json")
     if (Files.exists(mf)) {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()

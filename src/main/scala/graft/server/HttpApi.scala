@@ -57,10 +57,26 @@ final class HttpApi(db: GraftDb, port: Int = 0, threads: Int = 4,
     }
 
   /** `?level=none|weak|strong` selects the read-consistency level
-    * (rqlite's query-parameter surface; default weak). */
+    * (rqlite's query-parameter surface; default weak);
+    * `?version=N` reads the batch against snapshot version N instead
+    * (time travel — [[graft.engine.GraftDb.queryAsOf]]). */
   private def handleQuery(ex: HttpExchange): Unit = {
-    val levelParam = Option(ex.getRequestURI.getQuery).toSeq
+    val params = Option(ex.getRequestURI.getQuery).toSeq
       .flatMap(_.split("&")).map(_.split("=", 2))
+    params.collectFirst { case Array("version", v) => v }.foreach { v =>
+      v.toLongOption match {
+        case None => respond(ex, 400, s"invalid version: $v")
+        case Some(ver) => Json.parseRequest(body(ex)) match {
+          case Left(err) => respond(ex, 400, err)
+          case Right(req) => db.queryAsOf(req, ver) match {
+            case Right(rs) => respond(ex, 200, Json.rowsSeq(rs))
+            case Left(err) => respond(ex, 400, err)
+          }
+        }
+      }
+      return
+    }
+    val levelParam = params
       .collectFirst { case Array("level", v) => v }
     val level = levelParam match {
       case None => graft.engine.ReadLevel.Weak

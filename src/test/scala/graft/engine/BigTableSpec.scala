@@ -2,6 +2,7 @@ package graft.engine
 
 import graft.SparkSpec
 import graft.command._
+import scala.jdk.CollectionConverters._
 
 /** The spilled (Spark-resident) table store: once a managed table crosses
   * `maxDriverRows`, every mutation is a copy-on-write Spark job and every
@@ -352,5 +353,113 @@ class BigTableSpec extends SparkSpec {
       Seq(Statement("SELECT id FROM big"))), ReadLevel.None)
       .fold(e => fail(e), identity)
     assert(r.head.values.map(_.head) == (1L to 1001L).map(Value.Integer(_)))
+  }
+
+  // ---------- partition-scoped mutations on a disk-backed spilled table --
+
+  /** md5 of every file under the db's live Big bucket dir, keyed by path. */
+  private def bigFileHashes(dbRoot: java.nio.file.Path): Map[String, String] = {
+    val bigDir = dbRoot.resolve("big")
+    if (!java.nio.file.Files.exists(bigDir)) return Map.empty
+    val s = java.nio.file.Files.walk(bigDir)
+    try s.iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p))
+      .filterNot { p => // writer metadata, not data: _SUCCESS, .crc
+        val n = p.getFileName.toString
+        n.startsWith("_") || n.startsWith(".")
+      }
+      .map { p =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        p.toString -> md.digest(java.nio.file.Files.readAllBytes(p))
+          .map("%02x".format(_)).mkString
+      }.toMap
+    finally s.close()
+  }
+
+  private def withDiskDb[A](partRows: Long)(f: (GraftDb,
+      java.nio.file.Path) => A): A = {
+    sys.props("graft.bigPartRows") = partRows.toString
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-bigpart-")
+      val db = GraftDb.open(spark, dir.resolve("db").toString, Cap)
+        .fold(e => fail(e), identity)
+      try f(db, dir.resolve("db")) finally db.close()
+    } finally sys.props -= "graft.bigPartRows"
+  }
+
+  test("disk-backed UPDATE rewrites only the touched rowid bucket") {
+    withDiskDb(100L) { (db, dbRoot) =>
+      seedBig(db) // 1000 rows, bucket size 100 → 10 buckets
+      // first partition-scoped statement materializes the bucketed layout
+      ok(db, "UPDATE big SET v = 0 WHERE id = 50")
+      val before = bigFileHashes(dbRoot)
+      assert(before.nonEmpty, "bucketed layout not materialized")
+      // second statement touches bucket 1 (rowid 150) only
+      ok(db, "UPDATE big SET v = -5 WHERE id = 150")
+      val after = bigFileHashes(dbRoot)
+      // every pre-existing file is still there, byte-identical
+      before.foreach { case (p, h) =>
+        assert(after.get(p).contains(h), s"pre-existing file changed: $p")
+      }
+      // the new generation holds exactly the one touched bucket
+      val fresh = (after.keySet -- before.keySet).toSeq
+      assert(fresh.nonEmpty && fresh.forall(_.contains("__pid=1")),
+        s"expected only __pid=1 rewritten, saw: $fresh")
+      // values and aggregates are correct after the scoped rewrite
+      assert(longOf(db, "SELECT v FROM big WHERE id = 150") == -5L)
+      assert(longOf(db, "SELECT v FROM big WHERE id = 50") == 0L)
+      assert(longOf(db, "SELECT COUNT(*) FROM big") == 1000L)
+      // sum = 1001000 - (100 for id=50) - (300 for id=150) - 5
+      assert(longOf(db, "SELECT SUM(v) FROM big") ==
+        1001000L - 100L - 300L - 5L)
+      // insertion order intact across mixed generations
+      val ids = rows(db, "SELECT id FROM big LIMIT 5")
+        .map(_.head.asInstanceOf[Value.Integer].v)
+      assert(ids == (1L to 5L))
+    }
+  }
+
+  test("disk-backed DELETE rewrites only touched buckets; empties drop") {
+    withDiskDb(100L) { (db, dbRoot) =>
+      seedBig(db)
+      ok(db, "UPDATE big SET v = v WHERE id = 1") // materialize buckets
+      val before = bigFileHashes(dbRoot)
+      // doomed rows live in buckets 9 (901..999) and 10 (1000)
+      val r = ok(db, "DELETE FROM big WHERE id > 900")
+      assert(r.rowsAffected == 100L)
+      val after = bigFileHashes(dbRoot)
+      before.filterNot { case (p, _) =>
+        p.contains("__pid=9") || p.contains("__pid=10")
+      }.foreach { case (p, h) =>
+        assert(after.get(p).contains(h), s"untouched bucket changed: $p")
+      }
+      val fresh = (after.keySet -- before.keySet).toSeq
+      // bucket 9 is rewritten with its survivors (rowid 900); bucket 10
+      // emptied entirely — no new file for it
+      assert(fresh.forall(_.contains("__pid=9")), s"saw: $fresh")
+      assert(longOf(db, "SELECT COUNT(*) FROM big") == 900L)
+      assert(longOf(db, "SELECT MAX(id) FROM big") == 900L)
+      // constraint checks still run distributed on the bucketed store
+      assert(err(db, "INSERT INTO big VALUES (900, 1, 'dup')")
+        .startsWith("UNIQUE constraint failed"))
+    }
+  }
+
+  test("broad-predicate mutations fall back to a full bucketed rewrite") {
+    withDiskDb(100L) { (db, _) =>
+      seedBig(db)
+      // touches every bucket → full-rewrite path (2·touched ≥ buckets)
+      ok(db, "UPDATE big SET v = v + 1")
+      assert(longOf(db, "SELECT SUM(v)  FROM big") == 1001000L + 1000L)
+      ok(db, "DELETE FROM big WHERE id % 2 = 0")
+      assert(longOf(db, "SELECT COUNT(*) FROM big") == 500L)
+      assert(longOf(db, "SELECT SUM(v) FROM big") ==
+        (1L to 1000L by 2).map(_ * 2 + 1).sum)
+      // delete everything: the store survives as an empty spilled table
+      ok(db, "DELETE FROM big")
+      assert(longOf(db, "SELECT COUNT(*) FROM big") == 0L)
+      ok(db, "INSERT INTO big VALUES (1, 1, 'fresh')")
+      assert(longOf(db, "SELECT COUNT(*) FROM big") == 1L)
+    }
   }
 }

@@ -136,4 +136,43 @@ class HttpApiSpec extends SparkSpec {
         """[{"columns":["id","name","age"],"types":["integer","text","integer"],"values":[[1,"fiona",20]]}]""")
     }
   }
+
+  test("/db/query?version=N serves distinct snapshot versions (time travel)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-http-tt-")
+    val db = GraftDb.open(spark, dir.resolve("db").toString)
+      .fold(e => fail(e), identity)
+    val api = new HttpApi(db, port = 0)
+    api.start()
+    try {
+      val c = HttpClient.newHttpClient()
+      val base = s"http://127.0.0.1:${api.listeningPort}"
+      db.executeStringStmt(
+        "CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)")
+      db.executeStringStmt("INSERT INTO t VALUES (1, 'one')")
+      assert(db.checkpoint().isRight) // v1
+      db.executeStringStmt("UPDATE t SET v = 'uno' WHERE id = 1")
+      db.executeStringStmt("INSERT INTO t VALUES (2, 'two')")
+      assert(db.checkpoint().isRight) // v2
+      val q =
+        """{"request":{"transaction":false,"statements":[{"sql":"SELECT v FROM t"}]}}"""
+      val r1 = post(c, s"$base/db/query?version=1", q)
+      assert(r1.statusCode() == 200, r1.body())
+      assert(r1.body() ==
+        """[{"columns":["v"],"types":["text"],"values":[["one"]]}]""")
+      val r2 = post(c, s"$base/db/query?version=2", q)
+      assert(r2.statusCode() == 200, r2.body())
+      assert(r2.body() ==
+        """[{"columns":["v"],"types":["text"],"values":[["uno"],["two"]]}]""")
+      // expired/unknown version fails loudly, never serves current data
+      val bad = post(c, s"$base/db/query?version=99", q)
+      assert(bad.statusCode() == 400 && bad.body().contains("no snapshot"))
+      val nonNum = post(c, s"$base/db/query?version=abc", q)
+      assert(nonNum.statusCode() == 400)
+      // writes are rejected on the version surface
+      val w = post(c, s"$base/db/query?version=1",
+        """{"request":{"transaction":false,"statements":[{"sql":"DELETE FROM t"}]}}""")
+      assert(w.statusCode() == 400 &&
+        w.body().contains("read statements only"))
+    } finally { api.stop(); db.close() }
+  }
 }
