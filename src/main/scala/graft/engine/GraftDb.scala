@@ -1508,8 +1508,21 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             val o = ordByRid.getOrElse(rid, { val x = ord; ord += 1; x })
             Row.fromSeq(o +: rid +: v)
           }
-          ts.store = mkBig(keep.union(
-            session.createDataFrame(sliceRows.asJava, schema)))
+          val merged = keep.union(
+            session.createDataFrame(sliceRows.asJava, schema))
+          // partition-scoped INSERT: on a bucketed disk-backed store the
+          // changed rows are the interacting slice (replaced/relocated
+          // rowids) plus the new slice rows — plain appends touch only
+          // the tail bucket; everything else keeps its files verbatim
+          ts.store = (if (root.isEmpty) None
+                      else Option(bigParts.get(big.df))) match {
+            case None => mkBig(merged)
+            case Some(files) =>
+              val touched = (mini.map(_._1) ++ fin.map(_._1))
+                .map(_ / bigPartRows).toSet
+              bigScopedReplace(td.name, files, merged, touched,
+                big.n - mini.size + fin.size, ord)
+          }
           ts.nextRowId = nextId
           lastOpt.foreach(lastRowId = _)
           affected
@@ -2310,6 +2323,25 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       .write.partitionBy("__pid").mode("overwrite").parquet(out.toString)
     bigFromFiles(files -- touched ++ listPidDirs(out), big.n, big.nextOrd,
       big.df.schema)
+  }
+
+  /** Partition-scoped replace: rewrite exactly `touched` buckets from the
+    * already-assembled next-version frame `merged` (the INSERT path, where
+    * the changed row set is known by construction rather than by
+    * predicate). Falls back to one full bucketed write when most buckets
+    * change. */
+  private def bigScopedReplace(tname: String, files: Map[Long, Seq[String]],
+                               merged: DataFrame, touched: Set[Long],
+                               n: Long, nextOrd: Long): Big = {
+    if (touched.isEmpty) return bigFromFiles(files, n, nextOrd, merged.schema)
+    if (2 * touched.size >= files.size)
+      return bigPartitionedFull(tname, merged, n, nextOrd)
+    val out = nextBigGenDir(tname)
+    merged.where(expr(s"$bigPidExpr IN (${touched.mkString(",")})"))
+      .withColumn("__pid", expr(bigPidExpr))
+      .write.partitionBy("__pid").mode("overwrite").parquet(out.toString)
+    bigFromFiles(files -- touched ++ listPidDirs(out), n, nextOrd,
+      merged.schema)
   }
 
   /** Partition-scoped DELETE: rewrite the touched buckets to their

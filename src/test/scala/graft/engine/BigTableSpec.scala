@@ -445,6 +445,39 @@ class BigTableSpec extends SparkSpec {
     }
   }
 
+  test("disk-backed INSERT touches only the buckets holding changed rows") {
+    withDiskDb(100L) { (db, dbRoot) =>
+      seedBig(db)
+      ok(db, "UPDATE big SET v = v WHERE id = 1") // materialize buckets
+      val before = bigFileHashes(dbRoot)
+      // plain append: fresh rowid 1001 lands in the tail bucket (pid 10)
+      ok(db, "INSERT INTO big(v, s) VALUES (7, 'tail')")
+      val after = bigFileHashes(dbRoot)
+      before.foreach { case (p, h) =>
+        assert(after.get(p).contains(h), s"pre-existing file changed: $p")
+      }
+      val fresh = (after.keySet -- before.keySet).toSeq
+      assert(fresh.nonEmpty && fresh.forall(_.contains("__pid=10")),
+        s"append must rewrite only the tail bucket, saw: $fresh")
+      assert(longOf(db, "SELECT COUNT(*) FROM big") == 1001L)
+      // upsert relocation: only the bucket holding the conflicted rowid
+      val mid = bigFileHashes(dbRoot)
+      ok(db, "INSERT INTO big VALUES (500, 9, 'moved') " +
+        "ON CONFLICT(id) DO UPDATE SET s = 'moved'")
+      val after2 = bigFileHashes(dbRoot)
+      mid.filterNot(_._1.contains("__pid=5")).foreach { case (p, h) =>
+        assert(after2.get(p).contains(h), s"untouched bucket changed: $p")
+      }
+      assert((after2.keySet -- mid.keySet).forall(_.contains("__pid=5")))
+      assert(rows(db, "SELECT s FROM big WHERE id = 500").head.head ==
+        Value.Text("moved"))
+      // insertion order survives the mixed-generation layout
+      val ids = rows(db, "SELECT id FROM big")
+        .map(_.head.asInstanceOf[Value.Integer].v)
+      assert(ids == (1L to 1001L))
+    }
+  }
+
   test("broad-predicate mutations fall back to a full bucketed rewrite") {
     withDiskDb(100L) { (db, _) =>
       seedBig(db)

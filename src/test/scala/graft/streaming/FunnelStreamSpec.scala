@@ -98,4 +98,28 @@ class FunnelStreamSpec extends SparkSpec {
     assert(streamed === q88,
       s"stream $streamed must equal batch funnel $q88")
   }
+
+  test("chatty non-advancing traffic cannot defer eviction past the horizon") {
+    // ADVICE r9: a user emitting only non-advancing events after the
+    // horizon expired used to re-arm the timeout to watermark+60s every
+    // batch, deferring the abandonment (and state reclaim) indefinitely.
+    // Now: once the funnel horizon is behind the watermark, the
+    // abandonment is emitted inline in the batch that observes it.
+    // chatter = "click" events OUTSIDE the horizon: they neither advance
+    // the stalled funnel nor start a new one, so the only correct outcome
+    // is exactly one abandonment, emitted promptly (via the armed timeout
+    // or the inline check — whichever the batch/watermark interleaving
+    // hits), never deferred while the chatter continues
+    val out = run("funnel5")(
+      Seq(FEv(20, t(1, 0), "view")), // enters funnel at 01:00
+      // 13h+ later (12h horizon expired once the watermark catches up)
+      Seq(FEv(20, t(14, 0), "click"), FEv(20, t(14, 1), "click")),
+      Seq(FEv(20, t(14, 30), "click")),
+      Seq(FEv(20, t(15, 0), "click")))
+    val u = out.filter(_.user_id == 20)
+    assert(u.filterNot(_.abandoned).map(_.step) === Seq(1), s"got: $u")
+    assert(u.count(_.abandoned) === 1,
+      s"exactly one prompt abandonment expected: $u")
+    assert(u.find(_.abandoned).get.step === 1)
+  }
 }
