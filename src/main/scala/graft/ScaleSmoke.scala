@@ -60,7 +60,13 @@ object ScaleSmoke {
   def buildCorpus(spark: SparkSession, srcDir: String, base: String,
                   n: Int): String = {
     val out = s"$base/x$n"
-    if (Files.exists(Paths.get(out, "documents.parquet", "_SUCCESS")))
+    // reuse only a corpus replicated from the SAME source — a level built
+    // from a different SPARK_GRAFT_SF_DIR would silently void the
+    // constant-density construction the linear assertion depends on
+    val sentinel = Paths.get(out, "source.txt")
+    if (Files.exists(Paths.get(out, "documents.parquet", "_SUCCESS")) &&
+        Files.exists(sentinel) &&
+        Files.readString(sentinel).trim == srcDir)
       return out
     val src = spark.read.parquet(s"$srcDir/documents.parquet")
     val stride = src.agg(F.max("doc_id")).head.getLong(0) + 1
@@ -74,6 +80,7 @@ object ScaleSmoke {
     }
     copies.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    Files.writeString(sentinel, srcDir)
     out
   }
 

@@ -144,10 +144,11 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     if (closed) Left("db connection is already closed")
     else {
       closed = true; journalCloseStream()
-      // live Big bucket files are session-scoped (snapshots under v{N}/
-      // are the durable form) — reclaim them on clean close
-      try root.foreach(r => deleteRecursively(r.resolve("big")))
-      catch { case _: Exception => }
+      // Big bucket files are NOT deleted here: a lock-free `none`-level
+      // read may still be scanning them (queryCommitted runs outside this
+      // lock by design). They are dead weight on disk until the next
+      // open() on this root sweeps them — the same deferred-GC contract
+      // as the stage files, trading a bounded leak for reader safety.
       Right(())
     }
   }
@@ -2235,11 +2236,12 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
   // shape (insert merge, ON CONFLICT, ALTER) swaps in a version without
   // bucket metadata, and the next UPDATE/DELETE re-buckets — self-healing
   // by construction because metadata is keyed on the immutable version's
-  // identity. Old-generation files are GC'd at open (stale from a previous
-  // process) and close, never mid-session: the lock-free `none`-level
-  // readers may hold any committed version's DataFrame, and versions never
-  // outlive the session (snapshots — the durable form — are separate full
-  // copies under v{N}/). Memory-backed dbs keep the localCheckpoint path.
+  // identity. Old-generation files are GC'd only at the NEXT open on the
+  // root (stale-sweep), never mid-session and not even at close: the
+  // lock-free `none`-level readers may hold any committed version's
+  // DataFrame past close(), and snapshots — the durable form — are
+  // separate full copies under v{N}/. Memory-backed dbs keep the
+  // localCheckpoint path.
 
   /** Rows per rowid bucket (`-Dgraft.bigPartRows=N`; specs use a tiny
     * value). Bucketing by rowid RANGE makes fresh inserts land in the tail
@@ -2275,7 +2277,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       finally s.close()
     }
 
-  /** Assemble a Big version from bucket files and record its bucket map. */
+  /** Assemble a Big version from bucket files and record its bucket map.
+    * The metadata map is swept when it outgrows the live version set
+    * (superseded/rolled-back versions' entries are dead weight — losing
+    * one only costs a future full re-bucketing, never correctness). */
   private def bigFromFiles(files: Map[Long, Seq[String]], n: Long,
                            nextOrd: Long, schema: StructType): Big = {
     val paths = files.values.flatten.toSeq
@@ -2283,6 +2288,14 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       if (paths.isEmpty)
         session.createDataFrame(session.sparkContext.emptyRDD[Row], schema)
       else session.read.parquet(paths: _*)
+    if (bigParts.size > 64) {
+      val live = new java.util.IdentityHashMap[DataFrame, Boolean]()
+      tables.values.foreach(_.store match {
+        case Big(d, _, _) => live.put(d, true)
+        case _ =>
+      })
+      bigParts.keySet.removeIf(k => !live.containsKey(k))
+    }
     bigParts.put(df, files)
     Big(df, n, nextOrd)
   }
@@ -2673,10 +2686,13 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     * the envelope as `/db/query?version=N` (the same query-parameter shape
     * as `?level=`). Runs the batch's row-returning statements on a fresh
     * session whose tables are the v{version} snapshot parquet copies, in
-    * the engine's row order with internal columns stripped. Lock-free by
-    * the same argument as the `none`-level read: snapshots are immutable
-    * full copies, and the retention GC only ever deletes versions past the
-    * horizon this method refuses to serve. */
+    * the engine's row order with internal columns stripped. Lock-free:
+    * snapshots are immutable full copies, so reads never see partial
+    * state. TOCTOU caveat (shared with every file-snapshot system): a
+    * concurrent checkpoint whose retention GC expires the requested
+    * version mid-read fails that read loudly (file-not-found → error
+    * envelope) — never silently-current data; re-query `versions()` and
+    * retry. */
   def queryAsOf(req: Request, version: Long): Either[String, Seq[RowsResult]] = {
     if (closed) return Left("db connection is already closed")
     root match {
@@ -2699,15 +2715,29 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
               .createOrReplaceTempView(n.stripSuffix(".parquet"))
           }
         } finally ls.close()
+        // SQL views are schema objects, not versioned data: resolve the
+        // current committed definitions over the versioned tables (same
+        // registration as the `none`-level read)
+        committedViews.foreach { case (name, select) =>
+          try s.sql(SqlText.fixQuotedIdents(select))
+            .createOrReplaceTempView(name)
+          catch { case _: Exception => }
+        }
         val out = Seq.newBuilder[RowsResult]
         req.statements.foreach { st =>
           val sql = SqlText.bind(st.sql, st.parameters)
           if (sql.trim.nonEmpty) {
             if (!isRowReturning(sql))
               return Left("version reads support read statements only")
-            try out += envelope(
-              s.sql(SqlText.aliasSelectList(SqlText.fixQuotedIdents(sql))))
-            catch { case e: Exception => return Left(friendlyError(e)) }
+            if (sql.trim.toUpperCase.startsWith("PRAGMA FOREIGN_KEYS"))
+              out += RowsResult(Seq("foreign_keys"), Seq("integer"),
+                Seq(Seq(Value.Integer(if (fkEnabled) 1 else 0))))
+            else if (valuePragmaRe.findFirstMatchIn(sql).isDefined)
+              out += valuePragma(valuePragmaRe.findFirstMatchIn(sql).get.group(1))
+            else
+              try out += envelope(
+                s.sql(SqlText.aliasSelectList(SqlText.fixQuotedIdents(sql))))
+              catch { case e: Exception => return Left(friendlyError(e)) }
           }
         }
         Right(out.result())

@@ -77,9 +77,21 @@ object Stages {
     case "local" => df.localCheckpoint()
     case "reliable" =>
       val sc = df.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty)
-        sc.setCheckpointDir(
-          Files.createTempDirectory("graft-ckpt-").toString)
+      if (sc.getCheckpointDir.isEmpty) {
+        val d = Files.createTempDirectory("graft-ckpt-")
+        // Spark only deletes non-streaming checkpoints itself when
+        // referenceTracking.cleanCheckpoints is on; reclaim the
+        // auto-provisioned dir at exit (a production cluster sets an
+        // explicit HDFS/S3 checkpoint dir and owns its lifecycle)
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          if (Files.exists(d)) {
+            val s = Files.walk(d)
+            try s.sorted(Comparator.reverseOrder[Path]())
+              .forEach(p => Files.deleteIfExists(p))
+            finally s.close()
+          }))
+        sc.setCheckpointDir(d.toString)
+      }
       df.checkpoint()
     case "table" =>
       val spark = df.sparkSession

@@ -163,6 +163,12 @@ class HttpApiSpec extends SparkSpec {
       assert(r2.statusCode() == 200, r2.body())
       assert(r2.body() ==
         """[{"columns":["v"],"types":["text"],"values":[["uno"],["two"]]}]""")
+      // SQL views resolve on the version surface too (current definition
+      // over the versioned tables — same contract as the none-level read)
+      db.executeStringStmt("CREATE VIEW vv AS SELECT v FROM t")
+      val rv = post(c, s"$base/db/query?version=1",
+        """{"request":{"transaction":false,"statements":[{"sql":"SELECT v FROM vv"}]}}""")
+      assert(rv.statusCode() == 200 && rv.body().contains("one"), rv.body())
       // expired/unknown version fails loudly, never serves current data
       val bad = post(c, s"$base/db/query?version=99", q)
       assert(bad.statusCode() == 400 && bad.body().contains("no snapshot"))
