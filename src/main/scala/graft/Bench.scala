@@ -13,7 +13,7 @@ object Bench {
     // SPARK_GRAFT_MASTER: same override as Verify (e.g. the
     // local-cluster soak); default stays the driver contract local[N]
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val spark = SparkSession.builder()
+    val spark = Sessions.withMaster(SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -25,8 +25,7 @@ object Bench {
       // which re-compiles AND re-runs C1 while C2 catches up (measured:
       // heavy sketch rows at 2-4x steady state). Size it to the suite.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .config("spark.ui.enabled", "false"), master).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // Warm the session (JIT, codegen cache, parquet footer reads) so the

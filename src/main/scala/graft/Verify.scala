@@ -24,12 +24,7 @@ object Verify {
       // size; static conf, first-session-only
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
-    val spark = (if (master.startsWith("local-cluster"))
-      builder // executors are fresh JVMs: ship the app classpath to them
-        .config("spark.executor.extraClassPath", sys.props("java.class.path"))
-        .config("spark.executor.memory",
-          sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "6g"))
-      else builder).getOrCreate()
+    val spark = Sessions.withMaster(builder, master).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
