@@ -28,6 +28,20 @@ object Graft {
     }
   }
 
+  /** Materialize an intermediate under the session's stage strategy
+    * (`-Dgraft.stageMaterialize=local|reliable|table`; `reliable` is the
+    * cluster default — see [[ext.Stages]]). */
+  def materializeStage(df: DataFrame): DataFrame = ext.Stages.materialize(df)
+
+  /** Session shared-stage registry: derive `stage(params)` once per
+    * (session, registered data dir) and reuse it — the corpus-scale
+    * intermediates behind the dedup/graph operators go through this
+    * (see [[ext.Stages.shared]]). `build` must return a materialized,
+    * self-contained frame. */
+  def sharedStage(spark: SparkSession, stage: String, params: String = "")
+                 (build: => DataFrame): DataFrame =
+    ext.Stages.shared(spark, stage, params)(build)
+
   // ---- joins the built-in operator set lacks ----------------------------
 
   /** Distributed LEFT as-of join (latest right row at-or-before each left

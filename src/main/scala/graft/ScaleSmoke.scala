@@ -95,14 +95,14 @@ object ScaleSmoke {
     val names = if (args.length > 1) args(1).split(",").toSeq else family
     require(levels.nonEmpty && names.nonEmpty)
 
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val spark = Sessions.withMaster(SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      .config("spark.ui.enabled", "false"), master).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     // codegen + JIT warmup (plan shape is scale-independent)

@@ -43,5 +43,15 @@ class GraftFacadeSpec extends SparkSpec {
     val k1 = Graft.kmeansAssign(spark, sfDir).collect().toSeq
     val k2 = ext.Clustering.assignQuery(spark, sfDir).collect().toSeq
     assert(k1 == k2 && k1.nonEmpty)
+
+    // stage forwards: materialize honors the knob; sharedStage caches
+    val st = Graft.materializeStage(Seq(1, 2, 3).toDF("n"))
+    assert(st.collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+    var builds = 0
+    def build() = { builds += 1; Graft.materializeStage(Seq(9).toDF("n")) }
+    val key = s"facade-spec-${System.identityHashCode(this)}"
+    Graft.sharedStage(spark, key)(build())
+    Graft.sharedStage(spark, key)(build())
+    assert(builds == 1, "second sharedStage call must hit the cache")
   }
 }
