@@ -35,4 +35,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // compiler disables and late compute-heavy queries run interpreted
   // (measured: x57 12s fresh -> 29-58s after the 50 relational queries).
   "-XX:ReservedCodeCacheSize=1g",
-) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+")).filter(_.nonEmpty)

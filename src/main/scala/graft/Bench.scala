@@ -14,7 +14,6 @@ object Bench {
     // local-cluster soak); default stays the driver contract local[N]
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = Sessions.withMaster(SparkSession.builder()
-      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -37,7 +37,9 @@ object Graft {
     * (session, registered data dir) and reuse it — the corpus-scale
     * intermediates behind the dedup/graph operators go through this
     * (see [[ext.Stages.shared]]). `build` must return a materialized,
-    * self-contained frame. */
+    * self-contained frame; builds compose (a build may call
+    * [[sharedStage]] for its own inputs — thunks run outside the
+    * registry lock). */
   def sharedStage(spark: SparkSession, stage: String, params: String = "")
                  (build: => DataFrame): DataFrame =
     ext.Stages.shared(spark, stage, params)(build)

@@ -38,7 +38,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
   * Env: SPARK_GRAFT_SF_DIR (source corpus, default sf0.1),
   * SPARK_GRAFT_SCALE_DIR (corpus cache dir, default /tmp/graft-scale),
   * SPARK_GRAFT_SCALE_SLACK (linear-growth slack, default 1.5),
-  * SPARK_GRAFT_WARM_DIR (codegen warmup, default sf0.001).
+  * SPARK_GRAFT_WARM_DIR (codegen warmup, default sf0.001),
+  * SPARK_GRAFT_MASTER (e.g. the local-cluster soak master — executor
+  * classpath + SPARK_GRAFT_EXEC_MEM wired by [[Sessions.withMaster]]),
+  * SPARK_GRAFT_JAVA_OPTS (extra -D flags for the forked JVM, e.g.
+  * -Dgraft.stageMaterialize=reliable to soak a materialization mode).
   * Prints ONE JSON line; exit 1 on any failure or superlinear query.
   */
 object ScaleSmoke {
@@ -97,7 +101,6 @@ object ScaleSmoke {
 
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val spark = Sessions.withMaster(SparkSession.builder()
-      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

@@ -13,10 +13,16 @@ import org.apache.spark.sql.SparkSession
   * mode. Ship the app classpath to executors whenever the master is a
   * local-cluster, plus an executor-memory knob (SPARK_GRAFT_EXEC_MEM). */
 private[graft] object Sessions {
-  def withMaster(b: SparkSession.Builder, master: String): SparkSession.Builder =
+  /** Sets BOTH `.master(master)` and the cluster wiring from one string,
+    * so a call site can never wire the classpath against a different
+    * master than the one the session runs (the drift that caused the
+    * original silently-partial bench). */
+  def withMaster(b: SparkSession.Builder, master: String): SparkSession.Builder = {
+    val m = b.master(master)
     if (master.startsWith("local-cluster"))
-      b.config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      m.config("spark.executor.extraClassPath", sys.props("java.class.path"))
         .config("spark.executor.memory",
           sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "6g"))
-    else b
+    else m
+  }
 }

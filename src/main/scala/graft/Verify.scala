@@ -17,7 +17,6 @@ object Verify {
     // SPARK_HOME set so the workers can launch executors.
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val builder = SparkSession.builder()
-      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       // see Bench: the 100-entry default codegen cache thrashes at suite

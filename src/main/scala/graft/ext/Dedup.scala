@@ -792,10 +792,10 @@ object Dedup {
     // token's posting list. The label frame is itself a shared stage (the
     // propagation is deterministic), so x108's keep-best resolution costs
     // its join + window, not a second propagation.
-    // resolve the edge stage BEFORE entering the components thunk: a
-    // Stages.shared lookup inside another shared build would nest
-    // ConcurrentHashMap.compute on the same map (JDK forbids recursive
-    // updates — same hoist CorpusGraph.mirrorPairs does with docFp)
+    // resolve the edge stage before entering the components thunk (builds
+    // compose safely either way — Stages.shared runs thunks outside its
+    // lock — but the hoist keeps each stage's cost attributed to its own
+    // registry entry)
     val edges = unigramPairs(spark, 0.8)
     val labels = Stages.shared(spark, "components", "t=0.8") {
       val nodes = spark.table("documents").select(col("doc_id").as("id"))

@@ -146,13 +146,22 @@ object Stages {
     * its currently registered data dir, building (and caching) it with
     * `build` on first use. `build` MUST return an already-materialized,
     * self-contained frame (run it through [[materialize]]; do not leave
-    * temp-view references live in its plan). */
+    * temp-view references live in its plan). Builds are composable: a
+    * build may freely call [[shared]] for its own inputs — the thunk runs
+    * OUTSIDE any registry lock (no nested-compute hazard, and a
+    * corpus-scale build never blocks unrelated lookups). The race window
+    * this buys (two threads building the same key concurrently, last one
+    * wins) costs duplicated work, never wrong data — stages are
+    * deterministic functions of (dir, params). */
   def shared(spark: org.apache.spark.sql.SparkSession, stage: String,
              params: String = "")(build: => DataFrame): DataFrame = {
     val dir = graft.Tables.registeredDir(spark).getOrElse("")
     val key = SharedKey(System.identityHashCode(spark), mode, stage, params)
-    registry.compute(key, (_, cur) =>
-      if (cur != null && cur._1 == dir) cur
-      else { buildCounter.incrementAndGet(); (dir, build) })._2
+    val cur = registry.get(key)
+    if (cur != null && cur._1 == dir) return cur._2
+    buildCounter.incrementAndGet()
+    val df = build
+    registry.put(key, (dir, df))
+    df
   }
 }

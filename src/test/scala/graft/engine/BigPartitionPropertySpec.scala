@@ -61,13 +61,17 @@ class BigPartitionPropertySpec extends SparkSpec {
           s"AND id % 2 = ${rnd.nextInt(2)}"
       }
 
-      (1 to 30).foreach { i =>
+      // ops 31-34 run AFTER the last checkpoint (i=30), so they exist
+      // only in the journal at close time — the reopen below must replay
+      // them onto the recovered store (checkpointing last would truncate
+      // the journal and reduce recovery to a snapshot load)
+      (1 to 34).foreach { i =>
         val sql = randOp()
         val (rd, rm) = (ok(disk, sql), ok(model, sql))
         assert(rd.rowsAffected == rm.rowsAffected,
           s"op $i rows_affected diverged for [$sql]: " +
             s"disk=${rd.rowsAffected} model=${rm.rowsAffected}")
-        if (i % 10 == 0) {
+        if (i % 10 == 0 && i <= 30) {
           assert(disk.checkpoint().isRight)
           val (ds, dn) = dump(disk)
           val (ms, mn) = dump(model)
