@@ -42,6 +42,46 @@ class SharedStageSpec extends SparkSpec {
     assert(warm == cold)
   }
 
+  test("builds compose: a shared build may call shared for its inputs") {
+    Stages.clearShared()
+    val spark2 = spark
+    import spark2.implicits._
+    val inner = Stages.shared(spark, "ssc-outer") {
+      val in = Stages.shared(spark, "ssc-inner") {
+        Stages.materialize(Seq(1, 2, 3).toDF("n"))
+      }
+      Stages.materialize(in.selectExpr("n * 10 AS n"))
+    }
+    assert(inner.collect().map(_.getInt(0)).sorted.toSeq == Seq(10, 20, 30))
+    // the inner stage is independently cached too
+    val b = Stages.sharedBuilds
+    Stages.shared(spark, "ssc-inner")(fail("must hit cache"))
+    Stages.shared(spark, "ssc-outer")(fail("must hit cache"))
+    assert(Stages.sharedBuilds == b)
+  }
+
+  test("concurrent lookups of one stage never fail and agree on values") {
+    Stages.clearShared()
+    val spark2 = spark
+    import spark2.implicits._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Seq[Int]] {
+          def call(): Seq[Int] = Stages.shared(spark, "ssc-conc") {
+            Stages.materialize(Seq(7, 8).toDF("n"))
+          }.collect().map(_.getInt(0)).sorted.toSeq
+        })
+      }
+      assert(futs.map(_.get()).forall(_ == Seq(7, 8)))
+    } finally pool.shutdown()
+    // last-writer-wins may build more than once under the race, but the
+    // registry must settle: a subsequent call is a pure cache hit
+    val b = Stages.sharedBuilds
+    Stages.shared(spark, "ssc-conc")(fail("must hit cache"))
+    assert(Stages.sharedBuilds == b)
+  }
+
   test("switching data dir invalidates and rebuilds; values follow the dir") {
     Stages.clearShared()
     val small = run("x104_overlap_matrix", "/root/testdata/sf0.001")
