@@ -444,6 +444,34 @@ object Dedup {
     // one scalar job: widest per-lang vocabulary → number of 64-bit words
     val maxVocab = spark.sql("SELECT MAX(rank) FROM __x54_v1").head.getInt(0)
     val nMask = ((maxVocab + 63) / 64).max(1)
+    // VOCABULARY-ADAPTIVE verify. The bitset-mask formulation carries
+    // vocab/64 longs PER ROW through the candidate join — unbeatable
+    // constant factors while the corpus vocabulary is small (the sf
+    // ladder's 31 words: one long), but row width grows LINEARLY with
+    // vocabulary, which at web-corpus vocab (millions of distinct
+    // tokens) turns the prefix join into a vocabulary-sized shuffle.
+    // Past the cutover (-Dgraft.x54MaskWords, default 16 words = 1024
+    // ranks) the build switches to the classical PPJoin shape: carry the
+    // sorted rank array (O(|doc|), vocabulary-INDEPENDENT), verify with
+    // the codegen'd two-pointer sorted_intersect_count, and take the
+    // lowest shared prefix rank via array_intersect on the (short)
+    // prefix slices. Same candidate set, same exact j1 — DedupSpec pins
+    // value identity of the two paths; the 8×/64× scale smokes run the
+    // array path end-to-end (their vocab crosses the cutover).
+    val maskWordsMax =
+      sys.props.get("graft.x54MaskWords").map(_.toInt).getOrElse(16)
+    val out = if (nMask <= maskWordsMax) maskPairs(spark, threshold, nMask)
+              else arrayPairs(spark, threshold)
+    Seq("__x54u_tp", "__x54_v1").foreach(spark.catalog.dropTempView)
+    out
+  }
+
+  /** Bitset-mask PPJoin verify (small-vocabulary branch); expects the
+    * `__x54u_tp` / `__x54_v1` views registered. */
+  private def maskPairs(spark: SparkSession, threshold: Double,
+                        nMask: Int): DataFrame = {
+    def ckpt(sql: String, view: String): Unit =
+      spark.sql(sql).stageMaterialize.createOrReplaceTempView(view)
     // Per-doc unigram features in ONE aggregation (no per-doc windows, no
     // join-back): sorted rank array + set size + full bitset masks. The
     // PREFIX masks derive afterwards in pure codegen: the prefix is the
@@ -527,8 +555,52 @@ object Dedup {
          |  AND CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)
          |        >= $threshold""".stripMargin)
       .stageMaterialize
-    Seq("__x54u_tp", "__x54_v1", "__x54_r1", "__x54_pf")
-      .foreach(spark.catalog.dropTempView)
+    Seq("__x54_r1", "__x54_pf").foreach(spark.catalog.dropTempView)
+    out
+  }
+
+  /** Classical PPJoin verify (wide-vocabulary branch): per-doc payload is
+    * the sorted rank array — O(|doc|) regardless of vocabulary width —
+    * with the exact intersection count from the codegen'd two-pointer
+    * merge and single emission at the lowest shared prefix rank. Expects
+    * the `__x54u_tp` / `__x54_v1` views registered. */
+  private def arrayPairs(spark: SparkSession, threshold: Double): DataFrame = {
+    def ckpt(sql: String, view: String): Unit =
+      spark.sql(sql).stageMaterialize.createOrReplaceTempView(view)
+    ckpt(
+      s"""SELECT doc_id, lang, n1, ranks1,
+         |  slice(ranks1, 1, CAST(n1 - CEIL($threshold * n1) + 1 AS INT))
+         |    AS pref
+         |FROM (SELECT doc_id, lang, COUNT(*) AS n1,
+         |        sort_array(collect_list(rank)) AS ranks1
+         |      FROM (SELECT DISTINCT tp.doc_id, tp.lang, v.rank
+         |            FROM __x54u_tp tp
+         |            JOIN __x54_v1 v ON tp.lang = v.lang AND tp.tok = v.tok)
+         |      GROUP BY doc_id, lang)""".stripMargin, "__x54_r1a")
+    spark.sql(
+      """SELECT lang, doc_id, n1, ranks1, pref, prank
+        |FROM __x54_r1a LATERAL VIEW explode(pref) AS prank""".stripMargin)
+      .createOrReplaceTempView("__x54_pfa")
+    // inter computed once in the inner projection (codegen subexpression
+    // reuse, same shape as the mask branch); the lowest-shared-prefix
+    // single-emission test intersects only the short prefix slices
+    val out = spark.sql(
+      s"""SELECT doc_a, doc_b,
+         |       CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS j1
+         |FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |        a.n1 AS na, b.n1 AS nb,
+         |        sorted_intersect_count(a.ranks1, b.ranks1) AS inter,
+         |        a.prank AS prank,
+         |        array_min(array_intersect(a.pref, b.pref)) AS lowpr
+         |      FROM __x54_pfa a JOIN __x54_pfa b
+         |        ON a.lang = b.lang AND a.prank = b.prank
+         |       AND a.doc_id < b.doc_id
+         |       AND LEAST(a.n1, b.n1) >= $threshold * GREATEST(a.n1, b.n1))
+         |WHERE prank = lowpr
+         |  AND CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)
+         |        >= $threshold""".stripMargin)
+      .stageMaterialize
+    Seq("__x54_r1a", "__x54_pfa").foreach(spark.catalog.dropTempView)
     out
   }
 
