@@ -140,15 +140,29 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
 
   // ---------- public API (the store seam, reference store/src/lib.rs:7-28) --
 
+  // Exclusive root ownership (ADVICE r10): open() takes a file lock on the
+  // root so a second open — same or another process — is refused instead of
+  // sweeping the live instance's big/ bucket files out from under it.
+  // Released at close(); the OS releases it if the process dies. SQLite's
+  // equivalent is its file-locking protocol; the error string matches its
+  // busy-handler surface.
+  private[engine] var rootLock
+      : Option[(java.nio.channels.FileChannel, java.nio.channels.FileLock)] =
+    None
+
   def close(): Either[String, Unit] = lock.synchronized {
     if (closed) Left("db connection is already closed")
     else {
       closed = true; journalCloseStream()
       // Big bucket files are NOT deleted here: a lock-free `none`-level
       // read may still be scanning them (queryCommitted runs outside this
-      // lock by design). They are dead weight on disk until the next
-      // open() on this root sweeps them — the same deferred-GC contract
-      // as the stage files, trading a bounded leak for reader safety.
+      // lock by design). Superseded generations are refcount-swept at
+      // checkpoint time ([[sweepBigGenerations]]); whatever remains is
+      // dead weight on disk until the next open() on this root sweeps it.
+      rootLock.foreach { case (ch, lk) =>
+        try { lk.release(); ch.close() } catch { case _: Exception => }
+      }
+      rootLock = None
       Right(())
     }
   }
@@ -801,9 +815,18 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       case "UPDATE" => updateTargetRe.findFirstMatchIn(sql)
       case _ => deleteTargetRe.findFirstMatchIn(sql)
     }).map(_.group(1))
+    // Only events this statement kind can produce may fire: INSERT can
+    // yield INSERT firings (and UPDATE firings via upsert's DO UPDATE);
+    // UPDATE/DELETE yield only their own. Skipping the diff when no armed
+    // trigger matches avoids both the wasted before/after comparison and a
+    // spurious driver-cap error on, say, a bulk DELETE with only an INSERT
+    // trigger present.
+    val possibleEvents: Set[String] =
+      if (kind == "INSERT") Set("INSERT", "UPDATE") else Set(kind)
     val relevant = tname.toSeq.flatMap(t =>
       triggers.values.filter(_.table.equalsIgnoreCase(t)))
       .filterNot(t => activeTriggers.contains(t.name.toLowerCase))
+      .filter(t => possibleEvents.contains(t.event))
     if (relevant.isEmpty) return run
     val key = tname.get.toLowerCase
     val beforeStore: Store =
@@ -829,7 +852,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             .findFirstIn(sql).isDefined
         // (event, NEW row, OLD row) per affected row, in table row order
         val firings: Seq[(String, Option[IndexedSeq[Any]], Option[IndexedSeq[Any]])] =
-          (beforeStore, afterStore) match {
+          try (beforeStore, afterStore) match {
             case (Mem(beforeVec), Mem(afterVec)) =>
               val beforeMap = beforeVec.toMap
               val afterMap = afterVec.toMap
@@ -847,6 +870,17 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
               else Vector.empty)
             case _ =>
               bigTriggerDiff(td, beforeStore, afterStore, kind, isReplace)
+          } catch {
+            case _: TriggerDiffTooLarge =>
+              // statement-level atomicity: undo the outer DML before
+              // failing — the table state is exactly as before the
+              // statement (VERDICT r10 #4)
+              work.clear(); tablesBackup.foreach { case (k, v) => work(k) = v }
+              indexes = idxBackup; viewDefs = viewBackup; triggers = trigBackup
+              return Left(s"too many rows for row-trigger processing on " +
+                s"${td.name}: the statement changed more than $maxDriverRows " +
+                "rows with AFTER ROW triggers armed (raise maxDriverRows, " +
+                "or DROP TRIGGER for bulk maintenance)")
           }
         var err: Option[String] = None
         // row-outer, reverse-creation-order-inner: SQLite's observed order
@@ -1895,6 +1929,17 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                 else Option(bigParts.get(big.df)) match {
                   case None =>
                     bigPartitionedFull(td.name, newDf, big.n, big.nextOrd)
+                  // Defense in depth (ADVICE r10): the scoped path evaluates
+                  // `cond` in separate jobs (touched-pid scan, bucket
+                  // rewrite) — a non-deterministic predicate could match
+                  // different rows per pass and lose writes in buckets
+                  // outside the touched set. execute()'s determinism guard
+                  // makes that unreachable through the public API; if a
+                  // future internal path ever carries one, take the full
+                  // rewrite, which evaluates the projection exactly once
+                  // into the written files.
+                  case Some(_) if nonDeterministic(cond).isDefined =>
+                    bigPartitionedFull(td.name, newDf, big.n, big.nextOrd)
                   case Some(files) =>
                     bigScopedUpdate(td.name, big, files, cond, proj)
                 }
@@ -1978,6 +2023,12 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                 if (root.isEmpty) mkBig(remainingDf)
                 else Option(bigParts.get(big.df)) match {
                   case None =>
+                    bigPartitionedFull(ts.d.name, remainingDf,
+                      big.n - affected, big.nextOrd)
+                  // same defense as the UPDATE branch: a non-deterministic
+                  // predicate must not be re-evaluated per bucket job
+                  // (unreachable via execute()'s determinism guard)
+                  case Some(_) if nonDeterministic(cond).isDefined =>
                     bigPartitionedFull(ts.d.name, remainingDf,
                       big.n - affected, big.nextOrd)
                   case Some(files) =>
@@ -2236,12 +2287,13 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
   // shape (insert merge, ON CONFLICT, ALTER) swaps in a version without
   // bucket metadata, and the next UPDATE/DELETE re-buckets — self-healing
   // by construction because metadata is keyed on the immutable version's
-  // identity. Old-generation files are GC'd only at the NEXT open on the
-  // root (stale-sweep), never mid-session and not even at close: the
-  // lock-free `none`-level readers may hold any committed version's
-  // DataFrame past close(), and snapshots — the durable form — are
-  // separate full copies under v{N}/. Memory-backed dbs keep the
-  // localCheckpoint path.
+  // identity. Old-generation files are refcount-swept at checkpoint time
+  // ([[sweepBigGenerations]] — live = working ∪ committed ∪ open-tx ∪
+  // savepoints, plus a newest-K reader grace) and stale leftovers from a
+  // crashed process at the next open(); never at close(): the lock-free
+  // `none`-level readers may hold any committed version's DataFrame past
+  // close(), and snapshots — the durable form — are separate full copies
+  // under v{N}/. Memory-backed dbs keep the localCheckpoint path.
 
   /** Rows per rowid bucket (`-Dgraft.bigPartRows=N`; specs use a tiny
     * value). Bucketing by rowid RANGE makes fresh inserts land in the tail
@@ -2289,15 +2341,77 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         session.createDataFrame(session.sparkContext.emptyRDD[Row], schema)
       else session.read.parquet(paths: _*)
     if (bigParts.size > 64) {
-      val live = new java.util.IdentityHashMap[DataFrame, Boolean]()
-      tables.values.foreach(_.store match {
-        case Big(d, _, _) => live.put(d, true)
-        case _ =>
-      })
+      val live = liveBigFrames()
       bigParts.keySet.removeIf(k => !live.containsKey(k))
     }
     bigParts.put(df, files)
     Big(df, n, nextOrd)
+  }
+
+  /** Every Big DataFrame any holder can still read through: the working
+    * tables, the published committed version (lock-free `none` reads), an
+    * open explicit transaction's tables, and savepoint snapshots. The
+    * invariant the generation GC relies on: a live frame built by
+    * [[bigFromFiles]] ALWAYS has its bucket map in [[bigParts]] (the map
+    * only evicts non-live keys, right here), so a live frame missing from
+    * the map is a localCheckpoint frame referencing no bucket files. */
+  private def liveBigFrames(): java.util.IdentityHashMap[DataFrame, Boolean] = {
+    val live = new java.util.IdentityHashMap[DataFrame, Boolean]()
+    def add(st: Store): Unit = st match {
+      case Big(d, _, _) => live.put(d, true)
+      case _ =>
+    }
+    tables.values.foreach(ts => add(ts.store))
+    committed.foreach { case (_, st) => add(st) }
+    openTx.foreach(_.work.values.foreach(ts => add(ts.store)))
+    savepoints.foreach(_.work.values.foreach(ts => add(ts.store)))
+    live
+  }
+
+  /** Reader-grace window for [[sweepBigGenerations]]: the newest K
+    * generation dirs per table are never swept, referenced or not
+    * (`-Dgraft.bigGenGrace=K`). */
+  private val bigGenGrace: Int =
+    math.max(1, sys.props.getOrElse("graft.bigGenGrace", "2").toInt)
+
+  /** Refcount-sweep superseded Big bucket generations at checkpoint time
+    * (ADVICE r10): a generation dir no live version references — working,
+    * committed, open-tx, savepoint — is unreachable by any future
+    * statement, so a long-running server no longer grows disk without
+    * bound between restarts. Safety: (a) referenced dirs come from the
+    * bucket maps of every live frame (see [[liveBigFrames]]'s invariant);
+    * (b) the newest [[bigGenGrace]] generations per table survive
+    * regardless, covering an in-flight lock-free `none` read that grabbed
+    * a committed version just before it was superseded — such a read
+    * outliving CheckpointEvery commits AND the grace window is the
+    * residual (documented) race, and it fails loudly with file-not-found,
+    * never wrong data. */
+  private def sweepBigGenerations(r: Path): Unit = {
+    val bigRoot = r.resolve("big")
+    if (!Files.isDirectory(bigRoot)) return
+    val live = liveBigFrames()
+    val referenced = mutable.Set.empty[Path]
+    val it = live.keySet.iterator()
+    while (it.hasNext) {
+      Option(bigParts.get(it.next())).foreach(_.values.flatten.foreach(p =>
+        referenced += Paths.get(p).getParent.toAbsolutePath.normalize))
+    }
+    val ts = Files.list(bigRoot)
+    val tableDirs =
+      try ts.iterator().asScala.filter(Files.isDirectory(_)).toVector
+      finally ts.close()
+    tableDirs.foreach { tdir =>
+      val gs = Files.list(tdir)
+      val gens =
+        try gs.iterator().asScala
+          .filter(p => p.getFileName.toString.matches("g\\d+")).toVector
+          .sortBy(_.getFileName.toString.drop(1).toLong)
+        finally gs.close()
+      gens.dropRight(bigGenGrace).foreach { g =>
+        if (!referenced.contains(g.toAbsolutePath.normalize))
+          try deleteRecursively(g) catch { case _: Exception => }
+      }
+    }
   }
 
   /** Full bucketed write of `df` — the lazy first materialization of the
@@ -2402,10 +2516,28 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     case _ =>
   }
 
+  /** Thrown when a trigger-armed statement's changed-row set exceeds the
+    * driver cap — caught in [[withTriggers]], which restores the backup and
+    * fails the statement loudly (VERDICT r10 #4). */
+  private final class TriggerDiffTooLarge extends RuntimeException
+
+  /** Collect at most [[maxDriverRows]] diff rows; beyond that, row-trigger
+    * firing would materialize an unbounded statement-sized set on the
+    * driver — fail instead (SQLite fires row triggers one row at a time in
+    * its own process; our equivalent boundary is the driver-heap cap). */
+  private def collectCapped(df: DataFrame): Seq[Row] = {
+    val cap = math.min(maxDriverRows, Int.MaxValue - 2L).toInt
+    val rows = df.limit(cap + 1).collect()
+    if (rows.length > cap) throw new TriggerDiffTooLarge
+    rows.toSeq
+  }
+
   /** Trigger-row diff when either side of a DML statement is spilled: the
     * rowid-keyed before/after comparison runs as joins and collects ONLY
     * the rows that actually changed (trigger firing is inherently per-row
-    * driver work — the firing set is statement-sized, never table-sized).
+    * driver work — the firing set is statement-sized, never table-sized,
+    * and capped at [[maxDriverRows]] — an oversized trigger-armed bulk
+    * UPDATE fails loudly instead of flooding the driver).
     * Returns the same (event, NEW, OLD) tuples as the Mem diff, ordered by
     * the table's insertion order. */
   private def bigTriggerDiff(td: TableDef, before: Store, after: Store,
@@ -2418,16 +2550,16 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     def vals(r: Row, off: Int): IndexedSeq[Any] =
       (off until off + n).map(r.get).toIndexedSeq
     // left_anti keeps exactly the left side's columns: __ord, __rowid, data…
-    val added = adf.join(bdf.select(col("__rowid").as("__brid0")),
-        col("__rowid") === col("__brid0"), "left_anti")
-      .collect().toSeq.map(r => (r.getLong(0), ("INSERT",
+    val added = collectCapped(adf.join(bdf.select(col("__rowid").as("__brid0")),
+        col("__rowid") === col("__brid0"), "left_anti"))
+      .map(r => (r.getLong(0), ("INSERT",
         Some(vals(r, 2)): Option[IndexedSeq[Any]], None: Option[IndexedSeq[Any]])))
     val bKeyed = bdf.select(col("__rowid").as("__brid") +:
       dataCols.map(c2 => col(c2).as("__o_" + c2)): _*)
     val differs = dataCols.map(c2 => !(col(c2) <=> col("__o_" + c2)))
       .reduce(_ || _)
-    val changed = adf.join(bKeyed, col("__rowid") === col("__brid"))
-      .filter(differs).collect().toSeq.map { r =>
+    val changed = collectCapped(adf.join(bKeyed, col("__rowid") === col("__brid"))
+      .filter(differs)).map { r =>
       val nw = vals(r, 2)
       val old = (2 + n + 1 until 2 + n + 1 + n).map(r.get).toIndexedSeq
       (r.getLong(0), if (isReplace)
@@ -2437,9 +2569,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     }
     val removed =
       if (kind == "DELETE")
-        bdf.join(adf.select(col("__rowid").as("__arid0")),
-            col("__rowid") === col("__arid0"), "left_anti")
-          .collect().toSeq.map(r => (r.getLong(0), ("DELETE",
+        collectCapped(bdf.join(adf.select(col("__rowid").as("__arid0")),
+            col("__rowid") === col("__arid0"), "left_anti"))
+          .map(r => (r.getLong(0), ("DELETE",
             None: Option[IndexedSeq[Any]],
             Some(vals(r, 2)): Option[IndexedSeq[Any]])))
       else Seq.empty
@@ -2634,6 +2766,11 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     versions().foreach { v =>
       if (v <= version - retainVersions) deleteRecursively(r.resolve(s"v$v"))
     }
+    // Big bucket generations superseded by partition-scoped mutations are
+    // refcount-swept on the same cadence (ADVICE r10 — previously deferred
+    // entirely to the next open(), unbounded disk growth for a long-lived
+    // server issuing scoped UPDATE/DELETEs)
+    sweepBigGenerations(r)
   }
 
   // Snapshot retention for time-travel reads (-Dgraft.retainVersions=N,
@@ -2892,9 +3029,28 @@ object GraftDb {
       if (p.getParent != null && !Files.exists(p.getParent))
         return Left(s"unable to open database file: $path")
       Files.createDirectories(p)
-      val db = new GraftDb(spark, Some(p), maxDriverRows)
-      db.load()
-      Right(db)
+      // Exclusive root lock BEFORE load(): load() sweeps stale big/ bucket
+      // files, which must never happen while another live instance (this
+      // JVM or another process) still serves reads from them (ADVICE r10).
+      val ch = java.nio.channels.FileChannel.open(p.resolve(".graft.lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      val lk =
+        try ch.tryLock()
+        catch { case _: java.nio.channels.OverlappingFileLockException => null }
+      if (lk == null) {
+        try ch.close() catch { case _: Exception => }
+        return Left(s"database is locked: $path")
+      }
+      try {
+        val db = new GraftDb(spark, Some(p), maxDriverRows)
+        db.rootLock = Some((ch, lk))
+        db.load()
+        Right(db)
+      } catch {
+        case e: Exception =>
+          try { lk.release(); ch.close() } catch { case _: Exception => }
+          throw e
+      }
     } catch {
       case _: Exception => Left(s"unable to open database file: $path")
     }

@@ -129,39 +129,105 @@ object Stages {
   // and never accretes per-dir copies.
   // ---------------------------------------------------------------------
 
-  private final case class SharedKey(session: Int, mode: String,
+  private final case class SharedKey(session: String, mode: String,
                                      stage: String, params: String)
+  private final case class SharedEntry(dir: String, df: DataFrame, seq: Long)
   private val registry =
-    new java.util.concurrent.ConcurrentHashMap[SharedKey, (String, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[SharedKey, SharedEntry]()
   private val buildCounter = new AtomicLong(0)
+  private val entrySeq = new AtomicLong(0)
+  // One lock per live session: builds within a session serialize (their
+  // scaffolding temp views are session-global — __x54u_tp, __graft_fp_mp —
+  // so two concurrent builds in one session could drop/re-register each
+  // other's views). ReentrantLock, so a build composing [[shared]] for its
+  // own inputs (same thread) re-enters freely; distinct sessions never
+  // contend.
+  private val sessionLocks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.locks.ReentrantLock]()
+
+  /** Max cached shared stages across all sessions. A long-lived service
+    * churning short-lived sessions evicts oldest-first instead of pinning
+    * checkpoint blocks for the JVM lifetime (the cached DataFrame holds
+    * its session strongly, so GC alone can never reclaim an entry). */
+  private def cap: Int =
+    sys.props.get("graft.sharedStageCap").map(_.toInt).getOrElse(64)
+
+  /** Stable per-session identity: a monotonically assigned id held in a
+    * WeakHashMap — distinct across `newSession()` clones and NEVER reused
+    * (unlike `System.identityHashCode`, which a later session can alias
+    * after GC and thereby serve a stale frame built on a dead context).
+    * While a session has registry entries, its DataFrames pin it, so an id
+    * present in the registry always denotes that exact live session. */
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]())
+  private val sessionSeq = new AtomicLong(0)
+  private def sessionId(spark: org.apache.spark.sql.SparkSession): String =
+    sessionIds.computeIfAbsent(spark, _ => "s" + sessionSeq.incrementAndGet())
 
   /** Number of shared-stage BUILDS so far (cache misses) — observability
     * for specs and perf triage; a hit leaves it unchanged. */
   def sharedBuilds: Long = buildCounter.get()
 
+  /** Live entry count (specs / observability). */
+  def sharedEntries: Int = registry.size()
+
   /** Drop every cached shared stage (tests; or to force re-derivation). */
-  def clearShared(): Unit = registry.clear()
+  def clearShared(): Unit = { registry.clear(); sessionLocks.clear() }
+
+  /** Evict every cached stage belonging to `spark` — call when a service
+    * discards a session, so its localCheckpoint blocks / checkpoint refs
+    * are released immediately rather than waiting for cap pressure. */
+  def invalidate(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val sid = sessionId(spark)
+    registry.keySet.removeIf(_.session == sid)
+    sessionLocks.remove(sid)
+  }
+
+  /** Drop entries whose SparkContext is stopped, then enforce [[cap]] by
+    * evicting oldest entries first. Cheap: the registry holds a handful of
+    * corpus-scale stages, never per-row data. */
+  private def sweep(): Unit = {
+    val it = registry.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue.df.sparkSession.sparkContext.isStopped) it.remove()
+    }
+    var excess = registry.size() - cap
+    if (excess > 0) {
+      import scala.jdk.CollectionConverters._
+      registry.entrySet().asScala.toSeq.sortBy(_.getValue.seq)
+        .take(excess).foreach(e => registry.remove(e.getKey, e.getValue))
+    }
+  }
 
   /** Return the materialized stage `stage(params)` for this session and
     * its currently registered data dir, building (and caching) it with
     * `build` on first use. `build` MUST return an already-materialized,
     * self-contained frame (run it through [[materialize]]; do not leave
     * temp-view references live in its plan). Builds are composable: a
-    * build may freely call [[shared]] for its own inputs — the thunk runs
-    * OUTSIDE any registry lock (no nested-compute hazard, and a
-    * corpus-scale build never blocks unrelated lookups). The race window
-    * this buys (two threads building the same key concurrently, last one
-    * wins) costs duplicated work, never wrong data — stages are
-    * deterministic functions of (dir, params). */
+    * build may freely call [[shared]] for its own inputs — the per-session
+    * lock is reentrant, and a corpus-scale build never blocks lookups from
+    * other sessions. Builds within ONE session serialize (see
+    * [[sessionLocks]]) so concurrent builds can't clobber each other's
+    * session-global scaffolding temp views. */
   def shared(spark: org.apache.spark.sql.SparkSession, stage: String,
              params: String = "")(build: => DataFrame): DataFrame = {
     val dir = graft.Tables.registeredDir(spark).getOrElse("")
-    val key = SharedKey(System.identityHashCode(spark), mode, stage, params)
+    val sid = sessionId(spark)
+    val key = SharedKey(sid, mode, stage, params)
     val cur = registry.get(key)
-    if (cur != null && cur._1 == dir) return cur._2
-    buildCounter.incrementAndGet()
-    val df = build
-    registry.put(key, (dir, df))
-    df
+    if (cur != null && cur.dir == dir) return cur.df
+    val lock = sessionLocks.computeIfAbsent(sid,
+      _ => new java.util.concurrent.locks.ReentrantLock())
+    lock.lock()
+    try {
+      val again = registry.get(key) // built while we waited?
+      if (again != null && again.dir == dir) return again.df
+      buildCounter.incrementAndGet()
+      val df = build
+      registry.put(key, SharedEntry(dir, df, entrySeq.incrementAndGet()))
+      sweep()
+      df
+    } finally lock.unlock()
   }
 }

@@ -478,6 +478,65 @@ class BigTableSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint refcount-sweeps superseded bucket generations (ADVICE r10)") {
+    withDiskDb(100L) { (db, dbRoot) =>
+      seedBig(db)
+      // g1: full bucketed layout; g2..g6: five scoped rewrites of bucket 1
+      (1 to 6).foreach(i => ok(db, s"UPDATE big SET v = $i WHERE id = 150"))
+      def gens(): Set[String] = {
+        val d = dbRoot.resolve("big").resolve("big")
+        if (!java.nio.file.Files.isDirectory(d)) Set.empty
+        else {
+          val s = java.nio.file.Files.list(d)
+          try s.iterator().asScala.map(_.getFileName.toString).toSet
+          finally s.close()
+        }
+      }
+      assert(gens() == (1 to 6).map("g" + _).toSet)
+      db.checkpoint().fold(e => fail(e), identity)
+      // live version references g1 (nine untouched buckets) + g6 (bucket 1);
+      // grace retains the newest 2 generations regardless → g5 survives,
+      // g2..g4 are unreferenced by any live frame and are swept
+      assert(gens() == Set("g1", "g5", "g6"),
+        s"expected refcount sweep to keep g1,g5,g6; saw ${gens()}")
+      // the surviving layout still serves every row correctly
+      assert(longOf(db, "SELECT v FROM big WHERE id = 150") == 6L)
+      assert(longOf(db, "SELECT COUNT(*) FROM big") == 1000L)
+      assert(longOf(db, "SELECT SUM(v) FROM big") == 1001000L - 300L + 6L)
+      // and further scoped mutations keep working on the swept layout
+      ok(db, "UPDATE big SET v = -1 WHERE id = 850")
+      assert(longOf(db, "SELECT v FROM big WHERE id = 850") == -1L)
+    }
+  }
+
+  test("oversized trigger-armed UPDATE fails loudly; state unchanged") {
+    val db = mem() // cap 200; 1000-row spilled table
+    seedBig(db)
+    ok(db, "CREATE TABLE log (n INTEGER)")
+    ok(db, "CREATE TRIGGER t_u AFTER UPDATE ON big BEGIN " +
+      "INSERT INTO log VALUES (NEW.v); END")
+    val sumBefore = longOf(db, "SELECT SUM(v) FROM big")
+    // 1000 changed rows > 200-row driver cap → loud failure, full undo
+    val e = err(db, "UPDATE big SET v = v + 1")
+    assert(e.contains("too many rows for row-trigger processing"), e)
+    assert(longOf(db, "SELECT SUM(v) FROM big") == sumBefore,
+      "failed trigger-armed UPDATE must leave the table unchanged")
+    assert(longOf(db, "SELECT COUNT(*) FROM log") == 0L,
+      "no trigger body may have run")
+    // a statement-sized change under the cap still fires normally
+    ok(db, "UPDATE big SET v = 7 WHERE id = 3")
+    assert(rows(db, "SELECT n FROM log") == Seq(Seq(Value.Integer(7))))
+    // an UPDATE-only trigger must NOT cap a bulk DELETE (no armed event)
+    ok(db, "DELETE FROM big WHERE id > 500")
+    assert(longOf(db, "SELECT COUNT(*) FROM big") == 500L)
+    // DELETE side of the cap, once a DELETE trigger is armed
+    ok(db, "CREATE TRIGGER t_d AFTER DELETE ON big BEGIN " +
+      "INSERT INTO log VALUES (OLD.v); END")
+    val e2 = err(db, "DELETE FROM big WHERE id <= 499")
+    assert(e2.contains("too many rows"), e2)
+    assert(longOf(db, "SELECT COUNT(*) FROM big") == 500L)
+  }
+
   test("broad-predicate mutations fall back to a full bucketed rewrite") {
     withDiskDb(100L) { (db, _) =>
       seedBig(db)

@@ -25,6 +25,21 @@ class GoldenParitySpec extends SparkSpec {
       Left(s"unable to open database file: $tmp/etc/nope/sample.db"))
   }
 
+  test("exclusive root lock: a second open on a live root is refused") {
+    val tmp = java.nio.file.Files.createTempDirectory("graftdb").toString
+    val db = GraftDb.open(spark, s"$tmp/d.db").fold(e => fail(e), identity)
+    exec(db, "CREATE TABLE t (id INTEGER PRIMARY KEY)")
+    // a concurrent open (same JVM or another process) must not be able to
+    // sweep the live instance's big/ bucket files — refuse it (ADVICE r10)
+    assert(GraftDb.open(spark, s"$tmp/d.db") ==
+      Left(s"database is locked: $tmp/d.db"))
+    // close releases the lock; the root reopens cleanly with its data
+    assert(db.close().isRight)
+    val db2 = GraftDb.open(spark, s"$tmp/d.db").fold(e => fail(e), identity)
+    assert(query(db2, "SELECT COUNT(*) FROM t").contains("[[0]]"))
+    db2.close()
+  }
+
   test("fk constraints toggle (db.rs:350-376)") {
     val db = memDb
     exec(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, ref INTEGER REFERENCES foo(id))")
@@ -630,6 +645,10 @@ class GoldenParitySpec extends SparkSpec {
     assert(query(a, q) == query(b, q))
     // and convergence survives each replica checkpointing independently
     assert(a.checkpoint().isRight)
+    // a second open on a LIVE root is refused (exclusive root lock,
+    // ADVICE r10) — release the instance first, then reopen
+    assert(GraftDb.open(spark, s"$tmp/d1") == Left(s"database is locked: $tmp/d1"))
+    a.close()
     val a2 = GraftDb.open(spark, s"$tmp/d1").fold(e => fail(e), identity)
     assert(query(a2, q) == query(b, q))
   }

@@ -82,6 +82,90 @@ class SharedStageSpec extends SparkSpec {
     assert(Stages.sharedBuilds == b)
   }
 
+  test("builds within one session serialize: concurrency builds exactly once") {
+    Stages.clearShared()
+    val spark2 = spark
+    import spark2.implicits._
+    val before = Stages.sharedBuilds
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Seq[Int]] {
+          def call(): Seq[Int] = Stages.shared(spark, "ssc-serial") {
+            Thread.sleep(50) // widen the window a racy impl would lose
+            Stages.materialize(Seq(4, 5).toDF("n"))
+          }.collect().map(_.getInt(0)).sorted.toSeq
+        })
+      }
+      assert(futs.map(_.get()).forall(_ == Seq(4, 5)))
+    } finally pool.shutdown()
+    assert(Stages.sharedBuilds - before == 1,
+      s"per-session build serialization must build once, saw ${Stages.sharedBuilds - before}")
+  }
+
+  test("two live sessions never share an entry") {
+    Stages.clearShared()
+    val s2 = spark.newSession()
+    import org.apache.spark.sql.functions.lit
+    val a = Stages.shared(spark, "ssc-iso") {
+      Stages.materialize(spark.range(1).select(lit("sessA").as("v")))
+    }
+    val b = Stages.shared(s2, "ssc-iso") {
+      Stages.materialize(s2.range(1).select(lit("sessB").as("v")))
+    }
+    assert(a.collect().head.getString(0) == "sessA")
+    assert(b.collect().head.getString(0) == "sessB")
+    assert(Stages.sharedEntries >= 2)
+  }
+
+  test("invalidate(session) evicts exactly that session's entries") {
+    Stages.clearShared()
+    val s2 = spark.newSession()
+    import org.apache.spark.sql.functions.lit
+    Stages.shared(spark, "ssc-ev") {
+      Stages.materialize(spark.range(1).select(lit(1).as("v")))
+    }
+    Stages.shared(s2, "ssc-ev") {
+      Stages.materialize(s2.range(1).select(lit(2).as("v")))
+    }
+    assert(Stages.sharedEntries == 2)
+    Stages.invalidate(s2)
+    assert(Stages.sharedEntries == 1)
+    // surviving session still hits its cache
+    val b = Stages.sharedBuilds
+    Stages.shared(spark, "ssc-ev")(fail("must hit cache"))
+    assert(Stages.sharedBuilds == b)
+    // the invalidated session rebuilds on next use (no stale frame)
+    val rebuilt = Stages.shared(s2, "ssc-ev") {
+      Stages.materialize(s2.range(1).select(lit(3).as("v")))
+    }
+    assert(rebuilt.collect().head.getInt(0) == 3)
+  }
+
+  test("registry is capped: churning sessions evict oldest entries first") {
+    Stages.clearShared()
+    val spark2 = spark
+    import spark2.implicits._
+    sys.props("graft.sharedStageCap") = "4"
+    try {
+      (1 to 10).foreach { i =>
+        Stages.shared(spark, s"ssc-cap-$i") {
+          Stages.materialize(Seq(i).toDF("n"))
+        }
+      }
+      assert(Stages.sharedEntries <= 4,
+        s"cap=4 but registry holds ${Stages.sharedEntries}")
+      // newest entries survive; oldest were evicted
+      val b = Stages.sharedBuilds
+      Stages.shared(spark, "ssc-cap-10")(fail("newest must hit cache"))
+      assert(Stages.sharedBuilds == b)
+      val rebuilt = Stages.shared(spark, "ssc-cap-1") {
+        Stages.materialize(Seq(99).toDF("n"))
+      }
+      assert(rebuilt.collect().head.getInt(0) == 99, "oldest must have been evicted")
+    } finally sys.props.remove("graft.sharedStageCap")
+  }
+
   test("switching data dir invalidates and rebuilds; values follow the dir") {
     Stages.clearShared()
     val small = run("x104_overlap_matrix", "/root/testdata/sf0.001")
