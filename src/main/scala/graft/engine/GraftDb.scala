@@ -972,7 +972,14 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                    f: Vector[(Long, IndexedSeq[Any])] => Vector[(Long, IndexedSeq[Any])],
                    g: DataFrame => DataFrame): Store = st match {
       case Mem(rows) => Mem(f(rows))
-      case Big(df, n, no) => Big(g(df), n, no)
+      case Big(df, n, no) =>
+        val nd = g(df)
+        // the projection still scans the parent's generation files but is
+        // (by design) invisible to bigParts — pin those dirs so the
+        // checkpoint-time sweep can't delete them under the live frame
+        val dirs = bigRefDirs(df)
+        if (dirs.nonEmpty) bigDirPins.put(nd, dirs)
+        Big(nd, n, no)
     }
     def replaceEntry(oldKey: String, newKey: String, st: TableState): Unit = {
       val entries = work.toSeq.map { case (k, v) =>
@@ -2307,6 +2314,26 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     * superseded version simply stops being looked up). */
   private val bigParts =
     new java.util.IdentityHashMap[DataFrame, Map[Long, Seq[String]]]()
+  /** Generation dirs pinned by live frames that scan bucket files WITHOUT
+    * a bucket map of their own: ALTER installs a lazy projection over the
+    * bucketed version ([[doAlter]]), which must stay invisible to the
+    * mutation paths (no [[bigParts]] entry → the next UPDATE/DELETE
+    * re-buckets the transformed schema) yet keeps reading the parent's
+    * generation files. Keyed by frame identity like [[bigParts]]; consulted
+    * ONLY by [[sweepBigGenerations]]'s referenced-set (ADVICE r11 — the
+    * sweep previously deleted those files under the live frame). */
+  private val bigDirPins =
+    new java.util.IdentityHashMap[DataFrame, Set[String]]()
+
+  /** Generation dirs a Big frame's reads can touch: its own bucket map's
+    * parent dirs, or pins inherited from the frame it projects over
+    * (chained ALTERs compose through the orElse). */
+  private def bigRefDirs(df: DataFrame): Set[String] =
+    Option(bigParts.get(df))
+      .map(_.values.flatten.map(p =>
+        Paths.get(p).getParent.toAbsolutePath.normalize.toString).toSet)
+      .orElse(Option(bigDirPins.get(df)))
+      .getOrElse(Set.empty)
   private val bigGen = mutable.Map.empty[String, Long].withDefaultValue(0L)
 
   private def bigPidExpr = s"`__rowid` DIV $bigPartRows"
@@ -2343,6 +2370,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     if (bigParts.size > 64) {
       val live = liveBigFrames()
       bigParts.keySet.removeIf(k => !live.containsKey(k))
+      bigDirPins.keySet.removeIf(k => !live.containsKey(k))
     }
     bigParts.put(df, files)
     Big(df, n, nextOrd)
@@ -2352,9 +2380,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     * tables, the published committed version (lock-free `none` reads), an
     * open explicit transaction's tables, and savepoint snapshots. The
     * invariant the generation GC relies on: a live frame built by
-    * [[bigFromFiles]] ALWAYS has its bucket map in [[bigParts]] (the map
-    * only evicts non-live keys, right here), so a live frame missing from
-    * the map is a localCheckpoint frame referencing no bucket files. */
+    * [[bigFromFiles]] ALWAYS has its bucket map in [[bigParts]], and an
+    * ALTER-projected frame ALWAYS has its inherited dirs in [[bigDirPins]]
+    * (both maps only evict non-live keys), so a live frame missing from
+    * BOTH maps is a localCheckpoint frame referencing no bucket files. */
   private def liveBigFrames(): java.util.IdentityHashMap[DataFrame, Boolean] = {
     val live = new java.util.IdentityHashMap[DataFrame, Boolean]()
     def add(st: Store): Unit = st match {
@@ -2390,11 +2419,12 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     val bigRoot = r.resolve("big")
     if (!Files.isDirectory(bigRoot)) return
     val live = liveBigFrames()
+    // evict pins whose frame died (superseded/rolled-back ALTER versions)
+    bigDirPins.keySet.removeIf(k => !live.containsKey(k))
     val referenced = mutable.Set.empty[Path]
     val it = live.keySet.iterator()
     while (it.hasNext) {
-      Option(bigParts.get(it.next())).foreach(_.values.flatten.foreach(p =>
-        referenced += Paths.get(p).getParent.toAbsolutePath.normalize))
+      bigRefDirs(it.next()).foreach(d => referenced += Paths.get(d))
     }
     val ts = Files.list(bigRoot)
     val tableDirs =
@@ -2525,10 +2555,15 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     * firing would materialize an unbounded statement-sized set on the
     * driver — fail instead (SQLite fires row triggers one row at a time in
     * its own process; our equivalent boundary is the driver-heap cap). */
-  private def collectCapped(df: DataFrame): Seq[Row] = {
-    val cap = math.min(maxDriverRows, Int.MaxValue - 2L).toInt
-    val rows = df.limit(cap + 1).collect()
-    if (rows.length > cap) throw new TriggerDiffTooLarge
+  /** Collect at most `cap` rows; one over throws. Callers thread a running
+    * budget through consecutive legs (added/changed/removed) so the
+    * COMBINED driver-side row count stays ≤ [[maxDriverRows]] — capping
+    * each leg independently would admit up to 3× the stated bound
+    * (ADVICE r11). */
+  private def collectCapped(df: DataFrame, cap: Long): Seq[Row] = {
+    val c = math.min(math.max(cap, 0L), Int.MaxValue - 2L).toInt
+    val rows = df.limit(c + 1).collect()
+    if (rows.length > c) throw new TriggerDiffTooLarge
     rows.toSeq
   }
 
@@ -2550,16 +2585,18 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     def vals(r: Row, off: Int): IndexedSeq[Any] =
       (off until off + n).map(r.get).toIndexedSeq
     // left_anti keeps exactly the left side's columns: __ord, __rowid, data…
+    var budget = maxDriverRows
     val added = collectCapped(adf.join(bdf.select(col("__rowid").as("__brid0")),
-        col("__rowid") === col("__brid0"), "left_anti"))
+        col("__rowid") === col("__brid0"), "left_anti"), budget)
       .map(r => (r.getLong(0), ("INSERT",
         Some(vals(r, 2)): Option[IndexedSeq[Any]], None: Option[IndexedSeq[Any]])))
     val bKeyed = bdf.select(col("__rowid").as("__brid") +:
       dataCols.map(c2 => col(c2).as("__o_" + c2)): _*)
     val differs = dataCols.map(c2 => !(col(c2) <=> col("__o_" + c2)))
       .reduce(_ || _)
+    budget -= added.size
     val changed = collectCapped(adf.join(bKeyed, col("__rowid") === col("__brid"))
-      .filter(differs)).map { r =>
+      .filter(differs), budget).map { r =>
       val nw = vals(r, 2)
       val old = (2 + n + 1 until 2 + n + 1 + n).map(r.get).toIndexedSeq
       (r.getLong(0), if (isReplace)
@@ -2567,10 +2604,11 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       else ("UPDATE", Some(nw): Option[IndexedSeq[Any]],
         Some(old): Option[IndexedSeq[Any]]))
     }
+    budget -= changed.size
     val removed =
       if (kind == "DELETE")
         collectCapped(bdf.join(adf.select(col("__rowid").as("__arid0")),
-            col("__rowid") === col("__arid0"), "left_anti"))
+            col("__rowid") === col("__arid0"), "left_anti"), budget)
           .map(r => (r.getLong(0), ("DELETE",
             None: Option[IndexedSeq[Any]],
             Some(vals(r, 2)): Option[IndexedSeq[Any]])))

@@ -141,9 +141,15 @@ object Stages {
   // so two concurrent builds in one session could drop/re-register each
   // other's views). ReentrantLock, so a build composing [[shared]] for its
   // own inputs (same thread) re-enters freely; distinct sessions never
-  // contend.
-  private val sessionLocks = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.locks.ReentrantLock]()
+  // contend. The lock lives INSIDE the weak per-session identity entry
+  // (ADVICE r11): its lifetime is exactly the session's — no explicit
+  // removal ever happens, so invalidate() can't yank a lock out from under
+  // an in-flight build (which would let a fresh lock admit a second
+  // concurrent build in the same session), and a service churning
+  // sessions without invalidate() can't accumulate dead locks (the
+  // WeakHashMap entry — id and lock together — vanishes once the session
+  // is unreachable; registry entries pin their session via the cached
+  // DataFrame, so a session with live entries is never collected).
 
   /** Max cached shared stages across all sessions. A long-lived service
     * churning short-lived sessions evicts oldest-first instead of pinning
@@ -159,10 +165,19 @@ object Stages {
     * While a session has registry entries, its DataFrames pin it, so an id
     * present in the registry always denotes that exact live session. */
   private val sessionIds = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]())
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      (String, java.util.concurrent.locks.ReentrantLock)]())
   private val sessionSeq = new AtomicLong(0)
+  private def sessionEntry(spark: org.apache.spark.sql.SparkSession)
+      : (String, java.util.concurrent.locks.ReentrantLock) =
+    sessionIds.computeIfAbsent(spark,
+      _ => ("s" + sessionSeq.incrementAndGet(),
+        new java.util.concurrent.locks.ReentrantLock()))
   private def sessionId(spark: org.apache.spark.sql.SparkSession): String =
-    sessionIds.computeIfAbsent(spark, _ => "s" + sessionSeq.incrementAndGet())
+    sessionEntry(spark)._1
+
+  /** Live per-session lock count (specs / observability). */
+  def sessionLockCount: Int = sessionIds.size()
 
   /** Number of shared-stage BUILDS so far (cache misses) — observability
     * for specs and perf triage; a hit leaves it unchanged. */
@@ -172,7 +187,7 @@ object Stages {
   def sharedEntries: Int = registry.size()
 
   /** Drop every cached shared stage (tests; or to force re-derivation). */
-  def clearShared(): Unit = { registry.clear(); sessionLocks.clear() }
+  def clearShared(): Unit = registry.clear()
 
   /** Evict every cached stage belonging to `spark` — call when a service
     * discards a session, so its localCheckpoint blocks / checkpoint refs
@@ -180,7 +195,9 @@ object Stages {
   def invalidate(spark: org.apache.spark.sql.SparkSession): Unit = {
     val sid = sessionId(spark)
     registry.keySet.removeIf(_.session == sid)
-    sessionLocks.remove(sid)
+    // the session's lock is deliberately NOT touched: it dies with the
+    // session (weak entry), and removing it here could hand a concurrent
+    // in-flight build's session a second, fresh lock
   }
 
   /** Drop entries whose SparkContext is stopped, then enforce [[cap]] by
@@ -208,17 +225,15 @@ object Stages {
     * build may freely call [[shared]] for its own inputs — the per-session
     * lock is reentrant, and a corpus-scale build never blocks lookups from
     * other sessions. Builds within ONE session serialize (see
-    * [[sessionLocks]]) so concurrent builds can't clobber each other's
+    * [[sessionIds]]) so concurrent builds can't clobber each other's
     * session-global scaffolding temp views. */
   def shared(spark: org.apache.spark.sql.SparkSession, stage: String,
              params: String = "")(build: => DataFrame): DataFrame = {
     val dir = graft.Tables.registeredDir(spark).getOrElse("")
-    val sid = sessionId(spark)
+    val (sid, lock) = sessionEntry(spark)
     val key = SharedKey(sid, mode, stage, params)
     val cur = registry.get(key)
     if (cur != null && cur.dir == dir) return cur.df
-    val lock = sessionLocks.computeIfAbsent(sid,
-      _ => new java.util.concurrent.locks.ReentrantLock())
     lock.lock()
     try {
       val again = registry.get(key) // built while we waited?

@@ -509,6 +509,42 @@ class BigTableSpec extends SparkSpec {
     }
   }
 
+  test("ALTERed Big frame pins its generation files across the sweep (ADVICE r11)") {
+    withDiskDb(100L) { (db, dbRoot) =>
+      seedBig(db)
+      // g1: full bucketed layout; g2..g6: five scoped rewrites of bucket 1
+      (1 to 6).foreach(i => ok(db, s"UPDATE big SET v = $i WHERE id = 150"))
+      // ALTER installs a lazy projection over the bucketed version — a live
+      // frame that scans g1 + g6 but carries no bucket map of its own
+      ok(db, "ALTER TABLE big ADD COLUMN extra INTEGER")
+      def gens(): Set[String] = {
+        val d = dbRoot.resolve("big").resolve("big")
+        if (!java.nio.file.Files.isDirectory(d)) Set.empty
+        else {
+          val s = java.nio.file.Files.list(d)
+          try s.iterator().asScala.map(_.getFileName.toString).toSet
+          finally s.close()
+        }
+      }
+      db.checkpoint().fold(e => fail(e), identity)
+      // the sweep must treat the ALTERed frame's inherited dirs as
+      // referenced: g1 (nine untouched buckets) + g6 (bucket 1) survive,
+      // g5 by newest-2 grace; g2..g4 are garbage
+      assert(gens() == Set("g1", "g5", "g6"),
+        s"expected g1,g5,g6 to survive under the live ALTERed frame; saw ${gens()}")
+      // the live frame still serves every row (pre-fix: FileNotFoundException)
+      assert(longOf(db, "SELECT COUNT(*) FROM big") == 1000L)
+      assert(longOf(db, "SELECT v FROM big WHERE id = 150") == 6L)
+      assert(rows(db, "SELECT extra FROM big WHERE id = 1").head.head ==
+        Value.Null)
+      // the next scoped mutation re-buckets the transformed schema
+      // (self-healing) and keeps working
+      ok(db, "UPDATE big SET extra = 1 WHERE id = 150")
+      assert(longOf(db, "SELECT extra FROM big WHERE id = 150") == 1L)
+      assert(longOf(db, "SELECT SUM(v) FROM big") == 1001000L - 300L + 6L)
+    }
+  }
+
   test("oversized trigger-armed UPDATE fails loudly; state unchanged") {
     val db = mem() // cap 200; 1000-row spilled table
     seedBig(db)
@@ -535,6 +571,32 @@ class BigTableSpec extends SparkSpec {
     val e2 = err(db, "DELETE FROM big WHERE id <= 499")
     assert(e2.contains("too many rows"), e2)
     assert(longOf(db, "SELECT COUNT(*) FROM big") == 500L)
+  }
+
+  test("trigger-diff cap bounds the COMBINED legs, not each independently") {
+    val db = mem() // cap 200; 1000-row spilled table
+    seedBig(db)
+    ok(db, "CREATE TABLE log (n INTEGER)")
+    ok(db, "CREATE TRIGGER t_i AFTER INSERT ON big BEGIN " +
+      "INSERT INTO log VALUES (NEW.v); END")
+    ok(db, "CREATE TRIGGER t_u AFTER UPDATE ON big BEGIN " +
+      "INSERT INTO log VALUES (NEW.v); END")
+    val sumBefore = longOf(db, "SELECT SUM(v) FROM big")
+    // 120 conflicts (changed leg) + 120 fresh ids (added leg): each leg is
+    // under the 200-row cap but together they are 240 driver rows —
+    // the budget threads through the legs (ADVICE r11), so this must fail
+    def upsert(ids: Range): String =
+      "INSERT INTO big VALUES " +
+        ids.map(i => s"($i, -1, 'x')").mkString(", ") +
+        " ON CONFLICT(id) DO UPDATE SET v = -1"
+    val e = err(db, upsert(881 to 1120))
+    assert(e.contains("too many rows for row-trigger processing"), e)
+    assert(longOf(db, "SELECT SUM(v) FROM big") == sumBefore)
+    assert(longOf(db, "SELECT COUNT(*) FROM big") == 1000L)
+    assert(longOf(db, "SELECT COUNT(*) FROM log") == 0L)
+    // the same shape under the combined cap fires both triggers normally
+    ok(db, upsert(951 to 1050))
+    assert(longOf(db, "SELECT COUNT(*) FROM log") == 100L)
   }
 
   test("broad-predicate mutations fall back to a full bucketed rewrite") {

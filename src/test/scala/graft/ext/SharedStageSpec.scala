@@ -166,6 +166,38 @@ class SharedStageSpec extends SparkSpec {
     } finally sys.props.remove("graft.sharedStageCap")
   }
 
+  test("session locks die with their sessions, not with invalidate (ADVICE r11)") {
+    Stages.clearShared()
+    import org.apache.spark.sql.functions.lit
+    // invalidate() must NOT drop the session's lock: a concurrent build
+    // holding it would otherwise race a fresh lock in the same session
+    val s2 = spark.newSession()
+    Stages.shared(s2, "ssc-lock") {
+      Stages.materialize(s2.range(1).select(lit(1).as("v")))
+    }
+    val locksBefore = Stages.sessionLockCount
+    Stages.invalidate(s2)
+    assert(Stages.sessionLockCount == locksBefore,
+      "invalidate must leave the session's lock in place")
+    // churned sessions release their lock entry once unreachable — the
+    // weak per-session entry (id + lock) is the only thing holding it
+    (1 to 8).foreach { i =>
+      val s = spark.newSession()
+      Stages.shared(s, s"ssc-lock-churn-$i") {
+        Stages.materialize(s.range(1).select(lit(i).as("v")))
+      }
+      Stages.invalidate(s) // drop registry pins so the session can be GC'd
+    }
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var n = Stages.sessionLockCount
+    while (n > locksBefore + 2 && System.nanoTime() < deadline) {
+      System.gc(); Thread.sleep(100); n = Stages.sessionLockCount
+    }
+    assert(n <= locksBefore + 2,
+      s"dead sessions must not pin locks: $n live lock entries " +
+        s"(baseline $locksBefore)")
+  }
+
   test("switching data dir invalidates and rebuilds; values follow the dir") {
     Stages.clearShared()
     val small = run("x104_overlap_matrix", "/root/testdata/sf0.001")
