@@ -36,6 +36,7 @@ object Fuzz {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Tables.ensure(spark, sfDir)
+    registerFuzzViews(spark)
     val w = new PrintWriter(outFile)
     var errs = 0
     try {
@@ -63,6 +64,26 @@ object Fuzz {
     println(s"""{"fuzz":"done","count":$count,"sparkErrors":$errs}""")
     spark.stop()
     if (errs > 0) sys.exit(2) // a Spark-side error is a generator bug
+  }
+
+  /** Fuzz-only extension views (grammar v2) — the Spark twins of the
+    * views check_fuzz.py builds in DuckDB. Dialect-specific projections,
+    * semantically pinned: props.k as BIGINT (get_json_object vs
+    * json_extract_string), embedding length (size vs len — no shared
+    * name), and float32 elements exactified via the standard
+    * float→double→*1e6→FLOOR chain (bit-identical IEEE-754 in both). */
+  def registerFuzzViews(spark: SparkSession): Unit = {
+    spark.sql(
+      "CREATE OR REPLACE TEMP VIEW events_x AS SELECT event_id, ts, " +
+        "user_id, event_type, value, " +
+        "CAST(get_json_object(props, '$.k') AS BIGINT) AS props_k " +
+        "FROM events")
+    val es = (1 to 4).map(i =>
+      s"CAST(FLOOR(CAST(element_at(embedding, $i) AS DOUBLE) * 1000000 " +
+        s"+ 0.5) AS BIGINT) AS e$i").mkString(", ")
+    spark.sql(
+      "CREATE OR REPLACE TEMP VIEW emb_x AS SELECT vec_id, label, " +
+        s"size(embedding) AS dim, $es FROM embeddings")
   }
 
   /** Run one query; return (rowCount, canonical digest, small diagnostic

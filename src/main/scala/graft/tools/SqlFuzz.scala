@@ -9,9 +9,16 @@ import scala.util.Random
   * identical — in BOTH Spark 4 (ANSI) and DuckDB, over the driver testdata
   * views. Ten rounds of green on the 163 declared oracle rows say nothing
   * about the query the next user writes; this generator samples the space
-  * those rows come from: projections, predicates, FK joins, aggregation,
-  * HAVING, DISTINCT, set operations, window functions, CTEs, scalar/IN/
-  * EXISTS subqueries, CASE, string/date functions, ROLLUP, ORDER+LIMIT.
+  * those rows come from: projections, predicates, FK joins (INNER/LEFT/
+  * RIGHT/FULL, up to 3-way), aggregation, HAVING, DISTINCT, set
+  * operations, window functions (rank family, frames, NTILE/NTH_VALUE),
+  * CTEs, scalar/IN/EXISTS subqueries, CASE, string/date/timestamp
+  * functions, ROLLUP/CUBE/GROUPING SETS, ORDER+LIMIT+OFFSET. Grammar v2
+  * (r12) extends the domain past TPC-H to the LLM-pipeline tables:
+  * documents (string-heavy text), events_x (raw timestamps, JSON-derived
+  * props_k), emb_x (float32 embedding elements exactified to BIGINT) —
+  * see [[graft.Fuzz.registerFuzzViews]] / check_fuzz.py for the pinned
+  * twin view definitions.
   *
   * Cross-engine determinism is guaranteed by construction, not hope:
   *
@@ -55,10 +62,12 @@ object SqlFuzz {
   final case class Ex(sql: String, ty: Ty, mag: Double, nullable: Boolean)
 
   /** isCents: double column entering through the exactifying FLOOR cast.
+    * isTs: raw timestamp column (date atoms CAST it to DATE; int atoms may
+    * EXTRACT(HOUR/MINUTE) — both UTC-deterministic in both engines).
     * lits: equality-plausible literals; frags: LIKE fragments. */
   final case class Col(name: String, ty: Ty, isCents: Boolean = false,
                        mag: Double = 1e6, lits: Seq[String] = Nil,
-                       frags: Seq[String] = Nil)
+                       frags: Seq[String] = Nil, isTs: Boolean = false)
 
   /** uniqueKey: column set totally ordering the table (for windows). */
   final case class Tab(name: String, cols: Seq[Col], uniqueKey: Seq[String],
@@ -144,7 +153,44 @@ object SqlFuzz {
       Col("l_linestatus", TStr, lits = Seq("F", "O"), frags = Seq("F", "O")),
       Col("l_shipdate", TDate, mag = 0,
         lits = Seq("1997-06-15", "1999-09-01", "2001-01-01"))),
-      Seq("l_orderkey", "l_linenumber"), 2e6))
+      Seq("l_orderkey", "l_linenumber"), 2e6),
+    // ---- extension tables (grammar v2): the LLM-pipeline side of the
+    // testdata — string-heavy text, raw timestamps, JSON-derived and
+    // embedding-derived integer columns. events_x / emb_x are fuzz-only
+    // views registered by BOTH harnesses (graft.Fuzz and check_fuzz.py)
+    // with dialect-specific but semantically pinned projections: the JSON
+    // k field as BIGINT, and float32 embedding elements exactified via
+    // CAST(FLOOR(CAST(e AS DOUBLE) * 1e6 + 0.5) AS BIGINT) — float→double
+    // is exact, the multiply/add/floor are bit-identical IEEE-754 ops.
+    Tab("documents", Seq(
+      Col("doc_id", TInt, mag = 5e3, lits = Seq("3", "42", "117")),
+      Col("text", TStr,
+        frags = Seq("agg", "join", "table", "value", "spark", "data", "row")),
+      Col("lang", TStr, lits = Seq("en", "de", "es", "fr", "zh"),
+        frags = Seq("e", "z")),
+      Col("source", TStr, lits = Seq("src0", "src3", "src12", "src19"),
+        frags = Seq("src", "1")),
+      Col("n_chars", TInt, mag = 600, lits = Seq("100", "200", "400"))),
+      Seq("doc_id"), 5e3),
+    Tab("events_x", Seq(
+      Col("event_id", TInt, mag = 1e5, lits = Seq("5", "800", "4242")),
+      Col("ts", TDate, mag = 0, isTs = true,
+        lits = Seq("2024-01-05", "2024-01-15", "2024-01-25")),
+      Col("user_id", TInt, mag = 1500, lits = Seq("3", "77", "120")),
+      Col("event_type", TStr,
+        lits = Seq("click", "error", "purchase", "signup", "view"),
+        frags = Seq("c", "up", "view", "r")),
+      Col("value", TInt, isCents = true, mag = 6e4,
+        lits = Seq("500", "10000", "25000")),
+      Col("props_k", TInt, mag = 100, lits = Seq("29", "69", "89"))),
+      Seq("event_id"), 1e5),
+    Tab("emb_x", Seq(
+      Col("vec_id", TInt, mag = 2e3, lits = Seq("1", "17", "99")),
+      Col("label", TInt, mag = 9, lits = Seq("0", "3", "7")),
+      Col("dim", TInt, mag = 64, lits = Seq("64")),
+      Col("e1", TInt, mag = 4e5), Col("e2", TInt, mag = 4e5),
+      Col("e3", TInt, mag = 4e5), Col("e4", TInt, mag = 4e5)),
+      Seq("vec_id"), 2e3))
 
   private val byName: Map[String, Tab] = tables.map(t => t.name -> t).toMap
 
@@ -156,7 +202,9 @@ object SqlFuzz {
     ("orders", "o_custkey", "customer", "c_custkey"),
     ("lineitem", "l_orderkey", "orders", "o_orderkey"),
     ("lineitem", "l_partkey", "part", "p_partkey"),
-    ("lineitem", "l_suppkey", "supplier", "s_suppkey"))
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    // extension side: each embedding row describes exactly one document
+    ("emb_x", "vec_id", "documents", "doc_id"))
 
   /** One table occurrence in a FROM clause. */
   final case class Rel(alias: String, tab: Tab, nullable: Boolean)
@@ -200,8 +248,16 @@ object SqlFuzz {
         else {
           val (child, childCol, parent, parentCol) = pick(candidates)
           val a = s"t${scope.size}"
-          val left = chance(0.3)
-          val kind = if (left) "LEFT JOIN" else "JOIN"
+          // RIGHT/FULL preserve the parent side: FK integrity makes INNER
+          // and LEFT agree on matches, so the outer kinds add exactly the
+          // parent rows with no children — and null-stripe every column of
+          // the previously-joined side (scope-wide nullability flip).
+          val kind = r.nextInt(10) match {
+            case 0 | 1 | 2 => "LEFT JOIN"
+            case 3         => "RIGHT JOIN"
+            case 4         => "FULL JOIN"
+            case _         => "JOIN"
+          }
           val extra =
             if (chance(0.2)) {
               // depth 1: Spark rejects subquery predicates in join ON
@@ -211,7 +267,14 @@ object SqlFuzz {
             } else ""
           sb.append(s" $kind ${parent.name} $a ON " +
             s"${child.alias}.$childCol = $a.$parentCol$extra")
-          scope :+= Rel(a, parent, nullable = left || child.nullable)
+          if (kind == "RIGHT JOIN" || kind == "FULL JOIN")
+            scope = scope.map(rel => rel.copy(nullable = true))
+          val parentNullable = kind match {
+            case "LEFT JOIN" => true
+            case "FULL JOIN" => true
+            case _           => child.nullable
+          }
+          scope :+= Rel(a, parent, nullable = parentNullable)
           n += 1
         }
       }
@@ -263,12 +326,15 @@ object SqlFuzz {
     }
 
     private def dateLit(): String =
-      s"DATE '${int(1995, 2001)}-${f"${int(1, 12)}%02d"}-${f"${int(1, 28)}%02d"}'"
+      // two eras: the TPC-H date range and the events.ts range (2024-01)
+      if (chance(0.3)) s"DATE '2024-01-${f"${int(1, 28)}%02d"}'"
+      else
+        s"DATE '${int(1995, 2001)}-${f"${int(1, 12)}%02d"}-${f"${int(1, 28)}%02d"}'"
 
     /** Integer expression, depth-bounded, magnitude-tracked. */
     private def intExpr(scope: Vector[Rel], depth: Int): Ex = {
       if (depth >= 2 || chance(0.35)) return intAtom(scope)
-      r.nextInt(9) match {
+      r.nextInt(10) match {
         case 0 =>
           val a = intExpr(scope, depth + 1); val b = intExpr(scope, depth + 1)
           Ex(s"(${a.sql} + ${b.sql})", TInt, a.mag + b.mag,
@@ -292,7 +358,17 @@ object SqlFuzz {
           Ex(s"(CASE WHEN ${b.sql} THEN ${x.sql} ELSE ${y.sql} END)", TInt,
             x.mag.max(y.mag), x.nullable || y.nullable)
         case 6 =>
-          dateAtom(scope) match {
+          // raw-timestamp columns additionally expose HOUR/MINUTE — both
+          // engines evaluate them on the naive NTZ value under UTC
+          val tsCols = for {
+            rel <- scope; c <- rel.tab.cols if c.isTs
+          } yield (rel, c)
+          if (tsCols.nonEmpty && chance(0.4)) {
+            val (rel, c) = pick(tsCols)
+            val f = pick(Seq("HOUR", "MINUTE"))
+            Ex(s"CAST(EXTRACT($f FROM ${rel.alias}.${c.name}) AS BIGINT)",
+              TInt, 60, rel.nullable)
+          } else dateAtom(scope) match {
             case Some(d) =>
               val f = pick(Seq("YEAR", "MONTH", "DAY"))
               Ex(s"CAST(EXTRACT($f FROM ${d.sql}) AS BIGINT)", TInt, 2030,
@@ -302,6 +378,12 @@ object SqlFuzz {
         case 7 =>
           val s = strExpr(scope, depth + 1)
           Ex(s"length(${s.sql})", TInt, 1000, s.nullable)
+        case 8 =>
+          // instr(str, substr): 1-based find, 0 when absent — same
+          // contract in Spark and DuckDB
+          val s = strExpr(scope, depth + 1)
+          val frag = pick(Seq("a", "e", "1", "#", "ta", "ur"))
+          Ex(s"instr(${s.sql}, '$frag')", TInt, 1000, s.nullable)
         case _ =>
           val a = intExpr(scope, depth + 1); val b = intExpr(scope, depth + 1)
           if (a.nullable || b.nullable) { // greatest/least: non-null only
@@ -318,7 +400,7 @@ object SqlFuzz {
 
     private def strExpr(scope: Vector[Rel], depth: Int): Ex = {
       if (depth >= 2 || chance(0.4)) return strAtom(scope)
-      r.nextInt(6) match {
+      r.nextInt(9) match {
         case 0 =>
           val a = strExpr(scope, depth + 1); val b = strExpr(scope, depth + 1)
           Ex(s"(${a.sql} || ${b.sql})", TStr, 0, a.nullable || b.nullable)
@@ -340,6 +422,24 @@ object SqlFuzz {
           val x = strExpr(scope, depth + 1); val y = strExpr(scope, depth + 1)
           Ex(s"(CASE WHEN ${b.sql} THEN ${x.sql} ELSE ${y.sql} END)", TStr, 0,
             x.nullable || y.nullable)
+        case 5 =>
+          val a = strExpr(scope, depth + 1)
+          Ex(s"${pick(Seq("left", "right"))}(${a.sql}, ${int(1, 5)})", TStr,
+            0, a.nullable)
+        case 6 =>
+          val a = strExpr(scope, depth + 1)
+          Ex(s"reverse(${a.sql})", TStr, 0, a.nullable)
+        case 7 =>
+          // ' ' delimiter splits the word-salad documents.text; part index
+          // past the end is '' in both engines. Non-nullable input only:
+          // DuckDB 1.0 split_part(NULL, ...) yields '' where Spark
+          // null-propagates (triaged r12, seed 30559).
+          val a0 = strExpr(scope, depth + 1)
+          val a = if (a0.nullable)
+            Ex(s"coalesce(${a0.sql}, '~')", TStr, 0, nullable = false)
+          else a0
+          Ex(s"split_part(${a.sql}, ' ', ${int(1, 4)})", TStr, 0,
+            nullable = false)
         case _ =>
           val a = strExpr(scope, depth + 1)
           Ex(s"coalesce(${a.sql}, '~')", TStr, 0, nullable = false)
@@ -395,8 +495,13 @@ object SqlFuzz {
           Ex(s"(${rel.alias}.${c.name} $not" + s"LIKE '$pat')", TInt, 0,
             rel.nullable)
         case 5 =>
+          // !isTs: DuckDB 1.0 unsoundly folds `CAST(ts AS DATE) IN (d1,d2)`
+          // into a point IN on the raw timestamp (matches nothing for
+          // intra-day values; Spark answers correctly — triaged r12, seeds
+          // 30212/30240). The oracle can't score the shape, so don't
+          // generate it; =/</BETWEEN on the cast stay covered.
           val cols = for {
-            rel <- scope; c <- rel.tab.cols if c.lits.size >= 2
+            rel <- scope; c <- rel.tab.cols if c.lits.size >= 2 && !c.isTs
           } yield (rel, c)
           if (cols.isEmpty) return leaf()
           val (rel, c) = pick(cols)
@@ -531,7 +636,15 @@ object SqlFuzz {
         val s = strAtom(scope)
         Ex(s"substr(${s.sql}, 1, ${int(1, 3)})", TStr, 0, s.nullable)
       case 2 =>
-        dateAtom(scope) match {
+        val tsCols = for {
+          rel <- scope; c <- rel.tab.cols if c.isTs
+        } yield (rel, c)
+        if (tsCols.nonEmpty && chance(0.5)) {
+          // hour-of-day bucketing — the natural events-analytics key
+          val (rel, c) = pick(tsCols)
+          Ex(s"CAST(EXTRACT(${pick(Seq("HOUR", "MINUTE", "DAY"))} FROM " +
+            s"${rel.alias}.${c.name}) AS BIGINT)", TInt, 60, rel.nullable)
+        } else dateAtom(scope) match {
           case Some(d) =>
             Ex(s"CAST(EXTRACT(YEAR FROM ${d.sql}) AS BIGINT)", TInt, 2030,
               d.nullable)
@@ -571,11 +684,15 @@ object SqlFuzz {
         val keys = (1 to nCols).map { i =>
           if (chance(0.3)) s"$i DESC NULLS LAST" else s"$i ASC NULLS FIRST"
         }
-        s" ORDER BY ${keys.mkString(", ")} LIMIT ${int(1, 50)}"
+        // OFFSET stays deterministic for the same reason LIMIT does: the
+        // ORDER BY covers every output ordinal, so the skipped prefix is a
+        // fixed multiset in both engines
+        val off = if (chance(0.25)) s" OFFSET ${int(1, 20)}" else ""
+        s" ORDER BY ${keys.mkString(", ")} LIMIT ${int(1, 50)}$off"
       }
 
     def plainQuery(): String = {
-      val (scope, from) = fromClause(2)
+      val (scope, from) = fromClause(3)
       val distinct = if (chance(0.2)) "DISTINCT " else ""
       val n = int(1, 4)
       val items = (0 until n).map(i => s"${outExpr(scope).sql} AS c$i")
@@ -586,7 +703,7 @@ object SqlFuzz {
     }
 
     def aggQuery(): String = {
-      val (scope, from) = fromClause(2)
+      val (scope, from) = fromClause(3)
       val nK = int(1, 2)
       val nA = int(1, 3)
       val keys = (0 until nK).map(i => (groupKey(scope), s"c$i"))
@@ -594,10 +711,22 @@ object SqlFuzz {
       val items = (keys ++ aggs).map { case (e, a) => s"${e.sql} AS $a" }
       val where =
         if (chance(0.7)) s" WHERE ${boolExpr(scope, 0).sql}" else ""
-      val rollup = chance(0.12)
+      val rollup = chance(0.2)
       val groupBy =
-        if (rollup) s" GROUP BY ROLLUP(${keys.map(_._1.sql).mkString(", ")})"
-        else s" GROUP BY ${(1 to nK).mkString(", ")}"
+        if (rollup) {
+          val ks = keys.map(_._1.sql).mkString(", ")
+          r.nextInt(3) match {
+            case 0 => s" GROUP BY ROLLUP($ks)"
+            case 1 => s" GROUP BY CUBE($ks)"
+            case _ =>
+              // explicit grouping sets: every prefix plus the grand total —
+              // same lattice shape both engines agree on (the empty-input
+              // () divergence is the pinned dialect class)
+              val sets = (nK to 0 by -1).map(k =>
+                "(" + keys.take(k).map(_._1.sql).mkString(", ") + ")")
+              s" GROUP BY GROUPING SETS (${sets.mkString(", ")})"
+          }
+        } else s" GROUP BY ${(1 to nK).mkString(", ")}"
       val having =
         if (!rollup && chance(0.3)) {
           val a = aggExpr(scope, 1)
@@ -639,7 +768,16 @@ object SqlFuzz {
         s"SUM(${e.sql}) OVER (PARTITION BY ${g.sql} ORDER BY $uk " +
           "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
         s"LAG(${e.sql}, 1) OVER (PARTITION BY ${g.sql} ORDER BY $uk)",
-        s"LEAD(${e.sql}, 1) OVER (PARTITION BY ${g.sql} ORDER BY $uk)")
+        s"LEAD(${e.sql}, 1) OVER (PARTITION BY ${g.sql} ORDER BY $uk)",
+        s"NTILE(${int(2, 7)}) OVER (PARTITION BY ${g.sql} ORDER BY $uk)",
+        // nth/first/last: explicit full frame — the default frame ends at
+        // CURRENT ROW, where engines can disagree on nth beyond the frame
+        s"NTH_VALUE(${e.sql}, ${int(1, 3)}) OVER (PARTITION BY ${g.sql} " +
+          s"ORDER BY $uk ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+          "UNBOUNDED FOLLOWING)",
+        s"FIRST_VALUE(${e.sql}) OVER (PARTITION BY ${g.sql} ORDER BY $uk)",
+        s"LAST_VALUE(${e.sql}) OVER (PARTITION BY ${g.sql} ORDER BY $uk " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)")
       val picked = r.shuffle(winFns).take(int(1, 3))
       val keyCols = t.uniqueKey.zipWithIndex
         .map { case (k, i) => s"t0.$k AS c$i" }

@@ -19,8 +19,23 @@ show = int(sys.argv[sys.argv.index("--show") + 1]) if "--show" in sys.argv else 
 
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem"]:
+          "orders", "lineitem", "documents"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+# Fuzz-only extension views (grammar v2) — DuckDB twins of
+# graft.Fuzz.registerFuzzViews. Dialect-specific projections, semantically
+# pinned: props.k as BIGINT, embedding length (len vs size — no shared
+# name), float32 elements exactified float→double→*1e6→FLOOR (IEEE-exact
+# in both engines).
+con.execute(
+    f"CREATE VIEW events_x AS SELECT event_id, ts, user_id, event_type, "
+    f"value, CAST(json_extract_string(props, '$.k') AS BIGINT) AS props_k "
+    f"FROM '{sf_dir}/events.parquet'")
+_es = ", ".join(
+    f"CAST(FLOOR(CAST(list_extract(embedding, {i}) AS DOUBLE) * 1000000 "
+    f"+ 0.5) AS BIGINT) AS e{i}" for i in range(1, 5))
+con.execute(
+    f"CREATE VIEW emb_x AS SELECT vec_id, label, len(embedding) AS dim, "
+    f"{_es} FROM '{sf_dir}/embeddings.parquet'")
 
 SEP = "\x1f"
 
