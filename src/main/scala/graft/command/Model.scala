@@ -52,6 +52,9 @@ final case class RowsResult(columns: Seq[String], types: Seq[String],
   * (Jackson ships on Spark's classpath). */
 object Json {
 
+  /** Escape + surrounding quotes — a complete JSON string literal. */
+  def escapeQ(s: String): String = "\"" + escape(s) + "\""
+
   def escape(s: String): String = {
     val b = new StringBuilder(s.length + 8)
     s.foreach {

@@ -41,6 +41,14 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
 
   private val session = parent.newSession()
   session.conf.set("spark.sql.session.timeZone", "UTC")
+  // Upstream hazard (found by the OLTP fuzzer, seed 70): after long chains
+  // of Big-store mutations, the optimizer's Union constraint rewrite
+  // (UnionBase.rewriteConstraints) can hit "key not found: attr#N" when a
+  // child's inferred constraints mention attributes outside the rewrite
+  // map. Engine-internal statement plans are OLTP-sized, so constraint
+  // propagation buys nothing here — disable it on the engine's PRIVATE
+  // session (user analytics sessions are untouched).
+  session.conf.set("spark.sql.constraintPropagation.enabled", "false")
 
   /** Table row storage. [[Mem]] is the driver-side vector — exact SQLite
     * row-order/rowid semantics at OLTP size. [[Big]] is the form a table
@@ -509,6 +517,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
   }
 
   private def friendlyError(e: Exception): String = {
+    if (sys.props.contains("graft.debugErrors")) e.printStackTrace()
     val m = Option(e.getMessage).getOrElse(e.toString)
     val noSuch = "TABLE_OR_VIEW_NOT_FOUND|Table or view not found".r
     if (noSuch.findFirstIn(m).isDefined) {
@@ -808,6 +817,32 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     * re-enters itself, and a body error rolls back the whole statement
     * (statement-level atomicity, captured live from SQLite 3.40). The outer
     * statement's lastRowId and rows_affected are preserved across firing. */
+  /** Set by [[applyPolicySeq]]'s Upsert branch during `run`: the exact
+    * per-candidate firing tape (INSERT/UPDATE interleaved in candidate
+    * order, no-op DO UPDATEs included) — SQLite semantics a value diff
+    * cannot reproduce. Cleared before every wrapped statement. */
+  private var upsertFirings: Option[
+    Seq[(String, Option[IndexedSeq[Any]], Option[IndexedSeq[Any]])]] = None
+
+  /** Rows of `st` keyed by rowid, restricted to `rids` (driver-capped by
+    * the caller). One broadcast semi-join for spilled stores. */
+  private def rowsByRid(td: TableDef, st: Store, rids: Set[Long])
+      : Map[Long, IndexedSeq[Any]] = st match {
+    case Mem(rows) => rows.filter(r => rids(r._1)).toMap
+    case b: Big =>
+      if (rids.isEmpty) Map.empty
+      else {
+        val n = td.cols.size
+        val rdf = session.createDataFrame(
+          rids.toSeq.map(Row(_)).asJava,
+          StructType(Seq(StructField("__qr", LongType, nullable = false))))
+        b.df.join(broadcast(rdf), col("__rowid") === col("__qr"), "left_semi")
+          .collect()
+          .map(r => r.getLong(1) -> (2 until 2 + n).map(r.get).toIndexedSeq)
+          .toMap
+      }
+  }
+
   private def withTriggers(work: Tables, sql: String, kind: String)(
       run: => Either[String, Long]): Either[String, Long] = {
     val tname = (kind match {
@@ -837,6 +872,39 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     val idxBackup = mutable.LinkedHashMap(indexes.toSeq: _*)
     val viewBackup = mutable.LinkedHashMap(viewDefs.toSeq: _*)
     val trigBackup = mutable.LinkedHashMap(triggers.toSeq: _*)
+    // SQLite fires AFTER UPDATE per row MATCHED by the WHERE clause (a
+    // no-op SET still fires — probed live), in rowid order; a before/after
+    // value diff misses the no-ops. Evaluate the predicate on the BEFORE
+    // state, capped like the diff itself.
+    val updMatched: Option[Seq[Long]] =
+      if (kind == "UPDATE" && relevant.exists(_.event == "UPDATE"))
+        sql match {
+          case updateRe(_, rest) =>
+            val wIdx = SqlText.findKeyword(rest, "WHERE")
+            val cond =
+              if (wIdx >= 0) rest.substring(wIdx + 5).trim else "true"
+            try {
+              registerViews(work)
+              // NB the __rv alias is load-bearing: WHERE is not a reserved
+              // word in Spark's default dialect, so an alias-less
+              // `FROM view WHERE (true)` parses WHERE as a TABLE ALIAS
+              // with column list (true)
+              Some(collectCapped(session.sql(
+                s"SELECT `__rowid` FROM ${ridView(key)} AS __rv " +
+                  s"WHERE ($cond)"), maxDriverRows).map(_.getLong(0)))
+            } catch {
+              case _: TriggerDiffTooLarge =>
+                return Left(s"too many rows for row-trigger processing on " +
+                  s"${tname.get}: the statement changed more than " +
+                  s"$maxDriverRows rows with AFTER ROW triggers armed " +
+                  "(raise maxDriverRows, or DROP TRIGGER for bulk " +
+                  "maintenance)")
+              case _: Exception => None // run itself surfaces the error
+            }
+          case _ => None
+        }
+      else None
+    upsertFirings = None
     run match {
       case l @ Left(_) => l
       case Right(affected) =>
@@ -850,26 +918,43 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         val isReplace = kind == "INSERT" &&
           "(?is)^\\s*(REPLACE|INSERT\\s+OR\\s+REPLACE)\\b".r
             .findFirstIn(sql).isDefined
-        // (event, NEW row, OLD row) per affected row, in table row order
+        // (event, NEW row, OLD row) per affected row. Firing order is
+        // SQLite's (probed live, fuzz-pinned): INSERT in candidate order,
+        // upserts as the exact per-candidate tape, UPDATE per MATCHED row
+        // and DELETE per removed row in rowid order.
         val firings: Seq[(String, Option[IndexedSeq[Any]], Option[IndexedSeq[Any]])] =
-          try (beforeStore, afterStore) match {
-            case (Mem(beforeVec), Mem(afterVec)) =>
-              val beforeMap = beforeVec.toMap
-              val afterMap = afterVec.toMap
-              afterVec.collect {
-                case (rid, vals) if !beforeMap.contains(rid) =>
-                  ("INSERT", Some(vals), None)
-                case (rid, vals) if beforeMap.get(rid).exists(_ != vals) =>
-                  if (isReplace) ("INSERT", Some(vals), None)
-                  else ("UPDATE", Some(vals), Some(beforeMap(rid)))
-              } ++ (if (kind == "DELETE")
-                beforeVec.collect {
-                  case (rid, vals) if !afterMap.contains(rid) =>
-                    ("DELETE", None, Some(vals))
-                }
-              else Vector.empty)
-            case _ =>
-              bigTriggerDiff(td, beforeStore, afterStore, kind, isReplace)
+          try (upsertFirings, updMatched) match {
+            case (Some(tape), _) if kind == "INSERT" && !isReplace =>
+              // same driver-row contract as the diff paths: more firings
+              // than maxDriverRows fails loudly with full statement undo
+              if (tape.size > maxDriverRows) throw new TriggerDiffTooLarge
+              tape
+            case (_, Some(rids)) if kind == "UPDATE" =>
+              val ridSet = rids.toSet
+              val o = rowsByRid(td, beforeStore, ridSet)
+              val n2 = rowsByRid(td, afterStore, ridSet)
+              rids.sorted.flatMap(rid =>
+                for (ov <- o.get(rid); nv <- n2.get(rid))
+                  yield ("UPDATE", Some(nv), Some(ov)))
+            case _ => (beforeStore, afterStore) match {
+              case (Mem(beforeVec), Mem(afterVec)) =>
+                val beforeMap = beforeVec.toMap
+                val afterMap = afterVec.toMap
+                afterVec.collect {
+                  case (rid, vals) if !beforeMap.contains(rid) =>
+                    ("INSERT", Some(vals), None)
+                  case (rid, vals) if beforeMap.get(rid).exists(_ != vals) =>
+                    if (isReplace) ("INSERT", Some(vals), None)
+                    else ("UPDATE", Some(vals), Some(beforeMap(rid)))
+                } ++ (if (kind == "DELETE")
+                  beforeVec.collect {
+                    case (rid, vals) if !afterMap.contains(rid) =>
+                      (rid, ("DELETE", None, Some(vals)))
+                  }.sortBy(_._1).map(_._2)
+                else Vector.empty)
+              case _ =>
+                bigTriggerDiff(td, beforeStore, afterStore, kind, isReplace)
+            }
           } catch {
             case _: TriggerDiffTooLarge =>
               // statement-level atomicity: undo the outer DML before
@@ -1322,8 +1407,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         bulkInsertBig(work, ts, targetCols, defaults, rowidIdx, stable, policy)
       case Some(incoming) =>
         // Build candidate full rows + rowids (sequential — exact SQLite
-        // running-max rowid assignment).
-        var nextId = ts.nextRowId
+        // max(current)+1 assignment, freed top rowids reused).
+        var nextId = rowidBase(ts)
         var lastId = lastRowId
         val candidates = incoming.map { r =>
           val full = Array.fill[Any](td.cols.size)(null)
@@ -1341,13 +1426,21 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         ts.store match {
           case Mem(memRows) =>
             applyPolicySeq(td, policy, memRows, candidates, lastId).flatMap {
-              case (fin, touched, affected, lastOpt) =>
-                validate(work, td, fin, touched).map { _ =>
-                  ts.store = Mem(fin)
-                  ts.nextRowId = nextId
-                  lastOpt.foreach(lastRowId = _)
-                  maybeSpill(ts)
-                  affected
+              case (fin, touched, insRids, affected, lastOpt) =>
+                validateIdx(work, td, fin, touched) match {
+                  case Left((err, k)) =>
+                    // SQLite: rows inserted BEFORE the failing row still
+                    // advance last_insert_rowid even though the statement
+                    // is undone (probed live; fuzz-pinned)
+                    insRids.take(k).flatten.lastOption
+                      .foreach(lastRowId = _)
+                    Left(err)
+                  case Right(_) =>
+                    ts.store = Mem(fin)
+                    ts.nextRowId = nextId
+                    lastOpt.foreach(lastRowId = _)
+                    maybeSpill(ts)
+                    Right(affected)
                 }
             }
           case big: Big =>
@@ -1360,17 +1453,24 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     * per-candidate order. Shared by the Mem path (base = the whole table)
     * and the spilled path (base = the interacting slice, which by
     * construction contains every row a candidate can conflict with, so the
-    * outcomes are identical). Returns
-    * (final base rows, rows to validate, rows_affected, last inserted id). */
+    * outcomes are identical). Returns (final base rows, rows to validate,
+    * per-validated-row inserted rowid — Some for rows this statement
+    * INSERTED, None for upsert-updated rows — rows_affected, last inserted
+    * id). The inserted-rid column lets callers reproduce SQLite's
+    * last_insert_rowid() on ABORTED statements: rows inserted before the
+    * first failing row still advance the connection counter even though
+    * the statement is undone (fuzz-pinned, check_oltp.py). */
   private def applyPolicySeq(td: TableDef, policy: Conflict,
       base: Vector[(Long, IndexedSeq[Any])],
       candidates: IndexedSeq[(Long, IndexedSeq[Any])], lastId: Long)
       : Either[String, (Vector[(Long, IndexedSeq[Any])],
-                        Seq[IndexedSeq[Any]], Long, Option[Long])] =
+                        Seq[IndexedSeq[Any]], IndexedSeq[Option[Long]],
+                        Long, Option[Long])] =
     policy match {
       case Conflict.Abort =>
         // conflicts surface through validate()'s uniqueness scan
         Right((base ++ candidates, candidates.map(_._2),
+          candidates.map(c => Some(c._1)),
           candidates.size.toLong, Some(lastId)))
       case Conflict.Ignore =>
         // skip candidates violating NOT NULL, CHECK or any uniqueness
@@ -1404,7 +1504,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           }
         }
         val ins = kept.result()
-        Right((cur, ins.map(_._2), ins.size.toLong, ins.lastOption.map(_._1)))
+        Right((cur, ins.map(_._2), ins.map(r => Some(r._1)),
+          ins.size.toLong, ins.lastOption.map(_._1)))
       case Conflict.Replace =>
         // each candidate deletes the rows it conflicts with, then lands
         val specs = uniqueSpecs(td)
@@ -1413,7 +1514,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           cur = cur.filterNot { case (_, r) => conflicts(specs, r, vals) }
           cur :+= ((rid, vals))
         }
-        Right((cur, candidates.map(_._2), candidates.size.toLong, Some(lastId)))
+        Right((cur, candidates.map(_._2), candidates.map(c => Some(c._1)),
+          candidates.size.toLong, Some(lastId)))
       case Conflict.Upsert(confCols, sets) =>
         val all = uniqueSpecs(td)
         val specs = confCols match {
@@ -1428,20 +1530,44 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             m
           case None => all
         }
-        // resolve SET expressions: excluded.col pulls the incoming row,
-        // anything else must be a constant (evaluated once via Catalyst)
+        // resolve SET expressions: a bare excluded.col pulls the incoming
+        // row directly; an EXPRESSION over excluded.* evaluates per
+        // conflicting candidate with the incoming values inlined as typed
+        // literals (conflict sets are statement-sized driver work — the
+        // same cost model as the sequential policy loop itself); anything
+        // else must be a constant (evaluated once via Catalyst)
         val excludedRe =
           """(?is)^excluded\s*\.\s*["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?$""".r
-        val resolved: Seq[(Int, Either[Int, Any])] = sets.map { case (c, e) =>
+        val excludedRefRe =
+          """(?i)excluded\s*\.\s*["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?""".r
+        sealed trait SetVal
+        case class FromExc(si: Int) extends SetVal
+        case class Const(v: Any) extends SetVal
+        case class RowExpr(f: (IndexedSeq[Any], IndexedSeq[Any]) => Any)
+          extends SetVal
+        val resolved: Seq[(Int, SetVal)] = sets.map { case (c, e) =>
           val ci = td.colIndex(c)
           if (ci < 0) return Left(s"no such column: $c")
           e match {
             case excludedRe(src) =>
               val si = td.colIndex(src)
               if (si < 0) return Left(s"no such column: excluded.$src")
-              ci -> Left(si)
+              ci -> FromExc(si)
+            case expr if upsertExprRefsRow(expr, td) =>
+              excludedRefRe.findAllMatchIn(
+                  expr.replaceAll("'([^']|'')*'", " "))
+                .map(_.group(1)).find(rn => td.colIndex(rn) < 0)
+                .foreach(bad => return Left(s"no such column: excluded.$bad"))
+              val ty = sparkTypeName(td.cols(ci))
+              // SQLite evaluates every SET expression against the ORIGINAL
+              // conflicting row (unqualified refs) and the incoming row
+              // (excluded.*) — per conflict, driver-side, statement-sized
+              ci -> RowExpr { (orow, vals) =>
+                val sub = substituteUpsertRefs(expr, td, orow, vals)
+                session.sql(s"SELECT CAST(($sub) AS $ty)").head.get(0)
+              }
             case lit =>
-              ci -> Right(session.sql(
+              ci -> Const(session.sql(
                 s"SELECT CAST(($lit) AS ${sparkTypeName(td.cols(ci))})")
                 .head.get(0))
           }
@@ -1450,6 +1576,13 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         var affected = 0L
         var lastInserted: Option[Long] = None
         val touched = Vector.newBuilder[IndexedSeq[Any]]
+        val insRids = Vector.newBuilder[Option[Long]]
+        // exact firing tape for the trigger layer: SQLite fires the upsert
+        // UPDATE trigger for every CONFLICTING candidate (even when DO
+        // UPDATE writes identical values — probed live), interleaved with
+        // INSERT firings in candidate order; a value diff can't see no-ops
+        val fir = Vector.newBuilder[
+          (String, Option[IndexedSeq[Any]], Option[IndexedSeq[Any]])]
         candidates.foreach { case (rid, vals) =>
           val hit = cur.indexWhere { case (_, r) => conflicts(specs, r, vals) }
           if (hit >= 0) {
@@ -1457,21 +1590,31 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
               val (orid, orow) = cur(hit)
               val upd = orow.toArray
               resolved.foreach {
-                case (ci, Left(si)) => upd(ci) = vals(si)
-                case (ci, Right(v)) => upd(ci) = v
+                case (ci, FromExc(si)) => upd(ci) = vals(si)
+                case (ci, Const(v)) => upd(ci) = v
+                case (ci, RowExpr(f)) => upd(ci) = f(orow, vals)
               }
-              cur = cur.updated(hit, (orid, upd.toIndexedSeq))
-              touched += upd.toIndexedSeq
+              // one shared instance: validateIdx maps a clash back to the
+              // statement row by object identity
+              val u = upd.toIndexedSeq
+              cur = cur.updated(hit, (orid, u))
+              touched += u
+              insRids += None
+              fir += (("UPDATE", Some(u), Some(orow)))
               affected += 1
             }
           } else {
             cur :+= ((rid, vals))
             touched += vals
+            insRids += Some(rid)
+            fir += (("INSERT", Some(vals), None))
             lastInserted = Some(rid)
             affected += 1
           }
         }
-        Right((cur, touched.result(), affected, lastInserted))
+        upsertFirings = Some(fir.result())
+        Right((cur, touched.result(), insRids.result(), affected,
+          lastInserted))
     }
 
   /** Rows of a spilled table that share a uniqueness key with any
@@ -1537,9 +1680,17 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       case _ => None
     }
     applyPolicySeq(td, policy, base, candidates, lastId).flatMap {
-      case (fin, touched, affected, lastOpt) =>
-        validate(work, td, fin, touched, selfRemainder = Some(keep),
-          uniqueRemainder = probeRemainder).map { _ =>
+      case (fin, touched, insRids, affected, lastOpt) =>
+        val checked: Either[String, Unit] =
+          validateIdx(work, td, fin, touched, selfRemainder = Some(keep),
+            uniqueRemainder = probeRemainder) match {
+            case Left((err, k)) =>
+              // partial-abort last_insert_rowid semantics — see the Mem path
+              insRids.take(k).flatten.lastOption.foreach(lastRowId = _)
+              Left(err)
+            case Right(_) => Right(())
+          }
+        checked.map { _ =>
           val ordByRid = mini.map { case (rid, (o, _)) => rid -> o }.toMap
           var ord = big.nextOrd
           val schema = StructType(
@@ -1613,7 +1764,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     val dflt = defaults.toArray
     val ridIx = rowidIdx
     val ordBase = big.nextOrd
-    val ridBase = ts.nextRowId
+    val ridBase = rowidBase(ts)
     // __auto marks rows whose rowid was assigned (vs explicit) so nextRowId
     // advances exactly like the Mem path's running bookkeeping
     val schema = StructType(
@@ -1649,31 +1800,92 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     import org.apache.spark.sql.functions.{max, row_number}
     policy match {
       case Conflict.Abort =>
-        // Mem-path / SQLite precedence: NOT NULL → CHECK → UNIQUE → FK, so
-        // a batch violating several constraints reports the same error
-        // string here as on the driver path.
-        validateNotNullCheckBulk(td, candDf) match {
-          case Left(e) => return Left(e)
-          case Right(()) =>
+        // Per-ROW precedence (SQLite, probed live — the r11 set-wise
+        // NOT NULL-first ordering was wrong, caught by the OLTP fuzzer):
+        // the EARLIEST failing candidate decides; a row violating several
+        // constraints reports NOT NULL → CHECK → UNIQUE → FK. Each leg is
+        // a min(__ord) aggregate — the same job shapes as the old
+        // limit(1) probes, but comparable across legs.
+        def minOrd(df: DataFrame): Option[Long] = {
+          val r = df.agg(expr("min(__ord)")).head()
+          if (r.isNullAt(0)) None else Some(r.getLong(0))
+        }
+        var bestFail: Option[(Long, Int, String)] = None
+        def reportAt(ord: Option[Long], pri: Int, msg: String): Unit =
+          ord.foreach { o =>
+            if (bestFail.forall { case (bo, bp, _) =>
+                  o < bo || (o == bo && pri < bp) })
+              bestFail = Some((o, pri, msg))
+          }
+        td.cols.foreach { c =>
+          if (c.notNull && !c.isRowidAlias)
+            reportAt(minOrd(candDf.filter(col(c.name).isNull)), 0,
+              s"NOT NULL constraint failed: ${td.name}.${c.name}")
+        }
+        td.checks.foreach { case (label, ex) =>
+          val bad =
+            try minOrd(candDf.filter(s"NOT COALESCE(($ex), true)"))
+            catch { case _: Exception => None } // unresolvable expr: ignore
+          reportAt(bad, 1, s"CHECK constraint failed: $label")
         }
         specs.foreach { case (idxs, desc) =>
           val names = specCols(idxs)
           val nn = notNullKeys(names)
-          val dupIn = candDf.filter(nn).groupBy(names.map(col): _*).count()
-            .filter(col("count") > 1).limit(1).count()
-          if (dupIn > 0) return Left(s"UNIQUE constraint failed: $desc")
-          val keyed = candDf.filter(nn)
+          // intra-batch: the LATER of each duplicate pair is the failing row
+          val w = Window.partitionBy(names.map(col): _*).orderBy(col("__ord"))
+          reportAt(minOrd(candDf.filter(nn)
+              .withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") > 1)),
+            2, s"UNIQUE constraint failed: $desc")
+          val keyed = big.df
             .select(names.map(n2 => col(n2).as("__q_" + n2)): _*)
           val cond = names.map(n2 => col(n2) === col("__q_" + n2)).reduce(_ && _)
-          if (big.df.join(keyed, cond, "left_semi").limit(1).count() > 0)
-            return Left(s"UNIQUE constraint failed: $desc")
+          reportAt(minOrd(candDf.filter(nn).join(keyed, cond, "left_semi")),
+            2, s"UNIQUE constraint failed: $desc")
         }
         val merged = big.df.union(candDf)
-        validateFkDf(work, td, candDf, merged).map { _ =>
-          ts.store = mkBig(merged)
-          ts.nextRowId = newNextId
-          lastRowId = lastRid
-          candN
+        if (fkEnabled) {
+          td.cols.foreach { c =>
+            c.ref.foreach { case (refTable, refColOpt) =>
+              work.get(refTable.toLowerCase) match {
+                case None => reportAt(Some(Long.MinValue), 3,
+                  "FOREIGN KEY constraint failed")
+                case Some(parent) =>
+                  val refCol =
+                    if (refColOpt.nonEmpty) refColOpt
+                    else parent.d.rowidAlias.map(_.name).getOrElse("")
+                  val pIdx = parent.d.colIndex(refCol)
+                  if (pIdx < 0) reportAt(Some(Long.MinValue), 3,
+                    "FOREIGN KEY constraint failed")
+                  else {
+                    val pdf =
+                      if (parent.d.name.equalsIgnoreCase(td.name)) merged
+                      else storeDf(parent.d, parent.store)
+                    val pvals = pdf
+                      .select(col(parent.d.cols(pIdx).name).as("__graft_p"))
+                      .filter(col("__graft_p").isNotNull)
+                    reportAt(minOrd(candDf.filter(col(c.name).isNotNull)
+                        .join(pvals, col(c.name) === col("__graft_p"),
+                          "left_anti")),
+                      3, "FOREIGN KEY constraint failed")
+                  }
+              }
+            }
+          }
+        }
+        bestFail match {
+          case Some((o, _, msg)) =>
+            // partial-abort last_insert_rowid: candidates before the
+            // failing row still advance the counter (SQLite, probed live)
+            val prev = candDf.filter(col("__ord") < o)
+              .agg(expr("max_by(__rowid, __ord)")).head()
+            if (!prev.isNullAt(0)) lastRowId = prev.getLong(0)
+            Left(msg)
+          case None =>
+            ts.store = mkBig(merged)
+            ts.nextRowId = newNextId
+            lastRowId = lastRid
+            Right(candN)
         }
       case Conflict.Ignore =>
         var kept = candDf
@@ -1906,7 +2118,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           s"$e AS `${c.name}`"
         }.mkString(", ")
         val affected = session.sql(
-          s"SELECT COUNT(*) FROM ${ridView(td.name)} WHERE $cond").head.getLong(0)
+          s"SELECT COUNT(*) FROM ${ridView(td.name)} AS __rv WHERE $cond").head.getLong(0)
         ts.store match {
           case Mem(memRows) =>
             val df = session.sql(
@@ -1927,7 +2139,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             val newDf = session.sql(
               s"SELECT `__ord`, `__rowid`, $proj FROM ${ridView(td.name)}")
             val changedDf = session.sql(
-              s"SELECT `__ord`, `__rowid`, $proj FROM ${ridView(td.name)} " +
+              s"SELECT `__ord`, `__rowid`, $proj FROM ${ridView(td.name)} AS __rv " +
                 s"WHERE $cond")
             validateUpdateBig(work, td, newDf, changedDf).map { _ =>
               ts.store =
@@ -2006,7 +2218,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         ts.store match {
           case Mem(memRows) =>
             val doomed = session.sql(
-              s"SELECT `__rowid` FROM ${ridView(ts.d.name)} WHERE $cond")
+              s"SELECT `__rowid` FROM ${ridView(ts.d.name)} AS __rv WHERE $cond")
               .collect().map(_.getLong(0)).toSet
             val remaining = memRows.filterNot(r => doomed.contains(r._1))
             fkDeleteGuard(work, ts, Left(remaining), doomed).map { _ =>
@@ -2020,10 +2232,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             // anti-joins, then swap the version. Disk-backed dbs rewrite
             // only the rowid buckets holding doomed rows.
             val affected = session.sql(
-              s"SELECT COUNT(*) FROM ${ridView(ts.d.name)} WHERE $cond")
+              s"SELECT COUNT(*) FROM ${ridView(ts.d.name)} AS __rv WHERE $cond")
               .head.getLong(0)
             val remainingDf = session.sql(
-              s"SELECT * FROM ${ridView(ts.d.name)} " +
+              s"SELECT * FROM ${ridView(ts.d.name)} AS __rv " +
                 s"WHERE NOT COALESCE($cond, false)")
             fkDeleteGuard(work, ts, Right(remainingDf), Set.empty).map { _ =>
               ts.store =
@@ -2113,32 +2325,78 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       allRows: Vector[(Long, IndexedSeq[Any])],
       newRows: Seq[IndexedSeq[Any]],
       selfRemainder: Option[DataFrame] = None,
-      uniqueRemainder: Option[DataFrame] = None): Either[String, Unit] = {
+      uniqueRemainder: Option[DataFrame] = None): Either[String, Unit] =
+    validateIdx(work, td, allRows, newRows, selfRemainder, uniqueRemainder)
+      .left.map(_._1)
+
+  /** [[validate]] plus the INDEX (in `newRows` order) of the first failing
+    * row, resolved with SQLite's per-row constraint priority — NOT NULL,
+    * CHECK, UNIQUE, FOREIGN KEY (probed live against sqlite 3.40: a row
+    * violating several reports the highest-priority one; across rows the
+    * EARLIEST failing row wins regardless of constraint kind). Callers use
+    * the index to reproduce last_insert_rowid() on aborted statements. */
+  private def validateIdx(
+      work: Tables, td: TableDef,
+      allRows: Vector[(Long, IndexedSeq[Any])],
+      newRows: Seq[IndexedSeq[Any]],
+      selfRemainder: Option[DataFrame] = None,
+      uniqueRemainder: Option[DataFrame] = None)
+      : Either[(String, Int), Unit] = {
+    var bestIdx = Int.MaxValue
+    var bestPri = Int.MaxValue
+    var bestMsg = ""
+    def report(idx: Int, pri: Int, msg: String): Unit =
+      if (idx < bestIdx || (idx == bestIdx && pri < bestPri)) {
+        bestIdx = idx; bestPri = pri; bestMsg = msg
+      }
     td.cols.zipWithIndex.foreach { case (c, i) =>
       if (c.notNull && !c.isRowidAlias)
-        newRows.foreach { r =>
+        newRows.zipWithIndex.foreach { case (r, k) =>
           if (r(i) == null)
-            return Left(s"NOT NULL constraint failed: ${td.name}.${c.name}")
+            report(k, 0, s"NOT NULL constraint failed: ${td.name}.${c.name}")
         }
     }
     // CHECK constraints evaluate through Catalyst over the touched rows;
     // a NULL result passes (SQLite: unknown is not a failure)
     if (td.checks.nonEmpty && newRows.nonEmpty) {
+      val idxSchema = StructType(
+        StructField("__vi", IntegerType, nullable = false) +:
+          td.schema.fields)
       val df = session.createDataFrame(
-        newRows.map(r => Row.fromSeq(r)).asJava, td.schema)
+        newRows.zipWithIndex.map { case (r, k) =>
+          Row.fromSeq(k +: r)
+        }.asJava, idxSchema)
       td.checks.foreach { case (label, ex) =>
         val bad =
-          try df.filter(s"NOT COALESCE(($ex), true)").limit(1).count()
-          catch { case _: Exception => 0L } // unresolvable expr: ignore
-        if (bad > 0) return Left(s"CHECK constraint failed: $label")
+          try df.filter(s"NOT COALESCE(($ex), true)").select("__vi")
+            .collect().map(_.getInt(0))
+          catch { case _: Exception => Array.empty[Int] } // unresolvable: ignore
+        bad.foreach(report(_, 1, s"CHECK constraint failed: $label"))
       }
     }
+    // statement row -> its index, by OBJECT IDENTITY (applyPolicySeq
+    // shares instances between its returned rows and `newRows`, and two
+    // candidates may carry the SAME explicit rowid — a rid-keyed map
+    // would collapse them onto the first)
+    val identIdx =
+      new java.util.IdentityHashMap[IndexedSeq[Any], java.lang.Integer]()
+    newRows.zipWithIndex.foreach { case (r, k) =>
+      if (!identIdx.containsKey(r)) identIdx.put(r, Int.box(k))
+    }
+    def idxOf(r: IndexedSeq[Any]): Option[Int] =
+      Option(identIdx.get(r)).map(_.intValue)
     uniqueSpecs(td).foreach { case (idxs, desc) =>
-      val seen = mutable.HashSet[Seq[Any]]()
+      val seen = mutable.HashMap[Seq[Any], IndexedSeq[Any]]()
       allRows.foreach { case (_, r) =>
         val key = idxs.map(r(_))
-        if (!key.contains(null) && !seen.add(key))
-          return Left(s"UNIQUE constraint failed: $desc")
+        if (!key.contains(null)) {
+          seen.get(key) match {
+            case Some(firstRow) =>
+              val k = idxOf(r).orElse(idxOf(firstRow)).getOrElse(0)
+              report(k, 2, s"UNIQUE constraint failed: $desc")
+            case None => seen(key) = r
+          }
+        }
       }
       // DO UPDATE SET can write a unique column to a value that was never
       // among the candidates' own keys, so the interacting slice cannot
@@ -2157,58 +2415,82 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             keys.map(k => Row.fromSeq(k)).asJava, kschema)
           val cond = names.map(nm =>
             col(nm) === col("__q_" + nm)).reduce(_ && _)
-          if (keep.join(broadcast(kdf), cond, "left_semi")
-                .limit(1).count() > 0)
-            return Left(s"UNIQUE constraint failed: $desc")
+          // collect the CLASHING keys (bounded by the statement's own key
+          // set) so the failure maps back to the first statement row
+          val clash = kdf.join(
+              keep.select(names.map(col): _*), cond, "left_semi")
+            .collect().map(_.toSeq).toSet
+          if (clash.nonEmpty) {
+            val k = newRows.indexWhere { r =>
+              val key = idxs.map(r(_))
+              !key.contains(null) && clash.contains(key)
+            }
+            report(math.max(k, 0), 2, s"UNIQUE constraint failed: $desc")
+          }
         }
       }
     }
     if (fkEnabled) {
       td.cols.zipWithIndex.foreach { case (c, i) =>
         c.ref.foreach { case (refTable, refColOpt) =>
-          val parent = work.get(refTable.toLowerCase)
-            .getOrElse(return Left("FOREIGN KEY constraint failed"))
-          val refCol =
-            if (refColOpt.nonEmpty) refColOpt
-            else parent.d.rowidAlias.map(_.name).getOrElse("")
-          val pIdx = parent.d.colIndex(refCol)
-          if (pIdx < 0) return Left("FOREIGN KEY constraint failed")
-          val need = newRows.map(_(i)).filter(_ != null).distinct
-          if (need.nonEmpty) {
-            val selfRef = parent.d.name.equalsIgnoreCase(td.name)
-            // driver set for Mem-resident parents / the local slice …
-            val local: Set[Any] = (parent.store, selfRef) match {
-              case (_, true) => allRows.map(_._2(pIdx)).filter(_ != null).toSet
-              case (Mem(rows), _) => rows.map(_._2(pIdx)).filter(_ != null).toSet
-              case _ => Set.empty
-            }
-            val missing = need.filterNot(local.contains)
-            if (missing.nonEmpty) {
-              // … anti-join for spilled parents / the untouched remainder
-              val pdf: Option[DataFrame] = (parent.store, selfRef) match {
-                case (_, true) => selfRemainder
-                case (b: Big, _) => Some(storeDf(parent.d, b))
-                case _ => None
+          work.get(refTable.toLowerCase) match {
+            case None => report(0, 3, "FOREIGN KEY constraint failed")
+            case Some(parent) =>
+              val refCol =
+                if (refColOpt.nonEmpty) refColOpt
+                else parent.d.rowidAlias.map(_.name).getOrElse("")
+              val pIdx = parent.d.colIndex(refCol)
+              if (pIdx < 0) report(0, 3, "FOREIGN KEY constraint failed")
+              else {
+                val need = newRows.map(_(i)).filter(_ != null).distinct
+                if (need.nonEmpty) {
+                  val selfRef = parent.d.name.equalsIgnoreCase(td.name)
+                  // driver set for Mem-resident parents / the local slice …
+                  val local: Set[Any] = (parent.store, selfRef) match {
+                    case (_, true) =>
+                      allRows.map(_._2(pIdx)).filter(_ != null).toSet
+                    case (Mem(rows), _) =>
+                      rows.map(_._2(pIdx)).filter(_ != null).toSet
+                    case _ => Set.empty
+                  }
+                  var missing = need.filterNot(local.contains)
+                  if (missing.nonEmpty) {
+                    // … anti-join for spilled parents / untouched remainder;
+                    // collect the still-missing VALUES (bounded by the
+                    // statement) so the failure maps to its first row
+                    val pdf: Option[DataFrame] = (parent.store, selfRef) match {
+                      case (_, true) => selfRemainder
+                      case (b: Big, _) => Some(storeDf(parent.d, b))
+                      case _ => None
+                    }
+                    pdf.foreach { p =>
+                      val pc = parent.d.cols(pIdx).name
+                      val mdf = session.createDataFrame(
+                        missing.map(v => Row(v)).asJava,
+                        StructType(Seq(StructField("__graft_v",
+                          parent.d.cols(pIdx).sparkType))))
+                      missing = mdf.join(
+                        p.select(col(pc).as("__graft_p"))
+                          .filter(col("__graft_p").isNotNull),
+                        col("__graft_v") === col("__graft_p"), "left_anti")
+                        .collect().map(_.get(0)).toSeq
+                    }
+                    if (missing.nonEmpty) {
+                      val bad = missing.toSet
+                      val k = newRows.indexWhere(r =>
+                        r(i) != null && bad.contains(r(i)))
+                      report(math.max(k, 0), 3,
+                        "FOREIGN KEY constraint failed")
+                    }
+                  }
+                }
               }
-              val covered = pdf.exists { p =>
-                val pc = parent.d.cols(pIdx).name
-                val mdf = session.createDataFrame(
-                  missing.map(v => Row(v)).asJava,
-                  StructType(Seq(StructField("__graft_v",
-                    parent.d.cols(pIdx).sparkType))))
-                mdf.join(
-                  p.select(col(pc).as("__graft_p"))
-                    .filter(col("__graft_p").isNotNull),
-                  col("__graft_v") === col("__graft_p"), "left_anti")
-                  .limit(1).count() == 0
-              }
-              if (!covered) return Left("FOREIGN KEY constraint failed")
-            }
           }
         }
       }
     }
-    Right(())
+    if (bestIdx == Int.MaxValue) Right(())
+    else Left((bestMsg, bestIdx))
   }
 
   // ---------- query execution ---------------------------------------------
@@ -2272,6 +2554,98 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
   // (localCheckpoint = distributed materialization in the block manager;
   // on a cluster the blocks live on executors, so driver heap never holds
   // the table). Checkpoint-to-parquet and recovery reuse the same schema.
+
+  /** SQLite's rowid assignment base: one more than the LARGEST rowid
+    * currently in the table (1 when empty; negative maxima count — SQLite
+    * gives -4 after a lone -5). Computed at statement time, NOT from the
+    * monotonic nextRowId cache: SQLite re-uses top-of-table rowids freed
+    * by DELETE/REPLACE/ROLLBACK, and the OLTP differential fuzzer
+    * (check_oltp.py) diffs exactly this against the real engine. */
+  private def rowidBase(ts: TableState): Long = ts.store match {
+    case Mem(rows) =>
+      if (rows.isEmpty) 1L
+      else rows.iterator.map(_._1).max + 1
+    case Big(df, n, _) =>
+      if (n == 0) 1L
+      else df.selectExpr("max(__rowid)").head.getLong(0) + 1
+  }
+
+  /** Does an upsert SET expression reference the target row or the
+    * incoming (excluded.*) row? String literals are masked first; an
+    * identifier followed by '(' is a function name, not a column. */
+  private def upsertExprRefsRow(expr: String, td: TableDef): Boolean = {
+    val stripped = expr.replaceAll("'([^']|'')*'", " ")
+    if (stripped.toLowerCase.contains("excluded")) return true
+    "[A-Za-z_][A-Za-z0-9_]*".r.findAllMatchIn(stripped).exists { m =>
+      td.colIndex(m.group(0)) >= 0 &&
+        !stripped.drop(m.end).dropWhile(_.isWhitespace).startsWith("(")
+    }
+  }
+
+  /** Inline the values of the existing (unqualified refs) and incoming
+    * (excluded.<col>) rows into an upsert SET expression as SQL literals.
+    * Single-quoted string literals are copied verbatim; identifiers
+    * followed by '(' are function names and stay untouched. */
+  private def substituteUpsertRefs(expr: String, td: TableDef,
+      existing: IndexedSeq[Any], incoming: IndexedSeq[Any]): String = {
+    val out = new StringBuilder
+    val n = expr.length
+    var i = 0
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < n) {
+      val ch = expr.charAt(i)
+      if (ch == '\'') {
+        var k = i + 1
+        var done = false
+        while (!done && k < n) {
+          if (expr.charAt(k) == '\'') {
+            if (k + 1 < n && expr.charAt(k + 1) == '\'') k += 2
+            else { k += 1; done = true }
+          } else k += 1
+        }
+        out.append(expr.substring(i, k)); i = k
+      } else if (Character.isLetter(ch) || ch == '_') {
+        var j = i
+        while (j < n && isWordChar(expr.charAt(j))) j += 1
+        val word = expr.substring(i, j)
+        var k = j
+        while (k < n && Character.isWhitespace(expr.charAt(k))) k += 1
+        if (word.equalsIgnoreCase("excluded") && k < n &&
+            expr.charAt(k) == '.') {
+          k += 1
+          while (k < n && Character.isWhitespace(expr.charAt(k))) k += 1
+          var q = ' '
+          if (k < n && (expr.charAt(k) == '"' || expr.charAt(k) == '`')) {
+            q = expr.charAt(k); k += 1
+          }
+          var m = k
+          while (m < n && isWordChar(expr.charAt(m))) m += 1
+          val cn = expr.substring(k, m)
+          if (q != ' ' && m < n && expr.charAt(m) == q) m += 1
+          val ci = td.colIndex(cn)
+          out.append(if (ci >= 0) sqlLit(incoming(ci)) else s"excluded.$cn")
+          i = m
+        } else {
+          val ci = td.colIndex(word)
+          val isFn = k < n && expr.charAt(k) == '('
+          out.append(if (ci >= 0 && !isFn) sqlLit(existing(ci)) else word)
+          i = j
+        }
+      } else { out.append(ch); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Render a driver-held cell as a SQL literal (for per-candidate
+    * evaluation of `excluded.*` expressions). */
+  private def sqlLit(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case b: Boolean => if (b) "TRUE" else "FALSE"
+    case d: Double => d.toString
+    case f: Float => f.toString
+    case other => other.toString // integral types
+  }
 
   /** Materialize a new Big version and compute its bookkeeping in one job. */
   private def mkBig(df: DataFrame): Big = {
@@ -2457,7 +2831,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
 
   /** The touched bucket set of a predicate against the current version. */
   private def bigTouchedPids(tname: String, cond: String): Set[Long] =
-    session.sql(s"SELECT DISTINCT $bigPidExpr AS p FROM ${ridView(tname)} " +
+    session.sql(s"SELECT DISTINCT $bigPidExpr AS p FROM ${ridView(tname)} AS __rv " +
         s"WHERE $cond")
       .collect().map(_.getLong(0)).toSet
 
@@ -2474,7 +2848,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         s"SELECT `__ord`, `__rowid`, $proj FROM ${ridView(tname)}"),
         big.n, big.nextOrd)
     val out = nextBigGenDir(tname)
-    session.sql(s"SELECT `__ord`, `__rowid`, $proj FROM ${ridView(tname)} " +
+    session.sql(s"SELECT `__ord`, `__rowid`, $proj FROM ${ridView(tname)} AS __rv " +
         s"WHERE $bigPidExpr IN (${touched.mkString(",")})")
       .withColumn("__pid", expr(bigPidExpr))
       .write.partitionBy("__pid").mode("overwrite").parquet(out.toString)
@@ -2510,10 +2884,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     if (touched.isEmpty) return big
     if (2 * touched.size >= files.size)
       return bigPartitionedFull(tname, session.sql(
-        s"SELECT * FROM ${ridView(tname)} WHERE NOT COALESCE($cond, false)"),
+        s"SELECT * FROM ${ridView(tname)} AS __rv WHERE NOT COALESCE($cond, false)"),
         big.n - affected, big.nextOrd)
     val out = nextBigGenDir(tname)
-    session.sql(s"SELECT * FROM ${ridView(tname)} " +
+    session.sql(s"SELECT * FROM ${ridView(tname)} AS __rv " +
         s"WHERE $bigPidExpr IN (${touched.mkString(",")}) " +
         s"AND NOT COALESCE($cond, false)")
       .withColumn("__pid", expr(bigPidExpr))
@@ -2599,7 +2973,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       .filter(differs), budget).map { r =>
       val nw = vals(r, 2)
       val old = (2 + n + 1 until 2 + n + 1 + n).map(r.get).toIndexedSeq
-      (r.getLong(0), if (isReplace)
+      (r.getLong(1), if (isReplace)
         ("INSERT", Some(nw): Option[IndexedSeq[Any]], None: Option[IndexedSeq[Any]])
       else ("UPDATE", Some(nw): Option[IndexedSeq[Any]],
         Some(old): Option[IndexedSeq[Any]]))
@@ -2609,7 +2983,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       if (kind == "DELETE")
         collectCapped(bdf.join(adf.select(col("__rowid").as("__arid0")),
             col("__rowid") === col("__arid0"), "left_anti"), budget)
-          .map(r => (r.getLong(0), ("DELETE",
+          .map(r => (r.getLong(1), ("DELETE",
             None: Option[IndexedSeq[Any]],
             Some(vals(r, 2)): Option[IndexedSeq[Any]])))
       else Seq.empty

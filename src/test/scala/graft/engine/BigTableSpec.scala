@@ -322,18 +322,26 @@ class BigTableSpec extends SparkSpec {
       rows(db, "SELECT a, b FROM t ORDER BY a"))
   }
 
-  test("bulk Abort reports NOT NULL before UNIQUE (error precedence parity)") {
+  test("constraint precedence is per-ROW: earliest failing row decides") {
+    // SQLite processes candidates sequentially: row 2 duplicates row 1's
+    // PK before row 3's NOT NULL violation is ever reached, so UNIQUE is
+    // the reported error (verified live on sqlite 3.40 — the r11 pin had
+    // this backwards; the r12 OLTP differential fuzzer caught it)
     val db = mem(cap = 2)
     ok(db, "CREATE TABLE t (id INTEGER PRIMARY KEY, v INTEGER NOT NULL)")
-    // the batch violates BOTH constraints; the Mem/SQLite path reports
-    // NOT NULL first
     assert(err(db, "INSERT INTO t " +
       "SELECT * FROM (VALUES (1, 5), (1, 6), (2, NULL))") ==
-      "NOT NULL constraint failed: t.v")
+      "UNIQUE constraint failed: t.id")
     val db2 = mem(cap = 1000000)
     ok(db2, "CREATE TABLE t (id INTEGER PRIMARY KEY, v INTEGER NOT NULL)")
     assert(err(db2, "INSERT INTO t " +
       "SELECT * FROM (VALUES (1, 5), (1, 6), (2, NULL))") ==
+      "UNIQUE constraint failed: t.id")
+    // same-ROW multi-violation: NOT NULL outranks UNIQUE (also probed)
+    val db3 = mem(cap = 1000000)
+    ok(db3, "CREATE TABLE t (id INTEGER PRIMARY KEY, v INTEGER NOT NULL)")
+    ok(db3, "INSERT INTO t VALUES (1, 5)")
+    assert(err(db3, "INSERT INTO t VALUES (1, NULL)") ==
       "NOT NULL constraint failed: t.v")
   }
 

@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Differential OLTP fuzz, SQLite side (VERDICT r11 #3).
+
+Usage: check_oltp.py <oltpJsonl> [--show N]
+
+Replays every batch from graft.OltpFuzzRun's JSONL output in a fresh
+sqlite3 :memory: connection (the reference's own engine) and compares per
+statement:
+  - execute ops: error string (GraftDb pins SQLite's exact error texts),
+    rows_affected (SELECT changes() for INSERT/UPDATE/DELETE/REPLACE,
+    0 for everything else — GraftDb reports 0 for DDL/tx control), and
+    last_insert_id (SELECT last_insert_rowid(); connection-level, so it
+    persists across non-insert statements — same contract as the engine's
+    lastRowId);
+  - query ops: column names and canonical values (integer/text/null —
+    the generator's whole domain);
+  - "c" ops (engine-side checkpoint + reopen) are no-ops for SQLite: the
+    engine's recovered state must keep matching this same connection.
+
+Exit 1 on any divergence; prints seed, op index, SQL and both sides.
+"""
+import sys, json, sqlite3
+
+path = sys.argv[1]
+show = int(sys.argv[sys.argv.index("--show") + 1]) if "--show" in sys.argv else 5
+
+MUTATING = ("INSERT", "UPDATE", "DELETE", "REPLACE")
+
+
+def first_word(sql):
+    return sql.strip().split(None, 1)[0].upper() if sql.strip() else ""
+
+
+def replay(ops):
+    """Yield per-op comparison records for one batch."""
+    con = sqlite3.connect(":memory:", isolation_level=None)
+    cur = con.cursor()
+    for op in ops:
+        k = op["k"]
+        if k == "c":
+            yield ("c", None, None)
+            continue
+        sql = op["sql"]
+        if k == "x":
+            try:
+                cur.execute(sql)
+                ra = (cur.execute("SELECT changes()").fetchone()[0]
+                      if first_word(sql) in MUTATING else 0)
+                lid = cur.execute("SELECT last_insert_rowid()").fetchone()[0]
+                mine = {"lid": lid, "ra": ra, "err": ""}
+            except sqlite3.Error as e:
+                mine = {"err": str(e)}
+            theirs = ({"err": op["err"]} if op.get("err") else
+                      {"lid": op.get("lid", 0), "ra": op.get("ra", 0),
+                       "err": ""})
+            yield ("x", mine, theirs)
+        else:  # probe query
+            try:
+                rows = cur.execute(sql).fetchall()
+                # empty-result envelope carries EMPTY columns: the engine
+                # reproduces the reference's first-row type sniffing
+                # (rqlite db.rs:427-432 golden), so the oracle adopts the
+                # same contract rather than sqlite3's cursor.description
+                cols = [d[0] for d in cur.description] if rows else []
+                vals = [[c for c in r] for r in rows]
+                mine = {"cols": cols, "vals": vals}
+            except sqlite3.Error as e:
+                mine = {"err": str(e)}
+            theirs = ({"err": op["err"]} if op.get("err") else
+                      {"cols": op.get("cols", []), "vals": op.get("vals", [])})
+            yield ("q", mine, theirs)
+    con.close()
+
+
+def norm(side):
+    """Canonical comparable form (errors prefixed BATCH: on the engine
+    side indicate a request-level refusal — always a divergence)."""
+    return json.dumps(side, sort_keys=True)
+
+
+n = passed = 0
+fails, harness = [], []
+for line in open(path):
+    rec = json.loads(line)
+    n += 1
+    if "harnessErr" in rec:
+        harness.append(rec)
+        continue
+    bad = None
+    for i, (kind, mine, theirs) in enumerate(replay(rec["ops"])):
+        if kind == "c":
+            continue
+        if norm(mine) != norm(theirs):
+            bad = (i, rec["ops"][i].get("sql", ""), mine, theirs)
+            break
+    if bad is None:
+        passed += 1
+    else:
+        fails.append((rec, bad))
+
+print(f"OLTP-FUZZ {n} batches: PASS {passed} / DIVERGE {len(fails)} / "
+      f"HARNESS-ERR {len(harness)}")
+for rec, (i, sql, mine, theirs) in fails[:show]:
+    print(f"\n== DIVERGENCE seed={rec['seed']} mode={rec['mode']} op#{i}")
+    print(f"   SQL: {sql}")
+    print(f"   sqlite: {norm(mine)}")
+    print(f"   graft:  {norm(theirs)}")
+    print("   history:")
+    for j, op in enumerate(rec["ops"][:i]):
+        if op["k"] == "x":
+            print(f"     [{j}] {op.get('sql','')}")
+for rec in harness[:show]:
+    print(f"\n== HARNESS-ERR seed={rec['seed']}: {rec['harnessErr']}")
+sys.exit(1 if (fails or harness) else 0)
