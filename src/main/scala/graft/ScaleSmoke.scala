@@ -56,6 +56,15 @@ object ScaleSmoke {
     "x84_edit_distance", "x89_para_dedup", "x92_substring_dup",
     "x108_keep_best", "x114_boilerplate")
 
+  /** The event-analytics family (VERDICT r11 #5): state keyed on
+    * user_id/source, so an N×-users corpus with constant per-user event
+    * density must grow ≤ linearly. (q93/q94 read orders/lineitem — the
+    * TPC-H sf ladder already scales those; q95 reads documents, which the
+    * same corpus level provides.) */
+  val eventFamily: Seq[String] = Seq(
+    "q88_funnel", "q89_retention", "q90_gap_fill", "q91_transitions",
+    "q92_anomaly", "q95_quantile_norm")
+
   /** Build (or reuse) the N× disjoint-vocabulary corpus under
     * `base/x{n}`; returns the corpus dir. Only `documents.parquet` is
     * written — the family reads nothing else, and `Tables.ensure`'s
@@ -69,6 +78,7 @@ object ScaleSmoke {
     // constant-density construction the linear assertion depends on
     val sentinel = Paths.get(out, "source.txt")
     if (Files.exists(Paths.get(out, "documents.parquet", "_SUCCESS")) &&
+        Files.exists(Paths.get(out, "events.parquet", "_SUCCESS")) &&
         Files.exists(sentinel) &&
         Files.readString(sentinel).trim == srcDir)
       return out
@@ -84,6 +94,27 @@ object ScaleSmoke {
     }
     copies.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    // events: N× the USERS at constant per-user event density — each copy
+    // shifts user_id/event_id into a disjoint range and keeps ts/type/
+    // value verbatim, so every per-user trajectory (funnel order, session
+    // gaps, transition chains) is replicated exactly, never densified.
+    // q88–q93 key their state on user_id; growth must be ~linear.
+    // normalizeEventsTs: testdata stores ts in two encodings (nanos vs
+    // micros) — reading raw would throw PARQUET_TYPE_ILLEGAL on the former
+    val ev = Tables.normalizeEventsTs(
+      spark.read.parquet(s"$srcDir/events.parquet"))
+    val (uStride, eStride) = {
+      val r = ev.agg(F.max("user_id"), F.max("event_id")).head
+      (r.getLong(0) + 1, r.getLong(1) + 1)
+    }
+    (0 until n).map { k =>
+      ev.select(
+        (F.col("event_id") + F.lit(k.toLong * eStride)).as("event_id"),
+        F.col("ts"),
+        (F.col("user_id") + F.lit(k.toLong * uStride)).as("user_id"),
+        F.col("event_type"), F.col("value"), F.col("props"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
     Files.writeString(sentinel, srcDir)
     out
   }
@@ -96,7 +127,9 @@ object ScaleSmoke {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val levels = (if (args.nonEmpty) args(0) else "1,8")
       .split(",").map(_.trim.toInt).toSeq.sorted
-    val names = if (args.length > 1) args(1).split(",").toSeq else family
+    val names =
+      if (args.length > 1) args(1).split(",").toSeq
+      else family ++ eventFamily
     require(levels.nonEmpty && names.nonEmpty)
 
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")

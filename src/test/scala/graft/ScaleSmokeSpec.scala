@@ -47,4 +47,34 @@ class ScaleSmokeSpec extends SparkSpec {
     val again = ScaleSmoke.buildCorpus(spark, sfDir, base, 2)
     assert(again == d2)
   }
+
+  test("N× events corpus: disjoint users, per-user trajectories verbatim") {
+    val base = java.nio.file.Files.createTempDirectory("graft-smoke-").toString
+    val d1 = ScaleSmoke.buildCorpus(spark, sfDir, base, 1)
+    val d2 = ScaleSmoke.buildCorpus(spark, sfDir, base, 2)
+    val e1 = Tables.normalizeEventsTs(
+      spark.read.parquet(s"$d1/events.parquet"))
+    val e2 = Tables.normalizeEventsTs(
+      spark.read.parquet(s"$d2/events.parquet"))
+    assert(e2.count() == 2 * e1.count())
+    // 2× the USERS, not 2× the density: distinct users double, the
+    // per-user event-count distribution is identical in both copies
+    assert(e2.select("user_id").distinct().count() ==
+      2 * e1.select("user_id").distinct().count())
+    val hist1 = e1.groupBy("user_id").count()
+      .groupBy("count").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hist2 = e2.groupBy("user_id").count()
+      .groupBy("count").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist2 == hist1.map { case (k, v) => k -> 2 * v },
+      "per-user event-count histogram must scale exactly 2x")
+    // a copied user's trajectory is the source user's, event-for-event
+    val uStride = e1.agg(max("user_id")).head.getLong(0) + 1
+    val t0 = e1.filter(col("user_id") === 3)
+      .select("ts", "event_type", "value").orderBy("ts").collect().toSeq
+    val t1 = e2.filter(col("user_id") === lit(3L + uStride))
+      .select("ts", "event_type", "value").orderBy("ts").collect().toSeq
+    assert(t0.nonEmpty && t0 == t1, "copied trajectory must be verbatim")
+  }
 }
