@@ -340,6 +340,54 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     Right(out.result())
   }
 
+  // ---------- streaming ingest bridge (dust's ordered-log design:
+  // micro-batches append to the SAME statement journal as interactive
+  // writes, with an exactly-once watermark) --------------------------------
+
+  /** Highest streaming micro-batch id durably applied. Journal lines carry
+    * `"streamBatch":id`; the manifest persists the watermark at checkpoint
+    * time; recovery restores it from whichever is newer. */
+  private var lastStreamBatch = -1L
+  private var pendingStreamBatch: Option[Long] = None
+
+  /** Watermark probe (specs/monitoring). */
+  def streamBatchWatermark: Long = lock.synchronized(lastStreamBatch)
+
+  /** Exactly-once micro-batch ingest — the Structured Streaming
+    * `foreachBatch` bridge (see [[graft.streaming.JournalIngest]]).
+    * `rows` are full-width tuples for `table` in declared column order,
+    * within the engine's integer/text/real value domain. The batch is
+    * applied as ONE journaled transaction stamped with `batchId`:
+    *  - a batchId at or below the durable watermark is a no-op (Structured
+    *    Streaming re-delivers the last uncommitted batch after a restart —
+    *    the stamp, not the sink, is the commit record);
+    *  - crash before the journal append: nothing applied, the source
+    *    re-delivers — no loss;
+    *  - crash after the append: replay re-applies the transaction AND
+    *    restores the watermark from the stamp — no duplication. */
+  def ingestBatch(table: String, batchId: Long,
+                  rows: Seq[Seq[Any]]): Either[String, Long] =
+    lock.synchronized {
+      if (closed) return Left("db connection is already closed")
+      if (batchId <= lastStreamBatch) return Right(0L)
+      val stmts =
+        if (rows.isEmpty) Seq.empty[Statement] // journal stamp only
+        else rows.grouped(512).map(ch =>
+          Statement(s"INSERT INTO $table VALUES " +
+            ch.map(_.map(sqlLit).mkString("(", ", ", ")")).mkString(", ")))
+          .toSeq
+      pendingStreamBatch = Some(batchId)
+      try execute(Request(transaction = true, stmts)) match {
+        case Left(e) => Left(e)
+        case Right(rs) => rs.find(_.error.nonEmpty) match {
+          case Some(r) => Left(r.error)
+          case None =>
+            lastStreamBatch = batchId
+            Right(rows.size.toLong)
+        }
+      } finally pendingStreamBatch = None
+    }
+
   def executeStringStmt(sql: String): Either[String, Seq[Response]] =
     execute(Request(transaction = false, Seq(Statement(sql))))
   def queryStringStmt(sql: String): Either[String, Seq[RowsResult]] =
@@ -3089,7 +3137,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
   private def journalAppend(tx: Boolean, stmts: Seq[String]): Unit =
     root.foreach { r =>
       journalSeq += 1
-      val line = s"""{"id":$journalSeq,"transaction":$tx,"statements":[""" +
+      val sb = pendingStreamBatch
+        .map(id => s""""streamBatch":$id,""").getOrElse("")
+      val line = s"""{"id":$journalSeq,$sb"transaction":$tx,"statements":[""" +
         stmts.map(s => "\"" + Json.escape(s) + "\"").mkString(",") + "]}\n"
       val os = journalOut.getOrElse {
         val s = Files.newOutputStream(r.resolve("journal.jsonl"),
@@ -3145,6 +3195,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     appliedBatch = journalSeq
     val sb = new StringBuilder
     sb.append(s"""{"appliedBatch":$appliedBatch,"version":$version,""")
+    sb.append(s""""lastStreamBatch":$lastStreamBatch,""")
     sb.append(s""""lastRowId":$lastRowId,"fk":$fkEnabled,"tables":[""")
     sb.append(tables.values.map { ts =>
       s"""{"createSql":"${Json.escape(ts.createSql)}","nextRowId":${ts.nextRowId}}"""
@@ -3312,6 +3363,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       val n = om.readTree(Files.readString(mf))
       appliedBatch = n.path("appliedBatch").asLong(0)
       journalSeq = appliedBatch
+      lastStreamBatch = n.path("lastStreamBatch").asLong(-1)
       version = n.path("version").asLong(0)
       lastRowId = n.path("lastRowId").asLong(0)
       fkEnabled = n.path("fk").asBoolean(false)
@@ -3385,6 +3437,11 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
               n.path("statements").forEach(s => stmts += Statement(s.asText))
               val _ = executeReplay(n.path("transaction").asBoolean(false),
                 stmts.result())
+              // streaming watermark: a replayed stamp restores exactly-once
+              // dedup across the crash (re-delivered micro-batch → no-op)
+              if (n.has("streamBatch"))
+                lastStreamBatch =
+                  math.max(lastStreamBatch, n.path("streamBatch").asLong(-1))
             }
           } catch { case _: Exception => torn = true }
         }
