@@ -71,14 +71,15 @@ object ScaleSmoke {
     * per-table isolation keeps the missing tables from failing anything
     * that doesn't reference them. */
   def buildCorpus(spark: SparkSession, srcDir: String, base: String,
-                  n: Int): String = {
+                  n: Int, withEvents: Boolean = true): String = {
     val out = s"$base/x$n"
     // reuse only a corpus replicated from the SAME source — a level built
     // from a different SPARK_GRAFT_SF_DIR would silently void the
     // constant-density construction the linear assertion depends on
     val sentinel = Paths.get(out, "source.txt")
     if (Files.exists(Paths.get(out, "documents.parquet", "_SUCCESS")) &&
-        Files.exists(Paths.get(out, "events.parquet", "_SUCCESS")) &&
+        (!withEvents ||
+          Files.exists(Paths.get(out, "events.parquet", "_SUCCESS"))) &&
         Files.exists(sentinel) &&
         Files.readString(sentinel).trim == srcDir)
       return out
@@ -98,23 +99,25 @@ object ScaleSmoke {
     // shifts user_id/event_id into a disjoint range and keeps ts/type/
     // value verbatim, so every per-user trajectory (funnel order, session
     // gaps, transition chains) is replicated exactly, never densified.
-    // q88–q93 key their state on user_id; growth must be ~linear.
+    // q88–q92 key their state on user_id; growth must be ~linear.
     // normalizeEventsTs: testdata stores ts in two encodings (nanos vs
     // micros) — reading raw would throw PARQUET_TYPE_ILLEGAL on the former
-    val ev = Tables.normalizeEventsTs(
-      spark.read.parquet(s"$srcDir/events.parquet"))
-    val (uStride, eStride) = {
-      val r = ev.agg(F.max("user_id"), F.max("event_id")).head
-      (r.getLong(0) + 1, r.getLong(1) + 1)
+    if (withEvents) {
+      val ev = Tables.normalizeEventsTs(
+        spark.read.parquet(s"$srcDir/events.parquet"))
+      val (uStride, eStride) = {
+        val r = ev.agg(F.max("user_id"), F.max("event_id")).head
+        (r.getLong(0) + 1, r.getLong(1) + 1)
+      }
+      (0 until n).map { k =>
+        ev.select(
+          (F.col("event_id") + F.lit(k.toLong * eStride)).as("event_id"),
+          F.col("ts"),
+          (F.col("user_id") + F.lit(k.toLong * uStride)).as("user_id"),
+          F.col("event_type"), F.col("value"), F.col("props"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
     }
-    (0 until n).map { k =>
-      ev.select(
-        (F.col("event_id") + F.lit(k.toLong * eStride)).as("event_id"),
-        F.col("ts"),
-        (F.col("user_id") + F.lit(k.toLong * uStride)).as("user_id"),
-        F.col("event_type"), F.col("value"), F.col("props"))
-    }.reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$out/events.parquet")
     Files.writeString(sentinel, srcDir)
     out
   }
@@ -152,7 +155,8 @@ object ScaleSmoke {
     val times = scala.collection.mutable.LinkedHashMap[(String, Int), Double]()
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     levels.foreach { n =>
-      val dir = buildCorpus(spark, srcDir, base, n)
+      val dir = buildCorpus(spark, srcDir, base, n,
+        withEvents = names.exists(eventFamily.contains))
       System.err.println(s"[scale] level x$n corpus at $dir")
       names.foreach { q =>
         val t0 = System.nanoTime()
