@@ -123,8 +123,10 @@ object OltpFuzzRun {
           case "q" =>
             db.queryStringStmt(op.sql) match {
               case Left(batchErr) =>
+                // a single-statement batch's refusal IS that statement's
+                // error (sqlite reports it per statement)
                 emit(s"""{"k":"q","sql":${Json.escapeQ(op.sql)},""" +
-                  s""""err":${Json.escapeQ("BATCH: " + batchErr)}}""")
+                  s""""err":${Json.escapeQ(batchErr)}}""")
               case Right(rs) =>
                 val r = rs.head
                 val cols = r.columns.map(Json.escapeQ).mkString("[", ",", "]")

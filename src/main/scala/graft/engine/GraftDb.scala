@@ -511,22 +511,24 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         // reference: a mid-batch COMMIT reassigns the field and would
         // orphan subsequent statements in this batch otherwise
         executeOne(openTx.map(_.work)
-          .getOrElse(if (reqTx) batchWork else tables), sql)
+          .getOrElse(if (reqTx) batchWork else tables), sql, reqTx)
     }
 
   /** Execute one mutating statement against `work`. Returns rows_affected;
     * updates connection-level lastRowId on successful INSERT. */
-  private def executeOne(work: Tables, sql0: String): Either[String, Long] = {
+  private def executeOne(work: Tables, sql0: String,
+                         reqTx: Boolean = false): Either[String, Long] = {
     val sql = SqlText.fixQuotedIdents(sql0)
     val kw = firstWord(sql)
-    val r = executeOneInner(work, sql0, sql, kw)
+    val r = executeOneInner(work, sql0, sql, kw, reqTx)
     if (r.isRight && Set("CREATE", "DROP", "ALTER").contains(kw))
       schemaVersion += 1
     r
   }
 
   private def executeOneInner(work: Tables, sql0: String, sql: String,
-                              kw: String): Either[String, Long] = {
+                              kw: String,
+      reqTx: Boolean): Either[String, Long] = {
     try kw match {
       case "CREATE" if triggerKeywordRe.findFirstIn(sql0).isDefined =>
         doCreateTrigger(work, sql0)
@@ -544,7 +546,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       case "UPDATE" => withTriggers(work, sql, "UPDATE")(doUpdate(work, sql))
       case "DELETE" => withTriggers(work, sql, "DELETE")(doDelete(work, sql))
       case "ALTER" => doAlter(work, sql)
-      case "PRAGMA" => doPragma(sql)
+      case "PRAGMA" => doPragma(sql, reqTx)
       // routine SQLite maintenance: nothing to compact/collect here —
       // storage is columnar snapshots and Catalyst plans from schema;
       // REINDEX has nothing to rebuild (indexes are metadata-only)
@@ -605,10 +607,20 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         RowsResult(cols, tags, rows)
     }
 
-  private def doPragma(sql: String): Either[String, Long] = {
+  private def doPragma(sql: String, reqTx: Boolean): Either[String, Long] = {
     val u = sql.toUpperCase.replaceAll("\\s+", "")
-    if (u.contains("FOREIGN_KEYS=ON")) { fkEnabled = true; Right(0) }
-    else if (u.contains("FOREIGN_KEYS=OFF")) { fkEnabled = false; Right(0) }
+    // SQLite: "This pragma is a no-op within a transaction" — including
+    // the implicit transaction a bare SAVEPOINT opens and a request-level
+    // transaction batch (probed live, OLTP-fuzz seed 5067: a toggle
+    // inside a savepoint changed nothing)
+    val inTx = reqTx || openTx.isDefined || savepoints.nonEmpty
+    if (u.contains("FOREIGN_KEYS=ON")) {
+      if (!inTx) fkEnabled = true
+      Right(0)
+    } else if (u.contains("FOREIGN_KEYS=OFF")) {
+      if (!inTx) fkEnabled = false
+      Right(0)
+    }
     else u match {
       case userVersionSetRe(v) => userVersion = v.toLong; Right(0)
       case _ => Right(0) // unknown pragmas no-op, like SQLite
@@ -2167,16 +2179,26 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         }.mkString(", ")
         val affected = session.sql(
           s"SELECT COUNT(*) FROM ${ridView(td.name)} AS __rv WHERE $cond").head.getLong(0)
+        // per-row live-state validation inputs (shared by both stores):
+        // the BEFORE table, the matched rows' OLD and NEW images
+        val beforeAllDf = session.table(ridView(td.name))
+        val changedOldDf = session.sql(
+          s"SELECT * FROM ${ridView(td.name)} AS __rv WHERE $cond")
         ts.store match {
           case Mem(memRows) =>
             val df = session.sql(
               s"SELECT `__rowid`, $proj FROM ${ridView(td.name)}")
-            val newRows = df.collect().toVector.map { r =>
-              (r.getLong(0), (1 until r.length).map(r.get).toIndexedSeq)
-            }.sortBy(_._1)
-            val changed = newRows.filterNot(memRows.contains)
-            validate(work, td, newRows, changed.map(_._2))
-              .map { _ => ts.store = Mem(newRows); affected }
+            val changedNewDf = session.sql(
+              s"SELECT `__rowid`, $proj FROM ${ridView(td.name)} AS __rv " +
+                s"WHERE $cond")
+            validateUpdatePerRow(work, td, beforeAllDf, df,
+              changedNewDf, changedOldDf).flatMap { _ =>
+              val newRows = df.collect().toVector.map { r =>
+                (r.getLong(0), (1 until r.length).map(r.get).toIndexedSeq)
+              }.sortBy(_._1)
+              ts.store = Mem(newRows)
+              Right(affected)
+            }
           case big: Big =>
             // copy-on-write as a Spark job: validate the affected subset
             // with distributed checks, then swap the version. Disk-backed
@@ -2189,7 +2211,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             val changedDf = session.sql(
               s"SELECT `__ord`, `__rowid`, $proj FROM ${ridView(td.name)} AS __rv " +
                 s"WHERE $cond")
-            validateUpdateBig(work, td, newDf, changedDf).map { _ =>
+            validateUpdatePerRow(work, td, beforeAllDf, newDf,
+              changedDf, changedOldDf).map { _ =>
               ts.store =
                 if (root.isEmpty)
                   Big(newDf.localCheckpoint(), big.n, big.nextOrd)
@@ -2216,37 +2239,97 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       case _ => Left("near \"UPDATE\": syntax error")
     }
 
-  /** Distributed validation for an UPDATE on a spilled table: NOT NULL and
-    * CHECK over the affected rows; UNIQUE as a changed×all key join with
-    * differing rowids (a new conflict necessarily involves a changed row);
-    * FK over the affected rows against the parent store. Same checks and
-    * error strings as [[validate]]. */
-  private def validateUpdateBig(work: Tables, td: TableDef, allDf: DataFrame,
-                                changedDf: DataFrame): Either[String, Unit] = {
+  /** SQLite-exact UPDATE validation: per ROW, in rowid scan order, against
+    * the LIVE table state. Uniqueness for each updated row i is checked
+    * against already-updated rows' NEW keys (j < i), not-yet-updated rows'
+    * OLD keys (j > i), and unmatched rows' keys — so TRANSIENT collisions
+    * fail exactly where SQLite fails (probed live, OLTP-fuzz seed 5002:
+    * `a = a + 1` over unique {1,2} fails; over {2,1} succeeds; swaps
+    * fail; a final-state check accepts all three). Constraint precedence
+    * is the per-row NOT NULL > CHECK > UNIQUE > FK at the earliest
+    * failing rowid. All legs are min(__rowid) aggregates/joins bounded by
+    * the changed set (the unmatched leg scans the table once — the same
+    * cost the old changed×all probe paid). */
+  private def validateUpdatePerRow(work: Tables, td: TableDef,
+      beforeAllDf: DataFrame, newAllDf: DataFrame,
+      changedNewDf: DataFrame, changedOldDf: DataFrame)
+      : Either[String, Unit] = {
+    var best: Option[(Long, Int, String)] = None
+    def reportAt(rid: Option[Long], pri: Int, msg: String): Unit =
+      rid.foreach { o =>
+        if (best.forall { case (bo, bp, _) =>
+              o < bo || (o == bo && pri < bp) })
+          best = Some((o, pri, msg))
+      }
+    def minRid(df: DataFrame, c: String = "__rowid"): Option[Long] = {
+      val r = df.agg(expr(s"min($c)")).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
     td.cols.foreach { c =>
-      if (c.notNull && !c.isRowidAlias &&
-        changedDf.filter(col(c.name).isNull).limit(1).count() > 0)
-        return Left(s"NOT NULL constraint failed: ${td.name}.${c.name}")
+      if (c.notNull && !c.isRowidAlias)
+        reportAt(minRid(changedNewDf.filter(col(c.name).isNull)), 0,
+          s"NOT NULL constraint failed: ${td.name}.${c.name}")
     }
     td.checks.foreach { case (label, ex) =>
       val bad =
-        try changedDf.filter(s"NOT COALESCE(($ex), true)").limit(1).count()
-        catch { case _: Exception => 0L }
-      if (bad > 0) return Left(s"CHECK constraint failed: $label")
+        try minRid(changedNewDf.filter(s"NOT COALESCE(($ex), true)"))
+        catch { case _: Exception => None } // unresolvable expr: ignore
+      reportAt(bad, 1, s"CHECK constraint failed: $label")
     }
     uniqueSpecs(td).foreach { case (idxs, desc) =>
       val names = idxs.map(td.cols(_).name)
-      val keyed = changedDf.select(col("__rowid").as("__graft_crid") +:
-        names.map(n2 => col(n2).as("__graft_k_" + n2)): _*)
-      val cond = names.map(n2 =>
-        col(n2) === col("__graft_k_" + n2) &&
-          col("__graft_k_" + n2).isNotNull).reduce(_ && _)
-      val clash = allDf.join(keyed,
-        cond && col("__rowid") =!= col("__graft_crid"), "left_semi")
-        .limit(1).count()
-      if (clash > 0) return Left(s"UNIQUE constraint failed: $desc")
+      def keyed(df: DataFrame, ridAs: String, pfx: String): DataFrame =
+        df.select(col("__rowid").as(ridAs) +:
+          names.map(n2 => col(n2).as(pfx + n2)): _*)
+      val iNew = keyed(changedNewDf, "__i", "__ki_")
+        .filter(names.map(n2 => col("__ki_" + n2).isNotNull).reduce(_ && _))
+      val keyEq = names.map(n2 =>
+        col("__ki_" + n2) === col("__kj_" + n2)).reduce(_ && _)
+      val jNew = keyed(changedNewDf, "__j", "__kj_")
+      val jOld = keyed(changedOldDf, "__j", "__kj_")
+      val uOld = keyed(beforeAllDf.join(
+          changedOldDf.select(col("__rowid").as("__m")),
+          col("__rowid") === col("__m"), "left_anti"), "__j", "__kj_")
+      val msg = s"UNIQUE constraint failed: $desc"
+      reportAt(minRid(iNew.join(jNew, keyEq && col("__j") < col("__i")),
+        "__i"), 2, msg)
+      reportAt(minRid(iNew.join(jOld, keyEq && col("__j") > col("__i")),
+        "__i"), 2, msg)
+      reportAt(minRid(iNew.join(uOld, keyEq), "__i"), 2, msg)
     }
-    validateFkDf(work, td, changedDf, allDf)
+    if (fkEnabled) {
+      td.cols.foreach { c =>
+        c.ref.foreach { case (refTable, refColOpt) =>
+          work.get(refTable.toLowerCase) match {
+            case None => reportAt(Some(Long.MinValue), 3,
+              "FOREIGN KEY constraint failed")
+            case Some(parent) =>
+              val refCol =
+                if (refColOpt.nonEmpty) refColOpt
+                else parent.d.rowidAlias.map(_.name).getOrElse("")
+              val pIdx = parent.d.colIndex(refCol)
+              if (pIdx < 0) reportAt(Some(Long.MinValue), 3,
+                "FOREIGN KEY constraint failed")
+              else {
+                val pdf =
+                  if (parent.d.name.equalsIgnoreCase(td.name)) newAllDf
+                  else storeDf(parent.d, parent.store)
+                val pvals = pdf
+                  .select(col(parent.d.cols(pIdx).name).as("__graft_p"))
+                  .filter(col("__graft_p").isNotNull)
+                reportAt(minRid(changedNewDf.filter(col(c.name).isNotNull)
+                    .join(pvals, col(c.name) === col("__graft_p"),
+                      "left_anti")),
+                  3, "FOREIGN KEY constraint failed")
+              }
+          }
+        }
+      }
+    }
+    best match {
+      case Some((_, _, m)) => Left(m)
+      case None => Right(())
+    }
   }
 
   private val deleteRe =
@@ -2269,7 +2352,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
               s"SELECT `__rowid` FROM ${ridView(ts.d.name)} AS __rv WHERE $cond")
               .collect().map(_.getLong(0)).toSet
             val remaining = memRows.filterNot(r => doomed.contains(r._1))
-            fkDeleteGuard(work, ts, Left(remaining), doomed).map { _ =>
+            val doomedRows = memRows.filter(r => doomed.contains(r._1))
+            fkDeleteGuard(work, ts, Left(doomedRows),
+              Left(remaining)).map { _ =>
               ts.store = Mem(remaining)
               doomed.size.toLong
             }
@@ -2285,7 +2370,11 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             val remainingDf = session.sql(
               s"SELECT * FROM ${ridView(ts.d.name)} AS __rv " +
                 s"WHERE NOT COALESCE($cond, false)")
-            fkDeleteGuard(work, ts, Right(remainingDf), Set.empty).map { _ =>
+            val doomedDf = session.sql(
+              s"SELECT * FROM ${ridView(ts.d.name)} AS __rv " +
+                s"WHERE COALESCE($cond, false)")
+            fkDeleteGuard(work, ts, Right(doomedDf),
+              Right(remainingDf)).map { _ =>
               ts.store =
                 if (root.isEmpty) mkBig(remainingDf)
                 else Option(bigParts.get(big.df)) match {
@@ -2307,16 +2396,20 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       case _ => Left("near \"DELETE\": syntax error")
     }
 
-  /** FK-on-DELETE guard: after removing the doomed parent rows, no child
-    * row may reference a value absent from the remaining parent column —
-    * resolving each ref's target column the same way validate() does
-    * (named column, else the rowid alias). Children and parent check in
-    * whichever representation each side is in; the DataFrame legs compare
-    * via anti-joins and never collect a table. For self-references the
-    * child side is the post-delete remainder. */
+  /** FK-on-DELETE guard — DELTA-based, exactly SQLite (probed live,
+    * OLTP-fuzz seeds 5043/5067): a child row violates only if it
+    * references one of the DELETED parent keys. Rows left dangling while
+    * foreign_keys was OFF do NOT fail later unrelated deletes — SQLite
+    * never audits pre-existing inconsistency, it checks the statement's
+    * delta. (FK targets are UNIQUE/PK columns, so a key can never be in
+    * both the doomed and remaining sets.) For self-references the child
+    * side is the post-delete remainder — doomed children vanish with
+    * their targets. The DataFrame legs compare via broadcast semi-joins
+    * bounded by the doomed set. */
   private def fkDeleteGuard(work: Tables, ts: TableState,
-      remaining: Either[Vector[(Long, IndexedSeq[Any])], DataFrame],
-      doomedMem: Set[Long]): Either[String, Unit] = {
+      doomed: Either[Vector[(Long, IndexedSeq[Any])], DataFrame],
+      remaining: Either[Vector[(Long, IndexedSeq[Any])], DataFrame])
+      : Either[String, Unit] = {
     if (!fkEnabled) return Right(())
     work.values.foreach { child =>
       child.d.cols.zipWithIndex.foreach { case (c, i) =>
@@ -2328,28 +2421,30 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             val pIdx = ts.d.colIndex(refCol)
             if (pIdx >= 0) {
               val selfRef = child.d.name == ts.d.name
-              (child.store, remaining) match {
-                case (Mem(childRows), Left(remRows)) =>
-                  val remainingVals =
-                    remRows.map(_._2(pIdx)).filter(_ != null).toSet
-                  val dangling = childRows.exists { case (rid, vals) =>
-                    vals(i) != null && !remainingVals.contains(vals(i)) &&
-                      (!selfRef || !doomedMem.contains(rid))
-                  }
-                  if (dangling) return Left("FOREIGN KEY constraint failed")
+              (child.store, doomed, remaining) match {
+                case (Mem(childRows), Left(doomRows), Left(remRows)) =>
+                  val doomedVals =
+                    doomRows.map(_._2(pIdx)).filter(_ != null).toSet
+                  val side = if (selfRef) remRows else childRows
+                  if (side.exists { case (_, vals) =>
+                        vals(i) != null && doomedVals.contains(vals(i)) })
+                    return Left("FOREIGN KEY constraint failed")
                 case _ =>
-                  val remDf = remaining.fold(
+                  val doomDf = doomed.fold(
                     rows => storeDf(ts.d, Mem(rows)), identity)
                   val childDf =
-                    if (selfRef) remDf else storeDf(child.d, child.store)
-                  val pvals = remDf
-                    .select(col(ts.d.cols(pIdx).name).as("__graft_p"))
-                    .filter(col("__graft_p").isNotNull)
+                    if (!selfRef) storeDf(child.d, child.store)
+                    else remaining.fold(
+                      rows => storeDf(ts.d, Mem(rows)), identity)
+                  val dvals = doomDf
+                    .select(col(ts.d.cols(pIdx).name).as("__graft_d"))
+                    .filter(col("__graft_d").isNotNull)
                   val cname = child.d.cols(i).name
-                  val dangling = childDf.filter(col(cname).isNotNull)
-                    .join(pvals, col(cname) === col("__graft_p"), "left_anti")
-                    .limit(1).count() > 0
-                  if (dangling) return Left("FOREIGN KEY constraint failed")
+                  if (childDf.filter(col(cname).isNotNull)
+                      .join(broadcast(dvals),
+                        col(cname) === col("__graft_d"), "left_semi")
+                      .limit(1).count() > 0)
+                    return Left("FOREIGN KEY constraint failed")
               }
             }
           }

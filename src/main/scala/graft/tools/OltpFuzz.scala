@@ -49,6 +49,8 @@ object OltpFuzz {
     private var t0HasD = false // ALTER-added column
     private var hasChild = false
     private var hasLog = false
+    private var hasView = false
+    private var hasTrg2 = false
     private var txDepth = 0
     private var savepoints = List.empty[String] // innermost first
     private var spSeq = 0
@@ -184,6 +186,34 @@ object OltpFuzz {
         // engine's, so model-empty implies engine-clean.
         if (txDepth == 0 && savepoints.isEmpty) ops += Op("ckpt", "")
         else probe()
+      case 15 => // bulk INSERT ... SELECT (the distributed insert path on
+        // spilled stores). ORDER BY id pins source order so both engines
+        // assign the same (rowid, value) pairing; +20 keeps column a's
+        // values CHECK-safe under the grammar's a >= -5 constraint.
+        x(s"INSERT INTO t0(a, b) SELECT a + 20, b || 'q' FROM t0 " +
+          s"WHERE id <= ${int(2, 8)} ORDER BY id")
+      case 16 => // view lifecycle + probes through it
+        r.nextInt(3) match {
+          case 0 if !hasView =>
+            x(s"CREATE VIEW v0 AS SELECT id, a FROM t0 WHERE a > ${int(-4, 3)}")
+            hasView = true
+          case 1 if hasView => q("SELECT * FROM v0 ORDER BY id")
+          case _ if hasView => x("DROP VIEW v0"); hasView = false
+          case _ =>
+            x(s"CREATE VIEW v0 AS SELECT id, a FROM t0 WHERE a > ${int(-4, 3)}")
+            hasView = true
+        }
+      case 17 => // trigger churn + PRAGMA flips + whole-table delete
+        r.nextInt(4) match {
+          case 0 if hasLog && !hasTrg2 =>
+            x("CREATE TRIGGER trg2 AFTER INSERT ON t0 BEGIN " +
+              "INSERT INTO log(tag) VALUES ('J:' || NEW.id); END")
+            hasTrg2 = true
+          case 1 if hasTrg2 => x("DROP TRIGGER trg2"); hasTrg2 = false
+          case 2 if hasChild =>
+            x(s"PRAGMA foreign_keys=${if (chance(0.5)) "ON" else "OFF"}")
+          case _ => x("DELETE FROM t0")
+        }
       case _ => // weighted default back to DML
         if (chance(0.5))
           x(s"INSERT INTO t0(a, b) VALUES (${int(-8, 9)}, '${word()}')")

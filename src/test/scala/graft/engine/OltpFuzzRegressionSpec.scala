@@ -92,6 +92,35 @@ class OltpFuzzRegressionSpec extends SparkSpec {
     assert(longOf(db, "SELECT COUNT(*) FROM log") == 1L)
   }
 
+  test("UPDATE uniqueness is LIVE-state, scan-order (transient collisions)") {
+    // probed live on sqlite 3.40 (fuzz seed 5002): UPDATE checks UNIQUE
+    // per row against already-updated NEW keys, not-yet-updated OLD keys
+    // and unmatched keys — a final-state check accepts all of these
+    def fresh(cap: Long, vals: (Long, Long)*): GraftDb = {
+      val db = GraftDb.openInMemory(spark, cap)
+      ok(db, "CREATE TABLE t (id INTEGER PRIMARY KEY, a INTEGER UNIQUE)")
+      vals.foreach { case (i, a) => ok(db, s"INSERT INTO t VALUES ($i, $a)") }
+      db
+    }
+    Seq(500L, 1L).foreach { cap => // driver Mem AND spilled Big paths
+      val inc = fresh(cap, (1L, 1L), (2L, 2L))
+      assert(err(inc, "UPDATE t SET a = a + 1") ==
+        "UNIQUE constraint failed: t.a", s"cap=$cap inc-asc must fail")
+      assert(longOf(inc, "SELECT SUM(a) FROM t") == 3L, "undone")
+      val desc = fresh(cap, (1L, 2L), (2L, 1L))
+      ok(desc, "UPDATE t SET a = a + 1") // row1 2->3 first, then 1->2: fine
+      assert(longOf(desc, "SELECT SUM(a) FROM t") == 5L)
+      val swap = fresh(cap, (1L, 1L), (2L, 2L))
+      assert(err(swap, "UPDATE t SET a = 3 - a") ==
+        "UNIQUE constraint failed: t.a", s"cap=$cap swap must fail")
+      val vsUnmatched = fresh(cap, (1L, 1L), (2L, 5L))
+      assert(err(vsUnmatched, "UPDATE t SET a = 5 WHERE id = 1") ==
+        "UNIQUE constraint failed: t.a")
+      val noop = fresh(cap, (1L, 1L))
+      ok(noop, "UPDATE t SET a = 1") // self-collision is not a collision
+    }
+  }
+
   test("fuzz seed 85: spilled-table mixed traffic stays executable") {
     val db = GraftDb.openInMemory(spark, 8) // tiny cap: spills immediately
     val ops = Seq(

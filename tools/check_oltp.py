@@ -78,8 +78,27 @@ def norm(side):
     return json.dumps(side, sort_keys=True)
 
 
+def known_deviation(mine, theirs):
+    """Documented intentional deviations from raw SQLite — classified and
+    counted, NOT failed.
+
+    1. Driver-heap trigger cap: a statement firing more AFTER ROW
+       triggers than maxDriverRows fails LOUDLY in graft (with full
+       statement undo) where SQLite — an in-process engine with no
+       driver boundary — just runs them. The fuzz modes set the cap to 8
+       rows precisely so this boundary gets exercised; production runs
+       at 100k. The engine's statement-undo contract for this error is
+       pinned by BigTableSpec.
+    """
+    g = theirs.get("err", "")
+    if ("too many rows for row-trigger processing" in g
+            and not mine.get("err")):
+        return "trigger-driver-cap"
+    return None
+
+
 n = passed = 0
-fails, harness = [], []
+fails, harness, deviations = [], [], []
 for line in open(path):
     rec = json.loads(line)
     n += 1
@@ -91,15 +110,27 @@ for line in open(path):
         if kind == "c":
             continue
         if norm(mine) != norm(theirs):
+            kd = known_deviation(mine, theirs)
+            if kd:
+                # the engine refused where sqlite proceeded: states have
+                # diverged — classify and stop comparing this batch
+                deviations.append((rec, i, kd))
+                bad = None
+                break
             bad = (i, rec["ops"][i].get("sql", ""), mine, theirs)
             break
-    if bad is None:
-        passed += 1
     else:
-        fails.append((rec, bad))
+        passed += 1
+        continue
+    if bad is None:
+        continue  # classified deviation (counted separately)
+    fails.append((rec, bad))
 
 print(f"OLTP-FUZZ {n} batches: PASS {passed} / DIVERGE {len(fails)} / "
+      f"KNOWN-DEVIATION {len(deviations)} / "
       f"HARNESS-ERR {len(harness)}")
+for rec, i, kd in deviations[:show]:
+    print(f"KNOWN-DEVIATION seed={rec['seed']} op#{i}: {kd}")
 for rec, (i, sql, mine, theirs) in fails[:show]:
     print(f"\n== DIVERGENCE seed={rec['seed']} mode={rec['mode']} op#{i}")
     print(f"   SQL: {sql}")
