@@ -217,12 +217,40 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     while (it.hasNext && !rolledBack) {
       val sql = it.next()
       if (sql.trim.nonEmpty) {
-        dispatch(work, req.transaction, sql) match {
-          case Left(err) =>
+        // rusqlite's conn.execute on a RETURNING statement: prepare
+        // resolves the projection (errors before any mutation), the first
+        // step runs the WHOLE DML (SQLite materializes RETURNING output
+        // there), then the pending row surfaces as ExecuteReturnedResults —
+        // the mutation stays applied unless the request-level tx rolls the
+        // batch back (db/src/db.rs:176-190). Zero-row RETURNING output
+        // steps straight to DONE and succeeds normally. Probed live.
+        val retPrepareErr: Option[String] = splitReturning(sql).flatMap {
+          case (base, retList) =>
+            validateReturningList(retList).orElse {
+              val visible = openTx.map(_.work).getOrElse(work)
+              dmlTableName(base)
+                .flatMap(n => visible.get(n.toLowerCase)).flatMap { ts =>
+                  try { returningDf(visible, ts.d, Vector.empty, retList)
+                    .schema; None }
+                  catch { case e: Exception => Some(retError(e)) }
+                }
+            }
+        }
+        retPrepareErr match {
+          case Some(err) =>
             results += Response(error = err)
             if (req.transaction) rolledBack = true
-          case Right(affected) =>
-            results += Response(lastRowId, affected)
+          case None => dispatch(work, req.transaction, sql) match {
+            case Left(err) =>
+              results += Response(error = err)
+              if (req.transaction) rolledBack = true
+            case Right(affected) =>
+              if (affected > 0 && splitReturning(sql).isDefined) {
+                results += Response(
+                  error = "Execute returned results - did you mean to call query?")
+                if (req.transaction) rolledBack = true
+              } else results += Response(lastRowId, affected)
+          }
         }
       }
     }
@@ -284,10 +312,26 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
               }
             } else {
               // the reference's _query prepares+steps any statement — DDL/DML
-              // executes and yields the empty envelope (db/src/db.rs:764-768)
-              dispatch(tables, reqTx = false, sql) match {
-                case Right(_) => persist(); out += RowsResult(Nil, Nil, Nil)
-                case Left(err) => return Left(err)
+              // executes and yields rows if it has them (RETURNING) or the
+              // empty envelope (db/src/db.rs:764-768). Writes through this
+              // path journal like execute-path writes (same durability) and
+              // carry the same determinism requirement.
+              nonDeterministic(sql).foreach(f => return Left(
+                s"non-deterministic function $f is not allowed in an " +
+                  "execute batch (statement-log replication requires " +
+                  "deterministic SQL)"))
+              splitReturning(sql) match {
+                case Some((base, retList)) =>
+                  runReturning(sql, base, retList) match {
+                    case Right(rr) => out += rr
+                    case Left(err) => return Left(err)
+                  }
+                case None =>
+                  journalAppend(tx = false, Seq(sql))
+                  dispatch(tables, reqTx = false, sql) match {
+                    case Right(_) => persist(); out += RowsResult(Nil, Nil, Nil)
+                    case Left(err) => return Left(err)
+                  }
               }
             }
           }
@@ -338,6 +382,141 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       }
     }
     Right(out.result())
+  }
+
+  // ---------- RETURNING (SQLite 3.35+ DML surface) -------------------------
+  // The reference reaches RETURNING through its _query path — prepare +
+  // query_map runs ANY statement and yields its rows (db/src/db.rs:231-290)
+  // — while its _execute path surfaces rusqlite's ExecuteReturnedResults
+  // error AFTER the first step already applied the whole DML (SQLite
+  // materializes all RETURNING output on the first sqlite3_step). Both
+  // behaviors captured live from SQLite 3.40 / rusqlite 0.25 and pinned in
+  // ReturningSpec + the OLTP differential fuzzer.
+
+  /** Armed by the query-path wrapper for ONE statement; the mutation
+    * executors capture (rowid, post-image) in SQLite's observable order
+    * and disarm — so trigger-body DML running after the outer statement
+    * can never clobber the outer capture. */
+  private var retArmed = false
+  private var retCaptured: Option[(TableDef, Vector[(Long, IndexedSeq[Any])])] = None
+
+  private def captureRet(td: TableDef,
+                         rows: => Vector[(Long, IndexedSeq[Any])]): Unit =
+    if (retArmed) { retCaptured = Some((td, rows)); retArmed = false }
+
+  private def retTooMany(table: String): String =
+    s"too many rows for RETURNING processing on $table: the statement " +
+      s"affects more than $maxDriverRows rows (RETURNING materializes its " +
+      "output on the driver; raise maxDriverRows or drop the clause)"
+
+  /** Split a DML statement's top-level RETURNING clause off: (base, list).
+    * Quote/paren-aware, so RETURNING inside a literal or subquery never
+    * matches. None for non-DML or clause-less statements. */
+  private def splitReturning(sql: String): Option[(String, String)] = {
+    if (!Set("INSERT", "REPLACE", "UPDATE", "DELETE").contains(firstWord(sql)))
+      None
+    else {
+      val i = SqlText.findKeyword(sql, "RETURNING")
+      if (i < 0) None
+      else Some((sql.take(i),
+        sql.substring(i + "RETURNING".length).trim.stripSuffix(";").trim))
+    }
+  }
+
+  private val retTableRe =
+    """(?is)^\s*(?:INSERT(?:\s+OR\s+\w+)?\s+INTO|REPLACE\s+INTO|UPDATE|DELETE\s+FROM)\s+[`"]?([A-Za-z_][A-Za-z0-9_]*)[`"]?""".r
+  private def dmlTableName(sql: String): Option[String] =
+    retTableRe.findFirstMatchIn(sql).map(_.group(1))
+
+  private val retAggRe =
+    """(?i)\b(count|sum|avg|min|max|total|group_concat|string_agg)\s*\(""".r
+  private val retWinRe =
+    """(?i)\b(row_number|rank|dense_rank|ntile|lag|lead|first_value|last_value|nth_value|percent_rank|cume_dist)\s*\(""".r
+  private val retOverRe = """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s*\([^()]*\)\s+over\s*\(""".r
+
+  /** SQLite resolves the RETURNING projection at prepare time; aggregates
+    * and window functions are rejected with its exact error texts. */
+  private def validateReturningList(retList: String): Option[String] = {
+    val noLit = retList.replaceAll("'(?:[^']|'')*'", "''")
+    retOverRe.findFirstMatchIn(noLit)
+      .map(m => s"misuse of window function ${m.group(1).toLowerCase}()")
+      .orElse(retWinRe.findFirstMatchIn(noLit)
+        .map(m => s"misuse of window function ${m.group(1).toLowerCase}()"))
+      .orElse(retAggRe.findFirstMatchIn(noLit)
+        .map(m => s"misuse of aggregate function ${m.group(1).toLowerCase}()"))
+  }
+
+  /** Evaluate a RETURNING list over captured row images (empty `rows` =
+    * prepare-time analysis only). The capture registers as a temp view
+    * aliased to the TABLE name (qualified refs resolve), with the rowid
+    * pseudo-column exposed unless a declared column shadows it, `__ord`
+    * pinning SQLite's observable order, and `*` expanded to the declared
+    * columns. Item naming is SQLite's: alias, bare column name, else the
+    * verbatim expression text ([[SqlText.aliasSelectList]]). */
+  private def returningDf(work: Tables, td: TableDef,
+      rows: Vector[(Long, IndexedSeq[Any])], retList: String): DataFrame = {
+    registerViews(work)
+    val shadowed = td.cols.exists(_.name.equalsIgnoreCase("rowid"))
+    val fields = StructField("__ord", LongType, nullable = false) +:
+      ((if (shadowed) Array.empty[StructField]
+        else Array(StructField("rowid", LongType, nullable = false))) ++
+        td.schema.fields)
+    val data = rows.zipWithIndex.map { case ((rid, vals), i) =>
+      Row.fromSeq(if (shadowed) i.toLong +: vals else i.toLong +: rid +: vals)
+    }.asJava
+    session.createDataFrame(data, StructType(fields))
+      .createOrReplaceTempView("__graft_ret")
+    val items = SqlText.splitTopLevel(retList).map(_.trim).filter(_.nonEmpty)
+    val expanded = items.flatMap { it =>
+      if (it == "*" || it.equalsIgnoreCase(td.name + ".*"))
+        td.cols.map(_.name) // bare: the envelope reports the plain names
+      else Seq(it)
+    }
+    session.sql(SqlText.aliasSelectList(
+      s"SELECT ${expanded.mkString(", ")} FROM __graft_ret AS `${td.name}`") +
+      " ORDER BY __ord")
+  }
+
+  /** Map a Spark analysis error on the RETURNING projection to SQLite's
+    * prepare-time text. */
+  private def retError(e: Exception): String = {
+    val m = Option(e.getMessage).getOrElse(e.toString)
+    if (m.contains("UNRESOLVED_COLUMN")) {
+      val name = "with name `(.+?)` cannot".r.findFirstMatchIn(m)
+        .map(_.group(1).replace("`.`", ".").replace("`", ""))
+        .getOrElse("?")
+      s"no such column: $name"
+    } else friendlyError(e)
+  }
+
+  /** Query-path DML with a RETURNING clause: resolve the projection first
+    * (SQLite prepare fails before any row is touched), run the mutation
+    * (journaled like any other write), then project the captured images. */
+  private def runReturning(sql: String, base: String,
+                           retList: String): Either[String, RowsResult] = {
+    validateReturningList(retList).foreach(e => return Left(e))
+    val visible0 = openTx.map(_.work).getOrElse(tables)
+    dmlTableName(base).flatMap(n => visible0.get(n.toLowerCase)).foreach { ts =>
+      try returningDf(visible0, ts.d, Vector.empty, retList).schema
+      catch { case e: Exception => return Left(retError(e)) }
+    }
+    journalAppend(tx = false, Seq(sql))
+    retArmed = true; retCaptured = None
+    val r = try dispatch(tables, reqTx = false, base) finally retArmed = false
+    val out = r match {
+      case Left(err) => Left(err)
+      case Right(_) =>
+        persist()
+        retCaptured match {
+          case Some((td, rows)) =>
+            val work = openTx.map(_.work).getOrElse(tables)
+            try Right(envelope(returningDf(work, td, rows, retList)))
+            catch { case e: Exception => Left(retError(e)) }
+          case None => Right(RowsResult(Nil, Nil, Nil))
+        }
+    }
+    retCaptured = None
+    out
   }
 
   // ---------- streaming ingest bridge (dust's ordered-log design:
@@ -516,8 +695,12 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
 
   /** Execute one mutating statement against `work`. Returns rows_affected;
     * updates connection-level lastRowId on successful INSERT. */
-  private def executeOne(work: Tables, sql0: String,
+  private def executeOne(work: Tables, sql0full: String,
                          reqTx: Boolean = false): Either[String, Long] = {
+    // a RETURNING clause never changes WHAT a DML statement does — only
+    // what its caller reads back. Stripping here makes every route (execute
+    // envelope, query wrapper, journal replay) apply identical mutations.
+    val sql0 = splitReturning(sql0full).map(_._1).getOrElse(sql0full)
     val sql = SqlText.fixQuotedIdents(sql0)
     val kw = firstWord(sql)
     val r = executeOneInner(work, sql0, sql, kw, reqTx)
@@ -1468,24 +1651,33 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       case Some(incoming) =>
         // Build candidate full rows + rowids (sequential — exact SQLite
         // max(current)+1 assignment, freed top rowids reused).
-        var nextId = rowidBase(ts)
+        val autoBase = rowidBase(ts)
+        var nextId = autoBase
         var lastId = lastRowId
-        val candidates = incoming.map { r =>
+        // tentative assignment: SQLite assigns a rowid only when a row
+        // actually INSERTS — candidates that resolve to an upsert UPDATE or
+        // an OR IGNORE skip must not consume one (probed live, pinned by
+        // ReturningSpec). The Ignore/Upsert branches re-derive auto rowids
+        // at their actual insert points from (explicitFlags, autoBase).
+        val cand3 = incoming.map { r =>
           val full = Array.fill[Any](td.cols.size)(null)
           defaults.foreach { case (i, v) => full(i) = v }
           targetCols.zipWithIndex.foreach { case (ci, i) => full(ci) = r.get(i) }
+          val explicitRid = rowidIdx >= 0 && full(rowidIdx) != null
           val rid =
-            if (rowidIdx >= 0 && full(rowidIdx) != null)
-              full(rowidIdx).asInstanceOf[Long]
+            if (explicitRid) full(rowidIdx).asInstanceOf[Long]
             else { val v = nextId; v }
           if (rowidIdx >= 0) full(rowidIdx) = rid
           nextId = math.max(nextId, rid + 1)
           lastId = rid
-          (rid, full.toIndexedSeq)
+          (rid, full.toIndexedSeq, explicitRid)
         }
+        val candidates = cand3.map(c => (c._1, c._2))
+        val explicitFlags = cand3.map(_._3)
         ts.store match {
           case Mem(memRows) =>
-            applyPolicySeq(td, policy, memRows, candidates, lastId).flatMap {
+            applyPolicySeq(td, policy, memRows, candidates, lastId,
+              explicitFlags, autoBase, rowidIdx).flatMap {
               case (fin, touched, insRids, affected, lastOpt) =>
                 validateIdx(work, td, fin, touched) match {
                   case Left((err, k)) =>
@@ -1504,7 +1696,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                 }
             }
           case big: Big =>
-            insertIntoBig(work, ts, big, candidates, policy, nextId, lastId)
+            insertIntoBig(work, ts, big, candidates, policy, nextId, lastId,
+              explicitFlags, autoBase, rowidIdx)
         }
     }
   }
@@ -1519,15 +1712,24 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     * id). The inserted-rid column lets callers reproduce SQLite's
     * last_insert_rowid() on ABORTED statements: rows inserted before the
     * first failing row still advance the connection counter even though
-    * the statement is undone (fuzz-pinned, check_oltp.py). */
+    * the statement is undone (fuzz-pinned, check_oltp.py).
+    *
+    * `candidates` carry TENTATIVE rowids (assigned as if every candidate
+    * inserts); `explicitFlags(i)` marks a caller-supplied rowid. The
+    * Ignore/Upsert branches re-derive auto rowids at their actual insert
+    * points from `autoBase` (the statement-time max+1), because SQLite
+    * consumes a rowid only on a real insert — a skipped or upsert-updated
+    * candidate leaves the counter untouched (probed live; ReturningSpec). */
   private def applyPolicySeq(td: TableDef, policy: Conflict,
       base: Vector[(Long, IndexedSeq[Any])],
-      candidates: IndexedSeq[(Long, IndexedSeq[Any])], lastId: Long)
+      candidates: IndexedSeq[(Long, IndexedSeq[Any])], lastId: Long,
+      explicitFlags: IndexedSeq[Boolean], autoBase: Long, rowidIdx: Int)
       : Either[String, (Vector[(Long, IndexedSeq[Any])],
                         Seq[IndexedSeq[Any]], IndexedSeq[Option[Long]],
                         Long, Option[Long])] =
     policy match {
       case Conflict.Abort =>
+        captureRet(td, candidates.toVector)
         // conflicts surface through validate()'s uniqueness scan
         Right((base ++ candidates, candidates.map(_._2),
           candidates.map(c => Some(c._1)),
@@ -1553,17 +1755,26 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             catch { case _: Exception => Set.empty[Int] }
           }
         var cur = base
+        var nextAuto = autoBase
         val kept = Vector.newBuilder[(Long, IndexedSeq[Any])]
-        candidates.zipWithIndex.foreach { case ((rid, vals), ci) =>
+        candidates.zipWithIndex.foreach { case ((rid0, vals0), ci) =>
+          // insert-time rowid: skipped candidates never consumed one
+          val rid = if (explicitFlags(ci)) rid0 else nextAuto
+          val vals = if (!explicitFlags(ci) && rowidIdx >= 0)
+            vals0.updated(rowidIdx, rid: Any) else vals0
           val nn = td.cols.zipWithIndex.exists { case (c, i) =>
             c.notNull && !c.isRowidAlias && vals(i) == null
           }
           val uq = cur.exists { case (_, r) => conflicts(specs, r, vals) }
           if (!nn && !uq && !checkFailed(ci)) {
             cur :+= ((rid, vals)); kept += ((rid, vals))
+            nextAuto = math.max(nextAuto, rid + 1)
           }
         }
         val ins = kept.result()
+        // RETURNING reports only the candidates that actually landed
+        // (skipped rows are invisible — probed live)
+        captureRet(td, ins)
         Right((cur, ins.map(_._2), ins.map(r => Some(r._1)),
           ins.size.toLong, ins.lastOption.map(_._1)))
       case Conflict.Replace =>
@@ -1574,6 +1785,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           cur = cur.filterNot { case (_, r) => conflicts(specs, r, vals) }
           cur :+= ((rid, vals))
         }
+        // RETURNING: one row per surviving insert; displaced rows are
+        // invisible (probed live)
+        captureRet(td, candidates.toVector)
         Right((cur, candidates.map(_._2), candidates.map(c => Some(c._1)),
           candidates.size.toLong, Some(lastId)))
       case Conflict.Upsert(confCols, sets) =>
@@ -1643,7 +1857,17 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         // INSERT firings in candidate order; a value diff can't see no-ops
         val fir = Vector.newBuilder[
           (String, Option[IndexedSeq[Any]], Option[IndexedSeq[Any]])]
-        candidates.foreach { case (rid, vals) =>
+        // RETURNING tape: per candidate in statement order — the upserted
+        // row's NEW image for DO UPDATE hits, the inserted row otherwise,
+        // nothing for DO NOTHING skips (probed live)
+        val retBuf = Vector.newBuilder[(Long, IndexedSeq[Any])]
+        var nextAuto = autoBase
+        candidates.zipWithIndex.foreach { case ((rid0, vals0), ci) =>
+          // insert-time rowid: a DO UPDATE / DO NOTHING hit never consumed
+          // one (probed live — mixed upserts, ReturningSpec)
+          val rid = if (explicitFlags(ci)) rid0 else nextAuto
+          val vals = if (!explicitFlags(ci) && rowidIdx >= 0)
+            vals0.updated(rowidIdx, rid: Any) else vals0
           val hit = cur.indexWhere { case (_, r) => conflicts(specs, r, vals) }
           if (hit >= 0) {
             if (resolved.nonEmpty) { // DO UPDATE; DO NOTHING skips
@@ -1661,6 +1885,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
               touched += u
               insRids += None
               fir += (("UPDATE", Some(u), Some(orow)))
+              retBuf += ((orid, u))
               affected += 1
             }
           } else {
@@ -1668,11 +1893,14 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             touched += vals
             insRids += Some(rid)
             fir += (("INSERT", Some(vals), None))
+            retBuf += ((rid, vals))
             lastInserted = Some(rid)
+            nextAuto = math.max(nextAuto, rid + 1)
             affected += 1
           }
         }
         upsertFirings = Some(fir.result())
+        captureRet(td, retBuf.result())
         Right((cur, touched.result(), insRids.result(), affected,
           lastInserted))
     }
@@ -1713,7 +1941,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     * plus one key-join scan, never to driver heap. */
   private def insertIntoBig(work: Tables, ts: TableState, big: Big,
       candidates: IndexedSeq[(Long, IndexedSeq[Any])], policy: Conflict,
-      nextId: Long, lastId: Long): Either[String, Long] = {
+      nextId: Long, lastId: Long, explicitFlags: IndexedSeq[Boolean],
+      autoBase: Long, rowidIdx: Int): Either[String, Long] = {
     val td = ts.d
     val specs = uniqueSpecs(td)
     val mini = collectInteracting(td, big, specs, candidates)
@@ -1739,7 +1968,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       case Conflict.Upsert(_, sets) if sets.nonEmpty => Some(keep)
       case _ => None
     }
-    applyPolicySeq(td, policy, base, candidates, lastId).flatMap {
+    applyPolicySeq(td, policy, base, candidates, lastId,
+      explicitFlags, autoBase, rowidIdx).flatMap {
       case (fin, touched, insRids, affected, lastOpt) =>
         val checked: Either[String, Unit] =
           validateIdx(work, td, fin, touched, selfRemainder = Some(keep),
@@ -1813,6 +2043,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       defaults: Map[Int, Any], rowidIdx: Int, df: DataFrame,
       policy: Conflict): Either[String, Long] = {
     val td = ts.d
+    if (retArmed) { // over-cap source: RETURNING output would exceed the
+      retArmed = false // driver boundary — fail loudly, nothing applied
+      return Left(retTooMany(td.name))
+    }
     ts.store match { // the table itself spills first
       case _: Mem => ts.store = mkBig(ridDf(ts))
       case _ =>
@@ -2179,6 +2413,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         }.mkString(", ")
         val affected = session.sql(
           s"SELECT COUNT(*) FROM ${ridView(td.name)} AS __rv WHERE $cond").head.getLong(0)
+        if (retArmed && affected > maxDriverRows) {
+          retArmed = false
+          return Left(retTooMany(td.name))
+        }
         // per-row live-state validation inputs (shared by both stores):
         // the BEFORE table, the matched rows' OLD and NEW images
         val beforeAllDf = session.table(ridView(td.name))
@@ -2193,6 +2431,11 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                 s"WHERE $cond")
             validateUpdatePerRow(work, td, beforeAllDf, df,
               changedNewDf, changedOldDf).flatMap { _ =>
+              // RETURNING: matched rows' NEW images in rowid (scan) order
+              captureRet(td, changedNewDf.orderBy("__rowid").collect()
+                .toVector.map { r =>
+                  (r.getLong(0), (1 until r.length).map(r.get).toIndexedSeq)
+                })
               val newRows = df.collect().toVector.map { r =>
                 (r.getLong(0), (1 until r.length).map(r.get).toIndexedSeq)
               }.sortBy(_._1)
@@ -2213,6 +2456,12 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                 s"WHERE $cond")
             validateUpdatePerRow(work, td, beforeAllDf, newDf,
               changedDf, changedOldDf).map { _ =>
+              // RETURNING: matched NEW images, rowid order (changedDf
+              // carries __ord, __rowid ahead of the data columns)
+              captureRet(td, changedDf.orderBy("__rowid").collect()
+                .toVector.map { r =>
+                  (r.getLong(1), (2 until r.length).map(r.get).toIndexedSeq)
+                })
               ts.store =
                 if (root.isEmpty)
                   Big(newDf.localCheckpoint(), big.n, big.nextOrd)
@@ -2355,6 +2604,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             val doomedRows = memRows.filter(r => doomed.contains(r._1))
             fkDeleteGuard(work, ts, Left(doomedRows),
               Left(remaining)).map { _ =>
+              // RETURNING: deleted rows' OLD images in rowid (scan) order
+              captureRet(ts.d, doomedRows.sortBy(_._1))
               ts.store = Mem(remaining)
               doomed.size.toLong
             }
@@ -2373,8 +2624,18 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             val doomedDf = session.sql(
               s"SELECT * FROM ${ridView(ts.d.name)} AS __rv " +
                 s"WHERE COALESCE($cond, false)")
+            if (retArmed && affected > maxDriverRows) {
+              retArmed = false
+              return Left(retTooMany(ts.d.name))
+            }
             fkDeleteGuard(work, ts, Right(doomedDf),
               Right(remainingDf)).map { _ =>
+              // RETURNING: deleted OLD images, rowid order (doomedDf is the
+              // rid view slice: __ord, __rowid, then the data columns)
+              captureRet(ts.d, doomedDf.orderBy("__rowid").collect()
+                .toVector.map { r =>
+                  (r.getLong(1), (2 until r.length).map(r.get).toIndexedSeq)
+                })
               ts.store =
                 if (root.isEmpty) mkBig(remainingDf)
                 else Option(bigParts.get(big.df)) match {

@@ -203,6 +203,20 @@ object OltpFuzz {
             x(s"CREATE VIEW v0 AS SELECT id, a FROM t0 WHERE a > ${int(-4, 3)}")
             hasView = true
         }
+      case 18 => // RETURNING surface (SQLite 3.35): query-path DML yields
+        // rows; execute-path DML that yields >=1 row surfaces rusqlite's
+        // ExecuteReturnedResults AFTER applying (check_oltp.py emulates)
+        r.nextInt(5) match {
+          case 0 => q(s"INSERT INTO t0(a, b) VALUES (${int(-4, 9)}, " +
+            s"'${word()}'), (${int(-4, 9)}, '${word()}') RETURNING id, a, b")
+          case 1 => q(s"UPDATE t0 SET a = a + ${int(1, 3)} " +
+            s"WHERE ${pred()} RETURNING id, a * 2, b || '!'")
+          case 2 => q(s"DELETE FROM t0 WHERE ${pred()} RETURNING *")
+          case 3 => q(s"INSERT INTO t0(a, b) VALUES (${int(-4, 9)}, " +
+            s"'${word()}') ON CONFLICT DO NOTHING RETURNING id AS rid, a")
+          case _ => x(s"INSERT INTO t0(a, b) VALUES (${int(-4, 9)}, " +
+            s"'${word()}') RETURNING id")
+        }
       case 17 => // trigger churn + PRAGMA flips + whole-table delete
         r.nextInt(4) match {
           case 0 if hasLog && !hasTrg2 =>

@@ -537,8 +537,12 @@ class GoldenParitySpec extends SparkSpec {
   test("INSERT OR IGNORE skips CHECK-violating rows") {
     val db = memDb
     exec(db, "CREATE TABLE t (v INTEGER CHECK (v > 0))")
+    // last_insert_id 1: a skipped candidate never consumes a rowid — the
+    // surviving row is the table's FIRST (re-probed live on 3.40; the
+    // earlier pin of 2 reproduced the engine's old tentative-assignment
+    // bug, not SQLite)
     assert(exec(db, "INSERT OR IGNORE INTO t VALUES(-1),(5)") ==
-      """[{"last_insert_id":2,"rows_affected":1}]""")
+      """[{"last_insert_id":1,"rows_affected":1}]""")
     assert(query(db, "SELECT v FROM t") ==
       """[{"columns":["v"],"types":["integer"],"values":[[5]]}]""")
   }

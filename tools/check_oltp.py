@@ -44,10 +44,21 @@ def replay(ops):
         if k == "x":
             try:
                 cur.execute(sql)
-                ra = (cur.execute("SELECT changes()").fetchone()[0]
-                      if first_word(sql) in MUTATING else 0)
-                lid = cur.execute("SELECT last_insert_rowid()").fetchone()[0]
-                mine = {"lid": lid, "ra": ra, "err": ""}
+                # rusqlite conn.execute (the reference's execute path,
+                # db/src/db.rs:176-190): the first step runs the whole DML —
+                # RETURNING output materializes there — and a pending row
+                # surfaces as ExecuteReturnedResults with the mutation
+                # APPLIED; zero RETURNING rows step to DONE and succeed
+                returned = cur.fetchall() if cur.description else []
+                if returned:
+                    mine = {"err": "Execute returned results - "
+                                   "did you mean to call query?"}
+                else:
+                    ra = (cur.execute("SELECT changes()").fetchone()[0]
+                          if first_word(sql) in MUTATING else 0)
+                    lid = cur.execute(
+                        "SELECT last_insert_rowid()").fetchone()[0]
+                    mine = {"lid": lid, "ra": ra, "err": ""}
             except sqlite3.Error as e:
                 mine = {"err": str(e)}
             theirs = ({"err": op["err"]} if op.get("err") else
@@ -94,6 +105,12 @@ def known_deviation(mine, theirs):
     if ("too many rows for row-trigger processing" in g
             and not mine.get("err")):
         return "trigger-driver-cap"
+    # 2. Same boundary for RETURNING: the engine refuses to materialize a
+    #    larger-than-cap output set on the driver (statement undone) where
+    #    in-process SQLite materializes any size. Fuzz caps are 8/500.
+    if ("too many rows for RETURNING processing" in g
+            and not mine.get("err")):
+        return "returning-driver-cap"
     return None
 
 
