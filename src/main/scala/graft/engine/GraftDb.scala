@@ -413,7 +413,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     * Quote/paren-aware, so RETURNING inside a literal or subquery never
     * matches. None for non-DML or clause-less statements. */
   private def splitReturning(sql: String): Option[(String, String)] = {
-    if (!Set("INSERT", "REPLACE", "UPDATE", "DELETE").contains(firstWord(sql)))
+    if (!Set("INSERT", "REPLACE", "UPDATE", "DELETE").contains(firstWord(sql))
+      && splitWithDml(sql).isEmpty)
       None
     else {
       val i = SqlText.findKeyword(sql, "RETURNING")
@@ -425,8 +426,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
 
   private val retTableRe =
     """(?is)^\s*(?:INSERT(?:\s+OR\s+\w+)?\s+INTO|REPLACE\s+INTO|UPDATE|DELETE\s+FROM)\s+[`"]?([A-Za-z_][A-Za-z0-9_]*)[`"]?""".r
-  private def dmlTableName(sql: String): Option[String] =
-    retTableRe.findFirstMatchIn(sql).map(_.group(1))
+  private def dmlTableName(sql: String): Option[String] = {
+    val s = splitWithDml(sql).map(_._3).getOrElse(sql)
+    retTableRe.findFirstMatchIn(s).map(_.group(1))
+  }
 
   private val retAggRe =
     """(?i)\b(count|sum|avg|min|max|total|group_concat|string_agg)\s*\(""".r
@@ -578,7 +581,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     sql.trim.takeWhile(c => Character.isLetter(c)).toUpperCase
 
   private def isRowReturning(sql: String): Boolean =
-    Set("SELECT", "VALUES", "WITH", "EXPLAIN", "SHOW").contains(firstWord(sql)) ||
+    (Set("SELECT", "VALUES", "WITH", "EXPLAIN", "SHOW")
+      .contains(firstWord(sql)) && splitWithDml(sql).isEmpty) ||
       sql.trim.toUpperCase.startsWith("PRAGMA FOREIGN_KEYS") &&
         !sql.contains("=") ||
       valuePragmaRe.findFirstMatchIn(sql).isDefined
@@ -700,14 +704,61 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     // a RETURNING clause never changes WHAT a DML statement does — only
     // what its caller reads back. Stripping here makes every route (execute
     // envelope, query wrapper, journal replay) apply identical mutations.
-    val sql0 = splitReturning(sql0full).map(_._1).getOrElse(sql0full)
+    val retStripped = splitReturning(sql0full).map(_._1).getOrElse(sql0full)
+    // SQLite CTE-prefixed DML: the CTE list is statement-scoped state
+    // (registerViews appends the CTE views LAST so they shadow tables,
+    // exactly SQLite's resolution order); the inner executor then sees
+    // the plain DML tail. Save/restore keeps trigger-body statements from
+    // inheriting or clobbering the outer statement's CTEs.
+    val (cteInfo, sql0) = splitWithDml(retStripped) match {
+      case Some((rec, ctes, tail)) => (Some((rec, ctes)), tail)
+      case None => (None, retStripped)
+    }
     val sql = SqlText.fixQuotedIdents(sql0)
     val kw = firstWord(sql)
-    val r = executeOneInner(work, sql0, sql, kw, reqTx)
+    val savedCtes = (pendingCtes, pendingCtesRec)
+    pendingCtes = cteInfo.map(_._2.map(c => (cteName(c), c))).getOrElse(Nil)
+    pendingCtesRec = cteInfo.exists(_._1)
+    val r = try executeOneInner(work, sql0, sql, kw, reqTx)
+    finally { pendingCtes = savedCtes._1; pendingCtesRec = savedCtes._2 }
     if (r.isRight && Set("CREATE", "DROP", "ALTER").contains(kw))
       schemaVersion += 1
     r
   }
+
+  /** SQLite CTE-prefixed DML (`WITH [RECURSIVE] ctes INSERT|UPDATE|DELETE|
+    * REPLACE ...`): (recursive, cte definitions, dml tail). None for plain
+    * queries (WITH..SELECT) and non-WITH statements. CTE bodies are
+    * parenthesized, so a top-level DML keyword can only be the tail. */
+  private def splitWithDml(sql: String)
+      : Option[(Boolean, Seq[String], String)] = {
+    if (firstWord(sql) != "WITH") return None
+    val hits = Seq("INSERT", "REPLACE", "UPDATE", "DELETE").flatMap { k =>
+      val i = SqlText.findKeyword(sql, k)
+      // require a real keyword: findKeyword treats `_` as a boundary, so
+      // an identifier like `update_x` would false-match without this
+      if (i >= 0 && i + k.length < sql.length &&
+        sql.charAt(i + k.length).isWhitespace) Some(i)
+      else None
+    }
+    if (hits.isEmpty) return None
+    val i = hits.min
+    val w = sql.toUpperCase.indexOf("WITH")
+    var cteText = sql.substring(w + 4, i).trim
+    val rec = cteText.toUpperCase.startsWith("RECURSIVE") &&
+      (cteText.length == 9 || !Character.isLetterOrDigit(cteText.charAt(9)))
+    if (rec) cteText = cteText.substring(9).trim
+    Some((rec, SqlText.splitTopLevel(cteText).map(_.trim), sql.substring(i)))
+  }
+
+  private val cteNameRe = """^\s*[`"]?([A-Za-z_][A-Za-z0-9_]*)""".r
+  private def cteName(cteDef: String): String =
+    cteNameRe.findFirstMatchIn(cteDef).map(_.group(1)).getOrElse(cteDef)
+
+  /** Statement-scoped CTEs for the DML currently executing (set by
+    * [[executeOne]], registered by [[registerViews]]). */
+  private var pendingCtes: Seq[(String, String)] = Nil
+  private var pendingCtesRec = false
 
   private def executeOneInner(work: Tables, sql0: String, sql: String,
                               kw: String,
@@ -756,6 +807,17 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     if (noSuch.findFirstIn(m).isDefined) {
       val name = "`([^`]+)`".r.findFirstMatchIn(m).map(_.group(1)).getOrElse("?")
       s"no such table: $name"
+    } else if (m.contains("AMBIGUOUS_REFERENCE")) {
+      // SQLite text parity (OLTP fuzz seed 50039: bare `id` in an
+      // UPDATE..FROM predicate matching both target and source)
+      val name = "Reference `([^`]+)`".r.findFirstMatchIn(m)
+        .map(_.group(1)).getOrElse("?")
+      s"ambiguous column name: $name"
+    } else if (m.contains("UNRESOLVED_COLUMN")) {
+      val name = "with name `(.+?)` cannot".r.findFirstMatchIn(m)
+        .map(_.group(1).replace("`.`", ".").replace("`", ""))
+        .getOrElse("?")
+      s"no such column: $name"
     } else m.linesIterator.take(2).mkString(" ").trim
   }
 
@@ -1122,8 +1184,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     val updMatched: Option[Seq[Long]] =
       if (kind == "UPDATE" && relevant.exists(_.event == "UPDATE"))
         sql match {
-          case updateRe(_, rest) =>
+          case updateRe(_, aliasOrNull, rest) =>
+            val fIdx = SqlText.findKeyword(rest, "FROM")
             val wIdx = SqlText.findKeyword(rest, "WHERE")
+            val isFrom = fIdx >= 0 && (wIdx < 0 || fIdx < wIdx)
             val cond =
               if (wIdx >= 0) rest.substring(wIdx + 5).trim else "true"
             try {
@@ -1132,9 +1196,22 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
               // word in Spark's default dialect, so an alias-less
               // `FROM view WHERE (true)` parses WHERE as a TABLE ALIAS
               // with column list (true)
-              Some(collectCapped(session.sql(
-                s"SELECT `__rowid` FROM ${ridView(key)} AS __rv " +
-                  s"WHERE ($cond)"), maxDriverRows).map(_.getLong(0)))
+              val eff = Option(aliasOrNull).getOrElse(
+                if (isFrom) key else "__rv")
+              val matchedSql =
+                if (isFrom) {
+                  // UPDATE..FROM fires once per DISTINCT matched target
+                  // row (no-op SETs included) — same join as doUpdateFrom
+                  val fromText = (if (wIdx >= 0)
+                    rest.substring(fIdx + 4, wIdx)
+                  else rest.substring(fIdx + 4)).trim
+                  val (srcSql, _) = fromSource(work, fromText)
+                  s"SELECT DISTINCT `$eff`.`__rowid` FROM " +
+                    s"${ridView(key)} AS `$eff`, $srcSql WHERE ($cond)"
+                } else s"SELECT `__rowid` FROM ${ridView(key)} AS `$eff` " +
+                  s"WHERE ($cond)"
+              Some(collectCapped(session.sql(matchedSql), maxDriverRows)
+                .map(_.getLong(0)))
             } catch {
               case _: TriggerDiffTooLarge =>
                 return Left(s"too many rows for row-trigger processing on " +
@@ -2377,17 +2454,28 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
   }
 
   private val updateRe =
-    """(?is)^\s*UPDATE\s+[`"]?([A-Za-z_][A-Za-z0-9_]*)[`"]?\s+SET\s+(.+?)\s*;?\s*$""".r
+    """(?is)^\s*UPDATE\s+[`"]?([A-Za-z_][A-Za-z0-9_]*)[`"]?(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?\s+SET\s+(.+?)\s*;?\s*$""".r
 
   private def doUpdate(work: Tables, sql: String): Either[String, Long] =
     sql match {
-      case updateRe(tname, rest) =>
+      case updateRe(tname, aliasOrNull, rest) =>
         if (viewDefs.contains(tname.toLowerCase))
           return Left(s"cannot modify $tname because it is a view")
         val ts = work.getOrElse(tname.toLowerCase,
           return Left(s"no such table: $tname"))
         val td = ts.d
+        val alias = Option(aliasOrNull)
+        val fIdx = SqlText.findKeyword(rest, "FROM")
         val wIdx = SqlText.findKeyword(rest, "WHERE")
+        if (fIdx >= 0 && (wIdx < 0 || fIdx < wIdx))
+          return doUpdateFrom(work, ts, alias, rest.take(fIdx),
+            if (wIdx >= 0) rest.substring(fIdx + 4, wIdx)
+            else rest.substring(fIdx + 4),
+            if (wIdx >= 0) rest.substring(wIdx + 5) else "")
+        // `AS alias` on a plain UPDATE: qualified refs resolve by aliasing
+        // the scans below with it (the Big scoped path then takes the full
+        // rewrite — its bucket-probe SQL re-derives cond/proj alias-less)
+        val eff = alias.getOrElse("__rv")
         val (setText, whereText) =
           if (wIdx >= 0) (rest.take(wIdx), rest.substring(wIdx + 5))
           else (rest, "")
@@ -2412,7 +2500,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           s"$e AS `${c.name}`"
         }.mkString(", ")
         val affected = session.sql(
-          s"SELECT COUNT(*) FROM ${ridView(td.name)} AS __rv WHERE $cond").head.getLong(0)
+          s"SELECT COUNT(*) FROM ${ridView(td.name)} AS `$eff` WHERE $cond").head.getLong(0)
         if (retArmed && affected > maxDriverRows) {
           retArmed = false
           return Left(retTooMany(td.name))
@@ -2421,13 +2509,13 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         // the BEFORE table, the matched rows' OLD and NEW images
         val beforeAllDf = session.table(ridView(td.name))
         val changedOldDf = session.sql(
-          s"SELECT * FROM ${ridView(td.name)} AS __rv WHERE $cond")
+          s"SELECT * FROM ${ridView(td.name)} AS `$eff` WHERE $cond")
         ts.store match {
           case Mem(memRows) =>
             val df = session.sql(
-              s"SELECT `__rowid`, $proj FROM ${ridView(td.name)}")
+              s"SELECT `__rowid`, $proj FROM ${ridView(td.name)} AS `$eff`")
             val changedNewDf = session.sql(
-              s"SELECT `__rowid`, $proj FROM ${ridView(td.name)} AS __rv " +
+              s"SELECT `__rowid`, $proj FROM ${ridView(td.name)} AS `$eff` " +
                 s"WHERE $cond")
             validateUpdatePerRow(work, td, beforeAllDf, df,
               changedNewDf, changedOldDf).flatMap { _ =>
@@ -2450,9 +2538,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             // reproject every row (the CASE keeps unaffected rows
             // bit-identical) into a fresh localCheckpoint.
             val newDf = session.sql(
-              s"SELECT `__ord`, `__rowid`, $proj FROM ${ridView(td.name)}")
+              s"SELECT `__ord`, `__rowid`, $proj FROM ${ridView(td.name)} AS `$eff`")
             val changedDf = session.sql(
-              s"SELECT `__ord`, `__rowid`, $proj FROM ${ridView(td.name)} AS __rv " +
+              s"SELECT `__ord`, `__rowid`, $proj FROM ${ridView(td.name)} AS `$eff` " +
                 s"WHERE $cond")
             validateUpdatePerRow(work, td, beforeAllDf, newDf,
               changedDf, changedOldDf).map { _ =>
@@ -2477,7 +2565,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                   // future internal path ever carries one, take the full
                   // rewrite, which evaluates the projection exactly once
                   // into the written files.
-                  case Some(_) if nonDeterministic(cond).isDefined =>
+                  case Some(_) if alias.isDefined ||
+                      nonDeterministic(cond).isDefined =>
                     bigPartitionedFull(td.name, newDf, big.n, big.nextOrd)
                   case Some(files) =>
                     bigScopedUpdate(td.name, big, files, cond, proj)
@@ -2487,6 +2576,153 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         }
       case _ => Left("near \"UPDATE\": syntax error")
     }
+
+  /** Rewrite an UPDATE..FROM source clause: a single plain table
+    * (optionally `AS alias`) scans its rid view so the winner pick can
+    * order by source rowid; anything else (subquery, comma/JOIN list,
+    * view) passes through verbatim and resolves against the registered
+    * data views. Returns (from-clause SQL, qualified source-rowid expr
+    * when the source carries one). */
+  private val plainSrcRe =
+    """(?is)^\s*[`"]?([A-Za-z_][A-Za-z0-9_]*)[`"]?(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?\s*$""".r
+  private def fromSource(work: Tables, fromText: String)
+      : (String, Option[String]) =
+    fromText match {
+      case plainSrcRe(name, al)
+          // a statement-scoped CTE shadows a same-named table (SQLite
+          // resolution order) — fall through to the verbatim path
+          if !pendingCtes.exists(_._1.equalsIgnoreCase(name)) =>
+        work.get(name.toLowerCase) match {
+          case Some(sts) =>
+            val eff = Option(al).getOrElse(name)
+            (s"${ridView(sts.d.name)} AS `$eff`", Some(s"`$eff`.`__rowid`"))
+          case None => (fromText, None)
+        }
+      case _ => (fromText, None)
+    }
+
+  private var updFromSeq = 0L
+
+  /** UPDATE ... FROM (SQLite 3.33+, reference surface via its delegated
+    * SQLite `db/src/db.rs:176,278`): the target joins an arbitrary source;
+    * every target row matched by >=1 join row is updated exactly ONCE.
+    * SQLite documents the winning join row as unspecified when several
+    * match; observed 3.40 behavior (probed live, UpdateFromSpec) is
+    * last-in-scan-order — for a plain-table source that is the greatest
+    * source rowid, which this engine pins exactly (robust under source
+    * indexes: equal-key index entries stay in rowid order). For
+    * subquery/join/view sources no scan order exists on a distributed
+    * engine, so the winner is the greatest evaluated new-value tuple — a
+    * deterministic choice inside SQLite's unspecified envelope, exercised
+    * by the fuzzer only through unique-match joins.
+    * Probed-live semantics carried over from plain UPDATE: changes()
+    * counts DISTINCT matched target rows; matched-but-unchanged rows
+    * still fire UPDATE triggers and appear in RETURNING (NEW images,
+    * rowid order); per-row live-state constraint validation is shared.
+    * Disk-backed Big stores take the full-rewrite path: the matched set
+    * comes from a join, not a per-bucket predicate, so the bucket-scoped
+    * rewrite cannot prove from the SQL text which buckets it may touch. */
+  private def doUpdateFrom(work: Tables, ts: TableState,
+      alias: Option[String], setText: String, fromText: String,
+      whereText: String): Either[String, Long] = {
+    val td = ts.d
+    if (fromText.trim.isEmpty)
+      return Left(if (whereText.trim.nonEmpty) "near \"WHERE\": syntax error"
+      else "incomplete input")
+    val sets = SqlText.splitTopLevel(setText).map { a =>
+      val eq = a.indexOf('=')
+      if (eq < 0) return Left("near \"SET\": syntax error")
+      val c = a.take(eq).trim.stripPrefix("\"").stripSuffix("\"")
+        .stripPrefix("`").stripSuffix("`")
+      if (td.colIndex(c) < 0) return Left(s"no such column: $c")
+      c -> a.substring(eq + 1).trim
+    }
+    registerViews(work)
+    val eff = alias.getOrElse(td.name)
+    val cond = if (whereText.trim.isEmpty) "true" else s"(${whereText.trim})"
+    val (srcSql, srcRid) = fromSource(work, fromText.trim)
+    val setCols = td.cols.filter(c => sets.exists(_._1.equalsIgnoreCase(c.name)))
+    def setExpr(name: String): String =
+      sets.collectFirst { case (sc, e) if sc.equalsIgnoreCase(name) => e }.get
+    // one row per matched target rowid carrying the winning NEW values:
+    // values evaluate once in the inner projection; the window orders by
+    // the aliased outputs so subquery-bearing SET expressions stay legal
+    val vList = setCols.map(c =>
+      s", CAST((${setExpr(c.name)}) AS ${sparkTypeName(c)}) AS `__v_${c.name}`")
+      .mkString
+    val (srcOrdSel, ordBy) = srcRid match {
+      case Some(r) => (s", $r AS `__src_ord`", "`__src_ord` DESC")
+      case None =>
+        ("", setCols.map(c => s"`__v_${c.name}` DESC").mkString(", "))
+    }
+    val vNames = setCols.map(c => s", `__v_${c.name}`").mkString
+    val mapSql =
+      s"SELECT `__rowid`$vNames FROM (" +
+        s"SELECT *, ROW_NUMBER() OVER (PARTITION BY `__rowid` " +
+        s"ORDER BY $ordBy) AS `__rn` FROM (" +
+        s"SELECT `$eff`.`__rowid` AS `__rowid`$vList$srcOrdSel " +
+        s"FROM ${ridView(td.name)} AS `$eff`, $srcSql WHERE $cond)" +
+        s") WHERE `__rn` = 1"
+    val updDf = session.sql(mapSql).localCheckpoint()
+    val affected = updDf.count()
+    if (retArmed && affected > maxDriverRows) {
+      retArmed = false
+      return Left(retTooMany(td.name))
+    }
+    updFromSeq += 1
+    val mv = s"__upd_from_$updFromSeq"
+    updDf.createOrReplaceTempView(mv)
+    try {
+      // m.`__rowid` is the join key — non-null exactly on matched rows,
+      // so it doubles as the match flag (a SET value may itself be NULL)
+      val projCols = td.cols.map { c =>
+        if (setCols.exists(_.name == c.name))
+          s"CASE WHEN m.`__rowid` IS NOT NULL THEN m.`__v_${c.name}` " +
+            s"ELSE b.`${c.name}` END AS `${c.name}`"
+        else s"b.`${c.name}` AS `${c.name}`"
+      }.mkString(", ")
+      val joinAll = s"FROM ${ridView(td.name)} AS b LEFT JOIN $mv AS m " +
+        "ON b.`__rowid` = m.`__rowid`"
+      val joinMatched = s"FROM ${ridView(td.name)} AS b JOIN $mv AS m " +
+        "ON b.`__rowid` = m.`__rowid`"
+      val beforeAllDf = session.table(ridView(td.name))
+      val changedOldDf = session.sql(s"SELECT b.* $joinMatched")
+      ts.store match {
+        case Mem(_) =>
+          val df = session.sql(s"SELECT b.`__rowid`, $projCols $joinAll")
+          val changedNewDf =
+            session.sql(s"SELECT b.`__rowid`, $projCols $joinMatched")
+          validateUpdatePerRow(work, td, beforeAllDf, df, changedNewDf,
+            changedOldDf).flatMap { _ =>
+            captureRet(td, changedNewDf.orderBy("__rowid").collect()
+              .toVector.map { r =>
+                (r.getLong(0), (1 until r.length).map(r.get).toIndexedSeq)
+              })
+            val newRows = df.collect().toVector.map { r =>
+              (r.getLong(0), (1 until r.length).map(r.get).toIndexedSeq)
+            }.sortBy(_._1)
+            ts.store = Mem(newRows)
+            Right(affected)
+          }
+        case big: Big =>
+          val newDf = session.sql(
+            s"SELECT b.`__ord`, b.`__rowid`, $projCols $joinAll")
+          val changedDf = session.sql(
+            s"SELECT b.`__ord`, b.`__rowid`, $projCols $joinMatched")
+          validateUpdatePerRow(work, td, beforeAllDf, newDf, changedDf,
+            changedOldDf).map { _ =>
+            captureRet(td, changedDf.orderBy("__rowid").collect()
+              .toVector.map { r =>
+                (r.getLong(1), (2 until r.length).map(r.get).toIndexedSeq)
+              })
+            ts.store =
+              if (root.isEmpty) Big(newDf.localCheckpoint(), big.n, big.nextOrd)
+              else bigPartitionedFull(td.name, newDf, big.n, big.nextOrd)
+            affected
+          }
+      }
+    } finally session.catalog.dropTempView(mv)
+  }
 
   /** SQLite-exact UPDATE validation: per ROW, in rowid scan order, against
     * the LIVE table state. Uniqueness for each updated row i is checked
@@ -3444,6 +3680,20 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       try session.sql(SqlText.fixQuotedIdents(select))
         .createOrReplaceTempView(name)
       catch { case _: Exception => session.catalog.dropTempView(name) }
+    }
+    // statement-scoped CTEs LAST so they shadow same-named tables/views
+    // (SQLite's resolution order). Each CTE view re-derives the full
+    // prefix list, so recursion and chained references need no ordering
+    // between temp views; a bad body propagates (SQLite prepare fails).
+    // The shadowing heals itself: every statement re-runs this method.
+    if (pendingCtes.nonEmpty) {
+      val kw = if (pendingCtesRec) "WITH RECURSIVE " else "WITH "
+      pendingCtes.indices.foreach { k =>
+        val defs = pendingCtes.take(k + 1).map(_._2).mkString(", ")
+        session.sql(SqlText.fixQuotedIdents(
+          s"$kw$defs SELECT * FROM `${pendingCtes(k)._1}`"))
+          .createOrReplaceTempView(pendingCtes(k)._1)
+      }
     }
   }
 

@@ -105,7 +105,7 @@ object OltpFuzz {
       case _ => s"a % ${int(2, 4)} = 0"
     }
 
-    private def step(): Unit = r.nextInt(20) match {
+    private def step(): Unit = r.nextInt(22) match {
       case 0 | 1 | 2 => // plain insert, explicit or auto id
         if (chance(0.5))
           x(s"INSERT INTO t0 VALUES (${int(1, 12)}, ${int(-8, 9)}, '${word()}')")
@@ -216,6 +216,51 @@ object OltpFuzz {
             s"'${word()}') ON CONFLICT DO NOTHING RETURNING id AS rid, a")
           case _ => x(s"INSERT INTO t0(a, b) VALUES (${int(-4, 9)}, " +
             s"'${word()}') RETURNING id")
+        }
+      case 19 => // UPDATE ... FROM (SQLite 3.33): joined updates. Multi-
+        // match winners are pinned for plain-table sources (max source
+        // rowid = SQLite's observed last-in-scan-order); subquery sources
+        // aggregate to unique matches so no unspecified pick is compared.
+        // Transient UNIQUE collisions check in target-rowid order on both
+        // engines (probed live), so constraint-armed shapes are fair game.
+        r.nextInt(5) match {
+          case 0 if hasChild => x(s"UPDATE t0 SET a = a + src.c FROM t1 " +
+            s"AS src WHERE t0.id = src.t0_id AND ${pred()}")
+          case 1 if hasChild => x(s"UPDATE t0 SET a = q.m + ${int(-4, 2)} " +
+            "FROM (SELECT t0_id, MAX(c) AS m FROM t1 GROUP BY t0_id) AS q " +
+            "WHERE t0.id = q.t0_id")
+          case 2 if hasChild => q(s"UPDATE t0 SET b = b || src.c FROM t1 " +
+            s"AS src WHERE t0.id = src.t0_id RETURNING id, a, b")
+          case 3 => q(s"UPDATE t0 AS tgt SET b = src.b || '${word()}' " +
+            s"FROM t0 AS src WHERE tgt.id = src.id + ${int(1, 3)} " +
+            "RETURNING id, b")
+          case _ => x(s"UPDATE t0 AS tgt SET a = src.a + ${int(1, 4)} " +
+            s"FROM t0 AS src WHERE tgt.id = src.id + ${int(1, 3)}")
+        }
+      case 20 => // CTE-prefixed DML (WITH ... INSERT/UPDATE/DELETE) —
+        // statement-scoped CTEs read the BEFORE state; one arm shadows a
+        // real table name to pin SQLite's resolution order
+        r.nextInt(5) match {
+          case 0 => x(s"WITH m AS (SELECT MAX(a) AS mx FROM t0) " +
+            s"UPDATE t0 SET a = a - 1 WHERE a = (SELECT mx FROM m)")
+          case 1 => x(s"WITH d AS (SELECT id FROM t0 WHERE ${pred()}) " +
+            s"DELETE FROM t0 WHERE id IN (SELECT id FROM d) " +
+            s"AND id > ${int(2, 9)}")
+          case 2 => // ORDER BY the unique id so both engines pair
+            // (rowid, value) identically (ties in `a` would not)
+            x(s"WITH src AS (SELECT id, a FROM t0 WHERE id <= " +
+              s"${int(2, 5)}) INSERT INTO t0(a, b) " +
+              s"SELECT a, 'c' || id FROM src ORDER BY id")
+          case 3 => q(s"WITH pick AS (SELECT ${int(1, 9)} AS k) " +
+            s"UPDATE t0 SET b = b || '~' WHERE id IN (SELECT k FROM pick) " +
+            "RETURNING id, b")
+          case _ if hasChild => // CTE shadows table t1: resolution order
+            x(s"WITH t1 AS (SELECT ${int(1, 9)} AS t0_id, ${int(0, 3)} AS c) " +
+              "UPDATE t0 SET a = src.c FROM t1 AS src " +
+              "WHERE t0.id = src.t0_id")
+          case _ => x(s"WITH w AS (SELECT ${int(1, 9)} AS k, " +
+            s"${int(-4, 8)} AS nv) UPDATE t0 SET a = w.nv FROM w " +
+            "WHERE t0.id = w.k")
         }
       case 17 => // trigger churn + PRAGMA flips + whole-table delete
         r.nextInt(4) match {

@@ -27,6 +27,32 @@ show = int(sys.argv[sys.argv.index("--show") + 1]) if "--show" in sys.argv else 
 MUTATING = ("INSERT", "UPDATE", "DELETE", "REPLACE")
 
 
+def with_dml(sql):
+    """True for SQLite CTE-prefixed DML (WITH ... INSERT/UPDATE/DELETE/
+    REPLACE): CTE bodies are parenthesized, so any top-level DML keyword
+    is the statement tail."""
+    u = sql.upper()
+    if not u.lstrip().startswith("WITH"):
+        return False
+    depth, inq, i = 0, None, 0
+    while i < len(u):
+        ch = u[i]
+        if inq:
+            if ch == inq:
+                inq = None
+        elif ch in "'\"":
+            inq = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (depth == 0 and (i == 0 or not (u[i - 1].isalnum() or u[i - 1] == "_"))
+              and u.startswith(("INSERT ", "UPDATE ", "DELETE ", "REPLACE "), i)):
+            return True
+        i += 1
+    return False
+
+
 def first_word(sql):
     return sql.strip().split(None, 1)[0].upper() if sql.strip() else ""
 
@@ -55,7 +81,8 @@ def replay(ops):
                                    "did you mean to call query?"}
                 else:
                     ra = (cur.execute("SELECT changes()").fetchone()[0]
-                          if first_word(sql) in MUTATING else 0)
+                          if first_word(sql) in MUTATING or with_dml(sql)
+                          else 0)
                     lid = cur.execute(
                         "SELECT last_insert_rowid()").fetchone()[0]
                     mine = {"lid": lid, "ra": ra, "err": ""}
@@ -102,6 +129,15 @@ def known_deviation(mine, theirs):
        pinned by BigTableSpec.
     """
     g = theirs.get("err", "")
+    # 0. Cap error vs a real SQLite statement error (e.g. the engine's
+    #    trigger/RETURNING cap fires on a statement SQLite would have
+    #    failed per-row with a constraint): BOTH engines applied nothing,
+    #    so states stay convergent — classified, and the batch keeps
+    #    comparing (the caller checks for the -converged suffix).
+    if (("too many rows for row-trigger processing" in g
+         or "too many rows for RETURNING processing" in g)
+            and mine.get("err")):
+        return "driver-cap-vs-error-converged"
     if ("too many rows for row-trigger processing" in g
             and not mine.get("err")):
         return "trigger-driver-cap"
@@ -129,9 +165,11 @@ for line in open(path):
         if norm(mine) != norm(theirs):
             kd = known_deviation(mine, theirs)
             if kd:
+                deviations.append((rec, i, kd))
+                if kd.endswith("-converged"):
+                    continue  # both engines applied nothing: keep comparing
                 # the engine refused where sqlite proceeded: states have
                 # diverged — classify and stop comparing this batch
-                deviations.append((rec, i, kd))
                 bad = None
                 break
             bad = (i, rec["ops"][i].get("sql", ""), mine, theirs)
