@@ -52,7 +52,8 @@ final case class ColDef(
     unique: Boolean,
     ref: Option[(String, String)],
     default: Option[String] = None,
-    check: Option[(String, String)] = None) { // (label, expr)
+    check: Option[(String, String)] = None, // (label, expr)
+    gen: Option[(String, Boolean)] = None) { // (expr, STORED)
   def sparkType: DataType = Affinity.sparkType(affinity)
   /** SQLite: `INTEGER PRIMARY KEY` is an alias of the rowid. */
   def isRowidAlias: Boolean = pk && affinity == Affinity.Integer
@@ -64,6 +65,42 @@ final case class TableDef(name: String, cols: Seq[ColDef],
     StructType(cols.map(c => StructField(c.name, c.sparkType, nullable = true)))
   def rowidAlias: Option[ColDef] = cols.find(_.isRowidAlias)
   def colIndex(n: String): Int = cols.indexWhere(_.name.equalsIgnoreCase(n))
+  /** Generated columns as (column index, generation expr), in dependency
+    * order: a generated column may reference OTHER generated columns in
+    * either declaration direction (probed on SQLite 3.40 — forward
+    * references compute correctly), so evaluation topo-sorts on textual
+    * name references; a reference cycle falls back to declaration order
+    * (SQLite rejects cycles at CREATE time in later versions; the engine
+    * surfaces whatever the expression evaluation yields). */
+  def genColsOrdered: Seq[(Int, String)] = {
+    val gens = cols.zipWithIndex.collect {
+      case (c, i) if c.gen.isDefined => (i, c.gen.get._1)
+    }
+    if (gens.size <= 1) return gens
+    val nameOf = gens.map { case (i, _) => i -> cols(i).name.toLowerCase }.toMap
+    def refs(e: String): Set[Int] = {
+      val scrubbed = e.replaceAll("'([^']|'')*'", " ").toLowerCase
+      gens.collect { case (i, _)
+        if s"(?<![a-z0-9_])${java.util.regex.Pattern.quote(nameOf(i))}(?![a-z0-9_])"
+          .r.findFirstIn(scrubbed).isDefined => i }.toSet
+    }
+    val dep = gens.map { case (i, e) => i -> (refs(e) - i) }.toMap
+    val done = scala.collection.mutable.LinkedHashSet.empty[Int]
+    var progress = true
+    while (progress && done.size < gens.size) {
+      progress = false
+      gens.foreach { case (i, _) =>
+        if (!done.contains(i) && dep(i).forall(done.contains)) {
+          done += i; progress = true
+        }
+      }
+    }
+    gens.filterNot(g => done.contains(g._1)).foreach(g => done += g._1)
+    done.toSeq.map(i => (i, cols(i).gen.get._1))
+  }
+  /** Column indexes a bare INSERT targets: SQLite excludes generated
+    * columns from the positional value list. */
+  def storedColIdx: Seq[Int] = cols.indices.filterNot(i => cols(i).gen.isDefined)
   /** All CHECK constraints in declaration order: column-level then
     * table-level, each as (error label, SQL expression). */
   def checks: Seq[(String, String)] = cols.flatMap(_.check) ++ tableChecks
@@ -162,32 +199,70 @@ object Ddl {
       .stripPrefix("`").stripSuffix("`")
     val tail = if (toks.length > 1) toks(1) else ""
     val tu = tail.toUpperCase
+    // generated column (SQLite 3.31): `GENERATED ALWAYS AS (expr)` or the
+    // bare `AS (expr)` shorthand, optionally followed by STORED|VIRTUAL
+    val genIdx = {
+      val gi = tu.indexOf("GENERATED")
+      if (gi >= 0) gi
+      else "(?i)(?<![A-Za-z0-9_])AS\\s*\\(".r.findFirstMatchIn(tail)
+        .map(_.start).getOrElse(-1)
+    }
+    val genClose =
+      if (genIdx < 0) -1
+      else {
+        var i = tail.indexOf('(', genIdx); var depth = 0; var end = -1
+        while (i >= 0 && i < tail.length && end < 0) {
+          if (tail.charAt(i) == '(') depth += 1
+          else if (tail.charAt(i) == ')') { depth -= 1; if (depth == 0) end = i }
+          i += 1
+        }
+        end
+      }
+    val gen: Option[(String, Boolean)] =
+      if (genIdx < 0) None
+      else balancedParen(tail, genIdx).map { e =>
+        // STORED flag = the keyword after the expression's closing paren
+        (e.trim, genClose >= 0 &&
+          tail.substring(genClose + 1).toUpperCase.contains("STORED"))
+      }
+    // scrub the generation clause so the expression text can't trip the
+    // keyword-scan constraint detection below (e.g. `a IS NOT NULL`)
+    val tScrub =
+      if (genIdx >= 0 && genClose > genIdx)
+        tail.take(genIdx) + (" " * (genClose + 1 - genIdx)) +
+          tail.substring(genClose + 1)
+            .replaceAll("(?i)\\b(STORED|VIRTUAL)\\b", " ")
+      else tail
+    val tsu = tScrub.toUpperCase
     // declared type = tokens before any constraint keyword
-    val constraintIdx = Seq("PRIMARY ", "NOT ", "UNIQUE", "REFERENCES",
-      "DEFAULT", "CHECK", "CONSTRAINT").map(k => tu.indexOf(k)).filter(_ >= 0)
+    val constraintIdx = (Seq("PRIMARY ", "NOT ", "UNIQUE", "REFERENCES",
+      "DEFAULT", "CHECK", "CONSTRAINT")
+      .map(k => tsu.indexOf(k)) ++ Seq(genIdx)).filter(_ >= 0)
     val declared =
-      (if (constraintIdx.nonEmpty) tail.take(constraintIdx.min) else tail).trim
-    val ref = tail match {
+      (if (constraintIdx.nonEmpty) tScrub.take(constraintIdx.min)
+      else tScrub).trim
+    val ref = tScrub match {
       case refRe(rt, rc) => Some((rt, Option(rc).getOrElse("")))
       case _ => None
     }
     val check = {
-      val ci = tu.indexOf("CHECK")
+      val ci = tsu.indexOf("CHECK")
       if (ci < 0) None
-      else balancedParen(tail, ci).map { e =>
-        (constraintNameRe.findFirstMatchIn(tail).map(_.group(1))
+      else balancedParen(tScrub, ci).map { e =>
+        (constraintNameRe.findFirstMatchIn(tScrub).map(_.group(1))
           .getOrElse(e.trim), e.trim)
       }
     }
     ColDef(
       name = cname,
       affinity = Affinity.of(declared),
-      notNull = tu.contains("NOT NULL"),
-      pk = tu.contains("PRIMARY KEY"),
-      unique = tu.contains("UNIQUE"),
+      notNull = tsu.contains("NOT NULL"),
+      pk = tsu.contains("PRIMARY KEY"),
+      unique = tsu.contains("UNIQUE"),
       ref = ref,
-      default = defaultRe.findFirstMatchIn(tail).map(_.group(1)),
-      check = check)
+      default = defaultRe.findFirstMatchIn(tScrub).map(_.group(1)),
+      check = check,
+      gen = gen)
   }
 
   /** Canonical CREATE TABLE text for a TableDef — used when ALTER TABLE
@@ -203,6 +278,9 @@ object Ddl {
         case _ => "TEXT"
       }
       c.name + " " + ty +
+        c.gen.map { case (e, stored) =>
+          s" GENERATED ALWAYS AS ($e)" + (if (stored) " STORED" else "")
+        }.getOrElse("") +
         (if (c.notNull) " NOT NULL" else "") +
         (if (c.pk) " PRIMARY KEY" else "") +
         (if (c.unique) " UNIQUE" else "") +

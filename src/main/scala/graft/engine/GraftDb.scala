@@ -834,7 +834,11 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         val cols = Seq("cid", "name", "type", "notnull", "dflt_value", "pk")
         val tags = Seq("integer", "text", "text", "integer", "text", "integer")
         var pkSeen = 0
-        val rows = ts.d.cols.zipWithIndex.map { case (c, i) =>
+        // generated columns are hidden from table_info (SQLite shows them
+        // only in table_xinfo, hidden=2/3 — probed live); cids renumber
+        // over the visible columns
+        val rows = ts.d.cols.filter(_.gen.isEmpty).zipWithIndex.map {
+          case (c, i) =>
           val pk = if (c.pk) { pkSeen += 1; pkSeen } else 0
           Seq[Value](Value.Integer(i.toLong), Value.Text(c.name),
             Value.Text(c.affinity match {
@@ -903,6 +907,13 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     Ddl.parseCreate(sql) match {
       case Some(Ddl.Create(ine, td)) =>
         val key = td.name.toLowerCase
+        // generated-column shape errors (SQLite 3.40 texts, probed live)
+        td.cols.find(c => c.gen.isDefined && c.pk).foreach { _ =>
+          return Left("generated columns cannot be part of the PRIMARY KEY")
+        }
+        td.cols.find(c => c.gen.isDefined && c.default.isDefined).foreach { _ =>
+          return Left("cannot use DEFAULT on a generated column")
+        }
         if (viewDefs.contains(key)) {
           if (ine) Right(0) else Left(s"view ${td.name} already exists")
         } else if (work.contains(key)) {
@@ -1469,6 +1480,14 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           ix.cols.exists(_.equalsIgnoreCase(cname))).foreach(ix =>
           return Left(s"error in index ${ix.name} after drop column: " +
             s"no such column: $cname"))
+        // a column referenced by a generated column can't drop (probed
+        // SQLite 3.40 error text)
+        if (ts.d.cols.exists(c => c.gen.exists { case (e, _) =>
+          s"(?i)(?<![A-Za-z0-9_])${java.util.regex.Pattern.quote(cname)}(?![A-Za-z0-9_])"
+            .r.findFirstIn(e.replaceAll("'([^']|'')*'", " ")).isDefined
+        } && !c.name.equalsIgnoreCase(cname)))
+          return Left(s"error in table $tname after drop column: " +
+            s"no such column: $cname")
         val dropped = ts.d.cols(idx).name
         val td = ts.d.copy(cols =
           ts.d.cols.take(idx) ++ ts.d.cols.drop(idx + 1))
@@ -1488,15 +1507,38 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           return Left(s"duplicate column name: ${cd.name}")
         if (cd.pk) return Left("Cannot add a PRIMARY KEY column")
         if (cd.unique) return Left("Cannot add a UNIQUE column")
-        if (cd.notNull && cd.default.isEmpty)
+        if (cd.gen.exists(_._2)) return Left("cannot add a STORED column")
+        if (cd.gen.isDefined && cd.default.isDefined)
+          return Left("cannot use DEFAULT on a generated column")
+        if (cd.notNull && cd.default.isEmpty && cd.gen.isEmpty)
           return Left("Cannot add a NOT NULL column with default value NULL")
+        val td = ts.d.copy(cols = ts.d.cols :+ cd)
+        cd.gen match {
+          case Some((e, _)) =>
+            // a (VIRTUAL) generated column backfills by computing the
+            // expression over each existing row
+            replaceEntry(tname.toLowerCase, tname.toLowerCase,
+              new TableState(td, Ddl.renderCreate(td),
+                alterStore(ts.store,
+                  rows => {
+                    val widened = rows.map { case (rid, vals) =>
+                      (rid, (vals :+ (null: Any)).toIndexedSeq)
+                    }
+                    widened.map(_._1)
+                      .zip(computeGens(td, widened.map(_._2))).toVector
+                  },
+                  _.withColumn(cd.name,
+                    expr(s"CAST(($e) AS ${sparkTypeName(cd)})"))),
+                ts.nextRowId))
+            return Right(0)
+          case None =>
+        }
         // SQLite backfills existing rows with the (constant) default
         val defVal: Any = cd.default match {
           case Some(d) =>
             session.sql(s"SELECT CAST(($d) AS ${sparkTypeName(cd)})").head.get(0)
           case None => null
         }
-        val td = ts.d.copy(cols = ts.d.cols :+ cd)
         replaceEntry(tname.toLowerCase, tname.toLowerCase,
           new TableState(td, Ddl.renderCreate(td),
             alterStore(ts.store,
@@ -1650,7 +1692,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       return Left(s"no such table: $tname"))
     val td = ts.d
     val targetCols: Seq[Int] =
-      if (colList == null || colList.trim.isEmpty) td.cols.indices
+      if (colList == null || colList.trim.isEmpty) td.storedColIdx
       else {
         val names = colList.split(",").map(_.trim
           .stripPrefix("\"").stripSuffix("\"")
@@ -1659,7 +1701,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         idx.zip(names).find(_._1 < 0) match {
           case Some((_, bad)) =>
             return Left(s"table $tname has no column named $bad")
-          case None => idx.toSeq
+          case None =>
+            idx.foreach(ci => genWriteError(td, ci, "INSERT into")
+              .foreach(e => return Left(e)))
+            idx.toSeq
         }
       }
     // unspecified columns take their declared DEFAULT (constant,
@@ -1699,7 +1744,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
               val arity = SqlText.splitTopLevel(
                 tuples.head.stripPrefix("(").stripSuffix(")")).size
               if (arity != targetCols.size)
-                return Left(s"table $tname has ${td.cols.size} columns but $arity values were supplied")
+                return Left(s"table $tname has ${td.storedColIdx.size} " +
+                  s"columns but $arity values were supplied")
               val alias = (1 to arity).map(i => s"c$i").mkString(",")
               session.sql(
                 s"SELECT * FROM (VALUES ${tuples.mkString(",")}) AS __v($alias)")
@@ -1707,7 +1753,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
               registerViews(work)
               val df0 = session.sql(SqlText.fixQuotedIdents(select))
               if (df0.columns.length != targetCols.size)
-                return Left(s"table $tname has ${td.cols.size} columns but ${df0.columns.length} values were supplied")
+                return Left(s"table $tname has ${td.storedColIdx.size} " +
+                  s"columns but ${df0.columns.length} values were supplied")
               df0.toDF((1 to df0.columns.length).map(i => s"c$i"): _*)
           }
           val casts = targetCols.zipWithIndex.map { case (ci, i) =>
@@ -1749,7 +1796,11 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           lastId = rid
           (rid, full.toIndexedSeq, explicitRid)
         }
-        val candidates = cand3.map(c => (c._1, c._2))
+        val candidates = {
+          val c0 = cand3.map(c => (c._1, c._2))
+          if (td.genColsOrdered.isEmpty) c0
+          else c0.map(_._1).zip(computeGens(td, c0.map(_._2)))
+        }
         val explicitFlags = cand3.map(_._3)
         ts.store match {
           case Mem(memRows) =>
@@ -1899,6 +1950,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         val resolved: Seq[(Int, SetVal)] = sets.map { case (c, e) =>
           val ci = td.colIndex(c)
           if (ci < 0) return Left(s"no such column: $c")
+          genWriteError(td, ci, "UPDATE").foreach(e => return Left(e))
           e match {
             case excludedRe(src) =>
               val si = td.colIndex(src)
@@ -1956,8 +2008,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                 case (ci, RowExpr(f)) => upd(ci) = f(orow, vals)
               }
               // one shared instance: validateIdx maps a clash back to the
-              // statement row by object identity
-              val u = upd.toIndexedSeq
+              // statement row by object identity (gens recompute BEFORE
+              // the instance is shared — per-conflict driver work, the
+              // same statement-sized cost model as RowExpr)
+              val u = computeGens(td, Seq(upd.toIndexedSeq)).head
               cur = cur.updated(hit, (orid, u))
               touched += u
               insRids += None
@@ -2153,7 +2207,20 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       Row.fromSeq((ordBase + i) +: rid +: (full.toSeq :+
         (if (auto) 1L else 0L)))
     }
-    val candAll = session.createDataFrame(rdd, schema).localCheckpoint()
+    val candAll = {
+      // generated columns compute distributed — one narrow projection
+      // level per gen (dependency order), same shapes as the driver path
+      var cd = session.createDataFrame(rdd, schema)
+      td.genColsOrdered.foreach { case (gi, e) =>
+        val g = td.cols(gi)
+        cd = cd.selectExpr(Seq("`__ord`", "`__rowid`") ++ td.cols.map { c =>
+          if (c.name == g.name)
+            s"CAST(($e) AS ${sparkTypeName(g)}) AS `${g.name}`"
+          else s"`${c.name}`"
+        } :+ "`__auto`": _*)
+      }
+      cd.localCheckpoint()
+    }
     val stats = candAll.selectExpr("count(*) AS c",
       s"coalesce(max(__rowid), ${ridBase - 1}) AS m",
       "max_by(__rowid, __ord) AS last",
@@ -2485,6 +2552,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           val c = a.take(eq).trim.stripPrefix("\"").stripSuffix("\"")
             .stripPrefix("`").stripSuffix("`")
           if (td.colIndex(c) < 0) return Left(s"no such column: $c")
+          genWriteError(td, td.colIndex(c), "UPDATE")
+            .foreach(msg => return Left(msg))
           c -> a.substring(eq + 1).trim
         }.toMap
         registerViews(work)
@@ -2512,11 +2581,12 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           s"SELECT * FROM ${ridView(td.name)} AS `$eff` WHERE $cond")
         ts.store match {
           case Mem(memRows) =>
-            val df = session.sql(
-              s"SELECT `__rowid`, $proj FROM ${ridView(td.name)} AS `$eff`")
-            val changedNewDf = session.sql(
+            val df = session.sql(withGenLevels(td,
+              s"SELECT `__rowid`, $proj FROM ${ridView(td.name)} AS `$eff`",
+              Seq("__rowid")))
+            val changedNewDf = session.sql(withGenLevels(td,
               s"SELECT `__rowid`, $proj FROM ${ridView(td.name)} AS `$eff` " +
-                s"WHERE $cond")
+                s"WHERE $cond", Seq("__rowid")))
             validateUpdatePerRow(work, td, beforeAllDf, df,
               changedNewDf, changedOldDf).flatMap { _ =>
               // RETURNING: matched rows' NEW images in rowid (scan) order
@@ -2537,11 +2607,12 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             // (partition-scoped, see the Big-bucket helpers); memory dbs
             // reproject every row (the CASE keeps unaffected rows
             // bit-identical) into a fresh localCheckpoint.
-            val newDf = session.sql(
-              s"SELECT `__ord`, `__rowid`, $proj FROM ${ridView(td.name)} AS `$eff`")
-            val changedDf = session.sql(
+            val newDf = session.sql(withGenLevels(td,
+              s"SELECT `__ord`, `__rowid`, $proj FROM ${ridView(td.name)} AS `$eff`",
+              Seq("__ord", "__rowid")))
+            val changedDf = session.sql(withGenLevels(td,
               s"SELECT `__ord`, `__rowid`, $proj FROM ${ridView(td.name)} AS `$eff` " +
-                s"WHERE $cond")
+                s"WHERE $cond", Seq("__ord", "__rowid")))
             validateUpdatePerRow(work, td, beforeAllDf, newDf,
               changedDf, changedOldDf).map { _ =>
               // RETURNING: matched NEW images, rowid order (changedDf
@@ -2566,7 +2637,11 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                   // rewrite, which evaluates the projection exactly once
                   // into the written files.
                   case Some(_) if alias.isDefined ||
+                      td.genColsOrdered.nonEmpty ||
                       nonDeterministic(cond).isDefined =>
+                    // alias'd and generated-column updates take the full
+                    // rewrite: the scoped helper re-derives cond/proj SQL
+                    // alias-less and level-less
                     bigPartitionedFull(td.name, newDf, big.n, big.nextOrd)
                   case Some(files) =>
                     bigScopedUpdate(td.name, big, files, cond, proj)
@@ -2635,6 +2710,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       val c = a.take(eq).trim.stripPrefix("\"").stripSuffix("\"")
         .stripPrefix("`").stripSuffix("`")
       if (td.colIndex(c) < 0) return Left(s"no such column: $c")
+      genWriteError(td, td.colIndex(c), "UPDATE")
+        .foreach(msg => return Left(msg))
       c -> a.substring(eq + 1).trim
     }
     registerViews(work)
@@ -2689,9 +2766,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       val changedOldDf = session.sql(s"SELECT b.* $joinMatched")
       ts.store match {
         case Mem(_) =>
-          val df = session.sql(s"SELECT b.`__rowid`, $projCols $joinAll")
-          val changedNewDf =
-            session.sql(s"SELECT b.`__rowid`, $projCols $joinMatched")
+          val df = session.sql(withGenLevels(td,
+            s"SELECT b.`__rowid`, $projCols $joinAll", Seq("__rowid")))
+          val changedNewDf = session.sql(withGenLevels(td,
+            s"SELECT b.`__rowid`, $projCols $joinMatched", Seq("__rowid")))
           validateUpdatePerRow(work, td, beforeAllDf, df, changedNewDf,
             changedOldDf).flatMap { _ =>
             captureRet(td, changedNewDf.orderBy("__rowid").collect()
@@ -2705,10 +2783,12 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             Right(affected)
           }
         case big: Big =>
-          val newDf = session.sql(
-            s"SELECT b.`__ord`, b.`__rowid`, $projCols $joinAll")
-          val changedDf = session.sql(
-            s"SELECT b.`__ord`, b.`__rowid`, $projCols $joinMatched")
+          val newDf = session.sql(withGenLevels(td,
+            s"SELECT b.`__ord`, b.`__rowid`, $projCols $joinAll",
+            Seq("__ord", "__rowid")))
+          val changedDf = session.sql(withGenLevels(td,
+            s"SELECT b.`__ord`, b.`__rowid`, $projCols $joinMatched",
+            Seq("__ord", "__rowid")))
           validateUpdatePerRow(work, td, beforeAllDf, newDf, changedDf,
             changedOldDf).map { _ =>
             captureRet(td, changedDf.orderBy("__rowid").collect()
@@ -2723,6 +2803,59 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       }
     } finally session.catalog.dropTempView(mv)
   }
+
+  // ---------- generated columns (SQLite 3.31 surface) ---------------------
+
+  /** Wrap `inner` — a SELECT producing `keyCols` followed by the table's
+    * data columns in declaration order — with one projection level per
+    * generated column (dependency order, [[TableDef.genColsOrdered]]) that
+    * RE-computes it from the row's other values. Unchanged rows recompute
+    * to bit-identical values (the expressions are deterministic — the
+    * execute path's determinism guard covers DDL text too), so callers
+    * can wrap whole-table projections safely. No-op without gens. */
+  private def withGenLevels(td: TableDef, inner: String,
+                            keyCols: Seq[String]): String = {
+    var cur = inner
+    td.genColsOrdered.foreach { case (gi, e) =>
+      val g = td.cols(gi)
+      val cols = keyCols.map(k => s"`$k`") ++ td.cols.map { c =>
+        if (c.name == g.name)
+          s"CAST(($e) AS ${sparkTypeName(g)}) AS `${g.name}`"
+        else s"`${c.name}`"
+      }
+      cur = s"SELECT ${cols.mkString(", ")} FROM ($cur)"
+    }
+    cur
+  }
+
+  /** Compute generated-column values for driver-sized candidate rows in
+    * ONE Catalyst round-trip (a VALUES relation of the full rows plus an
+    * ordinal, leveled by [[withGenLevels]]) — not one query per row. */
+  private def computeGens(td: TableDef,
+      rows: Seq[IndexedSeq[Any]]): Seq[IndexedSeq[Any]] = {
+    if (td.genColsOrdered.isEmpty || rows.isEmpty) return rows
+    val tuples = rows.zipWithIndex.map { case (r, i) =>
+      (i.toLong +: r).map(sqlLiteral).mkString("(", ", ", ")")
+    }
+    val colNames = ("__i" +: td.cols.map(_.name)).map(n => s"`$n`")
+    val inner = s"SELECT CAST(`__i` AS BIGINT) AS `__i`, " +
+      td.cols.map(c =>
+        s"CAST(`${c.name}` AS ${sparkTypeName(c)}) AS `${c.name}`")
+        .mkString(", ") +
+      s" FROM (VALUES ${tuples.mkString(", ")}) AS __g(${colNames.mkString(", ")})"
+    session.sql(
+      s"SELECT * FROM (${withGenLevels(td, inner, Seq("__i"))}) ORDER BY `__i`")
+      .collect().toVector
+      .map(r => (1 until r.length).map(r.get).toIndexedSeq)
+  }
+
+  /** The "cannot write a generated column" guard shared by INSERT column
+    * lists, UPDATE SET lists and upsert DO UPDATE SET lists. */
+  private def genWriteError(td: TableDef, ci: Int,
+                            verb: String): Option[String] =
+    if (ci >= 0 && td.cols(ci).gen.isDefined)
+      Some(s"""cannot $verb generated column "${td.cols(ci).name}"""")
+    else None
 
   /** SQLite-exact UPDATE validation: per ROW, in rowid scan order, against
     * the LIVE table state. Uniqueness for each updated row i is checked

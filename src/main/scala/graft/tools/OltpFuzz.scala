@@ -47,6 +47,8 @@ object OltpFuzz {
     private var t0HasUnique = false
     private var t0HasCheck = false
     private var t0HasD = false // ALTER-added column
+    private var t0HasGen = false // generated column gq in CREATE
+    private var t0HasG2 = false // ALTER-added generated column
     private var hasChild = false
     private var hasLog = false
     private var hasView = false
@@ -66,10 +68,15 @@ object OltpFuzz {
     private def prologue(): Unit = {
       t0HasUnique = chance(0.5)
       t0HasCheck = chance(0.35)
+      t0HasGen = chance(0.3)
       val uniq = if (t0HasUnique) " UNIQUE" else ""
+      // a generated column on the MAIN table makes every DML case in the
+      // grammar exercise recompute-on-write differentially (SQLite 3.31)
+      val gen = if (t0HasGen)
+        ", gq INTEGER GENERATED ALWAYS AS (a * 2 + length(b))" else ""
       val chk = if (t0HasCheck) ", CHECK (a >= -5)" else ""
       x(s"CREATE TABLE t0 (id INTEGER NOT NULL PRIMARY KEY, a INTEGER$uniq, " +
-        s"b TEXT$chk)")
+        s"b TEXT$gen$chk)")
       if (chance(0.5)) {
         hasChild = true
         x("CREATE TABLE t1 (id INTEGER NOT NULL PRIMARY KEY, " +
@@ -105,7 +112,7 @@ object OltpFuzz {
       case _ => s"a % ${int(2, 4)} = 0"
     }
 
-    private def step(): Unit = r.nextInt(22) match {
+    private def step(): Unit = r.nextInt(23) match {
       case 0 | 1 | 2 => // plain insert, explicit or auto id
         if (chance(0.5))
           x(s"INSERT INTO t0 VALUES (${int(1, 12)}, ${int(-8, 9)}, '${word()}')")
@@ -236,6 +243,24 @@ object OltpFuzz {
             "RETURNING id, b")
           case _ => x(s"UPDATE t0 AS tgt SET a = src.a + ${int(1, 4)} " +
             s"FROM t0 AS src WHERE tgt.id = src.id + ${int(1, 3)}")
+        }
+      case 21 => // generated-column writes and probes
+        r.nextInt(4) match {
+          case 0 if t0HasGen => // write rejection is an envelope too
+            x(s"UPDATE t0 SET gq = ${int(0, 9)} WHERE ${pred()}")
+          case 1 if t0HasGen =>
+            q(s"SELECT id, gq FROM t0 WHERE gq % ${int(2, 4)} = 0 ORDER BY id")
+          case 2 if t0HasGen =>
+            x(s"INSERT INTO t0(a, b, gq) VALUES (${int(0, 5)}, " +
+              s"'${word()}', 1)")
+          case _ if !t0HasGen && !t0HasG2 => // ALTER ADD virtual gen
+            x("ALTER TABLE t0 ADD COLUMN g2 INTEGER GENERATED ALWAYS " +
+              "AS (a + length(b))")
+            t0HasG2 = true
+          case _ if t0HasG2 =>
+            q("SELECT id, g2 FROM t0 ORDER BY id")
+          case _ =>
+            q(s"SELECT id, gq FROM t0 ORDER BY id")
         }
       case 20 => // CTE-prefixed DML (WITH ... INSERT/UPDATE/DELETE) —
         // statement-scoped CTEs read the BEFORE state; one arm shadows a
