@@ -53,7 +53,9 @@ final case class ColDef(
     ref: Option[(String, String)],
     default: Option[String] = None,
     check: Option[(String, String)] = None, // (label, expr)
-    gen: Option[(String, Boolean)] = None) { // (expr, STORED)
+    gen: Option[(String, Boolean)] = None, // (expr, STORED)
+    fkDelete: String = "NO ACTION", // ON DELETE action of `ref`
+    fkUpdate: String = "NO ACTION") { // ON UPDATE action of `ref`
   def sparkType: DataType = Affinity.sparkType(affinity)
   /** SQLite: `INTEGER PRIMARY KEY` is an alias of the rowid. */
   def isRowidAlias: Boolean = pk && affinity == Affinity.Integer
@@ -245,6 +247,14 @@ object Ddl {
       case refRe(rt, rc) => Some((rt, Option(rc).getOrElse("")))
       case _ => None
     }
+    // FK actions (SQLite: ON DELETE/UPDATE CASCADE|SET NULL|SET DEFAULT|
+    // RESTRICT|NO ACTION); RESTRICT folds into NO ACTION — this engine
+    // checks immediately either way (no deferred constraints)
+    def fkAction(kind: String): String =
+      s"(?is)ON\\s+$kind\\s+(SET\\s+NULL|SET\\s+DEFAULT|CASCADE|RESTRICT|NO\\s+ACTION)".r
+        .findFirstMatchIn(tScrub)
+        .map(_.group(1).toUpperCase.replaceAll("\\s+", " "))
+        .getOrElse("NO ACTION")
     val check = {
       val ci = tsu.indexOf("CHECK")
       if (ci < 0) None
@@ -262,7 +272,9 @@ object Ddl {
       ref = ref,
       default = defaultRe.findFirstMatchIn(tScrub).map(_.group(1)),
       check = check,
-      gen = gen)
+      gen = gen,
+      fkDelete = if (ref.isDefined) fkAction("DELETE") else "NO ACTION",
+      fkUpdate = if (ref.isDefined) fkAction("UPDATE") else "NO ACTION")
   }
 
   /** Canonical CREATE TABLE text for a TableDef — used when ALTER TABLE
@@ -289,7 +301,11 @@ object Ddl {
           (if (label != e) s" CONSTRAINT $label" else "") + s" CHECK ($e)"
         }.getOrElse("") +
         c.ref.map { case (rt, rc) =>
-          s" REFERENCES $rt" + (if (rc.nonEmpty) s"($rc)" else "")
+          s" REFERENCES $rt" + (if (rc.nonEmpty) s"($rc)" else "") +
+            (if (c.fkDelete != "NO ACTION") s" ON DELETE ${c.fkDelete}"
+            else "") +
+            (if (c.fkUpdate != "NO ACTION") s" ON UPDATE ${c.fkUpdate}"
+            else "")
         }.getOrElse("")
     }.mkString(", ") +
       td.tableChecks.map { case (label, e) =>

@@ -914,6 +914,14 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         td.cols.find(c => c.gen.isDefined && c.default.isDefined).foreach { _ =>
           return Left("cannot use DEFAULT on a generated column")
         }
+        // ON UPDATE actions are not implemented (parent-key updates keep
+        // the immediate NO ACTION guard) — reject LOUDLY rather than
+        // silently degrade a declared cascade to an error at update time
+        td.cols.find(c => c.ref.isDefined &&
+          c.fkUpdate != "NO ACTION" && c.fkUpdate != "RESTRICT").foreach { c =>
+          return Left(s"ON UPDATE ${c.fkUpdate} is not supported " +
+            "(ON DELETE actions are)")
+        }
         if (viewDefs.contains(key)) {
           if (ine) Right(0) else Left(s"view ${td.name} already exists")
         } else if (work.contains(key)) {
@@ -1571,6 +1579,38 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                             sets: Seq[(String, String)]) extends Conflict
   }
 
+  /** insertRows + the parent-side FK delta for policies that can drop or
+    * rewrite referenced keys (REPLACE displacement, upsert DO UPDATE on a
+    * referenced column). The delta runs after the insert commits; a
+    * failing guard restores the parent state captured here. */
+  private def insertWithFkDelta(work: Tables, tname: String, colList: String,
+      source: Either[String, String], policy: Conflict)
+      : Either[String, Long] = {
+    val tsOpt = work.get(tname.toLowerCase)
+    val needDelta = fkEnabled && tsOpt.exists { ts =>
+      val refd = referencedCols(work, ts.d)
+      refd.nonEmpty && (policy match {
+        case Conflict.Replace => true
+        case Conflict.Upsert(_, sets) => sets.exists { case (c, _) =>
+          refd.exists(i => ts.d.cols(i).name.equalsIgnoreCase(c)) }
+        case _ => false
+      })
+    }
+    if (!needDelta) return insertRows(work, tname, colList, source, policy)
+    val ts = tsOpt.get
+    val beforeDf = ridDf(ts)
+    val backup = ts.copyState
+    insertRows(work, tname, colList, source, policy).flatMap { n =>
+      fkParentDelta(work, ts, beforeDf,
+        deleteLike = policy == Conflict.Replace) match {
+        case Left(e) =>
+          work(tname.toLowerCase) = backup
+          Left(e)
+        case Right(_) => Right(n)
+      }
+    }
+  }
+
   private def doInsert(work: Tables, sql: String): Either[String, Long] = {
     def headPolicy(head: String, mod: String): Conflict =
       if (head.trim.toUpperCase.startsWith("REPLACE")) Conflict.Replace
@@ -1590,7 +1630,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           case Some(Left(e)) => return Left(e)
           case None => (tail0, headPolicy(head, mod))
         }
-        insertRows(work, tname, colList, Left(tail), policy)
+        insertWithFkDelta(work, tname, colList, Left(tail), policy)
       case insertSelRe(head, mod, tname, colList, select0) =>
         // a SELECT source can also carry an upsert clause (SQLite surface);
         // a join's ON is never followed by the CONFLICT keyword
@@ -1601,7 +1641,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           case Some(Left(e)) => return Left(e)
           case None => (select0, headPolicy(head, mod))
         }
-        insertRows(work, tname, colList, Right(select), policy)
+        insertWithFkDelta(work, tname, colList, Right(select), policy)
       case _ => Left("near \"INSERT\": syntax error")
     }
   }
@@ -2579,7 +2619,11 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         val beforeAllDf = session.table(ridView(td.name))
         val changedOldDf = session.sql(
           s"SELECT * FROM ${ridView(td.name)} AS `$eff` WHERE $cond")
-        ts.store match {
+        // rewriting a referenced key orphans children — SQLite fails the
+        // statement even when the child declares ON DELETE CASCADE (the
+        // governing action is ON UPDATE; probed live, FkActionSpec)
+        val fkDelta = fkUpdateDeltaPrep(work, ts, sets.keys.toSeq)
+        val res0 = ts.store match {
           case Mem(memRows) =>
             val df = session.sql(withGenLevels(td,
               s"SELECT `__rowid`, $proj FROM ${ridView(td.name)} AS `$eff`",
@@ -2649,7 +2693,37 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
               affected
             }
         }
+        applyFkUpdateDelta(work, td, fkDelta, res0)
       case _ => Left("near \"UPDATE\": syntax error")
+    }
+
+  /** Parent-delta capture for UPDATE paths — taken only when the SET list
+    * touches a referenced column (the delta itself is [[fkParentDelta]]
+    * in guard-only mode). */
+  private def fkUpdateDeltaPrep(work: Tables, ts: TableState,
+      setCols: Seq[String]): Option[(DataFrame, TableState)] = {
+    if (!fkEnabled) return None
+    val refd = referencedCols(work, ts.d)
+    if (refd.nonEmpty && setCols.exists(c =>
+      refd.exists(i => ts.d.cols(i).name.equalsIgnoreCase(c))))
+      Some((ridDf(ts), ts.copyState))
+    else None
+  }
+
+  private def applyFkUpdateDelta(work: Tables, td: TableDef,
+      prep: Option[(DataFrame, TableState)],
+      res: Either[String, Long]): Either[String, Long] =
+    prep match {
+      case Some((beforeDf, backup)) => res.flatMap { n =>
+        fkParentDelta(work, work(td.name.toLowerCase), beforeDf,
+          deleteLike = false) match {
+          case Left(e) =>
+            work(td.name.toLowerCase) = backup
+            Left(e)
+          case Right(_) => Right(n)
+        }
+      }
+      case None => res
     }
 
   /** Rewrite an UPDATE..FROM source clause: a single plain table
@@ -2714,6 +2788,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         .foreach(msg => return Left(msg))
       c -> a.substring(eq + 1).trim
     }
+    val fkDelta = fkUpdateDeltaPrep(work, ts, sets.map(_._1))
     registerViews(work)
     val eff = alias.getOrElse(td.name)
     val cond = if (whereText.trim.isEmpty) "true" else s"(${whereText.trim})"
@@ -2749,7 +2824,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     updFromSeq += 1
     val mv = s"__upd_from_$updFromSeq"
     updDf.createOrReplaceTempView(mv)
-    try {
+    val res0 = try {
       // m.`__rowid` is the join key — non-null exactly on matched rows,
       // so it doubles as the match flag (a SET value may itself be NULL)
       val projCols = td.cols.map { c =>
@@ -2802,6 +2877,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           }
       }
     } finally session.catalog.dropTempView(mv)
+    applyFkUpdateDelta(work, td, fkDelta, res0)
   }
 
   // ---------- generated columns (SQLite 3.31 surface) ---------------------
@@ -2953,6 +3029,225 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
   private val deleteRe =
     """(?is)^\s*DELETE\s+FROM\s+[`"]?([A-Za-z_][A-Za-z0-9_]*)[`"]?\s*(?:WHERE\s+(.+?))?\s*;?\s*$""".r
 
+  /** FK ON DELETE actions (SQLite foreign_key surface): CASCADE /
+    * SET NULL / SET DEFAULT run BEFORE the parent delete as internal
+    * child statements — their own row triggers fire, and cascades recurse
+    * through this same path (each internal DELETE re-enters doDelete).
+    * Ordering is SQLite's observed row-at-a-time shape (probed live,
+    * FkActionSpec): child tables act in REVERSE creation order; when any
+    * trigger is armed the engine loops per doomed parent row in
+    * parent-rowid order so firing tapes match; with no triggers armed one
+    * bulk statement per child column is state-identical and cheaper. The
+    * doomed parent rows materialize on the driver, capped at
+    * [[maxDriverRows]] with a loud error. RESTRICT folds into NO ACTION
+    * (both immediate here — no deferred constraints) and stays with the
+    * delta guard, which runs AFTER the actions so a SET DEFAULT pointing
+    * at a doomed key still fails like SQLite. Returns whether any action
+    * statement executed (callers recompute their doomed/remaining sets
+    * from the post-action state — a self-referential cascade mutates the
+    * parent table itself). */
+  private def fkDeleteActions(work: Tables, ts: TableState,
+      doomed: Either[Vector[(Long, IndexedSeq[Any])], DataFrame])
+      : Either[String, Boolean] = {
+    if (!fkEnabled) return Right(false)
+    val td = ts.d
+    def actsOf(ch: TableState): Seq[Int] = ch.d.cols.indices.filter { i =>
+      val cc = ch.d.cols(i)
+      cc.ref.exists(_._1.equalsIgnoreCase(td.name)) &&
+        cc.fkDelete != "NO ACTION" && cc.fkDelete != "RESTRICT"
+    }
+    val actionChildren = work.values.toSeq.filter(actsOf(_).nonEmpty)
+    if (actionChildren.isEmpty) return Right(false)
+    val doomedRows: Vector[(Long, IndexedSeq[Any])] = doomed match {
+      case Left(rows) => rows.sortBy(_._1)
+      case Right(df) =>
+        val r = try collectCapped(df.orderBy("__rowid"), maxDriverRows)
+        catch {
+          case _: TriggerDiffTooLarge => return Left(
+            s"too many rows for FK action processing on ${td.name}: the " +
+              s"statement deletes more than $maxDriverRows rows with ON " +
+              "DELETE actions armed (raise maxDriverRows)")
+        }
+        r.toVector.map(row =>
+          (row.getLong(1), (2 until row.length).map(row.get).toIndexedSeq))
+    }
+    if (doomedRows.isEmpty) return Right(false)
+    def keyOf(ch: TableState, ci: Int, row: IndexedSeq[Any]): Any = {
+      val refCol = ch.d.cols(ci).ref.get._2 match {
+        case "" => td.rowidAlias.map(_.name).getOrElse("")
+        case c => c
+      }
+      val pIdx = td.colIndex(refCol)
+      if (pIdx >= 0) row(pIdx) else null
+    }
+    def stmt(ch: TableState, ci: Int, keys: Seq[Any]): Option[String] = {
+      val cc = ch.d.cols(ci)
+      val ks = keys.filter(_ != null).distinct
+      if (ks.isEmpty) return None
+      val base = s"`${cc.name}` IN (${ks.map(sqlLiteral).mkString(", ")})"
+      Some(cc.fkDelete match {
+        case "CASCADE" => s"DELETE FROM ${ch.d.name} WHERE $base"
+        case "SET NULL" =>
+          s"UPDATE ${ch.d.name} SET `${cc.name}` = NULL WHERE $base"
+        case _ => s"UPDATE ${ch.d.name} SET `${cc.name}` = " +
+          s"(${cc.default.getOrElse("NULL")}) WHERE $base"
+      })
+    }
+    val acts: Seq[(TableState, Int)] =
+      actionChildren.reverse.flatMap(ch => actsOf(ch).map(ch -> _))
+    val stmts: Seq[String] =
+      if (triggers.nonEmpty)
+        doomedRows.flatMap { case (_, row) =>
+          acts.flatMap { case (ch, ci) =>
+            stmt(ch, ci, Seq(keyOf(ch, ci, row))) } }
+      else acts.flatMap { case (ch, ci) =>
+        stmt(ch, ci, doomedRows.map(r => keyOf(ch, ci, r._2))) }
+    if (stmts.isEmpty) return Right(false)
+    // protect an outer RETURNING capture from the internal statements,
+    // and undo every action on the first failure (statement atomicity)
+    val backup = work.map { case (k, v) => k -> v.copyState }
+    val savedRet = retArmed
+    retArmed = false
+    try {
+      stmts.foreach { s =>
+        executeOne(work, s) match {
+          case Left(e) =>
+            work.clear(); backup.foreach { case (k, v) => work(k) = v }
+            return Left(e)
+          case Right(_) =>
+        }
+      }
+      Right(true)
+    } finally retArmed = savedRet
+  }
+
+  /** Columns of `td` that some child FK references. */
+  private def referencedCols(work: Tables, td: TableDef): Seq[Int] = {
+    val names = work.values.flatMap(_.d.cols).flatMap(_.ref).collect {
+      case (rt, rc) if rt.equalsIgnoreCase(td.name) =>
+        if (rc.nonEmpty) rc else td.rowidAlias.map(_.name).getOrElse("")
+    }.toSet
+    td.cols.indices.filter(i => names.exists(_.equalsIgnoreCase(td.cols(i).name)))
+  }
+
+  /** Parent-side FK delta for statements that REMOVE or REWRITE referenced
+    * key values without being a DELETE. Probed live (FkActionSpec):
+    *  - REPLACE displacement is a true delete — ON DELETE actions run for
+    *    the lost keys, plain children fail `FOREIGN KEY constraint failed`;
+    *    a displaced key re-inserted by a later candidate is NOT lost;
+    *  - upsert DO UPDATE / plain UPDATE rewrites of a referenced key fail
+    *    for EVERY referencing child, even CASCADE-declared ones — the
+    *    governing action there is ON UPDATE, which this engine accepts
+    *    only as NO ACTION/RESTRICT (rejected at CREATE otherwise).
+    * Runs AFTER the caller committed its new parent state: guards check
+    * the post-state, actions mutate children through the normal statement
+    * machinery (their triggers fire); on any failure child mutations are
+    * restored here and the caller restores the parent. A self-referential
+    * action child guards instead of acting (an internal statement on the
+    * mid-commit parent is not safe; SQLite's cascade there is declared
+    * out of scope). */
+  private def fkParentDelta(work: Tables, ts: TableState,
+      beforeDf: DataFrame, deleteLike: Boolean): Either[String, Unit] = {
+    if (!fkEnabled) return Right(())
+    val td = ts.d
+    val refd = referencedCols(work, td)
+    if (refd.isEmpty) return Right(())
+    val afterDf = storeDf(td, ts.store)
+    // lost keys per referenced column, in first-appearance rowid order
+    // (the order cascades fire per-key when triggers are armed)
+    val lost: Map[Int, Seq[Any]] = refd.map { pi =>
+      val c = td.cols(pi).name
+      val lostSet = try collectCapped(
+        beforeDf.select(col(c)).filter(col(c).isNotNull).distinct()
+          .except(afterDf.select(col(c)).distinct()), maxDriverRows)
+        .map(_.get(0)).toSet
+      catch {
+        case _: TriggerDiffTooLarge => return Left(
+          s"too many rows for FK action processing on ${td.name}: the " +
+            s"statement drops more than $maxDriverRows referenced keys " +
+            "(raise maxDriverRows)")
+      }
+      val ordered =
+        if (lostSet.isEmpty) Nil
+        else collectCapped(beforeDf.select(col("__rowid"), col(c))
+          .filter(col(c).isInCollection(lostSet)).orderBy("__rowid"),
+          maxDriverRows).map(_.get(1)).distinct
+      pi -> ordered
+    }.toMap
+    if (lost.forall(_._2.isEmpty)) return Right(())
+    def childCols(ch: TableState): Seq[(Int, Int)] = // (child col, parent col)
+      ch.d.cols.indices.flatMap { i =>
+        ch.d.cols(i).ref.collect { case (rt, rc)
+          if rt.equalsIgnoreCase(td.name) =>
+          val refCol = if (rc.nonEmpty) rc
+            else td.rowidAlias.map(_.name).getOrElse("")
+          i -> td.colIndex(refCol)
+        }.filter(_._2 >= 0)
+      }
+    def actionable(ch: TableState, i: Int): Boolean =
+      deleteLike && !ch.d.name.equalsIgnoreCase(td.name) &&
+        Set("CASCADE", "SET NULL", "SET DEFAULT")(ch.d.cols(i).fkDelete)
+    // guards first: a failing guard undoes the whole statement, so no
+    // action side effect may precede it
+    work.values.foreach { ch =>
+      childCols(ch).foreach { case (i, pi) =>
+        val keys = lost.getOrElse(pi, Nil)
+        if (keys.nonEmpty && !actionable(ch, i)) {
+          val cname = ch.d.cols(i).name
+          val childDf =
+            if (ch.d.name.equalsIgnoreCase(td.name)) afterDf
+            else storeDf(ch.d, ch.store)
+          if (childDf.filter(col(cname).isInCollection(keys))
+              .limit(1).count() > 0)
+            return Left("FOREIGN KEY constraint failed")
+        }
+      }
+    }
+    if (!deleteLike) return Right(())
+    // actions: reverse-creation-order child tables; per-key statements
+    // when any trigger is armed (SQLite's row-at-a-time tape), one bulk
+    // statement per child column otherwise
+    val acts = work.values.toSeq.reverse.flatMap { ch =>
+      childCols(ch).collect { case (i, pi) if actionable(ch, i) =>
+        (ch, i, pi) }
+    }
+    def stmt(ch: TableState, i: Int, keys: Seq[Any]): Option[String] = {
+      if (keys.isEmpty) return None
+      val cc = ch.d.cols(i)
+      val base = s"`${cc.name}` IN (${keys.map(sqlLiteral).mkString(", ")})"
+      Some(cc.fkDelete match {
+        case "CASCADE" => s"DELETE FROM ${ch.d.name} WHERE $base"
+        case "SET NULL" =>
+          s"UPDATE ${ch.d.name} SET `${cc.name}` = NULL WHERE $base"
+        case _ => s"UPDATE ${ch.d.name} SET `${cc.name}` = " +
+          s"(${cc.default.getOrElse("NULL")}) WHERE $base"
+      })
+    }
+    val stmts: Seq[String] =
+      if (triggers.nonEmpty)
+        lost.values.flatten.toSeq.distinct.flatMap(k =>
+          acts.flatMap { case (ch, i, pi) =>
+            if (lost.getOrElse(pi, Nil).contains(k))
+              stmt(ch, i, Seq(k)) else None })
+      else acts.flatMap { case (ch, i, pi) =>
+        stmt(ch, i, lost.getOrElse(pi, Nil)) }
+    if (stmts.isEmpty) return Right(())
+    val backup = work.map { case (k, v) => k -> v.copyState }
+    val savedRet = retArmed
+    retArmed = false
+    try {
+      stmts.foreach { s =>
+        executeOne(work, s) match {
+          case Left(e) =>
+            work.clear(); backup.foreach { case (k, v) => work(k) = v }
+            return Left(e)
+          case Right(_) =>
+        }
+      }
+      Right(())
+    } finally retArmed = savedRet
+  }
+
   private def doDelete(work: Tables, sql: String): Either[String, Long] =
     sql match {
       case deleteRe(tname, whereText) =>
@@ -2965,62 +3260,96 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           if (whereText == null || whereText.trim.isEmpty) "true"
           else s"(${whereText.trim})"
         ts.store match {
-          case Mem(memRows) =>
-            val doomed = session.sql(
+          case Mem(memRows0) =>
+            val doomed0 = session.sql(
               s"SELECT `__rowid` FROM ${ridView(ts.d.name)} AS __rv WHERE $cond")
               .collect().map(_.getLong(0)).toSet
-            val remaining = memRows.filterNot(r => doomed.contains(r._1))
-            val doomedRows = memRows.filter(r => doomed.contains(r._1))
-            fkDeleteGuard(work, ts, Left(doomedRows),
-              Left(remaining)).map { _ =>
-              // RETURNING: deleted rows' OLD images in rowid (scan) order
-              captureRet(ts.d, doomedRows.sortBy(_._1))
-              ts.store = Mem(remaining)
-              doomed.size.toLong
+            val doomedRows0 = memRows0.filter(r => doomed0.contains(r._1))
+            fkDeleteActions(work, ts, Left(doomedRows0)).flatMap { acted =>
+              // a self-referential cascade may have mutated THIS table —
+              // recompute the sets from the post-action state (cond is
+              // deterministic by the execute guard). rows_affected stays
+              // the pre-action matched count (the statement's own rows).
+              val memRows =
+                if (!acted) memRows0
+                else {
+                  registerViews(work)
+                  ts.store match { case Mem(r) => r; case _ => memRows0 }
+                }
+              val doomed =
+                if (!acted) doomed0
+                else session.sql(s"SELECT `__rowid` FROM " +
+                  s"${ridView(ts.d.name)} AS __rv WHERE $cond")
+                  .collect().map(_.getLong(0)).toSet
+              val remaining = memRows.filterNot(r => doomed.contains(r._1))
+              val doomedRows = memRows.filter(r => doomed.contains(r._1))
+              fkDeleteGuard(work, ts, Left(doomedRows),
+                Left(remaining)).map { _ =>
+                // RETURNING: deleted rows' OLD images in rowid (scan) order
+                captureRet(ts.d, doomedRows.sortBy(_._1))
+                ts.store = Mem(remaining)
+                doomed0.size.toLong
+              }
             }
-          case big: Big =>
+          case _: Big =>
             // copy-on-write as a Spark job: count the doomed rows, derive
             // the remaining version (a NULL predicate keeps the row, like
             // WHERE-filter semantics on the Mem path), guard FKs with
             // anti-joins, then swap the version. Disk-backed dbs rewrite
             // only the rowid buckets holding doomed rows.
-            val affected = session.sql(
+            val affected0 = session.sql(
               s"SELECT COUNT(*) FROM ${ridView(ts.d.name)} AS __rv WHERE $cond")
               .head.getLong(0)
-            val remainingDf = session.sql(
-              s"SELECT * FROM ${ridView(ts.d.name)} AS __rv " +
-                s"WHERE NOT COALESCE($cond, false)")
-            val doomedDf = session.sql(
+            val doomedDf0 = session.sql(
               s"SELECT * FROM ${ridView(ts.d.name)} AS __rv " +
                 s"WHERE COALESCE($cond, false)")
-            if (retArmed && affected > maxDriverRows) {
+            if (retArmed && affected0 > maxDriverRows) {
               retArmed = false
               return Left(retTooMany(ts.d.name))
             }
-            fkDeleteGuard(work, ts, Right(doomedDf),
-              Right(remainingDf)).map { _ =>
-              // RETURNING: deleted OLD images, rowid order (doomedDf is the
-              // rid view slice: __ord, __rowid, then the data columns)
-              captureRet(ts.d, doomedDf.orderBy("__rowid").collect()
-                .toVector.map { r =>
-                  (r.getLong(1), (2 until r.length).map(r.get).toIndexedSeq)
-                })
-              ts.store =
-                if (root.isEmpty) mkBig(remainingDf)
-                else Option(bigParts.get(big.df)) match {
-                  case None =>
-                    bigPartitionedFull(ts.d.name, remainingDf,
-                      big.n - affected, big.nextOrd)
-                  // same defense as the UPDATE branch: a non-deterministic
-                  // predicate must not be re-evaluated per bucket job
-                  // (unreachable via execute()'s determinism guard)
-                  case Some(_) if nonDeterministic(cond).isDefined =>
-                    bigPartitionedFull(ts.d.name, remainingDf,
-                      big.n - affected, big.nextOrd)
-                  case Some(files) =>
-                    bigScopedDelete(ts.d.name, big, files, cond, affected)
-                }
-              affected
+            fkDeleteActions(work, ts, Right(doomedDf0)).flatMap { acted =>
+              // recompute from the post-action state (self-ref cascades
+              // mutate this table; the scoped path's bucket map is then
+              // stale, so action'd deletes take the full rewrite)
+              if (acted) registerViews(work)
+              val big = ts.store.asInstanceOf[Big]
+              val remainingDf = session.sql(
+                s"SELECT * FROM ${ridView(ts.d.name)} AS __rv " +
+                  s"WHERE NOT COALESCE($cond, false)")
+              val doomedDf =
+                if (!acted) doomedDf0
+                else session.sql(s"SELECT * FROM ${ridView(ts.d.name)} " +
+                  s"AS __rv WHERE COALESCE($cond, false)")
+              val affected =
+                if (!acted) affected0
+                else session.sql(s"SELECT COUNT(*) FROM " +
+                  s"${ridView(ts.d.name)} AS __rv WHERE $cond").head.getLong(0)
+              fkDeleteGuard(work, ts, Right(doomedDf),
+                Right(remainingDf)).map { _ =>
+                // RETURNING: deleted OLD images, rowid order (doomedDf is
+                // the rid view slice: __ord, __rowid, then the data cols)
+                captureRet(ts.d, doomedDf.orderBy("__rowid").collect()
+                  .toVector.map { r =>
+                    (r.getLong(1), (2 until r.length).map(r.get).toIndexedSeq)
+                  })
+                ts.store =
+                  if (root.isEmpty) mkBig(remainingDf)
+                  else Option(bigParts.get(big.df)) match {
+                    case None =>
+                      bigPartitionedFull(ts.d.name, remainingDf,
+                        big.n - affected, big.nextOrd)
+                    // same defense as the UPDATE branch: a non-deterministic
+                    // predicate must not be re-evaluated per bucket job
+                    // (unreachable via execute()'s determinism guard)
+                    case Some(_) if acted ||
+                        nonDeterministic(cond).isDefined =>
+                      bigPartitionedFull(ts.d.name, remainingDf,
+                        big.n - affected, big.nextOrd)
+                    case Some(files) =>
+                      bigScopedDelete(ts.d.name, big, files, cond, affected)
+                  }
+                affected0
+              }
             }
         }
       case _ => Left("near \"DELETE\": syntax error")

@@ -79,8 +79,13 @@ object OltpFuzz {
         s"b TEXT$gen$chk)")
       if (chance(0.5)) {
         hasChild = true
+        // FK ON DELETE actions (40%): every DELETE case in the grammar
+        // then exercises cascade / set-null differentially
+        val act =
+          if (chance(0.4)) pick(Seq(" ON DELETE CASCADE", " ON DELETE SET NULL"))
+          else ""
         x("CREATE TABLE t1 (id INTEGER NOT NULL PRIMARY KEY, " +
-          "t0_id INTEGER REFERENCES t0(id), c INTEGER)")
+          s"t0_id INTEGER REFERENCES t0(id)$act, c INTEGER)")
         if (chance(0.5)) x("PRAGMA foreign_keys=ON")
       }
       if (chance(0.4)) {

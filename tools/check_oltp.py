@@ -135,12 +135,17 @@ def known_deviation(mine, theirs):
     #    so states stay convergent — classified, and the batch keeps
     #    comparing (the caller checks for the -converged suffix).
     if (("too many rows for row-trigger processing" in g
-         or "too many rows for RETURNING processing" in g)
+         or "too many rows for RETURNING processing" in g
+         or "too many rows for FK action processing" in g)
             and mine.get("err")):
         return "driver-cap-vs-error-converged"
     if ("too many rows for row-trigger processing" in g
             and not mine.get("err")):
         return "trigger-driver-cap"
+    # 1b. Same driver boundary for FK ON DELETE action fan-out
+    if ("too many rows for FK action processing" in g
+            and not mine.get("err")):
+        return "fk-action-driver-cap"
     # 2. Same boundary for RETURNING: the engine refuses to materialize a
     #    larger-than-cap output set on the driver (statement undone) where
     #    in-process SQLite materializes any size. Fuzz caps are 8/500.
