@@ -149,12 +149,14 @@ object OltpFuzzRun {
     sb.toString
   }
 
-  /** Canonical probe cell: integers bare, text as JSON string, null. A
-    * Real/Blob here means the integer+text grammar leaked — encode loudly
-    * so the checker flags it. */
+  /** Canonical probe cell: integers bare, text as JSON string, reals as
+    * JSON numbers (the checker compares them as parsed floats — the
+    * julianday probes only emit day-exact x.5 values), null. A Blob here
+    * means the grammar leaked — encode loudly so the checker flags it. */
   private def cell(v: Value): String = v match {
     case Value.Null => "null"
     case Value.Integer(i) => i.toString
+    case Value.Real(d) => d.toString
     case Value.Text(t) => Json.escapeQ(t)
     case other => Json.escapeQ(s"!nonfuzz:$other")
   }

@@ -49,6 +49,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
   // propagation buys nothing here — disable it on the engine's PRIVATE
   // session (user analytics sessions are untouched).
   session.conf.set("spark.sql.constraintPropagation.enabled", "false")
+  // SQLite core scalar functions (date/time family + misc) on the PRIVATE
+  // session only — the reference's delegated SQLite gives its users these
+  // on every query (db/src/db.rs:278); see SqliteFunctions for semantics
+  SqliteFunctions.register(session)
 
   /** Table row storage. [[Mem]] is the driver-side vector — exact SQLite
     * row-order/rowid semantics at OLTP size. [[Big]] is the form a table

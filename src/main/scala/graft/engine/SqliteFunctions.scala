@@ -1,0 +1,243 @@
+package graft.engine
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.graft.SessionFunctions
+import org.apache.spark.sql.{Column, SparkSession, functions => F}
+
+/** SQLite core scalar functions for the engine's QUERY surface — the
+  * date/time family and the misc scalars the Spark dialect lacks or names
+  * differently. The reference hands its users the whole SQLite function
+  * set through the delegated handle (`db/src/db.rs:278`); these keep the
+  * most-used slice working after a switch. Registered ONLY on the
+  * engine's private session (user analytics sessions are untouched), via
+  * [[SessionFunctions]] because the functions are variadic.
+  *
+  * Semantics probed live on SQLite 3.40 (SqliteFunctionsSpec):
+  *  - time values: `YYYY-MM-DD[ HH:MM[:SS[.SSS]]]`, `HH:MM[:SS[.SSS]]`
+  *    (date defaults to 2000-01-01), julian day numbers, and epoch
+  *    seconds behind the `unixepoch` modifier;
+  *  - SQLite validates FORMAT, not calendar validity: `date('2024-02-30')`
+  *    echoes verbatim, while any day-granular arithmetic normalizes it
+  *    (`+0 days` → 2024-03-01). Month/year arithmetic adds FIELDS and
+  *    keeps the day (2024-01-31 +1 month → 2024-02-31 → renders
+  *    2024-03-02 only after a day-granular pass);
+  *  - an unknown `%` code makes strftime return NULL;
+  *  - `'now'` / `'localtime'` / `'utc'` are REJECTED loudly: wall-clock
+  *    and host-zone reads would break statement-log replay determinism
+  *    (same rule as the execute-path guard for random()/now()).
+  *
+  * The date/time family evaluates as per-arity Scala UDFs — this is the
+  * OLTP query surface (statement-sized rows), where exact SQLite
+  * semantics beat whole-stage codegen; the analytics path never sees
+  * these functions. The misc scalars compose public column expressions. */
+object SqliteFunctions {
+
+  /** Deliberate rejection (determinism), distinct from a parse miss. */
+  final class NonDeterministicTime(what: String) extends RuntimeException(
+    s"non-deterministic time value '$what' is not allowed " +
+      "(statement-log replication requires deterministic SQL)")
+
+  // y/m normalized by month-carry; d may be calendar-invalid on purpose
+  private final case class T(y: Int, m: Int, d: Int, ms: Long)
+
+  private val dateRe = """^(\d{4})-(\d{2})-(\d{2})$""".r
+  private val dateTimeRe =
+    """^(\d{4})-(\d{2})-(\d{2})[ T](\d{2}):(\d{2})(?::(\d{2})(?:\.(\d{1,9}))?)?$""".r
+  private val timeRe = """^(\d{2}):(\d{2})(?::(\d{2})(?:\.(\d{1,9}))?)?$""".r
+  private val numRe = """^[+-]?\d+(?:\.\d+)?$""".r
+
+  private def msOf(h: String, mi: String, se: String, fr: String): Option[Long] = {
+    val hh = h.toInt; val mm = mi.toInt
+    val ss = if (se == null) 0 else se.toInt
+    if (hh > 23 || mm > 59 || ss > 59) return None
+    val frac = if (fr == null) 0L
+    else math.round(("0." + fr).toDouble * 1000)
+    Some(hh * 3600000L + mm * 60000L + ss * 1000L + frac)
+  }
+
+  private def checkYmd(y: Int, m: Int, d: Int): Boolean =
+    m >= 1 && m <= 12 && d >= 1 && d <= 31
+
+  private def parse(v: String): Option[T] = v.trim match {
+    case dateRe(y, m, d) =>
+      Some(T(y.toInt, m.toInt, d.toInt, 0L)).filter(t => checkYmd(t.y, t.m, t.d))
+    case dateTimeRe(y, m, d, h, mi, se, fr) =>
+      for (ms <- msOf(h, mi, se, fr)
+           if checkYmd(y.toInt, m.toInt, d.toInt))
+        yield T(y.toInt, m.toInt, d.toInt, ms)
+    case timeRe(h, mi, se, fr) =>
+      msOf(h, mi, se, fr).map(T(2000, 1, 1, _))
+    case n if numRe.pattern.matcher(n).matches() =>
+      Some(fromEpochMs(math.round((n.toDouble - 2440587.5) * 86400000.0)))
+    case "now" => throw new NonDeterministicTime("now")
+    case _ => None
+  }
+
+  /** Normalizing conversion: field overflow (2024-02-30) resolves exactly
+    * like LocalDate day-arithmetic, which matches SQLite's julian pass. */
+  private def epochMs(t: T): Long =
+    LocalDate.of(t.y, t.m, 1).plusDays(t.d - 1L).toEpochDay * 86400000L + t.ms
+
+  private def fromEpochMs(ms: Long): T = {
+    val day = math.floorDiv(ms, 86400000L)
+    val ld = LocalDate.ofEpochDay(day)
+    T(ld.getYear, ld.getMonthValue, ld.getDayOfMonth,
+      math.floorMod(ms, 86400000L))
+  }
+
+  private val modRe =
+    """^([+-]?)(\d+(?:\.\d+)?)\s+(day|days|hour|hours|minute|minutes|second|seconds|month|months|year|years)$""".r
+
+  private def applyMod(t: T, mod0: String): Option[T] = {
+    val mod = mod0.trim.toLowerCase
+    mod match {
+      case "now" | "localtime" | "utc" => throw new NonDeterministicTime(mod)
+      case "start of day" => Some(t.copy(ms = 0L))
+      case "start of month" => Some(t.copy(d = 1, ms = 0L))
+      case "start of year" => Some(t.copy(m = 1, d = 1, ms = 0L))
+      case m0 if m0.startsWith("weekday ") =>
+        m0.stripPrefix("weekday ").trim.toIntOption.filter(n =>
+          n >= 0 && n <= 6).map { n =>
+          val base = fromEpochMs(epochMs(t))
+          val dow = math.floorMod(
+            LocalDate.of(base.y, base.m, base.d).toEpochDay + 4, 7) // 0=Sun
+          val add = math.floorMod(n - dow, 7)
+          fromEpochMs(epochMs(base) + add * 86400000L)
+        }
+      case modRe(sign, num, unit) =>
+        val v = num.toDouble * (if (sign == "-") -1 else 1)
+        unit.stripSuffix("s") match {
+          case "day" => Some(fromEpochMs(epochMs(t) +
+            math.round(v * 86400000.0)))
+          case "hour" => Some(fromEpochMs(epochMs(t) +
+            math.round(v * 3600000.0)))
+          case "minute" => Some(fromEpochMs(epochMs(t) +
+            math.round(v * 60000.0)))
+          case "second" => Some(fromEpochMs(epochMs(t) +
+            math.round(v * 1000.0)))
+          case "month" =>
+            val total = t.y * 12L + (t.m - 1) + v.toLong
+            Some(t.copy(y = math.floorDiv(total, 12L).toInt,
+              m = math.floorMod(total, 12L).toInt + 1))
+          case "year" => Some(t.copy(y = t.y + v.toInt))
+        }
+      case _ => None
+    }
+  }
+
+  /** (value, modifiers…) → the field state; `unixepoch` is honored as the
+    * first modifier on a numeric value (SQLite's rule). */
+  private def resolve(args: Seq[String]): Option[T] = {
+    if (args.isEmpty || args.exists(_ == null)) return None
+    val v = args.head
+    var mods = args.tail
+    var t: Option[T] =
+      if (mods.headOption.exists(_.trim.equalsIgnoreCase("unixepoch")) &&
+        numRe.pattern.matcher(v.trim).matches()) {
+        mods = mods.tail
+        Some(fromEpochMs(math.round(v.trim.toDouble * 1000.0)))
+      } else parse(v)
+    // each modifier applies on the CURRENT raw fields, then the result
+    // normalizes (probed: '+1 month','+1 month' on 01-31 → 04-02, while
+    // 'start of month' on the raw 02-30 gives 02-01, not 03-01)
+    mods.foreach { m =>
+      t = t.flatMap(applyMod(_, m)).map(x => fromEpochMs(epochMs(x)))
+    }
+    t
+  }
+
+  private def renderDate(t: T): String = f"${t.y}%04d-${t.m}%02d-${t.d}%02d"
+  private def renderTime(t: T): String = {
+    val s = t.ms / 1000
+    f"${s / 3600}%02d:${s / 60 % 60}%02d:${s % 60}%02d"
+  }
+
+  private def strf(fmt: String, t: T): String = {
+    // field codes (%Y %m %d %H %M %S %f) read the RAW fields — probed:
+    // strftime('%d','2024-02-30') = '30'; calendar codes (%j %w %W %s %J)
+    // need the julian pass
+    val n = t
+    lazy val ld = {
+      val x = fromEpochMs(epochMs(t)); LocalDate.of(x.y, x.m, x.d)
+    }
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c != '%' || i + 1 >= fmt.length) { sb.append(c); i += 1 }
+      else {
+        fmt.charAt(i + 1) match {
+          case '%' => sb.append('%')
+          case 'Y' => sb.append(f"${n.y}%04d")
+          case 'm' => sb.append(f"${n.m}%02d")
+          case 'd' => sb.append(f"${n.d}%02d")
+          case 'H' => sb.append(f"${n.ms / 3600000}%02d")
+          case 'M' => sb.append(f"${n.ms / 60000 % 60}%02d")
+          case 'S' => sb.append(f"${n.ms / 1000 % 60}%02d")
+          case 'f' => sb.append(f"${n.ms / 1000 % 60}%02d." +
+            f"${n.ms % 1000}%03d")
+          case 'j' => sb.append(f"${ld.getDayOfYear}%03d")
+          case 'w' => sb.append(math.floorMod(ld.toEpochDay + 4, 7).toString)
+          case 'W' =>
+            val wday = math.floorMod(ld.toEpochDay + 4, 7) // 0=Sun
+            val yday = ld.getDayOfYear - 1
+            sb.append(f"${(yday + 7 - (if (wday == 0) 6 else wday - 1)) / 7}%02d")
+          case 's' => sb.append((epochMs(t) / 1000).toString)
+          case 'J' =>
+            val jd = BigDecimal(epochMs(t)) / 86400000 + BigDecimal("2440587.5")
+            sb.append(jd.underlying.stripTrailingZeros.toPlainString)
+          case _ => return null // SQLite: unknown code nulls the result
+        }
+        i += 2
+      }
+    }
+    sb.toString
+  }
+
+  def register(session: SparkSession): Unit = {
+    def varargs[R: scala.reflect.runtime.universe.TypeTag](
+        name: String, maxMods: Int)(f: Seq[String] => R): Unit = {
+      def at(k: Int) = k match {
+        case 1 => F.udf((a: String) => f(Seq(a)))
+        case 2 => F.udf((a: String, b: String) => f(Seq(a, b)))
+        case 3 => F.udf((a: String, b: String, c: String) => f(Seq(a, b, c)))
+        case 4 => F.udf((a: String, b: String, c: String, d: String) =>
+          f(Seq(a, b, c, d)))
+        case 5 => F.udf((a: String, b: String, c: String, d: String,
+                         e: String) => f(Seq(a, b, c, d, e)))
+        case _ => F.udf((a: String, b: String, c: String, d: String,
+                         e: String, g: String) => f(Seq(a, b, c, d, e, g)))
+      }
+      SessionFunctions.registerStrVarargs(session, name,
+        (1 to maxMods).map(k => k -> at(k)).toMap)
+    }
+    varargs("date", 5)(a => resolve(a).map(renderDate).orNull)
+    varargs("time", 5)(a => resolve(a).map(renderTime).orNull)
+    varargs("datetime", 5)(a =>
+      resolve(a).map(t => renderDate(t) + " " + renderTime(t)).orNull)
+    varargs("julianday", 5)(a =>
+      resolve(a).map(t => epochMs(t) / 86400000.0 + 2440587.5))
+    varargs("unixepoch", 5)(a =>
+      resolve(a).map(t => math.floorDiv(epochMs(t), 1000L)))
+    varargs("strftime", 6) {
+      case fmt +: rest if fmt != null && rest.nonEmpty =>
+        resolve(rest).map(strf(fmt, _)).orNull
+      case _ => null: String
+    }
+    // misc scalars — pure column composition, no UDF
+    SessionFunctions.register(session, "iif", { cols =>
+      require(cols.size == 3, "wrong number of arguments to function iif()")
+      F.when(cols(0), cols(1)).otherwise(cols(2))
+    })
+    SessionFunctions.register(session, "unicode", { cols =>
+      require(cols.size == 1, "wrong number of arguments to function unicode()")
+      F.when(F.length(cols.head) === 0, F.lit(null))
+        .otherwise(F.ascii(cols.head))
+    })
+    SessionFunctions.register(session, "char", { cols =>
+      if (cols.isEmpty) F.lit("")
+      else F.concat(cols.map(c => F.chr(c.cast("long"))): _*)
+    })
+  }
+}

@@ -117,7 +117,7 @@ object OltpFuzz {
       case _ => s"a % ${int(2, 4)} = 0"
     }
 
-    private def step(): Unit = r.nextInt(23) match {
+    private def step(): Unit = r.nextInt(24) match {
       case 0 | 1 | 2 => // plain insert, explicit or auto id
         if (chance(0.5))
           x(s"INSERT INTO t0 VALUES (${int(1, 12)}, ${int(-8, 9)}, '${word()}')")
@@ -291,6 +291,30 @@ object OltpFuzz {
           case _ => x(s"WITH w AS (SELECT ${int(1, 9)} AS k, " +
             s"${int(-4, 8)} AS nv) UPDATE t0 SET a = w.nv FROM w " +
             "WHERE t0.id = w.k")
+        }
+      case 22 => // SQLite core-function probes (date/time family + misc):
+        // deterministic args derived from row data; day-granular julian
+        // values only (x.5 is exact in both engines' doubles)
+        r.nextInt(6) match {
+          case 0 => q(s"SELECT id, date('2024-0${int(1, 9)}-0" +
+            s"${int(1, 9)}', '+' || abs(a) || ' days') AS d " +
+            "FROM t0 ORDER BY id")
+          case 1 => q(s"SELECT id, strftime('%Y-%j %w %W', " +
+            s"date('2024-01-01', '+' || (id * ${int(3, 17)}) || ' days')) " +
+            "AS s FROM t0 ORDER BY id")
+          case 2 => q(s"SELECT id, datetime('2024-0${int(1, 9)}-10 " +
+            s"0${int(0, 9)}:30:00', '+' || abs(a * 7) || ' minutes', " +
+            s"'start of ${pick(Seq("day", "month", "year"))}') AS dt " +
+            "FROM t0 ORDER BY id")
+          case 3 => q(s"SELECT id, unixepoch(date('2024-02-0" +
+            s"${int(1, 9)}', 'weekday ' || (id % 7))) AS e " +
+            "FROM t0 ORDER BY id")
+          case 4 => q(s"SELECT id, iif(a % 2 = 0, 'even', " +
+            s"char(${int(65, 80)}, unicode(b))) AS v FROM t0 " +
+            "WHERE b IS NOT NULL AND length(b) > 0 ORDER BY id")
+          case _ => q(s"SELECT julianday('2024-0${int(1, 9)}-1" +
+            s"${int(0, 9)}') AS j, time('0${int(0, 9)}:15', " +
+            s"'+${int(5, 500)} seconds') AS t")
         }
       case 17 => // trigger churn + PRAGMA flips + whole-table delete
         r.nextInt(4) match {
