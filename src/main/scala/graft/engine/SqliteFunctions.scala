@@ -239,5 +239,31 @@ object SqliteFunctions {
       if (cols.isEmpty) F.lit("")
       else F.concat(cols.map(c => F.chr(c.cast("long"))): _*)
     })
+    // SQLite's min/max are arity-overloaded: one argument is the
+    // aggregate, two-plus is the SCALAR least/greatest (NULL if any arg
+    // is NULL — unlike Spark's null-skipping least/greatest, probed).
+    // These shadow builtins, so the builders emit CONCRETE catalyst nodes
+    // (a by-name Column op would resolve back here and never terminate);
+    // the arity-1 branch IS the builtin aggregate, so the engine's many
+    // internal min()/max() calls and window uses keep exact semantics.
+    import org.apache.spark.sql.catalyst.expressions.{Greatest, If, IsNull, Least, Literal, Or}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min, Sum}
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Coalesce, Expression}
+    import org.apache.spark.sql.types.DoubleType
+    def minmax(name: String, agg: Expression => Expression,
+               pick: Seq[Expression] => Expression): Unit =
+      SessionFunctions.registerExpr(session, name, { es =>
+        require(es.nonEmpty, s"wrong number of arguments to function $name()")
+        if (es.size == 1) agg(es.head)
+        else If(es.map(IsNull).reduce(Or), Literal.create(null), pick(es))
+      })
+    minmax("min", e => Min(e).toAggregateExpression(), Least(_))
+    minmax("max", e => Max(e).toAggregateExpression(), Greatest(_))
+    // total(): SQLite's sum variant — 0.0 on empty/all-NULL input, REAL
+    SessionFunctions.registerExpr(session, "total", { es =>
+      require(es.size == 1, "wrong number of arguments to function total()")
+      Coalesce(Seq(Sum(Cast(es.head, DoubleType)).toAggregateExpression(),
+        Literal(0.0)))
+    })
   }
 }

@@ -295,7 +295,7 @@ object OltpFuzz {
       case 22 => // SQLite core-function probes (date/time family + misc):
         // deterministic args derived from row data; day-granular julian
         // values only (x.5 is exact in both engines' doubles)
-        r.nextInt(6) match {
+        r.nextInt(7) match {
           case 0 => q(s"SELECT id, date('2024-0${int(1, 9)}-0" +
             s"${int(1, 9)}', '+' || abs(a) || ' days') AS d " +
             "FROM t0 ORDER BY id")
@@ -312,9 +312,11 @@ object OltpFuzz {
           case 4 => q(s"SELECT id, iif(a % 2 = 0, 'even', " +
             s"char(${int(65, 80)}, unicode(b))) AS v FROM t0 " +
             "WHERE b IS NOT NULL AND length(b) > 0 ORDER BY id")
+          case 5 => q(s"SELECT id, min(a, ${int(0, 6)}) AS mn, " +
+            s"max(a, ${int(0, 6)}, id) AS mx FROM t0 ORDER BY id")
           case _ => q(s"SELECT julianday('2024-0${int(1, 9)}-1" +
             s"${int(0, 9)}') AS j, time('0${int(0, 9)}:15', " +
-            s"'+${int(5, 500)} seconds') AS t")
+            s"'+${int(5, 500)} seconds') AS t, total(${int(1, 4)}) AS tt")
         }
       case 17 => // trigger churn + PRAGMA flips + whole-table delete
         r.nextInt(4) match {

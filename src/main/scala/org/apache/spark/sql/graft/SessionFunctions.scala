@@ -32,6 +32,16 @@ object SessionFunctions {
       "scala_udf")
   }
 
+  /** Register `name` with a raw catalyst-Expression builder — needed when
+    * the output must be a CONCRETE node (e.g. shadowing a builtin like
+    * `min`: a by-name Column op would resolve straight back to this very
+    * registration and never terminate). */
+  def registerExpr(session: SparkSession, name: String,
+                   build: Seq[Expression] => Expression): Unit =
+    session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, build, "built-in")
+
   /** Register a variadic string-typed function: every argument casts to
     * STRING (SQLite's date/time functions read numeric time values
     * identically through their text rendering); NULL handling lives in

@@ -105,6 +105,18 @@ class SqliteFunctionsSpec extends SparkSpec {
     assert(one("unixepoch('2024-03-05 14:30:15')") == 1709649015L)
   }
 
+  test("min/max arity overloads and total() (probed)") {
+    assert(one("min(3, 7, 5)") == 3L)
+    assert(one("max(3, 7, 5)") == 7L)
+    assert(one("min(1, NULL)") == null) // scalar form NULLs on any NULL
+    assert(one("max('a', 'b')") == "b")
+    // arity-1 stays the aggregate, windows included
+    assert(one("min(id) FROM t") == 1L)
+    assert(one("max(id) OVER () FROM t LIMIT 1") == 2L)
+    assert(one("total(id) FROM t") == 3.0)
+    assert(one("total(id) FROM t WHERE id > 90") == 0.0)
+  }
+
   test("misc scalars: iif, unicode, char; functions work over columns") {
     assert(one("iif(1 > 0, 'a', 'b')") == "a")
     assert(one("unicode('Abc')") == 65L)
