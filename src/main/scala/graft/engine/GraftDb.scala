@@ -2056,11 +2056,18 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
               // the instance is shared — per-conflict driver work, the
               // same statement-sized cost model as RowExpr)
               val u = computeGens(td, Seq(upd.toIndexedSeq)).head
-              cur = cur.updated(hit, (orid, u))
+              // DO UPDATE SET on the rowid alias REKEYS the row (probed:
+              // SELECT rowid follows; next auto-rowid sees the new max)
+              val keptRid =
+                if (rowidIdx >= 0 && u(rowidIdx) != null &&
+                  u(rowidIdx).asInstanceOf[Long] != orid)
+                  u(rowidIdx).asInstanceOf[Long]
+                else orid
+              cur = cur.updated(hit, (keptRid, u))
               touched += u
               insRids += None
               fir += (("UPDATE", Some(u), Some(orow)))
-              retBuf += ((orid, u))
+              retBuf += ((keptRid, u))
               affected += 1
             }
           } else {
@@ -2587,6 +2594,13 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         // the scans below with it (the Big scoped path then takes the full
         // rewrite — its bucket-probe SQL re-derives cond/proj alias-less)
         val eff = alias.getOrElse("__rv")
+        // SET on the INTEGER PRIMARY KEY rowid alias REKEYS the row
+        // (probed: rowid follows the column; the next auto-rowid derives
+        // from the new maximum). Armed UPDATE triggers reject loudly: the
+        // firing tape pairs rows by rowid, which a rekey breaks — a
+        // documented boundary, same style as the driver caps.
+        def ridRekeyOf(setCols: Iterable[String]): Boolean =
+          td.rowidAlias.exists(c => setCols.exists(_.equalsIgnoreCase(c.name)))
         val (setText, whereText) =
           if (wIdx >= 0) (rest.take(wIdx), rest.substring(wIdx + 5))
           else (rest, "")
@@ -2627,10 +2641,23 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         // statement even when the child declares ON DELETE CASCADE (the
         // governing action is ON UPDATE; probed live, FkActionSpec)
         val fkDelta = fkUpdateDeltaPrep(work, ts, sets.keys.toSeq)
+        val ridRekey = ridRekeyOf(sets.keys)
+        if (ridRekey && triggers.values.exists(t =>
+          t.table.equalsIgnoreCase(td.name) && t.event == "UPDATE"))
+          return Left("UPDATE of the INTEGER PRIMARY KEY with UPDATE row " +
+            "triggers armed is not supported (rekeying breaks the firing tape)")
+        val ridSel =
+          if (!ridRekey) "`__rowid`"
+          else {
+            val e = sets.collectFirst { case (sc, ex)
+              if td.rowidAlias.exists(_.name.equalsIgnoreCase(sc)) => ex }.get
+            s"CASE WHEN $cond THEN CAST(($e) AS BIGINT) " +
+              "ELSE `__rowid` END AS `__rowid`"
+          }
         val res0 = ts.store match {
           case Mem(memRows) =>
             val df = session.sql(withGenLevels(td,
-              s"SELECT `__rowid`, $proj FROM ${ridView(td.name)} AS `$eff`",
+              s"SELECT $ridSel, $proj FROM ${ridView(td.name)} AS `$eff`",
               Seq("__rowid")))
             val changedNewDf = session.sql(withGenLevels(td,
               s"SELECT `__rowid`, $proj FROM ${ridView(td.name)} AS `$eff` " +
@@ -2656,7 +2683,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             // reproject every row (the CASE keeps unaffected rows
             // bit-identical) into a fresh localCheckpoint.
             val newDf = session.sql(withGenLevels(td,
-              s"SELECT `__ord`, `__rowid`, $proj FROM ${ridView(td.name)} AS `$eff`",
+              s"SELECT `__ord`, $ridSel, $proj FROM ${ridView(td.name)} AS `$eff`",
               Seq("__ord", "__rowid")))
             val changedDf = session.sql(withGenLevels(td,
               s"SELECT `__ord`, `__rowid`, $proj FROM ${ridView(td.name)} AS `$eff` " +
@@ -2684,12 +2711,13 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                   // future internal path ever carries one, take the full
                   // rewrite, which evaluates the projection exactly once
                   // into the written files.
-                  case Some(_) if alias.isDefined ||
+                  case Some(_) if alias.isDefined || ridRekey ||
                       td.genColsOrdered.nonEmpty ||
                       nonDeterministic(cond).isDefined =>
-                    // alias'd and generated-column updates take the full
-                    // rewrite: the scoped helper re-derives cond/proj SQL
-                    // alias-less and level-less
+                    // alias'd, rekeying and generated-column updates take
+                    // the full rewrite: the scoped helper re-derives
+                    // cond/proj SQL alias-less and level-less, and a rekey
+                    // moves rows across rowid buckets
                     bigPartitionedFull(td.name, newDf, big.n, big.nextOrd)
                   case Some(files) =>
                     bigScopedUpdate(td.name, big, files, cond, proj)
@@ -2793,6 +2821,14 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       c -> a.substring(eq + 1).trim
     }
     val fkDelta = fkUpdateDeltaPrep(work, ts, sets.map(_._1))
+    // rowid-alias rekeying via a FROM update: same contract as the plain
+    // path (rowid follows the column; armed UPDATE triggers reject)
+    val ridRekey = td.rowidAlias.exists(c =>
+      sets.exists(_._1.equalsIgnoreCase(c.name)))
+    if (ridRekey && triggers.values.exists(t =>
+      t.table.equalsIgnoreCase(td.name) && t.event == "UPDATE"))
+      return Left("UPDATE of the INTEGER PRIMARY KEY with UPDATE row " +
+        "triggers armed is not supported (rekeying breaks the firing tape)")
     registerViews(work)
     val eff = alias.getOrElse(td.name)
     val cond = if (whereText.trim.isEmpty) "true" else s"(${whereText.trim})"
@@ -2845,8 +2881,15 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       val changedOldDf = session.sql(s"SELECT b.* $joinMatched")
       ts.store match {
         case Mem(_) =>
+          val ridSel =
+            if (!ridRekey) "b.`__rowid`"
+            else {
+              val idc = td.rowidAlias.get.name
+              s"CASE WHEN m.`__rowid` IS NOT NULL THEN m.`__v_$idc` " +
+                "ELSE b.`__rowid` END AS `__rowid`"
+            }
           val df = session.sql(withGenLevels(td,
-            s"SELECT b.`__rowid`, $projCols $joinAll", Seq("__rowid")))
+            s"SELECT $ridSel, $projCols $joinAll", Seq("__rowid")))
           val changedNewDf = session.sql(withGenLevels(td,
             s"SELECT b.`__rowid`, $projCols $joinMatched", Seq("__rowid")))
           validateUpdatePerRow(work, td, beforeAllDf, df, changedNewDf,
@@ -2862,8 +2905,15 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             Right(affected)
           }
         case big: Big =>
+          val ridSel =
+            if (!ridRekey) "b.`__rowid`"
+            else {
+              val idc = td.rowidAlias.get.name
+              s"CASE WHEN m.`__rowid` IS NOT NULL THEN m.`__v_$idc` " +
+                "ELSE b.`__rowid` END AS `__rowid`"
+            }
           val newDf = session.sql(withGenLevels(td,
-            s"SELECT b.`__ord`, b.`__rowid`, $projCols $joinAll",
+            s"SELECT b.`__ord`, $ridSel, $projCols $joinAll",
             Seq("__ord", "__rowid")))
           val changedDf = session.sql(withGenLevels(td,
             s"SELECT b.`__ord`, b.`__rowid`, $projCols $joinMatched",

@@ -117,7 +117,7 @@ object OltpFuzz {
       case _ => s"a % ${int(2, 4)} = 0"
     }
 
-    private def step(): Unit = r.nextInt(24) match {
+    private def step(): Unit = r.nextInt(25) match {
       case 0 | 1 | 2 => // plain insert, explicit or auto id
         if (chance(0.5))
           x(s"INSERT INTO t0 VALUES (${int(1, 12)}, ${int(-8, 9)}, '${word()}')")
@@ -291,6 +291,17 @@ object OltpFuzz {
           case _ => x(s"WITH w AS (SELECT ${int(1, 9)} AS k, " +
             s"${int(-4, 8)} AS nv) UPDATE t0 SET a = w.nv FROM w " +
             "WHERE t0.id = w.k")
+        }
+      case 23 if !hasLog => // rowid-alias rekey (no triggers: the engine's
+        // documented rekey-with-UPDATE-triggers boundary rejects loudly)
+        r.nextInt(3) match {
+          case 0 => x(s"UPDATE t0 SET id = id + ${int(100, 140)} " +
+            s"WHERE id = ${int(1, 9)}")
+          case 1 => x(s"UPDATE t0 SET id = id + ${int(150, 190)}, " +
+            s"a = a + 1 WHERE id = ${int(1, 9)}")
+          case _ => x(s"INSERT INTO t0 VALUES (${int(1, 9)}, ${int(0, 9)}, " +
+            s"'${word()}') ON CONFLICT(id) DO UPDATE SET id = " +
+            s"excluded.id + ${int(200, 240)}")
         }
       case 22 => // SQLite core-function probes (date/time family + misc):
         // deterministic args derived from row data; day-granular julian
