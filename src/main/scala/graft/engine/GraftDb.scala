@@ -760,9 +760,14 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     cteNameRe.findFirstMatchIn(cteDef).map(_.group(1)).getOrElse(cteDef)
 
   /** Statement-scoped CTEs for the DML currently executing (set by
-    * [[executeOne]], registered by [[registerViews]]). */
+    * [[executeOne]], registered by [[registerViews]]). `cteRegistered`
+    * tracks the temp views those registrations created so the NEXT
+    * [[registerViews]] drops the stale ones — otherwise a dead CTE name
+    * would keep resolving (`SELECT * FROM m` after `WITH m AS (…) UPDATE`
+    * must be `no such table: m`, CteDmlSpec). */
   private var pendingCtes: Seq[(String, String)] = Nil
   private var pendingCtesRec = false
+  private var cteRegistered: Set[String] = Set.empty
 
   private def executeOneInner(work: Tables, sql0: String, sql: String,
                               kw: String,
@@ -4165,6 +4170,11 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
   private var registeredViews: Set[String] = Set.empty
 
   private def registerViews(work: Tables): Unit = {
+    // stale statement-scoped CTE views go first (a dead CTE name must not
+    // resolve; a live one re-registers at the end, shadowing tables)
+    val liveCtes = pendingCtes.map(_._1.toLowerCase).toSet
+    (cteRegistered -- liveCtes).foreach(session.catalog.dropTempView)
+    cteRegistered = liveCtes
     // drop views for tables that no longer exist (DROP TABLE / RENAME) —
     // otherwise the stale temp view keeps serving the old name
     val current = work.values.map(_.d.name.toLowerCase).toSet ++

@@ -104,6 +104,20 @@ class CteDmlSpec extends SparkSpec {
     }
   }
 
+  test("CTE names die with their statement (no catalog leak)") {
+    val db = fresh(500)
+    exec(db, "WITH m AS (SELECT 2 AS k) " +
+      "UPDATE t SET a = -1 WHERE id IN (SELECT k FROM m)")
+    val e = db.queryStringStmt("SELECT * FROM m")
+      .fold(identity, r => fail(s"dead CTE must not resolve, got $r"))
+    assert(e == "no such table: m", e)
+    // a shadowed table resolves back to the TABLE after the statement
+    exec(db, "WITH s AS (SELECT 9 AS k, 9 AS v) " +
+      "UPDATE t SET a = 0 WHERE id = (SELECT k FROM s)")
+    assert(q(db, "SELECT k, v FROM s") == Seq(Seq(2L, 99L)),
+      "the real table s must be visible again")
+  }
+
   test("plain WITH..SELECT routing is unchanged") {
     val db = fresh(500)
     assert(q(db, "WITH m AS (SELECT MAX(a) AS mx FROM t) SELECT mx FROM m") ==
