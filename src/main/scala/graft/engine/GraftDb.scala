@@ -1157,6 +1157,21 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
   private var upsertFirings: Option[
     Seq[(String, Option[IndexedSeq[Any]], Option[IndexedSeq[Any]])]] = None
 
+  /** Set by [[doUpdatePolicy]] during `run`: the exact firing tape of a
+    * conflict-policy UPDATE — APPLIED rows only, in processing order.
+    * Skipped (OR IGNORE) and displaced (OR REPLACE) rows fire nothing;
+    * a row applied and later displaced still fires (probed live) — none
+    * of which a value diff or a WHERE-matched set can reproduce. */
+  private var updPolicyFirings: Option[
+    Seq[(String, Option[IndexedSeq[Any]], Option[IndexedSeq[Any]])]] = None
+
+  /** OR FAIL's split outcome: the statement KEEPS the rows applied before
+    * the failing row and still reports the constraint error (probed live).
+    * [[doUpdatePolicy]] applies the prefix and returns Right with this set
+    * so the prefix's row triggers fire; the [[withTriggers]] wrapper then
+    * surfaces the error WITHOUT undoing the prefix. */
+  private var pendingFailError: Option[String] = None
+
   /** Rows of `st` keyed by rowid, restricted to `rids` (driver-capped by
     * the caller). One broadcast semi-join for spilled stores. */
   private def rowsByRid(td: TableDef, st: Store, rids: Set[Long])
@@ -1176,7 +1191,27 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       }
   }
 
+  /** Run one DML statement with trigger firing, then surface a pending
+    * OR FAIL error (see [[pendingFailError]]): the mutation's applied
+    * prefix stays, its triggers have fired, and the statement reports the
+    * constraint error. The outer pending is saved/restored around the
+    * whole call so trigger-body statements (which recurse through here)
+    * can neither observe nor clobber it. */
   private def withTriggers(work: Tables, sql: String, kind: String)(
+      run: => Either[String, Long]): Either[String, Long] = {
+    val saved = pendingFailError
+    pendingFailError = None
+    val r = withTriggersInner(work, sql, kind)(run)
+    val mine = pendingFailError
+    pendingFailError = saved
+    r match {
+      case Left(_) => r
+      case Right(_) =>
+        mine.map(Left(_): Either[String, Long]).getOrElse(r)
+    }
+  }
+
+  private def withTriggersInner(work: Tables, sql: String, kind: String)(
       run: => Either[String, Long]): Either[String, Long] = {
     val tname = (kind match {
       case "INSERT" => insertTargetRe.findFirstMatchIn(sql)
@@ -1212,7 +1247,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     val updMatched: Option[Seq[Long]] =
       if (kind == "UPDATE" && relevant.exists(_.event == "UPDATE"))
         sql match {
-          case updateRe(_, aliasOrNull, rest) =>
+          case updateRe(_, _, aliasOrNull, rest) =>
             val fIdx = SqlText.findKeyword(rest, "FROM")
             val wIdx = SqlText.findKeyword(rest, "WHERE")
             val isFrom = fIdx >= 0 && (wIdx < 0 || fIdx < wIdx)
@@ -1253,6 +1288,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         }
       else None
     upsertFirings = None
+    updPolicyFirings = None
     run match {
       case l @ Left(_) => l
       case Right(affected) =>
@@ -1272,6 +1308,11 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         // and DELETE per removed row in rowid order.
         val firings: Seq[(String, Option[IndexedSeq[Any]], Option[IndexedSeq[Any]])] =
           try (upsertFirings, updMatched) match {
+            // a conflict-policy UPDATE's applied-rows tape (already
+            // driver-capped at collection) beats the WHERE-matched set:
+            // skipped and displaced rows must not fire
+            case _ if kind == "UPDATE" && updPolicyFirings.isDefined =>
+              updPolicyFirings.get
             case (Some(tape), _) if kind == "INSERT" && !isReplace =>
               // same driver-row contract as the diff paths: more firings
               // than maxDriverRows fails loudly with full statement undo
@@ -1567,9 +1608,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     }
   }
 
-  // OR ABORT/FAIL/ROLLBACK parse and take the default abort path: ABORT is
-  // SQLite's default; our tx batches already stop+rollback wholesale on
-  // error (ROLLBACK-like) and non-tx batches abort per statement.
+  // OR ABORT is SQLite's default; OR FAIL keeps the applied prefix and
+  // reports the error ([[pendingFailError]]); OR ROLLBACK additionally
+  // aborts the enclosing connection tx on a constraint (not FK) failure.
   private val insertRe =
     """(?is)^\s*(INSERT(?:\s+OR\s+(REPLACE|IGNORE|ABORT|FAIL|ROLLBACK))?|REPLACE)\s+INTO\s+[`"]?([A-Za-z_][A-Za-z0-9_]*)[`"]?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+?)\s*;?\s*$""".r
   private val insertSelRe =
@@ -1582,6 +1623,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
   private sealed trait Conflict
   private object Conflict {
     case object Abort extends Conflict
+    case object Fail extends Conflict
     case object Ignore extends Conflict
     case object Replace extends Conflict
     final case class Upsert(cols: Option[Seq[String]],
@@ -1626,7 +1668,14 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       else if (mod == null) Conflict.Abort
       else if (mod.equalsIgnoreCase("REPLACE")) Conflict.Replace
       else if (mod.equalsIgnoreCase("IGNORE")) Conflict.Ignore
-      else Conflict.Abort // ABORT (the default) / FAIL / ROLLBACK
+      else if (mod.equalsIgnoreCase("FAIL")) Conflict.Fail
+      else Conflict.Abort // ABORT (the default) / ROLLBACK
+    // the ROLLBACK conflict algorithm: abort semantics in the pipeline,
+    // plus the connection-tx abort on a constraint (not FK) failure
+    def withRollback(mod: String, r: => Either[String, Long])
+        : Either[String, Long] =
+      if (mod == null || !mod.equalsIgnoreCase("ROLLBACK")) r
+      else r.left.map { e => if (constraintErr(e)) abortOpenTx(); e }
     sql match {
       case insertRe(head, mod, tname, colList, tail0) =>
         // the ON CONFLICT clause rides on the VALUES tail; locate it with
@@ -1639,7 +1688,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           case Some(Left(e)) => return Left(e)
           case None => (tail0, headPolicy(head, mod))
         }
-        insertWithFkDelta(work, tname, colList, Left(tail), policy)
+        withRollback(mod,
+          insertWithFkDelta(work, tname, colList, Left(tail), policy))
       case insertSelRe(head, mod, tname, colList, select0) =>
         // a SELECT source can also carry an upsert clause (SQLite surface);
         // a join's ON is never followed by the CONFLICT keyword
@@ -1650,7 +1700,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           case Some(Left(e)) => return Left(e)
           case None => (select0, headPolicy(head, mod))
         }
-        insertWithFkDelta(work, tname, colList, Right(select), policy)
+        withRollback(mod,
+          insertWithFkDelta(work, tname, colList, Right(select), policy))
       case _ => Left("near \"INSERT\": syntax error")
     }
   }
@@ -1863,7 +1914,18 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                     // is undone (probed live; fuzz-pinned)
                     insRids.take(k).flatten.lastOption
                       .foreach(lastRowId = _)
-                    Left(err)
+                    if (policy == Conflict.Fail && constraintErr(err)) {
+                      // OR FAIL keeps the prefix (all valid — k is the
+                      // FIRST failure) and reports the error; FK failures
+                      // are not policy-resolved and abort wholesale
+                      ts.store = Mem(fin.take(memRows.size + k))
+                      ts.nextRowId = candidates.take(k).foldLeft(autoBase) {
+                        case (nx, (rid, _)) => math.max(nx, rid + 1)
+                      }
+                      maybeSpill(ts)
+                      pendingFailError = Some(err)
+                      Right(k.toLong)
+                    } else Left(err)
                   case Right(_) =>
                     ts.store = Mem(fin)
                     ts.nextRowId = nextId
@@ -1905,9 +1967,11 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                         Seq[IndexedSeq[Any]], IndexedSeq[Option[Long]],
                         Long, Option[Long])] =
     policy match {
-      case Conflict.Abort =>
+      case Conflict.Abort | Conflict.Fail =>
         captureRet(td, candidates.toVector)
-        // conflicts surface through validate()'s uniqueness scan
+        // conflicts surface through validateIdx's uniqueness scan; the
+        // FAIL prefix (rows before the first failing candidate) is cut
+        // there, where the failing index is known
         Right((base ++ candidates, candidates.map(_._2),
           candidates.map(c => Some(c._1)),
           candidates.size.toLong, Some(lastId)))
@@ -2157,17 +2221,26 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     }
     applyPolicySeq(td, policy, base, candidates, lastId,
       explicitFlags, autoBase, rowidIdx).flatMap {
-      case (fin, touched, insRids, affected, lastOpt) =>
-        val checked: Either[String, Unit] =
-          validateIdx(work, td, fin, touched, selfRemainder = Some(keep),
+      case (fin0, touched0, insRids, affected0, lastOpt0) =>
+        // (rows to install, affected, nextRowId, new lastRowId) — cut to
+        // the OR FAIL prefix when validation names a failing index
+        val resolved: Either[String, (Vector[(Long, IndexedSeq[Any])],
+            Long, Long, Option[Long])] =
+          validateIdx(work, td, fin0, touched0, selfRemainder = Some(keep),
             uniqueRemainder = probeRemainder) match {
             case Left((err, k)) =>
               // partial-abort last_insert_rowid semantics — see the Mem path
               insRids.take(k).flatten.lastOption.foreach(lastRowId = _)
-              Left(err)
-            case Right(_) => Right(())
+              if (policy == Conflict.Fail && constraintErr(err)) {
+                pendingFailError = Some(err)
+                Right((fin0.take(base.size + k), k.toLong,
+                  candidates.take(k).foldLeft(autoBase) {
+                    case (nx, (rid, _)) => math.max(nx, rid + 1)
+                  }, None))
+              } else Left(err)
+            case Right(_) => Right((fin0, affected0, nextId, lastOpt0))
           }
-        checked.map { _ =>
+        resolved.map { case (fin, affected, nextId2, lastOpt) =>
           val ordByRid = mini.map { case (rid, (o, _)) => rid -> o }.toMap
           var ord = big.nextOrd
           val schema = StructType(
@@ -2193,7 +2266,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
               bigScopedReplace(td.name, files, merged, touched,
                 big.n - mini.size + fin.size, ord)
           }
-          ts.nextRowId = nextId
+          ts.nextRowId = nextId2
           lastOpt.foreach(lastRowId = _)
           affected
         }
@@ -2293,7 +2366,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{max, row_number}
     policy match {
-      case Conflict.Abort =>
+      case Conflict.Abort | Conflict.Fail =>
         // Per-ROW precedence (SQLite, probed live — the r11 set-wise
         // NOT NULL-first ordering was wrong, caught by the OLTP fuzzer):
         // the EARLIEST failing candidate decides; a row violating several
@@ -2374,7 +2447,18 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             val prev = candDf.filter(col("__ord") < o)
               .agg(expr("max_by(__rowid, __ord)")).head()
             if (!prev.isNullAt(0)) lastRowId = prev.getLong(0)
-            Left(msg)
+            if (policy == Conflict.Fail && constraintErr(msg)) {
+              // OR FAIL keeps the prefix before the first failing
+              // candidate (all valid — a later row never invalidates an
+              // earlier one) and reports the error; FK aborts wholesale
+              val prefix = candDf.filter(col("__ord") < o)
+              val st = prefix.selectExpr("count(*) AS c",
+                s"coalesce(max(__rowid), ${ridBase - 1}) AS m").head()
+              ts.store = mkBig(big.df.union(prefix))
+              ts.nextRowId = math.max(ts.nextRowId, st.getLong(1) + 1)
+              pendingFailError = Some(msg)
+              Right(st.getLong(0))
+            } else Left(msg)
           case None =>
             ts.store = mkBig(merged)
             ts.nextRowId = newNextId
@@ -2577,24 +2661,72 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
   }
 
   private val updateRe =
-    """(?is)^\s*UPDATE\s+[`"]?([A-Za-z_][A-Za-z0-9_]*)[`"]?(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?\s+SET\s+(.+?)\s*;?\s*$""".r
+    """(?is)^\s*UPDATE\s+(?:OR\s+(ABORT|FAIL|IGNORE|REPLACE|ROLLBACK)\s+)?[`"]?([A-Za-z_][A-Za-z0-9_]*)[`"]?(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?\s+SET\s+(.+?)\s*;?\s*$""".r
+
+  /** Is `e` a constraint-violation error text that SQLite's ROLLBACK
+    * conflict algorithm acts on? FOREIGN KEY violations are NOT subject to
+    * conflict resolution (probed live: `UPDATE OR ROLLBACK` hitting an FK
+    * leaves the enclosing tx open), and neither are plain errors. */
+  private def constraintErr(e: String): Boolean =
+    e.startsWith("UNIQUE constraint failed") ||
+      e.startsWith("NOT NULL constraint failed") ||
+      e.startsWith("CHECK constraint failed")
+
+  /** The ROLLBACK conflict algorithm's tx abort: the connection-scoped
+    * transaction (explicit BEGIN or savepoint-started implicit) rolls back
+    * and closes; catalogs revert to their BEGIN snapshots. Inside a
+    * request-level tx batch there is no openTx — the execute loop's
+    * rolledBack handling discards the batch, which is that path's
+    * equivalent outcome. */
+  private def abortOpenTx(): Unit = openTx.foreach { ctx =>
+    indexes = ctx.idx; viewDefs = ctx.views; triggers = ctx.trigs
+    openTx = None; savepoints.clear()
+  }
 
   private def doUpdate(work: Tables, sql: String): Either[String, Long] =
     sql match {
-      case updateRe(tname, aliasOrNull, rest) =>
+      case updateRe(polOrNull, tname, aliasOrNull, rest) =>
+        val policy = Option(polOrNull).map(_.toUpperCase).getOrElse("ABORT")
+        val r = doUpdateInner(work, tname, Option(aliasOrNull), rest, policy)
+        if (policy == "ROLLBACK")
+          r.left.map { e => if (constraintErr(e)) abortOpenTx(); e }
+        else r
+      case _ => Left("near \"UPDATE\": syntax error")
+    }
+
+  /** Can a conflict policy on this UPDATE ever fire? With no uniqueness
+    * specs, CHECKs, NOT NULL columns or (enabled) FK columns, every policy
+    * degenerates to the plain set-based path — no sequential resolution
+    * needed and no driver cap paid. */
+  private def policyTrivial(td: TableDef, setCols: Iterable[String]): Boolean =
+    uniqueSpecs(td).isEmpty && td.checks.isEmpty &&
+      !td.cols.exists(c => c.notNull && !c.isRowidAlias) &&
+      !(fkEnabled && td.cols.exists(_.ref.isDefined)) &&
+      !td.rowidAlias.exists(c => setCols.exists(_.equalsIgnoreCase(c.name)))
+
+  private def doUpdateInner(work: Tables, tname: String,
+      alias: Option[String], rest: String, policy: String)
+      : Either[String, Long] = {
         if (viewDefs.contains(tname.toLowerCase))
           return Left(s"cannot modify $tname because it is a view")
         val ts = work.getOrElse(tname.toLowerCase,
           return Left(s"no such table: $tname"))
         val td = ts.d
-        val alias = Option(aliasOrNull)
         val fIdx = SqlText.findKeyword(rest, "FROM")
         val wIdx = SqlText.findKeyword(rest, "WHERE")
-        if (fIdx >= 0 && (wIdx < 0 || fIdx < wIdx))
+        if (fIdx >= 0 && (wIdx < 0 || fIdx < wIdx)) {
+          // UPDATE..FROM computes its matched set from a join, which has
+          // no SQLite scan order to replay — the sequential policies stay
+          // a loud boundary there (ABORT/ROLLBACK are set-based and fine)
+          if (policy == "FAIL" || policy == "IGNORE" || policy == "REPLACE")
+            return Left(s"UPDATE OR $policy with a FROM clause is not " +
+              "supported (sequential conflict resolution needs SQLite's " +
+              "rowid scan order; rewrite as a plain UPDATE)")
           return doUpdateFrom(work, ts, alias, rest.take(fIdx),
             if (wIdx >= 0) rest.substring(fIdx + 4, wIdx)
             else rest.substring(fIdx + 4),
             if (wIdx >= 0) rest.substring(wIdx + 5) else "")
+        }
         // `AS alias` on a plain UPDATE: qualified refs resolve by aliasing
         // the scans below with it (the Big scoped path then takes the full
         // rewrite — its bucket-probe SQL re-derives cond/proj alias-less)
@@ -2619,6 +2751,12 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             .foreach(msg => return Left(msg))
           c -> a.substring(eq + 1).trim
         }.toMap
+        // FAIL/IGNORE/REPLACE resolve conflicts row-at-a-time in SQLite's
+        // scan order — route to the sequential simulation unless nothing
+        // on this table can conflict (then every policy IS the plain path)
+        if (policy != "ABORT" && policy != "ROLLBACK" &&
+            !policyTrivial(td, sets.keys))
+          return doUpdatePolicy(work, ts, alias, sets, whereText, policy)
         registerViews(work)
         val cond = if (whereText.trim.isEmpty) "true" else s"(${whereText.trim})"
         val proj = td.cols.map { c =>
@@ -2731,8 +2869,480 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             }
         }
         applyFkUpdateDelta(work, td, fkDelta, res0)
-      case _ => Left("near \"UPDATE\": syntax error")
+  }
+
+  /** UPDATE OR FAIL / OR IGNORE / OR REPLACE — SQLite's sequential
+    * conflict resolution, replayed exactly (every rule below probed live
+    * against SQLite 3.40 and pinned by UpdatePolicySpec):
+    *
+    *  - the statement precollects the WHERE-matched ROWIDs from the
+    *    before state, then processes each ascending against the CURRENT
+    *    occupant of that rowid — a rekeyed row moving onto a later matched
+    *    rowid is processed AGAIN with its current values, with no WHERE
+    *    re-check; a vacated/displaced rowid is skipped silently;
+    *  - per-row check order NOT NULL → CHECK → UNIQUE; IGNORE skips the
+    *    row (it keeps its old values, which stay visible to later
+    *    conflict checks), FAIL keeps the applied prefix AND reports the
+    *    error ([[pendingFailError]]), REPLACE deletes every row the new
+    *    key displaces (the victim may be an earlier-applied row — its
+    *    update still counted, fired and appeared in RETURNING), replaces
+    *    NULL in a NOT NULL column with the declared default (no default →
+    *    abort), and aborts on CHECK;
+    *  - FOREIGN KEY violations are NEVER policy-resolved: any dangling
+    *    child reference aborts the whole statement, prefix included;
+    *  - changes() counts applied rows; RETURNING and the trigger tape are
+    *    applied rows in processing order.
+    *
+    * The matched set materializes on the driver (the resolution is
+    * row-at-a-time by definition — SQLite itself is), capped at
+    * [[maxDriverRows]] with a loud error. Unchanged rows that can
+    * interact only through key collisions are fetched by per-spec
+    * semi-joins against the candidate keys — bounded by the matched
+    * count, never table-sized. */
+  private def doUpdatePolicy(work: Tables, ts: TableState,
+      alias: Option[String], sets: Map[String, String], whereText: String,
+      policy: String): Either[String, Long] = {
+    val td = ts.d
+    val eff = alias.getOrElse("__rv")
+    val n = td.cols.size
+    val ridRekey = td.rowidAlias.exists(c =>
+      sets.keys.exists(_.equalsIgnoreCase(c.name)))
+    if (ridRekey && triggers.values.exists(t =>
+        t.table.equalsIgnoreCase(td.name) && t.event == "UPDATE"))
+      return Left("UPDATE of the INTEGER PRIMARY KEY with UPDATE row " +
+        "triggers armed is not supported (rekeying breaks the firing tape)")
+    registerViews(work)
+    val cond = if (whereText.trim.isEmpty) "true" else s"(${whereText.trim})"
+    def capMsg = s"too many rows for OR $policy conflict resolution on " +
+      s"${td.name}: the statement involves more than $maxDriverRows rows " +
+      "(sequential conflict resolution materializes the matched rows on " +
+      "the driver; raise maxDriverRows)"
+    // parent-side FK delta: REPLACE can DELETE displaced rows, orphaning
+    // children through ANY referenced column — prep unconditionally when
+    // the table is referenced; other policies only when SET touches one
+    val fkDelta: Option[(DataFrame, TableState)] =
+      if (policy == "REPLACE" && fkEnabled &&
+          referencedCols(work, td).nonEmpty)
+        Some((ridDf(ts), ts.copyState))
+      else fkUpdateDeltaPrep(work, ts, sets.keys.toSeq)
+    def setExprOf(c: ColDef): Option[String] =
+      sets.collectFirst { case (sc, e) if sc.equalsIgnoreCase(c.name) => e }
+    val newCols = td.cols.map { c =>
+      val e = setExprOf(c).getOrElse(s"`${c.name}`")
+      s"CAST(($e) AS ${sparkTypeName(c)}) AS `${c.name}`"
+    }.mkString(", ")
+    val checkFlags =
+      if (td.checks.isEmpty) ""
+      else ", " + td.checks.zipWithIndex.map { case ((_, ex), i) =>
+        s"NOT COALESCE(($ex), TRUE) AS `__ck$i`" }.mkString(", ")
+    // one batch evaluation of the SET projection + generated-column
+    // levels + CHECK flags over the matched before-state rows, OLD
+    // images riding along as __po* so one collect carries everything
+    val newRidSel =
+      if (!ridRekey) "`__rowid`"
+      else s"CAST((${setExprOf(td.rowidAlias.get).get}) AS BIGINT)"
+    val oldAliases = td.cols.zipWithIndex
+      .map { case (c, i) => s"`${c.name}` AS `__po$i`" }.mkString(", ")
+    val keyCols = Seq("__ord", "__rowid", "__newrid") ++
+      td.cols.indices.map(i => s"__po$i")
+    val inner =
+      s"SELECT `__ord`, `__rowid`, $newRidSel AS `__newrid`, $oldAliases, " +
+        s"$newCols FROM ${ridView(td.name)} AS `$eff` WHERE $cond"
+    val leveled = withGenLevels(td, inner, keyCols)
+    val matchedSql =
+      if (td.checks.isEmpty) leveled
+      else s"SELECT *$checkFlags FROM ($leveled)"
+    val matched =
+      try collectCapped(session.sql(matchedSql).orderBy("__rowid"),
+        maxDriverRows)
+      catch {
+        case _: TriggerDiffTooLarge => return Left(capMsg)
+        case e: Exception => return Left(friendlyError(e))
+      }
+    final case class Cand(ord: Long, rid: Long, newRid: Any,
+        old: IndexedSeq[Any], nw: IndexedSeq[Any], ck: Option[String])
+    val nwBase = 3 + n
+    val changed: Vector[Cand] = matched.iterator.map { r =>
+      val ck = td.checks.zipWithIndex.collectFirst {
+        case ((label, _), i) if r.getBoolean(nwBase + n + i) => label }
+      Cand(r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        (3 until 3 + n).map(r.get).toIndexedSeq,
+        (nwBase until nwBase + n).map(r.get).toIndexedSeq, ck)
+    }.toVector
+    if (changed.isEmpty) {
+      updPolicyFirings = Some(Nil)
+      captureRet(td, Vector.empty)
+      return Right(0)
     }
+    val specs = uniqueSpecs(td)
+    def norm(v: Any): Any = v match {
+      case b: Array[Byte] => b.toSeq
+      case x => x
+    }
+    def keyOf(vals: IndexedSeq[Any], idxs: Seq[Int]): IndexedSeq[Any] =
+      idxs.map(i => norm(vals(i))).toIndexedSeq
+    // tracked rows: the matched set plus every unchanged row whose key
+    // under some spec collides with a candidate new key (the only
+    // unchanged rows any skip/displace decision can involve)
+    val changedRidSet = changed.map(_.rid).toSet
+    val ridSchema =
+      StructType(Seq(StructField("__qr", LongType, nullable = false)))
+    def ridsDf(rids: Iterable[Long]) = session.createDataFrame(
+      rids.toSeq.map(Row(_)).asJava, ridSchema)
+    val baseDf = ridDf(ts)
+    val unchangedDf = baseDf.join(broadcast(ridsDf(changedRidSet)),
+      col("__rowid") === col("__qr"), "left_anti")
+    var partnersDf: Option[DataFrame] = None
+    specs.foreach { case (idxs, _) =>
+      val keys = changed.iterator.map(c => idxs.map(c.nw(_)).toIndexedSeq)
+        .filter(!_.contains(null)).toSeq.distinct
+      if (keys.nonEmpty) {
+        val kschema = StructType(idxs.zipWithIndex.map { case (ci, j) =>
+          StructField(s"__k$j", td.schema.fields(ci).dataType,
+            nullable = true) })
+        val kdf =
+          session.createDataFrame(keys.map(Row.fromSeq(_)).asJava, kschema)
+        val on = idxs.zipWithIndex.map { case (ci, j) =>
+          col(td.cols(ci).name) === col(s"__k$j") }.reduce(_ && _)
+        val sj = unchangedDf.join(broadcast(kdf), on, "left_semi")
+        partnersDf = Some(partnersDf.map(_.unionAll(sj)).getOrElse(sj))
+      }
+    }
+    val partners: Vector[(Long, Long, IndexedSeq[Any])] = partnersDf match {
+      case None => Vector.empty
+      case Some(pdf) =>
+        val rows =
+          try collectCapped(pdf.dropDuplicates("__rowid"), maxDriverRows)
+          catch { case _: TriggerDiffTooLarge => return Left(capMsg) }
+        rows.iterator.map(r => (r.getLong(0), r.getLong(1),
+          (2 until 2 + n).map(r.get).toIndexedSeq)).toVector
+    }
+    val trackedRidSet = mutable.HashSet[Long]() ++
+      changedRidSet ++ partners.iterator.map(_._2)
+    // child-side FK membership for the candidate new values: static
+    // parents resolve as one semi-join each; a self-referential parent
+    // additionally checks the evolving tracked state at sim time
+    final case class FkC(ci: Int, selfRef: Boolean, parentCol: Int,
+        exists: mutable.Set[Any])
+    var fkChecks = Vector.empty[FkC]
+    if (fkEnabled) td.cols.zipWithIndex.foreach { case (c, ci) =>
+      c.ref.foreach { case (refTable, refColOpt) =>
+        val parent = work.getOrElse(refTable.toLowerCase,
+          return Left("FOREIGN KEY constraint failed"))
+        val refCol =
+          if (refColOpt.nonEmpty) refColOpt
+          else parent.d.rowidAlias.map(_.name).getOrElse("")
+        val pIdx = parent.d.colIndex(refCol)
+        if (pIdx < 0) return Left("FOREIGN KEY constraint failed")
+        val cands = changed.iterator.map(_.nw(ci))
+          .filter(_ != null).toSeq.distinct
+        if (cands.nonEmpty) {
+          val selfRef = parent.d.name.equalsIgnoreCase(td.name)
+          val pBase =
+            if (!selfRef) storeDf(parent.d, parent.store)
+            else baseDf.join(broadcast(ridsDf(trackedRidSet)),
+              col("__rowid") === col("__qr"), "left_anti")
+          val cdf = session.createDataFrame(
+            cands.map(Row(_)).asJava,
+            StructType(Seq(StructField("__kv",
+              td.schema.fields(ci).dataType, nullable = true))))
+          val ex = mutable.HashSet[Any]() ++ pBase
+            .select(col(parent.d.cols(pIdx).name).as("__pv"))
+            .filter(col("__pv").isNotNull)
+            .join(broadcast(cdf), col("__pv") === col("__kv"), "left_semi")
+            .distinct().collect().iterator.map(r => norm(r.get(0)))
+          fkChecks :+= FkC(ci, selfRef, parent.d.colIndex(refCol), ex)
+        }
+      }
+    }
+    // ---- the sequential simulation (pure driver work) ----
+    val cur = mutable.HashMap[Long, (Long, IndexedSeq[Any])]()
+    changed.foreach(c => cur(c.rid) = (c.ord, c.old))
+    partners.foreach(p => cur(p._2) = (p._1, p._3))
+    val dirty = mutable.HashSet[Long]()
+    val keyIdx = specs.map { case (idxs, _) =>
+      val m = mutable.HashMap[IndexedSeq[Any], Long]()
+      cur.foreach { case (rid, (_, vals)) =>
+        val k = keyOf(vals, idxs)
+        if (!k.contains(null)) m(k) = rid
+      }
+      m
+    }.toIndexedSeq
+    def dropKeys(rid: Long, vals: IndexedSeq[Any]): Unit =
+      specs.zipWithIndex.foreach { case ((idxs, _), s) =>
+        val k = keyOf(vals, idxs)
+        if (!k.contains(null) && keyIdx(s).get(k).contains(rid))
+          keyIdx(s) -= k
+      }
+    def putKeys(rid: Long, vals: IndexedSeq[Any]): Unit =
+      specs.zipWithIndex.foreach { case ((idxs, _), s) =>
+        val k = keyOf(vals, idxs)
+        if (!k.contains(null)) keyIdx(s)(k) = rid
+      }
+    lazy val defVals: Map[Int, Any] = td.cols.zipWithIndex.collect {
+      case (c, i) if c.notNull && c.default.isDefined =>
+        i -> session.sql(
+          s"SELECT CAST((${c.default.get}) AS ${sparkTypeName(c)})")
+          .head.get(0)
+    }.toMap
+    // a re-evaluated (moved) row or a default-substituted image can carry
+    // keys OUTSIDE the precomputed candidate set — their conflict partners
+    // were never semi-joined in. Pull any such untracked row in live
+    // (untracked rows never change during the statement, so the before
+    // DF is exact); at most one per spec per supplemented row.
+    def supplementPartners(nw: IndexedSeq[Any]): Unit =
+      specs.zipWithIndex.foreach { case ((idxs, _), s) =>
+        val k = keyOf(nw, idxs)
+        if (!k.contains(null) && !keyIdx(s).contains(k)) {
+          val flt = idxs.map(ci => col(td.cols(ci).name) <=>
+            org.apache.spark.sql.functions.lit(nw(ci))).reduce(_ && _)
+          baseDf.filter(flt).collect().foreach { r =>
+            val rid = r.getLong(1)
+            if (!trackedRidSet.contains(rid)) {
+              trackedRidSet += rid
+              val vals = (2 until 2 + n).map(r.get).toIndexedSeq
+              cur(rid) = (r.getLong(0), vals)
+              putKeys(rid, vals)
+              // the row is tracked now: the evolving cur-scan is the
+              // authority for self-referential FK membership, not the
+              // static untracked-exists snapshot taken at prep time
+              fkChecks.foreach(fc =>
+                if (fc.selfRef) fc.exists -= norm(vals(fc.parentCol)))
+            }
+          }
+        }
+      }
+    val tape = Vector.newBuilder[
+      (String, Option[IndexedSeq[Any]], Option[IndexedSeq[Any]])]
+    val retRows = Vector.newBuilder[(Long, IndexedSeq[Any])]
+    var applied = 0L
+    var abortErr: Option[String] = None
+    var failed = false
+    val it = changed.iterator
+    while (it.hasNext && abortErr.isEmpty && !failed) {
+      val c0 = it.next()
+      cur.get(c0.rid) match {
+        case None => () // displaced or moved away before its turn
+        case Some((ord, occ)) =>
+          val fresh: Either[String, (Any, IndexedSeq[Any], Option[String])] =
+            if (!dirty(c0.rid)) Right((c0.newRid, c0.nw, c0.ck))
+            else policyReeval(td, eff, sets, ridRekey, c0.rid, occ)
+          fresh match {
+            case Left(e) => abortErr = Some(e)
+            case Right((newRid0, nw0, ck0)) =>
+              var nw = nw0
+              var ck = ck0
+              var skip = false
+              // keys may have left the precomputed candidate set
+              var keysChanged = dirty(c0.rid)
+              val newRid: Long =
+                if (!ridRekey) c0.rid
+                else if (newRid0 == null) {
+                  abortErr = Some("datatype mismatch"); -1L
+                } else newRid0.asInstanceOf[Long]
+              if (abortErr.isEmpty) {
+                val nnIdx = td.cols.indices.filter(i =>
+                  td.cols(i).notNull && !td.cols(i).isRowidAlias &&
+                    nw(i) == null)
+                if (nnIdx.nonEmpty) policy match {
+                  case "IGNORE" => skip = true
+                  case "FAIL" =>
+                    pendingFailError = Some("NOT NULL constraint failed: " +
+                      s"${td.name}.${td.cols(nnIdx.head).name}")
+                    failed = true
+                  case _ => // REPLACE: declared default or abort
+                    nnIdx.find(i => !defVals.contains(i)) match {
+                      case Some(i) => abortErr =
+                        Some("NOT NULL constraint failed: " +
+                          s"${td.name}.${td.cols(i).name}")
+                      case None =>
+                        nnIdx.foreach(i => nw = nw.updated(i, defVals(i)))
+                        keysChanged = true
+                        if (td.genColsOrdered.nonEmpty)
+                          nw = computeGens(td, Seq(nw)).head.toIndexedSeq
+                        if (td.checks.nonEmpty)
+                          policyChecksOf(td, nw) match {
+                            case Left(e) => abortErr = Some(e)
+                            case Right(x) => ck = x
+                          }
+                    }
+                }
+              }
+              if (abortErr.isEmpty && !skip && !failed) ck.foreach { label =>
+                policy match {
+                  case "IGNORE" => skip = true
+                  case "FAIL" =>
+                    pendingFailError =
+                      Some(s"CHECK constraint failed: $label")
+                    failed = true
+                  case _ => abortErr =
+                    Some(s"CHECK constraint failed: $label")
+                }
+              }
+              if (abortErr.isEmpty && !skip && !failed) {
+                if (keysChanged) supplementPartners(nw)
+                if (policy == "REPLACE") {
+                  specs.zipWithIndex.foreach { case ((idxs, _), s) =>
+                    val k = keyOf(nw, idxs)
+                    if (!k.contains(null))
+                      keyIdx(s).get(k).filter(_ != c0.rid).foreach { v =>
+                        val vVals = cur(v)._2
+                        dropKeys(v, vVals)
+                        cur -= v
+                        dirty -= v
+                      }
+                  }
+                } else {
+                  val hit = specs.zipWithIndex.collectFirst {
+                    case ((idxs, desc), s) if {
+                      val k = keyOf(nw, idxs)
+                      !k.contains(null) &&
+                        keyIdx(s).get(k).exists(_ != c0.rid)
+                    } => desc
+                  }
+                  hit.foreach { desc =>
+                    if (policy == "IGNORE") skip = true
+                    else {
+                      pendingFailError =
+                        Some(s"UNIQUE constraint failed: $desc")
+                      failed = true
+                    }
+                  }
+                }
+              }
+              if (abortErr.isEmpty && !skip && !failed) {
+                dropKeys(c0.rid, occ)
+                cur -= c0.rid
+                cur(newRid) = (ord, nw)
+                dirty += newRid
+                putKeys(newRid, nw)
+                fkChecks.foreach { fc =>
+                  if (abortErr.isEmpty) {
+                    val v = nw(fc.ci)
+                    if (v != null) {
+                      val ok = fc.exists(norm(v)) || (fc.selfRef &&
+                        cur.valuesIterator.exists(t =>
+                          norm(t._2(fc.parentCol)) == norm(v)))
+                      if (!ok)
+                        abortErr = Some("FOREIGN KEY constraint failed")
+                    }
+                  }
+                }
+                if (abortErr.isEmpty) {
+                  tape += (("UPDATE", Some(nw), Some(occ)))
+                  retRows += ((newRid, nw))
+                  applied += 1
+                }
+              }
+          }
+      }
+    }
+    abortErr match {
+      case Some(e) =>
+        pendingFailError = None
+        return Left(e)
+      case None => ()
+    }
+    if (applied > 0 || cur.size != trackedRidSet.size) ts.store match {
+      case Mem(memRows) =>
+        val merged = (memRows.filterNot(r => trackedRidSet.contains(r._1)) ++
+          cur.iterator.map { case (rid, (_, vals)) => (rid, vals) })
+          .sortBy(_._1)
+        ts.store = Mem(merged)
+      case big: Big =>
+        val tschema = StructType(
+          StructField("__ord", LongType, nullable = false) +:
+            StructField("__rowid", LongType, nullable = false) +:
+            td.schema.fields)
+        val updRows = cur.toSeq.sortBy(_._1).map { case (rid, (ord, vals)) =>
+          Row.fromSeq(ord +: rid +: vals) }
+        val updDf = session.createDataFrame(updRows.asJava, tschema)
+        val keepDf = big.df.join(broadcast(ridsDf(trackedRidSet)),
+          col("__rowid") === col("__qr"), "left_anti")
+        val newDf = keepDf.unionByName(updDf)
+        val n2 = big.n - trackedRidSet.size + cur.size
+        ts.store =
+          if (root.isEmpty) Big(newDf.localCheckpoint(), n2, big.nextOrd)
+          else bigPartitionedFull(td.name, newDf, n2, big.nextOrd)
+    }
+    updPolicyFirings = Some(tape.result())
+    captureRet(td, retRows.result())
+    if (applied > 0) fkDelta match {
+      case Some((beforeDf, backup)) =>
+        fkParentDelta(work, ts, beforeDf,
+          deleteLike = policy == "REPLACE") match {
+          case Left(e) =>
+            work(td.name.toLowerCase) = backup
+            pendingFailError = None
+            return Left(e)
+          case Right(_) => ()
+        }
+      case None => ()
+    }
+    Right(applied)
+  }
+
+  /** Re-evaluate the SET projection for ONE row whose current values
+    * differ from its before-statement image (a rekeyed row moved onto a
+    * later matched rowid — SQLite processes the matched-rowid list
+    * against current occupants, probed live). One tiny local VALUES
+    * query through the same CAST + gen-level + CHECK pipeline. */
+  private def policyReeval(td: TableDef, eff: String,
+      sets: Map[String, String], ridRekey: Boolean, rid: Long,
+      vals: IndexedSeq[Any])
+      : Either[String, (Any, IndexedSeq[Any], Option[String])] = {
+    val n = td.cols.size
+    def setExprOf(c: ColDef): Option[String] =
+      sets.collectFirst { case (sc, e) if sc.equalsIgnoreCase(c.name) => e }
+    val lits = vals.map(sqlLiteral).mkString(", ")
+    val vcols = td.cols.map(c => s"`${c.name}`").mkString(", ")
+    val typed = td.cols.map(c =>
+      s"CAST(`${c.name}` AS ${sparkTypeName(c)}) AS `${c.name}`")
+      .mkString(", ")
+    val newCols = td.cols.map { c =>
+      val e = setExprOf(c).getOrElse(s"`${c.name}`")
+      s"CAST(($e) AS ${sparkTypeName(c)}) AS `${c.name}`"
+    }.mkString(", ")
+    val newRidExpr =
+      if (ridRekey) s"CAST((${setExprOf(td.rowidAlias.get).get}) AS BIGINT)"
+      else s"${rid}L"
+    val inner = s"SELECT $newRidExpr AS `__newrid`, $newCols FROM " +
+      s"(SELECT $typed FROM (VALUES ($lits)) AS __pv($vcols)) AS `$eff`"
+    val leveled = withGenLevels(td, inner, Seq("__newrid"))
+    val q =
+      if (td.checks.isEmpty) leveled
+      else s"SELECT *, " + td.checks.zipWithIndex.map { case ((_, ex), i) =>
+        s"NOT COALESCE(($ex), TRUE) AS `__ck$i`" }.mkString(", ") +
+        s" FROM ($leveled)"
+    try {
+      val r = session.sql(q).head()
+      val ckFail = td.checks.zipWithIndex.collectFirst {
+        case ((label, _), i) if r.getBoolean(1 + n + i) => label }
+      Right((if (r.isNullAt(0)) null else r.getLong(0),
+        (1 until 1 + n).map(r.get).toIndexedSeq, ckFail))
+    } catch { case e: Exception => Left(friendlyError(e)) }
+  }
+
+  /** CHECK flags for one driver-held row image (REPLACE's NOT NULL
+    * default substitution changes values after the batch evaluation):
+    * first failing check's label, through one local VALUES query. */
+  private def policyChecksOf(td: TableDef, vals: IndexedSeq[Any])
+      : Either[String, Option[String]] = {
+    val lits = vals.map(sqlLiteral).mkString(", ")
+    val vcols = td.cols.map(c => s"`${c.name}`").mkString(", ")
+    val typed = td.cols.map(c =>
+      s"CAST(`${c.name}` AS ${sparkTypeName(c)}) AS `${c.name}`")
+      .mkString(", ")
+    val flags = td.checks.zipWithIndex.map { case ((_, ex), i) =>
+      s"NOT COALESCE(($ex), TRUE) AS `__ck$i`" }.mkString(", ")
+    try {
+      val r = session.sql(s"SELECT $flags FROM (SELECT $typed FROM " +
+        s"(VALUES ($lits)) AS __pv($vcols))").head()
+      Right(td.checks.zipWithIndex.collectFirst {
+        case ((label, _), i) if r.getBoolean(i) => label })
+    } catch { case e: Exception => Left(friendlyError(e)) }
+  }
 
   /** Parent-delta capture for UPDATE paths — taken only when the SET list
     * touches a referenced column (the delta itself is [[fkParentDelta]]

@@ -127,25 +127,38 @@ object OltpFuzz {
         val rows = (1 to int(2, 4))
           .map(_ => s"(${int(1, 14)}, ${int(-8, 9)}, '${word()}')")
         x(s"INSERT INTO t0 VALUES ${rows.mkString(", ")}")
-      case 4 => // upsert family
-        r.nextInt(4) match {
+      case 4 => // upsert / conflict-clause family
+        r.nextInt(6) match {
           case 0 => x(s"INSERT INTO t0 VALUES (${int(1, 12)}, ${int(0, 9)}, " +
             s"'${word()}') ON CONFLICT(id) DO UPDATE SET a = excluded.a + 1")
           case 1 => x(s"INSERT INTO t0 VALUES (${int(1, 12)}, ${int(0, 9)}, " +
             s"'${word()}') ON CONFLICT(id) DO NOTHING")
           case 2 => x(s"INSERT OR IGNORE INTO t0 VALUES (${int(1, 12)}, " +
             s"${int(0, 9)}, '${word()}')")
+          case 3 => // OR FAIL: multi-row, a mid-batch conflict keeps the
+            // prefix AND reports the error (grammar v3)
+            val rows = (1 to int(2, 4))
+              .map(_ => s"(${int(1, 14)}, ${int(-8, 9)}, '${word()}')")
+            x(s"INSERT OR FAIL INTO t0 VALUES ${rows.mkString(", ")}")
+          case 4 => // OR ROLLBACK: aborts a live tx on constraint failure
+            x(s"INSERT OR ROLLBACK INTO t0 VALUES (${int(1, 12)}, " +
+              s"${int(-8, 9)}, '${word()}')")
           case _ => x(s"INSERT OR REPLACE INTO t0 VALUES (${int(1, 12)}, " +
             s"${int(0, 9)}, '${word()}')")
         }
-      case 5 | 6 => // update
+      case 5 | 6 => // update — sometimes with a conflict clause (UPDATE OR
+        // ABORT/FAIL/IGNORE/REPLACE/ROLLBACK, grammar v3): with t0's
+        // UNIQUE/CHECK armed these hit real sequential-resolution paths
         val set = r.nextInt(4) match {
           case 0 => s"a = a + ${int(1, 3)}"
           case 1 => s"a = ${int(-8, 9)}"
           case 2 => s"b = b || 'x'"
           case _ => s"a = a - 1, b = '${word()}'"
         }
-        x(s"UPDATE t0 SET $set WHERE ${pred()}")
+        val or = if (chance(0.35))
+          s"OR ${pick(Seq("ABORT", "FAIL", "IGNORE", "REPLACE", "ROLLBACK"))} "
+        else ""
+        x(s"UPDATE ${or}t0 SET $set WHERE ${pred()}")
       case 7 => x(s"DELETE FROM t0 WHERE ${pred()}")
       case 8 => // child-table traffic (FK semantics when armed)
         if (hasChild) r.nextInt(3) match {
@@ -302,6 +315,27 @@ object OltpFuzz {
           case _ => x(s"INSERT INTO t0 VALUES (${int(1, 9)}, ${int(0, 9)}, " +
             s"'${word()}') ON CONFLICT(id) DO UPDATE SET id = " +
             s"excluded.id + ${int(200, 240)}")
+        }
+      case 24 => // UPDATE conflict clauses, collision-heavy shapes
+        // (grammar v3): mass same-value SETs, IGNORE/REPLACE rekey CHAINS
+        // (id = id + 1 re-processes moved rows against current values),
+        // FAIL prefixes, ROLLBACK inside live transactions, RETURNING
+        // through the query path
+        r.nextInt(6) match {
+          case 0 => x(s"UPDATE OR IGNORE t0 SET a = ${int(-2, 4)} " +
+            s"WHERE ${pred()}")
+          case 1 => x(s"UPDATE OR REPLACE t0 SET a = ${int(-2, 4)} " +
+            s"WHERE id BETWEEN ${int(1, 4)} AND ${int(5, 9)}")
+          case 2 if !hasLog =>
+            x(s"UPDATE OR ${pick(Seq("IGNORE", "REPLACE"))} t0 " +
+              s"SET id = id + 1 WHERE id <= ${int(2, 6)}")
+          case 3 if !hasLog =>
+            x(s"UPDATE OR REPLACE t0 SET id = id + ${int(1, 2)}, " +
+              s"a = a + ${int(1, 3)} WHERE id <= ${int(2, 5)}")
+          case 4 => q(s"UPDATE OR IGNORE t0 SET a = a + ${int(1, 3)} " +
+            s"WHERE ${pred()} RETURNING id, a")
+          case _ => x(s"UPDATE OR ${pick(Seq("FAIL", "ROLLBACK"))} t0 " +
+            s"SET a = ${int(-2, 4)} WHERE id <= ${int(3, 8)}")
         }
       case 22 => // SQLite core-function probes (date/time family + misc):
         // deterministic args derived from row data; day-granular julian

@@ -136,9 +136,17 @@ def known_deviation(mine, theirs):
     #    comparing (the caller checks for the -converged suffix).
     if (("too many rows for row-trigger processing" in g
          or "too many rows for RETURNING processing" in g
-         or "too many rows for FK action processing" in g)
+         or "too many rows for FK action processing" in g
+         or "conflict resolution materializes the matched rows" in g)
             and mine.get("err")):
         return "driver-cap-vs-error-converged"
+    # 1c. Same driver boundary for UPDATE OR FAIL/IGNORE/REPLACE: the
+    #     sequential conflict resolution materializes the matched rows on
+    #     the driver; beyond maxDriverRows the engine refuses (nothing
+    #     applied) where in-process SQLite just runs the row loop.
+    if ("conflict resolution materializes the matched rows" in g
+            and not mine.get("err")):
+        return "update-policy-driver-cap"
     if ("too many rows for row-trigger processing" in g
             and not mine.get("err")):
         return "trigger-driver-cap"
