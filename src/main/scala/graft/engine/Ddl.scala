@@ -55,7 +55,8 @@ final case class ColDef(
     check: Option[(String, String)] = None, // (label, expr)
     gen: Option[(String, Boolean)] = None, // (expr, STORED)
     fkDelete: String = "NO ACTION", // ON DELETE action of `ref`
-    fkUpdate: String = "NO ACTION") { // ON UPDATE action of `ref`
+    fkUpdate: String = "NO ACTION", // ON UPDATE action of `ref`
+    autoInc: Boolean = false) { // INTEGER PRIMARY KEY AUTOINCREMENT
   def sparkType: DataType = Affinity.sparkType(affinity)
   /** SQLite: `INTEGER PRIMARY KEY` is an alias of the rowid. */
   def isRowidAlias: Boolean = pk && affinity == Affinity.Integer
@@ -274,7 +275,8 @@ object Ddl {
       check = check,
       gen = gen,
       fkDelete = if (ref.isDefined) fkAction("DELETE") else "NO ACTION",
-      fkUpdate = if (ref.isDefined) fkAction("UPDATE") else "NO ACTION")
+      fkUpdate = if (ref.isDefined) fkAction("UPDATE") else "NO ACTION",
+      autoInc = tsu.contains("AUTOINCREMENT"))
   }
 
   /** Canonical CREATE TABLE text for a TableDef — used when ALTER TABLE
@@ -295,6 +297,7 @@ object Ddl {
         }.getOrElse("") +
         (if (c.notNull) " NOT NULL" else "") +
         (if (c.pk) " PRIMARY KEY" else "") +
+        (if (c.autoInc) " AUTOINCREMENT" else "") +
         (if (c.unique) " UNIQUE" else "") +
         c.default.map(d => s" DEFAULT $d").getOrElse("") +
         c.check.map { case (label, e) =>

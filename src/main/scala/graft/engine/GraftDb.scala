@@ -916,6 +916,14 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     Ddl.parseCreate(sql) match {
       case Some(Ddl.Create(ine, td)) =>
         val key = td.name.toLowerCase
+        if (key == "sqlite_sequence")
+          return Left(
+            "object name reserved for internal use: sqlite_sequence")
+        // AUTOINCREMENT is valid ONLY on an INTEGER PRIMARY KEY rowid
+        // alias (SQLite rejects it anywhere else at parse time)
+        td.cols.find(c => c.autoInc && !c.isRowidAlias).foreach { _ =>
+          return Left("near \"AUTOINCREMENT\": syntax error")
+        }
         // generated-column shape errors (SQLite 3.40 texts, probed live)
         td.cols.find(c => c.gen.isDefined && c.pk).foreach { _ =>
           return Left("generated columns cannot be part of the PRIMARY KEY")
@@ -937,11 +945,110 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           if (ine) Right(0) else Left(s"table ${td.name} already exists")
         } else {
           work(key) = new TableState(td, sql, Mem(Vector.empty), 1L)
+          // the first AUTOINCREMENT table materializes the internal
+          // sequence catalog (SQLite: exists but empty until an insert)
+          if (td.cols.exists(_.autoInc)) ensureSeqTable(work)
           Right(0)
         }
       case None => sql match {
         case ctasRe(ine, name, select) => doCreateAs(work, ine != null, name, select)
         case _ => Left(s"near \"CREATE\": syntax error")
+      }
+    }
+
+  /** The internal `sqlite_sequence(name, seq)` catalog backing
+    * AUTOINCREMENT: a REAL table in `work` (so the query surface, user
+    * DML — `UPDATE sqlite_sequence SET seq = 0` resets numbering exactly
+    * like SQLite — tx snapshots, savepoints and recovery all come for
+    * free). TEXT/INTEGER affinities stand in for SQLite's blank ones. */
+  private def ensureSeqTable(work: Tables): Unit =
+    if (!work.contains("sqlite_sequence")) {
+      val td = TableDef("sqlite_sequence", Seq(
+        ColDef("name", Affinity.Text, notNull = false, pk = false,
+          unique = false, ref = None),
+        ColDef("seq", Affinity.Integer, notNull = false, pk = false,
+          unique = false, ref = None)))
+      work("sqlite_sequence") = new TableState(td,
+        "CREATE TABLE sqlite_sequence(name TEXT, seq INTEGER)",
+        Mem(Vector.empty), 1L)
+    }
+
+  /** DROP TABLE removes the table's sequence row (probed live); RENAME
+    * rewrites its name. No-ops when the catalog or row is absent. */
+  private def dropSeqRow(work: Tables, tname: String,
+      renameTo: Option[String] = None): Unit =
+    work.get("sqlite_sequence").foreach { ts =>
+      def matches(vals: IndexedSeq[Any]): Boolean = vals.headOption.exists {
+        case s: String => s.equalsIgnoreCase(tname); case _ => false
+      }
+      ts.store match {
+        case Mem(rows) => ts.store = Mem(renameTo match {
+          case None => rows.filterNot(r => matches(r._2))
+          case Some(nn) => rows.map(r =>
+            if (matches(r._2)) (r._1, IndexedSeq[Any](nn, r._2(1))) else r)
+        })
+        case b: Big =>
+          import org.apache.spark.sql.functions.{lower, lit, when}
+          val hit = lower(col("name")) === tname.toLowerCase
+          ts.store = renameTo match {
+            case None => mkBig(b.df.filter(!hit))
+            case Some(nn) => mkBig(b.df.withColumn("name",
+              when(hit, lit(nn)).otherwise(col("name"))))
+          }
+      }
+    }
+
+  /** Current high-water mark for an AUTOINCREMENT table (0 when the
+    * sequence row does not exist yet — SQLite's implicit floor). */
+  private def seqOf(work: Tables, tname: String): Long =
+    work.get("sqlite_sequence").map(_.store).collect {
+      case Mem(rows) => rows.collectFirst {
+        case (_, vals) if vals.headOption.exists {
+          case s: String => s.equalsIgnoreCase(tname); case _ => false
+        } => vals(1) match { case l: Long => l; case _ => 0L }
+      }.getOrElse(0L)
+      case b: Big => // a pathological fuzz run can spill even this table
+        val r = b.df.filter(org.apache.spark.sql.functions
+          .lower(col("name")) === tname.toLowerCase)
+          .selectExpr("max(seq)").head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+    }.getOrElse(0L)
+
+  /** Advance the sequence row after a successful INSERT on an
+    * AUTOINCREMENT table: seq = max(seq, largest rowid INSERTED by the
+    * statement) — never decreased, skipped/upserted candidates invisible
+    * (probed live). Statement undo paths restore it with the rest of the
+    * table map. */
+  private def bumpSeq(work: Tables, td: TableDef, maxInserted: Long): Unit =
+    if (td.cols.exists(_.autoInc)) {
+      ensureSeqTable(work)
+      val ts = work("sqlite_sequence")
+      val newSeq = math.max(seqOf(work, td.name), maxInserted)
+      ts.store match {
+        case Mem(rows) =>
+          val i = rows.indexWhere(_._2.headOption.exists {
+            case s: String => s.equalsIgnoreCase(td.name); case _ => false
+          })
+          if (i >= 0)
+            ts.store = Mem(rows.updated(i,
+              (rows(i)._1, IndexedSeq[Any](rows(i)._2.head, newSeq))))
+          else {
+            val rid = rowidBase(ts)
+            ts.store = Mem(rows :+ ((rid, IndexedSeq[Any](td.name, newSeq))))
+            ts.nextRowId = rid + 1
+          }
+        case b: Big =>
+          val upd = b.df.filter(org.apache.spark.sql.functions
+            .lower(col("name")) =!= td.name.toLowerCase)
+          val rid = rowidBase(ts)
+          val one = session.createDataFrame(
+            Seq(Row(b.nextOrd, rid, td.name, newSeq)).asJava,
+            StructType(Seq(
+              StructField("__ord", LongType, nullable = false),
+              StructField("__rowid", LongType, nullable = false),
+              StructField("name", StringType, nullable = true),
+              StructField("seq", LongType, nullable = true))))
+          ts.store = mkBig(upd.unionByName(one))
       }
     }
 
@@ -1000,13 +1107,16 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     Ddl.parseDrop(sql) match {
       case Some(Ddl.Drop(ie, name)) =>
         val key = name.toLowerCase
-        if (viewDefs.contains(key))
+        if (key == "sqlite_sequence")
+          Left("table sqlite_sequence may not be dropped")
+        else if (viewDefs.contains(key))
           Left(s"use DROP VIEW to delete view $name")
         else if (work.remove(key).isEmpty && !ie) Left(s"no such table: $name")
         else {
-          // SQLite drops a table's indexes and triggers with it
+          // SQLite drops a table's indexes, triggers and sequence row
           indexes.filterInPlace((_, ix) => !ix.table.equalsIgnoreCase(name))
           triggers.filterInPlace((_, t) => !t.table.equalsIgnoreCase(name))
+          dropSeqRow(work, name)
           Right(0)
         }
       case None => Ddl.parseDropIndex(sql) match {
@@ -1465,6 +1575,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     sql match {
       case alterRenameTableRe(oldName, newName) =>
         val key = oldName.toLowerCase
+        if (newName.toLowerCase == "sqlite_sequence")
+          return Left(
+            "object name reserved for internal use: sqlite_sequence")
         val ts = work.getOrElse(key, return Left(s"no such table: $oldName"))
         if (work.contains(newName.toLowerCase) && key != newName.toLowerCase)
           return Left(
@@ -1472,6 +1585,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         val td = ts.d.copy(name = newName)
         replaceEntry(key, newName.toLowerCase,
           new TableState(td, Ddl.renderCreate(td), ts.store, ts.nextRowId))
+        dropSeqRow(work, oldName, renameTo = Some(newName))
         // indexes and child FK references follow the rename
         indexes.mapValuesInPlace { (_, ix) =>
           if (ix.table.equalsIgnoreCase(oldName)) ix.copy(table = newName) else ix
@@ -1615,6 +1729,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     """(?is)^\s*(INSERT(?:\s+OR\s+(REPLACE|IGNORE|ABORT|FAIL|ROLLBACK))?|REPLACE)\s+INTO\s+[`"]?([A-Za-z_][A-Za-z0-9_]*)[`"]?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.+?)\s*;?\s*$""".r
   private val insertSelRe =
     """(?is)^\s*(INSERT(?:\s+OR\s+(REPLACE|IGNORE|ABORT|FAIL|ROLLBACK))?|REPLACE)\s+INTO\s+[`"]?([A-Za-z_][A-Za-z0-9_]*)[`"]?\s*(?:\(([^)]*)\))?\s*((?:SELECT|WITH)\s.+?)\s*;?\s*$""".r
+  private val insertDefaultsRe =
+    """(?is)^\s*(INSERT(?:\s+OR\s+(REPLACE|IGNORE|ABORT|FAIL|ROLLBACK))?|REPLACE)\s+INTO\s+[`"]?([A-Za-z_][A-Za-z0-9_]*)[`"]?\s+DEFAULT\s+VALUES\s*;?\s*$""".r
   private val onConflictRe =
     """(?is)^ON\s+CONFLICT\s*(?:\(([^)]*)\))?\s*DO\s+(NOTHING|UPDATE\s+SET\s+.+)\s*$""".r
 
@@ -1651,11 +1767,15 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     val ts = tsOpt.get
     val beforeDf = ridDf(ts)
     val backup = ts.copyState
+    // an AUTOINCREMENT insert also bumps the sequence row — a failing
+    // delta guard must roll that back with the table
+    val seqBackup = work.get("sqlite_sequence").map(_.copyState)
     insertRows(work, tname, colList, source, policy).flatMap { n =>
       fkParentDelta(work, ts, beforeDf,
         deleteLike = policy == Conflict.Replace) match {
         case Left(e) =>
           work(tname.toLowerCase) = backup
+          seqBackup.foreach(work("sqlite_sequence") = _)
           Left(e)
         case Right(_) => Right(n)
       }
@@ -1677,6 +1797,22 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       if (mod == null || !mod.equalsIgnoreCase("ROLLBACK")) r
       else r.left.map { e => if (constraintErr(e)) abortOpenTx(); e }
     sql match {
+      case insertDefaultsRe(head, mod, tname) =>
+        // INSERT INTO t DEFAULT VALUES — one all-defaults row: declared
+        // DEFAULT expressions (or NULL) for every stored column, the
+        // rowid alias auto-assigns via its NULL, generated columns
+        // compute as usual. Rewritten onto the normal VALUES pipeline so
+        // every policy/constraint/trigger path is shared.
+        if (viewDefs.contains(tname.toLowerCase))
+          return Left(s"cannot modify $tname because it is a view")
+        val ts = work.getOrElse(tname.toLowerCase,
+          return Left(s"no such table: $tname"))
+        val stored = ts.d.cols.filter(_.gen.isEmpty)
+        val colList = stored.map(_.name).mkString(", ")
+        val tail = stored.map(_.default.getOrElse("NULL"))
+          .mkString("(", ", ", ")")
+        withRollback(mod, insertWithFkDelta(work, tname, colList,
+          Left(tail), headPolicy(head, mod)))
       case insertRe(head, mod, tname, colList, tail0) =>
         // the ON CONFLICT clause rides on the VALUES tail; locate it with
         // the quote/paren-aware scanner so "ON CONFLICT" inside a VALUES
@@ -1874,8 +2010,14 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         bulkInsertBig(work, ts, targetCols, defaults, rowidIdx, stable, policy)
       case Some(incoming) =>
         // Build candidate full rows + rowids (sequential — exact SQLite
-        // max(current)+1 assignment, freed top rowids reused).
-        val autoBase = rowidBase(ts)
+        // max(current)+1 assignment, freed top rowids reused; an
+        // AUTOINCREMENT table additionally floors at its sequence row,
+        // so freed top rowids are NEVER reused).
+        val autoBase = {
+          val b = rowidBase(ts)
+          if (td.cols.exists(_.autoInc)) math.max(b, seqOf(work, td.name) + 1)
+          else b
+        }
         var nextId = autoBase
         var lastId = lastRowId
         // tentative assignment: SQLite assigns a rowid only when a row
@@ -1923,6 +2065,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                         case (nx, (rid, _)) => math.max(nx, rid + 1)
                       }
                       maybeSpill(ts)
+                      insRids.take(k).flatten.reduceOption(_ max _)
+                        .foreach(bumpSeq(work, td, _))
                       pendingFailError = Some(err)
                       Right(k.toLong)
                     } else Left(err)
@@ -1931,6 +2075,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                     ts.nextRowId = nextId
                     lastOpt.foreach(lastRowId = _)
                     maybeSpill(ts)
+                    insRids.flatten.reduceOption(_ max _)
+                      .foreach(bumpSeq(work, td, _))
                     Right(affected)
                 }
             }
@@ -2233,12 +2379,17 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
               insRids.take(k).flatten.lastOption.foreach(lastRowId = _)
               if (policy == Conflict.Fail && constraintErr(err)) {
                 pendingFailError = Some(err)
+                insRids.take(k).flatten.reduceOption(_ max _)
+                  .foreach(bumpSeq(work, td, _))
                 Right((fin0.take(base.size + k), k.toLong,
                   candidates.take(k).foldLeft(autoBase) {
                     case (nx, (rid, _)) => math.max(nx, rid + 1)
                   }, None))
               } else Left(err)
-            case Right(_) => Right((fin0, affected0, nextId, lastOpt0))
+            case Right(_) =>
+              insRids.flatten.reduceOption(_ max _)
+                .foreach(bumpSeq(work, td, _))
+              Right((fin0, affected0, nextId, lastOpt0))
           }
         resolved.map { case (fin, affected, nextId2, lastOpt) =>
           val ordByRid = mini.map { case (rid, (o, _)) => rid -> o }.toMap
@@ -2318,7 +2469,11 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     val dflt = defaults.toArray
     val ridIx = rowidIdx
     val ordBase = big.nextOrd
-    val ridBase = rowidBase(ts)
+    val ridBase = {
+      val b = rowidBase(ts)
+      if (td.cols.exists(_.autoInc)) math.max(b, seqOf(work, td.name) + 1)
+      else b
+    }
     // __auto marks rows whose rowid was assigned (vs explicit) so nextRowId
     // advances exactly like the Mem path's running bookkeeping
     val schema = StructType(
@@ -2456,6 +2611,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                 s"coalesce(max(__rowid), ${ridBase - 1}) AS m").head()
               ts.store = mkBig(big.df.union(prefix))
               ts.nextRowId = math.max(ts.nextRowId, st.getLong(1) + 1)
+              if (st.getLong(0) > 0) bumpSeq(work, td, st.getLong(1))
               pendingFailError = Some(msg)
               Right(st.getLong(0))
             } else Left(msg)
@@ -2463,6 +2619,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             ts.store = mkBig(merged)
             ts.nextRowId = newNextId
             lastRowId = lastRid
+            if (candN > 0) bumpSeq(work, td, stats.getLong(1))
             Right(candN)
         }
       case Conflict.Ignore =>
@@ -2553,10 +2710,14 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         val merged = big.df.union(keptC)
         validateBulk(work, td, keptC, merged).map { _ =>
           val ks = keptC.selectExpr("count(*) AS c",
-            "max_by(__rowid, __ord) AS last").head()
+            "max_by(__rowid, __ord) AS last",
+            "max(__rowid) AS mx").head()
           ts.store = mkBig(merged)
           ts.nextRowId = newNextId
-          if (ks.getLong(0) > 0) lastRowId = ks.getLong(1)
+          if (ks.getLong(0) > 0) {
+            lastRowId = ks.getLong(1)
+            bumpSeq(work, td, ks.getLong(2))
+          }
           ks.getLong(0)
         }
       case Conflict.Replace =>
@@ -2595,6 +2756,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           ts.store = mkBig(merged)
           ts.nextRowId = newNextId
           lastRowId = lastRid
+          if (candN > 0) bumpSeq(work, td, stats.getLong(1))
           candN
         }
       case _: Conflict.Upsert =>

@@ -46,6 +46,7 @@ object OltpFuzz {
     // generator-side model of the schema (for plausible statements)
     private var t0HasUnique = false
     private var t0HasCheck = false
+    private var t0AutoInc = false
     private var t0HasD = false // ALTER-added column
     private var t0HasGen = false // generated column gq in CREATE
     private var t0HasG2 = false // ALTER-added generated column
@@ -69,13 +70,18 @@ object OltpFuzz {
       t0HasUnique = chance(0.5)
       t0HasCheck = chance(0.35)
       t0HasGen = chance(0.3)
+      t0AutoInc = chance(0.3)
       val uniq = if (t0HasUnique) " UNIQUE" else ""
       // a generated column on the MAIN table makes every DML case in the
       // grammar exercise recompute-on-write differentially (SQLite 3.31)
       val gen = if (t0HasGen)
         ", gq INTEGER GENERATED ALWAYS AS (a * 2 + length(b))" else ""
       val chk = if (t0HasCheck) ", CHECK (a >= -5)" else ""
-      x(s"CREATE TABLE t0 (id INTEGER NOT NULL PRIMARY KEY, a INTEGER$uniq, " +
+      // AUTOINCREMENT (30%): every DELETE-then-INSERT in the batch then
+      // differentially pins monotonic (never-reused) rowids + the
+      // sqlite_sequence bookkeeping (grammar v3)
+      val ai = if (t0AutoInc) " AUTOINCREMENT" else ""
+      x(s"CREATE TABLE t0 (id INTEGER NOT NULL PRIMARY KEY$ai, a INTEGER$uniq, " +
         s"b TEXT$gen$chk)")
       if (chance(0.5)) {
         hasChild = true
@@ -100,6 +106,13 @@ object OltpFuzz {
         x(s"CREATE TRIGGER trg $ev")
       }
       if (chance(0.3)) x("CREATE INDEX idx_a ON t0(a)")
+      // a UNIQUE index (20%) gives t0 a SECOND uniqueness spec: conflict
+      // policies then exercise multi-spec chains (a row skipped for one
+      // spec keeps blocking the other) and REPLACE multi-victim deletes
+      else if (chance(0.2)) {
+        if (chance(0.5)) x("CREATE UNIQUE INDEX uidx ON t0(b)")
+        else x("CREATE UNIQUE INDEX uidx ON t0(a, b)")
+      }
       // a few guaranteed rows so early UPDATE/DELETE have targets
       (1 to int(2, 5)).foreach { _ =>
         x(s"INSERT INTO t0(a, b) VALUES (${int(-3, 9)}, '${word()}')")
@@ -118,8 +131,9 @@ object OltpFuzz {
     }
 
     private def step(): Unit = r.nextInt(25) match {
-      case 0 | 1 | 2 => // plain insert, explicit or auto id
-        if (chance(0.5))
+      case 0 | 1 | 2 => // plain insert: explicit id, auto id, or all-defaults
+        if (chance(0.12)) x("INSERT INTO t0 DEFAULT VALUES")
+        else if (chance(0.5))
           x(s"INSERT INTO t0 VALUES (${int(1, 12)}, ${int(-8, 9)}, '${word()}')")
         else
           x(s"INSERT INTO t0(a, b) VALUES (${int(-8, 9)}, '${word()}')")
@@ -383,10 +397,12 @@ object OltpFuzz {
         }
     }
 
-    private def probe(): Unit = r.nextInt(4) match {
+    private def probe(): Unit = r.nextInt(5) match {
       case 0 => q("SELECT * FROM t0 ORDER BY id")
       case 1 => q("SELECT count(*) AS n FROM t0")
       case 2 => q(s"SELECT id, a FROM t0 WHERE a > ${int(-4, 6)} ORDER BY id")
+      case 3 if t0AutoInc =>
+        q("SELECT name, seq FROM sqlite_sequence ORDER BY name")
       case _ if hasLog => q("SELECT lid, tag FROM log ORDER BY lid")
       case _ => q("SELECT id, b FROM t0 ORDER BY id")
     }
@@ -397,6 +413,7 @@ object OltpFuzz {
       q("SELECT count(*) AS n FROM t0")
       if (hasChild) q("SELECT * FROM t1 ORDER BY id")
       if (hasLog) q("SELECT lid, tag FROM log ORDER BY lid")
+      if (t0AutoInc) q("SELECT name, seq FROM sqlite_sequence ORDER BY name")
     }
   }
 }
