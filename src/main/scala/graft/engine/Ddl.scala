@@ -63,7 +63,15 @@ final case class ColDef(
 }
 
 final case class TableDef(name: String, cols: Seq[ColDef],
-    tableChecks: Seq[(String, String)] = Nil) {
+    tableChecks: Seq[(String, String)] = Nil,
+    // composite table-level constraints, in clause order (the order
+    // governs SQLite's error text and table_info pk ordinals):
+    // a >1-column PRIMARY KEY (...) — a plain unique spec over the tuple
+    // (NULLs allowed: the rowid-table historic quirk) that is NOT a rowid
+    // alias — and each >1-column UNIQUE (...). Single-column table-level
+    // clauses keep folding onto the ColDef flags.
+    pkSet: Seq[String] = Nil,
+    uniqueSets: Seq[Seq[String]] = Nil) {
   def schema: StructType =
     StructType(cols.map(c => StructField(c.name, c.sparkType, nullable = true)))
   def rowidAlias: Option[ColDef] = cols.find(_.isRowidAlias)
@@ -125,17 +133,31 @@ object Ddl {
       val items = SqlText.splitTopLevel(body).map(_.trim).filter(_.nonEmpty)
       val cols = Seq.newBuilder[ColDef]
       var tablePk: Option[String] = None
+      var pkSet: Seq[String] = Nil
       var tableUnique: Set[String] = Set.empty
+      var uniqueSets: Seq[Seq[String]] = Nil
       var tableFk: Map[String, (String, String)] = Map.empty
       var tableChecks: Seq[(String, String)] = Nil
+      def clauseCols(item: String): Seq[String] =
+        "\\(([^)]*)\\)".r.findFirstMatchIn(item).toSeq.flatMap(
+          _.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")
+            .stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
       items.foreach { item =>
         val u = item.toUpperCase
         if (u.startsWith("PRIMARY KEY")) {
-          tablePk = "\\(([^)]*)\\)".r.findFirstMatchIn(item)
-            .map(_.group(1).split(",")(0).trim)
+          // single column folds onto the ColDef (an INTEGER one is the
+          // rowid alias); a composite key is a tuple-level unique spec
+          clauseCols(item) match {
+            case Seq(one) => tablePk = Some(one)
+            case many if many.size > 1 => pkSet = many
+            case _ =>
+          }
         } else if (u.startsWith("UNIQUE")) {
-          "\\(([^)]*)\\)".r.findFirstMatchIn(item)
-            .foreach(m => tableUnique ++= m.group(1).split(",").map(_.trim.toLowerCase))
+          clauseCols(item) match {
+            case Seq(one) => tableUnique += one.toLowerCase
+            case many if many.size > 1 => uniqueSets :+= many
+            case _ =>
+          }
         } else if (u.startsWith("FOREIGN KEY")) {
           val c = "\\(([^)]*)\\)".r.findFirstMatchIn(item).map(_.group(1).trim)
           item match {
@@ -154,15 +176,24 @@ object Ddl {
       }
       var defs = cols.result()
       tablePk.foreach { pkc =>
-        defs = defs.map(c => if (c.name.equalsIgnoreCase(pkc)) c.copy(pk = true) else c)
+        // an unknown single-column clause routes through pkSet so the
+        // CREATE path reports SQLite's `no such column` error
+        if (defs.exists(_.name.equalsIgnoreCase(pkc)))
+          defs = defs.map(c =>
+            if (c.name.equalsIgnoreCase(pkc)) c.copy(pk = true) else c)
+        else pkSet = Seq(pkc)
       }
-      if (tableUnique.nonEmpty)
-        defs = defs.map(c =>
-          if (tableUnique.contains(c.name.toLowerCase)) c.copy(unique = true) else c)
+      tableUnique.foreach { uc =>
+        if (defs.exists(_.name.equalsIgnoreCase(uc)))
+          defs = defs.map(c =>
+            if (c.name.equalsIgnoreCase(uc)) c.copy(unique = true) else c)
+        else uniqueSets :+= Seq(uc)
+      }
       if (tableFk.nonEmpty)
         defs = defs.map(c => tableFk.get(c.name.toLowerCase)
           .map(r => c.copy(ref = Some(r))).getOrElse(c))
-      Some(Create(ine != null, TableDef(name, defs, tableChecks)))
+      Some(Create(ine != null,
+        TableDef(name, defs, tableChecks, pkSet, uniqueSets)))
     case _ => None
   }
 
@@ -314,7 +345,10 @@ object Ddl {
       td.tableChecks.map { case (label, e) =>
         (if (label != e) s", CONSTRAINT $label CHECK ($e)"
          else s", CHECK ($e)")
-      }.mkString + ")"
+      }.mkString +
+      (if (td.pkSet.nonEmpty) td.pkSet.mkString(", PRIMARY KEY (", ", ", ")")
+       else "") +
+      td.uniqueSets.map(_.mkString(", UNIQUE (", ", ", ")")).mkString + ")"
 
   private val createIndexRe =
     """(?is)^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(IF\s+NOT\s+EXISTS\s+)?["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s+ON\s+["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*\(([^)]*)\)\s*;?\s*$""".r

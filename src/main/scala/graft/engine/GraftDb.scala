@@ -848,7 +848,11 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         // over the visible columns
         val rows = ts.d.cols.filter(_.gen.isEmpty).zipWithIndex.map {
           case (c, i) =>
-          val pk = if (c.pk) { pkSeen += 1; pkSeen } else 0
+          // composite table-level PK: ordinals follow the CLAUSE order
+          val pk =
+            if (ts.d.pkSet.nonEmpty)
+              ts.d.pkSet.indexWhere(_.equalsIgnoreCase(c.name)) + 1
+            else if (c.pk) { pkSeen += 1; pkSeen } else 0
           Seq[Value](Value.Integer(i.toLong), Value.Text(c.name),
             Value.Text(c.affinity match {
               case Affinity.Integer => "INTEGER"
@@ -924,8 +928,15 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         td.cols.find(c => c.autoInc && !c.isRowidAlias).foreach { _ =>
           return Left("near \"AUTOINCREMENT\": syntax error")
         }
+        // composite-constraint shape errors (SQLite 3.40 texts, probed)
+        (td.pkSet ++ td.uniqueSets.flatten).find(td.colIndex(_) < 0)
+          .foreach(c => return Left(s"no such column: $c"))
+        if (td.cols.count(_.pk) + (if (td.pkSet.nonEmpty) 1 else 0) > 1)
+          return Left(
+            s"""table "${td.name}" has more than one primary key""")
         // generated-column shape errors (SQLite 3.40 texts, probed live)
-        td.cols.find(c => c.gen.isDefined && c.pk).foreach { _ =>
+        td.cols.find(c => c.gen.isDefined && (c.pk ||
+            td.pkSet.exists(_.equalsIgnoreCase(c.name)))).foreach { _ =>
           return Left("generated columns cannot be part of the PRIMARY KEY")
         }
         td.cols.find(c => c.gen.isDefined && c.default.isDefined).foreach { _ =>
@@ -1612,8 +1623,14 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         if (ts.d.colIndex(newCol) >= 0 && !oldCol.equalsIgnoreCase(newCol))
           return Left(s"duplicate column name: $newCol")
         val declaredOld = ts.d.cols(idx).name
+        // composite table-level constraints follow the rename (probed:
+        // the error text reports the new name)
+        def ren(cs: Seq[String]) =
+          cs.map(c => if (c.equalsIgnoreCase(oldCol)) newCol else c)
         val td = ts.d.copy(cols = ts.d.cols.updated(idx,
-          ts.d.cols(idx).copy(name = newCol)))
+          ts.d.cols(idx).copy(name = newCol)),
+          pkSet = ren(ts.d.pkSet),
+          uniqueSets = ts.d.uniqueSets.map(ren))
         replaceEntry(tname.toLowerCase, tname.toLowerCase,
           new TableState(td, Ddl.renderCreate(td),
             alterStore(ts.store, identity,
@@ -1646,8 +1663,12 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         val idx = ts.d.colIndex(cname)
         if (idx < 0) return Left(s"no such column: $cname")
         val cd = ts.d.cols(idx)
-        if (cd.pk) return Left(s"""cannot drop PRIMARY KEY column: "$cname"""")
+        if (cd.pk || ts.d.pkSet.exists(_.equalsIgnoreCase(cname)))
+          return Left(s"""cannot drop PRIMARY KEY column: "$cname"""")
         if (cd.unique) return Left(s"""cannot drop UNIQUE column: "$cname"""")
+        if (ts.d.uniqueSets.exists(_.exists(_.equalsIgnoreCase(cname))))
+          return Left(s"error in table $tname after drop column: " +
+            s"no such column: $cname")
         indexes.values.find(ix => ix.table.equalsIgnoreCase(tname) &&
           ix.cols.exists(_.equalsIgnoreCase(cname))).foreach(ix =>
           return Left(s"error in index ${ix.name} after drop column: " +
@@ -1886,9 +1907,19 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
   /** Uniqueness constraints of a table as (column indexes, error text):
     * PK / UNIQUE columns in declaration order, then UNIQUE indexes. */
   private def uniqueSpecs(td: TableDef): Seq[(Seq[Int], String)] = {
+    def ofSet(cs: Seq[String]): Option[(Seq[Int], String)] = {
+      val idxs = cs.map(td.colIndex)
+      if (idxs.forall(_ >= 0))
+        Some((idxs, cs.map(c => s"${td.name}.$c").mkString(", ")))
+      else None
+    }
+    // a composite table-level PRIMARY KEY is a tuple-level unique spec in
+    // clause order (the clause order also governs SQLite's error text)
+    val pkSpec = if (td.pkSet.isEmpty) Nil else ofSet(td.pkSet).toSeq
     val colSpecs = td.cols.zipWithIndex.collect {
       case (c, i) if c.pk || c.unique => (Seq(i), s"${td.name}.${c.name}")
     }
+    val setSpecs = td.uniqueSets.flatMap(ofSet)
     val idxSpecs = indexes.values.toSeq
       .filter(ix => ix.unique && ix.table.equalsIgnoreCase(td.name))
       .flatMap { ix =>
@@ -1897,7 +1928,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           Some((idxs, ix.cols.map(c => s"${td.name}.$c").mkString(", ")))
         else None
       }
-    colSpecs ++ idxSpecs
+    pkSpec ++ colSpecs ++ setSpecs ++ idxSpecs
   }
 
   /** Does `vals` conflict with `row` on any spec? (SQLite: NULLs in any
@@ -2065,8 +2096,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                         case (nx, (rid, _)) => math.max(nx, rid + 1)
                       }
                       maybeSpill(ts)
-                      insRids.take(k).flatten.reduceOption(_ max _)
-                        .foreach(bumpSeq(work, td, _))
+                      // the kept prefix does NOT advance sqlite_sequence
+                      // (probed: seq updates on statement SUCCESS only;
+                      // the max(seq, max rowid)+1 formula still covers
+                      // the prefix rows — fuzz seed 97149)
                       pendingFailError = Some(err)
                       Right(k.toLong)
                     } else Left(err)
@@ -2378,9 +2411,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
               // partial-abort last_insert_rowid semantics — see the Mem path
               insRids.take(k).flatten.lastOption.foreach(lastRowId = _)
               if (policy == Conflict.Fail && constraintErr(err)) {
+                // no sqlite_sequence bump for a kept prefix (probed: seq
+                // updates on statement SUCCESS only — fuzz seed 97149)
                 pendingFailError = Some(err)
-                insRids.take(k).flatten.reduceOption(_ max _)
-                  .foreach(bumpSeq(work, td, _))
                 Right((fin0.take(base.size + k), k.toLong,
                   candidates.take(k).foldLeft(autoBase) {
                     case (nx, (rid, _)) => math.max(nx, rid + 1)
@@ -2611,7 +2644,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                 s"coalesce(max(__rowid), ${ridBase - 1}) AS m").head()
               ts.store = mkBig(big.df.union(prefix))
               ts.nextRowId = math.max(ts.nextRowId, st.getLong(1) + 1)
-              if (st.getLong(0) > 0) bumpSeq(work, td, st.getLong(1))
+              // no sqlite_sequence bump for a kept prefix (probed: seq
+              // updates on statement SUCCESS only)
               pendingFailError = Some(msg)
               Right(st.getLong(0))
             } else Left(msg)

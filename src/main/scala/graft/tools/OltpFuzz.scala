@@ -51,6 +51,7 @@ object OltpFuzz {
     private var t0HasGen = false // generated column gq in CREATE
     private var t0HasG2 = false // ALTER-added generated column
     private var hasChild = false
+    private var hasT2 = false
     private var hasLog = false
     private var hasView = false
     private var hasTrg2 = false
@@ -93,6 +94,16 @@ object OltpFuzz {
         x("CREATE TABLE t1 (id INTEGER NOT NULL PRIMARY KEY, " +
           s"t0_id INTEGER REFERENCES t0(id)$act, c INTEGER)")
         if (chance(0.5)) x("PRAGMA foreign_keys=ON")
+      }
+      if (chance(0.25)) {
+        hasT2 = true
+        // junction-style composite keys (grammar v3): a tiny key space so
+        // tuple conflicts, policy skips/displacements and NULL-key
+        // non-conflicts all actually happen
+        if (chance(0.5))
+          x("CREATE TABLE t2 (a INTEGER, b INTEGER, v TEXT, PRIMARY KEY (a, b))")
+        else
+          x("CREATE TABLE t2 (a INTEGER, b INTEGER, v TEXT, UNIQUE (a, b))")
       }
       if (chance(0.4)) {
         hasLog = true
@@ -180,6 +191,18 @@ object OltpFuzz {
             s"${int(0, 5)})")
           case 1 => x(s"DELETE FROM t1 WHERE c = ${int(0, 5)}")
           case _ => x(s"UPDATE t1 SET c = c + 1 WHERE t0_id = ${int(1, 12)}")
+        } else if (hasT2) r.nextInt(5) match {
+          // composite-key traffic: 4×4 key space, NULL keys sometimes
+          case 0 => x(s"INSERT INTO t2 VALUES (${int(1, 4)}, ${int(1, 4)}, " +
+            s"'${word()}')")
+          case 1 => x(s"INSERT OR ${pick(Seq("IGNORE", "REPLACE"))} INTO t2 " +
+            s"VALUES (${int(1, 4)}, ${int(1, 4)}, '${word()}')")
+          case 2 => x(s"INSERT INTO t2 VALUES (${if (chance(0.5)) "NULL"
+            else int(1, 4).toString}, ${int(1, 4)}, '${word()}')")
+          case 3 => x(s"UPDATE OR ${pick(Seq("IGNORE", "REPLACE", "FAIL"))} " +
+            s"t2 SET b = b + 1 WHERE a = ${int(1, 4)}")
+          case _ => x(s"DELETE FROM t2 WHERE a = ${int(1, 4)} " +
+            s"AND b = ${int(1, 4)}")
         } else x(s"DELETE FROM t0 WHERE ${pred()}")
       case 9 => // transaction control, mostly valid
         if (txDepth == 0) { x("BEGIN"); txDepth = 1 }
@@ -412,6 +435,7 @@ object OltpFuzz {
       q("SELECT * FROM t0 ORDER BY id")
       q("SELECT count(*) AS n FROM t0")
       if (hasChild) q("SELECT * FROM t1 ORDER BY id")
+      if (hasT2) q("SELECT a, b, v FROM t2 ORDER BY a, b, v")
       if (hasLog) q("SELECT lid, tag FROM log ORDER BY lid")
       if (t0AutoInc) q("SELECT name, seq FROM sqlite_sequence ORDER BY name")
     }

@@ -107,6 +107,20 @@ class AutoincrementSpec extends SparkSpec {
         s"cap=$cap")
       exec(db, "INSERT INTO u(a) VALUES (3)")
       assert(q(db, "SELECT max(id) FROM u") == Seq(Seq(31L)), s"cap=$cap")
+      // an OR FAIL prefix is KEPT but does NOT advance the sequence (seq
+      // updates on statement SUCCESS only — probed live; the divergence
+      // the OLTP fuzzer found at seed 97149): next auto still covers the
+      // prefix through max(seq, max rowid) + 1
+      val db2 = GraftDb.openInMemory(spark, cap)
+      exec(db2, "CREATE TABLE w (id INTEGER PRIMARY KEY AUTOINCREMENT, a INTEGER)")
+      exec(db2, "INSERT INTO w VALUES (1, 1), (2, 2), (5, 5)")
+      execErr(db2, "INSERT OR FAIL INTO w VALUES (14, 0), (10, -2), (5, 9)")
+      assert(q(db2, "SELECT id FROM w ORDER BY id") ==
+        Seq(Seq(1L), Seq(2L), Seq(5L), Seq(10L), Seq(14L)), s"cap=$cap")
+      assert(q(db2, "SELECT seq FROM sqlite_sequence") == Seq(Seq(5L)),
+        s"cap=$cap")
+      exec(db2, "INSERT INTO w(a) VALUES (7)")
+      assert(q(db2, "SELECT max(id) FROM w") == Seq(Seq(15L)), s"cap=$cap")
     }
   }
 
