@@ -920,9 +920,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     Ddl.parseCreate(sql) match {
       case Some(Ddl.Create(ine, td)) =>
         val key = td.name.toLowerCase
-        if (key == "sqlite_sequence")
+        if (key.startsWith("sqlite_"))
           return Left(
-            "object name reserved for internal use: sqlite_sequence")
+            s"object name reserved for internal use: ${td.name}")
         // AUTOINCREMENT is valid ONLY on an INTEGER PRIMARY KEY rowid
         // alias (SQLite rejects it anywhere else at parse time)
         td.cols.find(c => c.autoInc && !c.isRowidAlias).foreach { _ =>
@@ -1068,6 +1068,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
   private def doCreateAs(work: Tables, ine: Boolean, name: String,
                          select: String): Either[String, Long] = {
     val key = name.toLowerCase
+    if (key.startsWith("sqlite_"))
+      return Left(s"object name reserved for internal use: $name")
     if (viewDefs.contains(key))
       return if (ine) Right(0) else Left(s"view $name already exists")
     if (work.contains(key))
@@ -1118,8 +1120,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     Ddl.parseDrop(sql) match {
       case Some(Ddl.Drop(ie, name)) =>
         val key = name.toLowerCase
-        if (key == "sqlite_sequence")
-          Left("table sqlite_sequence may not be dropped")
+        if (key == "sqlite_sequence" || key == "sqlite_master")
+          Left(s"table $key may not be dropped")
         else if (viewDefs.contains(key))
           Left(s"use DROP VIEW to delete view $name")
         else if (work.remove(key).isEmpty && !ie) Left(s"no such table: $name")
@@ -1160,6 +1162,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
   private def doCreateView(work: Tables, ine: Boolean, name: String,
                            select: String, sql: String): Either[String, Long] = {
     val key = name.toLowerCase
+    if (key.startsWith("sqlite_"))
+      return Left(s"object name reserved for internal use: $name")
     if (viewDefs.contains(key))
       return if (ine) Right(0) else Left(s"view $name already exists")
     if (work.contains(key))
@@ -1586,9 +1590,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     sql match {
       case alterRenameTableRe(oldName, newName) =>
         val key = oldName.toLowerCase
-        if (newName.toLowerCase == "sqlite_sequence")
+        if (newName.toLowerCase.startsWith("sqlite_"))
           return Left(
-            "object name reserved for internal use: sqlite_sequence")
+            s"object name reserved for internal use: $newName")
         val ts = work.getOrElse(key, return Left(s"no such table: $oldName"))
         if (work.contains(newName.toLowerCase) && key != newName.toLowerCase)
           return Left(
@@ -1774,6 +1778,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
   private def insertWithFkDelta(work: Tables, tname: String, colList: String,
       source: Either[String, String], policy: Conflict)
       : Either[String, Long] = {
+    if (tname.equalsIgnoreCase("sqlite_master"))
+      return Left("table sqlite_master may not be modified")
     val tsOpt = work.get(tname.toLowerCase)
     val needDelta = fkEnabled && tsOpt.exists { ts =>
       val refd = referencedCols(work, ts.d)
@@ -2903,6 +2909,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
   private def doUpdateInner(work: Tables, tname: String,
       alias: Option[String], rest: String, policy: String)
       : Either[String, Long] = {
+        if (tname.equalsIgnoreCase("sqlite_master"))
+          return Left("table sqlite_master may not be modified")
         if (viewDefs.contains(tname.toLowerCase))
           return Left(s"cannot modify $tname because it is a view")
         val ts = work.getOrElse(tname.toLowerCase,
@@ -3462,16 +3470,77 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           if (root.isEmpty) Big(newDf.localCheckpoint(), n2, big.nextOrd)
           else bigPartitionedFull(td.name, newDf, n2, big.nextOrd)
     }
-    updPolicyFirings = Some(tape.result())
+    val tapeRows = tape.result()
+    updPolicyFirings = Some(tapeRows)
     captureRet(td, retRows.result())
     if (applied > 0) fkDelta match {
       case Some((beforeDf, backup)) =>
+        def fkAbort(e: String): Either[String, Long] = {
+          work(td.name.toLowerCase) = backup
+          pendingFailError = None
+          Left(e)
+        }
+        // REPLACE loses referenced keys two ways with DIFFERENT SQLite
+        // semantics: a key REWRITTEN away is governed by ON UPDATE (fails
+        // for every child, CASCADE included — fuzz seed 101128), while a
+        // key lost with a DISPLACED row is a true delete (ON DELETE
+        // actions run). Guard the rewrite-lost keys here; the delta below
+        // then treats the remainder delete-like (an action on a
+        // childless rewrite-lost key is a no-op, so overlap is safe).
+        if (policy == "REPLACE" && fkEnabled) {
+          val refd = referencedCols(work, td)
+          val finalDf = ridDf(ts)
+          refd.foreach { pi =>
+            val pname = td.cols(pi).name
+            val rewrites = tapeRows.iterator.collect {
+              case (_, Some(nw), Some(old))
+                if old(pi) != null && norm(old(pi)) != norm(nw(pi)) =>
+                old(pi)
+            }.toSeq.distinct
+            if (rewrites.nonEmpty) {
+              val vdf = session.createDataFrame(
+                rewrites.map(Row(_)).asJava,
+                StructType(Seq(StructField("__kv",
+                  td.schema.fields(pi).dataType, nullable = true))))
+              val present = finalDf.select(col(pname).as("__pv"))
+                .join(broadcast(vdf), col("__pv") === col("__kv"),
+                  "left_semi").distinct().collect()
+                .iterator.map(r => norm(r.get(0))).toSet
+              val lost = rewrites.filterNot(v => present(norm(v)))
+              if (lost.nonEmpty) {
+                val ldf = session.createDataFrame(
+                  lost.map(Row(_)).asJava,
+                  StructType(Seq(StructField("__kv",
+                    td.schema.fields(pi).dataType, nullable = true))))
+                val orphaned = work.values.exists { ch =>
+                  ch.d.cols.exists { cc =>
+                    cc.ref.exists { case (rt, rc) =>
+                      rt.equalsIgnoreCase(td.name) && {
+                        val refCol = if (rc.nonEmpty) rc
+                          else td.rowidAlias.map(_.name).getOrElse("")
+                        refCol.equalsIgnoreCase(pname)
+                      }
+                    } && {
+                      val chDf =
+                        if (ch.d.name.equalsIgnoreCase(td.name)) finalDf
+                        else storeDf(ch.d, ch.store)
+                      chDf.select(col(cc.name).as("__cv"))
+                        .filter(col("__cv").isNotNull)
+                        .join(broadcast(ldf),
+                          col("__cv") === col("__kv"), "left_semi")
+                        .limit(1).count() > 0
+                    }
+                  }
+                }
+                if (orphaned)
+                  return fkAbort("FOREIGN KEY constraint failed")
+              }
+            }
+          }
+        }
         fkParentDelta(work, ts, beforeDf,
           deleteLike = policy == "REPLACE") match {
-          case Left(e) =>
-            work(td.name.toLowerCase) = backup
-            pendingFailError = None
-            return Left(e)
+          case Left(e) => return fkAbort(e)
           case Right(_) => ()
         }
       case None => ()
@@ -4116,6 +4185,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
   private def doDelete(work: Tables, sql: String): Either[String, Long] =
     sql match {
       case deleteRe(tname, whereText) =>
+        if (tname.equalsIgnoreCase("sqlite_master"))
+          return Left("table sqlite_master may not be modified")
         if (viewDefs.contains(tname.toLowerCase))
           return Left(s"cannot modify $tname because it is a view")
         val ts = work.getOrElse(tname.toLowerCase,
@@ -5027,6 +5098,63 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           .createOrReplaceTempView(pendingCtes(k)._1)
       }
     }
+    registerMaster(work)
+  }
+
+  private var masterFp: Int = 0
+  private var masterRegistered = false
+
+  /** The `sqlite_master` schema catalog (SQLite surface: every client's
+    * introspection query) as a temp view derived from the live catalogs —
+    * tables (original createSql), the automatic indexes SQLite
+    * materializes per non-rowid-alias unique constraint
+    * (`sqlite_autoindex_<t>_<n>`, sql NULL), named indexes, views and
+    * triggers (original statement text; rootpage 0 like SQLite). Root
+    * pages for tables/indexes are deterministic ordinals — SQLite's
+    * values are page-allocation accidents no re-implementation can
+    * reproduce, so differential probes compare type/name/tbl_name/sql.
+    * Rebuilt only when a catalog fingerprint moves (DDL, tx rollback),
+    * not per statement. */
+  private def registerMaster(work: Tables): Unit = {
+    val fp = (schemaVersion, work.keysIterator.toVector,
+      indexes.keysIterator.toVector, viewDefs.keysIterator.toVector,
+      triggers.keysIterator.toVector).##
+    if (masterRegistered && fp == masterFp) return
+    masterFp = fp
+    masterRegistered = true
+    val rows = Vector.newBuilder[Row]
+    var page = 2L
+    work.values.foreach { ts =>
+      val td = ts.d
+      rows += Row("table", td.name, td.name, page, ts.createSql)
+      page += 1
+      val auto = (if (td.pkSet.nonEmpty) 1 else 0) +
+        td.cols.count(c => (c.pk || c.unique) && !c.isRowidAlias) +
+        td.uniqueSets.size
+      (1 to auto).foreach { i =>
+        rows += Row("index", s"sqlite_autoindex_${td.name}_$i", td.name,
+          page, null)
+        page += 1
+      }
+    }
+    indexes.values.foreach { ix =>
+      rows += Row("index", ix.name, ix.table, page, ix.sql)
+      page += 1
+    }
+    viewDefs.values.foreach { case (name, _, sql) =>
+      rows += Row("view", name, name, 0L, sql)
+    }
+    triggers.values.foreach { t =>
+      rows += Row("trigger", t.name, t.table, 0L, t.sql)
+    }
+    val schema = StructType(Seq(
+      StructField("type", StringType, nullable = true),
+      StructField("name", StringType, nullable = true),
+      StructField("tbl_name", StringType, nullable = true),
+      StructField("rootpage", LongType, nullable = true),
+      StructField("sql", StringType, nullable = true)))
+    session.createDataFrame(rows.result().asJava, schema)
+      .createOrReplaceTempView("sqlite_master")
   }
 
   private def snapshot(): Tables = {

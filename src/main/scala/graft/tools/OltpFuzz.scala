@@ -420,12 +420,17 @@ object OltpFuzz {
         }
     }
 
-    private def probe(): Unit = r.nextInt(5) match {
+    private def probe(): Unit = r.nextInt(6) match {
       case 0 => q("SELECT * FROM t0 ORDER BY id")
       case 1 => q("SELECT count(*) AS n FROM t0")
       case 2 => q(s"SELECT id, a FROM t0 WHERE a > ${int(-4, 6)} ORDER BY id")
       case 3 if t0AutoInc =>
         q("SELECT name, seq FROM sqlite_sequence ORDER BY name")
+      case 4 => // schema introspection (sql/rootpage excluded: original-
+        // text preservation after ALTER and page numbers are documented
+        // engine-vs-SQLite representation differences)
+        q("SELECT type, name, tbl_name FROM sqlite_master " +
+          "WHERE type IN ('table', 'view', 'trigger') ORDER BY type, name")
       case _ if hasLog => q("SELECT lid, tag FROM log ORDER BY lid")
       case _ => q("SELECT id, b FROM t0 ORDER BY id")
     }
@@ -438,6 +443,8 @@ object OltpFuzz {
       if (hasT2) q("SELECT a, b, v FROM t2 ORDER BY a, b, v")
       if (hasLog) q("SELECT lid, tag FROM log ORDER BY lid")
       if (t0AutoInc) q("SELECT name, seq FROM sqlite_sequence ORDER BY name")
+      // full catalog incl. automatic-index naming parity
+      q("SELECT type, name, tbl_name FROM sqlite_master ORDER BY type, name")
     }
   }
 }

@@ -214,6 +214,32 @@ class UpdatePolicySpec extends SparkSpec {
         "FOREIGN KEY constraint failed", s"cap=$cap")
       assert(q(db, "SELECT id, u FROM p WHERE id <= 2 ORDER BY id") ==
         Seq(Seq(1L, 10L), Seq(2L, 20L)), s"cap=$cap")
+
+      // OR REPLACE loses referenced keys two ways with different
+      // semantics (probed live; fuzz seed 101128):
+      val db2 = GraftDb.openInMemory(spark, cap)
+      exec(db2, "PRAGMA foreign_keys = ON")
+      exec(db2, "CREATE TABLE p (id INTEGER PRIMARY KEY, u INTEGER UNIQUE)")
+      exec(db2, "INSERT INTO p VALUES (1, 10), (2, 20), (8, 800), (9, 900), (10, 1000)")
+      exec(db2, "CREATE TABLE ch (id INTEGER PRIMARY KEY, " +
+        "pid INTEGER REFERENCES p(id) ON DELETE CASCADE)")
+      exec(db2, "INSERT INTO ch VALUES (1, 2)")
+      // (a) a DISPLACED row is a true delete: ON DELETE CASCADE runs
+      assert(exec(db2, "UPDATE OR REPLACE p SET u = 20 WHERE id = 1") == 1L,
+        s"cap=$cap")
+      assert(q(db2, "SELECT count(*) FROM ch") == Seq(Seq(0L)), s"cap=$cap")
+      // (b) a REWRITTEN-away key is governed by ON UPDATE: fails for
+      // every child, CASCADE included
+      exec(db2, "INSERT INTO ch VALUES (2, 1)")
+      assert(execErr(db2, "UPDATE OR REPLACE p SET id = id + 2, " +
+        "u = u + 2 WHERE id <= 2") == "FOREIGN KEY constraint failed",
+        s"cap=$cap")
+      assert(q(db2, "SELECT id FROM p WHERE id <= 2 ORDER BY id") ==
+        Seq(Seq(1L)), s"cap=$cap")
+      // (c) a rewrite-lost key with NO referencing child just applies
+      exec(db2, "DELETE FROM ch")
+      assert(exec(db2, "UPDATE OR REPLACE p SET id = id + 30, u = u + 1 " +
+        "WHERE id = 1") == 1L, s"cap=$cap")
     }
   }
 
