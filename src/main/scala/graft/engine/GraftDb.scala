@@ -1934,7 +1934,17 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           Some((idxs, ix.cols.map(c => s"${td.name}.$c").mkString(", ")))
         else None
       }
-    pkSpec ++ colSpecs ++ setSpecs ++ idxSpecs
+    // SQLite's within-row REPORTING order when one row violates several
+    // unique constraints (probed live; OLTP fuzz V7): the rowid itself
+    // first, then the table's index list — which SQLite PREPENDS to as
+    // each index is created, so named indexes newest-first, then
+    // table-level clauses and column constraints in reverse declaration
+    // order. Only the error text depends on this order; conflict/victim
+    // SETS are order-independent.
+    val (aliasSpec, otherCols) = colSpecs.partition { case (idxs, _) =>
+      idxs.sizeIs == 1 && td.cols(idxs.head).isRowidAlias }
+    aliasSpec ++ idxSpecs.reverse ++ setSpecs.reverse ++ pkSpec ++
+      otherCols.reverse
   }
 
   /** Does `vals` conflict with `row` on any spec? (SQLite: NULLs in any
@@ -2114,8 +2124,11 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                     ts.nextRowId = nextId
                     lastOpt.foreach(lastRowId = _)
                     maybeSpill(ts)
-                    insRids.flatten.reduceOption(_ max _)
-                      .foreach(bumpSeq(work, td, _))
+                    // the sequence takes the statement's final rowid
+                    // REGISTER — the max over ALL candidates, skipped and
+                    // upsert-hit ones included (probed live, fuzz V7)
+                    if (candidates.nonEmpty)
+                      bumpSeq(work, td, candidates.iterator.map(_._1).max)
                     Right(affected)
                 }
             }
@@ -2162,7 +2175,12 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           candidates.size.toLong, Some(lastId)))
       case Conflict.Ignore =>
         // skip candidates violating NOT NULL, CHECK or any uniqueness
-        // spec (SQLite: FK violations still abort — validate() after)
+        // spec (SQLite: FK violations still abort — validate() after).
+        // AUTOINCREMENT rowids come from the statement's running register
+        // (the tentative assignment): even a SKIPPED auto candidate
+        // consumes its rowid there (probed live — OLTP fuzz V7), unlike
+        // plain rowid tables where skips never consume.
+        val autoInc = td.cols.exists(_.autoInc)
         val specs = uniqueSpecs(td)
         val checkFailed: Set[Int] =
           if (td.checks.isEmpty || candidates.isEmpty) Set.empty
@@ -2184,8 +2202,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         var nextAuto = autoBase
         val kept = Vector.newBuilder[(Long, IndexedSeq[Any])]
         candidates.zipWithIndex.foreach { case ((rid0, vals0), ci) =>
-          // insert-time rowid: skipped candidates never consumed one
-          val rid = if (explicitFlags(ci)) rid0 else nextAuto
+          // insert-time rowid: on a plain rowid table skipped candidates
+          // never consumed one; an AUTOINCREMENT register consumes per
+          // CANDIDATE, so the tentative assignment is already exact
+          val rid = if (autoInc || explicitFlags(ci)) rid0 else nextAuto
           val vals = if (!explicitFlags(ci) && rowidIdx >= 0)
             vals0.updated(rowidIdx, rid: Any) else vals0
           val nn = td.cols.zipWithIndex.exists { case (c, i) =>
@@ -2289,10 +2309,14 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         // nothing for DO NOTHING skips (probed live)
         val retBuf = Vector.newBuilder[(Long, IndexedSeq[Any])]
         var nextAuto = autoBase
+        // AUTOINCREMENT: every candidate feeds the statement's rowid
+        // register (hits included), so the tentative assignment is exact
+        val autoInc = td.cols.exists(_.autoInc)
         candidates.zipWithIndex.foreach { case ((rid0, vals0), ci) =>
           // insert-time rowid: a DO UPDATE / DO NOTHING hit never consumed
-          // one (probed live — mixed upserts, ReturningSpec)
-          val rid = if (explicitFlags(ci)) rid0 else nextAuto
+          // one on a plain rowid table (probed live — mixed upserts,
+          // ReturningSpec)
+          val rid = if (autoInc || explicitFlags(ci)) rid0 else nextAuto
           val vals = if (!explicitFlags(ci) && rowidIdx >= 0)
             vals0.updated(rowidIdx, rid: Any) else vals0
           val hit = cur.indexWhere { case (_, r) => conflicts(specs, r, vals) }
@@ -2426,8 +2450,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                   }, None))
               } else Left(err)
             case Right(_) =>
-              insRids.flatten.reduceOption(_ max _)
-                .foreach(bumpSeq(work, td, _))
+              // final rowid register: max over ALL candidates (fuzz V7)
+              if (candidates.nonEmpty)
+                bumpSeq(work, td, candidates.iterator.map(_._1).max)
               Right((fin0, affected0, nextId, lastOpt0))
           }
         resolved.map { case (fin, affected, nextId2, lastOpt) =>
@@ -2750,14 +2775,12 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         val merged = big.df.union(keptC)
         validateBulk(work, td, keptC, merged).map { _ =>
           val ks = keptC.selectExpr("count(*) AS c",
-            "max_by(__rowid, __ord) AS last",
-            "max(__rowid) AS mx").head()
+            "max_by(__rowid, __ord) AS last").head()
           ts.store = mkBig(merged)
           ts.nextRowId = newNextId
-          if (ks.getLong(0) > 0) {
-            lastRowId = ks.getLong(1)
-            bumpSeq(work, td, ks.getLong(2))
-          }
+          if (ks.getLong(0) > 0) lastRowId = ks.getLong(1)
+          // final rowid register: max over ALL candidates (fuzz V7)
+          if (candN > 0) bumpSeq(work, td, stats.getLong(1))
           ks.getLong(0)
         }
       case Conflict.Replace =>

@@ -121,6 +121,36 @@ class AutoincrementSpec extends SparkSpec {
         s"cap=$cap")
       exec(db2, "INSERT INTO w(a) VALUES (7)")
       assert(q(db2, "SELECT max(id) FROM w") == Seq(Seq(15L)), s"cap=$cap")
+
+      // the sequence takes the statement's final rowid REGISTER on
+      // success — every candidate feeds it, skipped and upsert-hit ones
+      // included, and on an AUTOINCREMENT table even a skipped AUTO
+      // candidate consumes its register slot (probed live; fuzz V7
+      // seed 102266)
+      val db3 = GraftDb.openInMemory(spark, cap)
+      exec(db3, "CREATE TABLE v (id INTEGER PRIMARY KEY AUTOINCREMENT, " +
+        "a INTEGER UNIQUE)")
+      exec(db3, "INSERT INTO v VALUES (1, 1)")
+      assert(exec(db3, "INSERT OR IGNORE INTO v VALUES (12, 1)") == 0L,
+        s"cap=$cap") // skipped, yet seq = 12
+      assert(q(db3, "SELECT seq FROM sqlite_sequence") == Seq(Seq(12L)),
+        s"cap=$cap")
+      exec(db3, "INSERT INTO v VALUES (15, 1) ON CONFLICT(a) DO NOTHING")
+      assert(q(db3, "SELECT seq FROM sqlite_sequence") == Seq(Seq(15L)),
+        s"cap=$cap")
+      // skipped AUTO candidate consumes: (NULL,1) takes 16, (NULL,7) 17
+      assert(exec(db3, "INSERT OR IGNORE INTO v VALUES (NULL, 1), (NULL, 7)")
+        == 1L, s"cap=$cap")
+      assert(q(db3, "SELECT id FROM v WHERE a = 7") == Seq(Seq(17L)),
+        s"cap=$cap")
+      assert(q(db3, "SELECT seq FROM sqlite_sequence") == Seq(Seq(17L)),
+        s"cap=$cap")
+      // a skipped HIGH explicit id feeds the register for a later auto
+      // in the SAME statement: skip 30, then auto lands on 31
+      assert(exec(db3, "INSERT OR IGNORE INTO v VALUES (30, 1), (NULL, 9)")
+        == 1L, s"cap=$cap")
+      assert(q(db3, "SELECT id FROM v WHERE a = 9") == Seq(Seq(31L)),
+        s"cap=$cap")
     }
   }
 

@@ -101,4 +101,35 @@ class CompositeKeySpec extends SparkSpec {
     exec(db, "INSERT INTO t VALUES (2, 2, 'z')")
     assert(q(db, "SELECT count(*) FROM t") == Seq(Seq(2L)))
   }
+
+  test("multi-violation reporting follows SQLite's index-list order") {
+    // SQLite PREPENDS each new index to the table's index list, so when
+    // one row violates several unique constraints the NEWEST one names
+    // the error: named indexes newest-first, then table clauses and
+    // column constraints in reverse declaration order; the rowid itself
+    // always wins (probed live; fuzz V7 caught the old
+    // declaration-order reporting)
+    val db = GraftDb.openInMemory(spark, 500)
+    exec(db, "CREATE TABLE t (id INTEGER PRIMARY KEY, a INTEGER UNIQUE, b TEXT)")
+    exec(db, "CREATE UNIQUE INDEX uidx ON t(b)")
+    exec(db, "INSERT INTO t VALUES (1, 5, 'x')")
+    assert(execErr(db, "INSERT INTO t VALUES (2, 5, 'x')") ==
+      "UNIQUE constraint failed: t.b") // both violated → newest (uidx)
+    assert(execErr(db, "INSERT INTO t VALUES (2, 5, 'y')") ==
+      "UNIQUE constraint failed: t.a") // only the column constraint
+    assert(execErr(db, "INSERT INTO t VALUES (1, 5, 'x')") ==
+      "UNIQUE constraint failed: t.id") // the rowid always wins
+    val db2 = GraftDb.openInMemory(spark, 500)
+    exec(db2, "CREATE TABLE u (id INTEGER PRIMARY KEY, a INTEGER UNIQUE, " +
+      "b INTEGER UNIQUE)")
+    exec(db2, "INSERT INTO u VALUES (1, 5, 7)")
+    assert(execErr(db2, "INSERT INTO u VALUES (2, 5, 7)") ==
+      "UNIQUE constraint failed: u.b") // reverse declaration order
+    val db3 = GraftDb.openInMemory(spark, 500)
+    exec(db3, "CREATE TABLE w (id INTEGER PRIMARY KEY, a INTEGER UNIQUE, " +
+      "b INTEGER, UNIQUE (a, b))")
+    exec(db3, "INSERT INTO w VALUES (1, 5, 7)")
+    assert(execErr(db3, "INSERT INTO w VALUES (2, 5, 7)") ==
+      "UNIQUE constraint failed: w.a, w.b") // table clause beats column
+  }
 }
