@@ -442,14 +442,32 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
   private val retOverRe = """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s*\([^()]*\)\s+over\s*\(""".r
 
   /** SQLite resolves the RETURNING projection at prepare time; aggregates
-    * and window functions are rejected with its exact error texts. */
+    * and window functions are rejected with its exact error texts.
+    * `min`/`max` with two-plus top-level arguments are the SCALAR
+    * overloads (live probe 3.40: `RETURNING max(a,b)` → 2) and pass. */
   private def validateReturningList(retList: String): Option[String] = {
     val noLit = retList.replaceAll("'(?:[^']|'')*'", "''")
+    def scalarMinMax(m: scala.util.matching.Regex.Match): Boolean = {
+      val fn = m.group(1).toLowerCase
+      if (fn != "min" && fn != "max") return false
+      // count top-level commas inside this call's parens
+      var depth = 0; var args = 1; var i = m.end - 1; var done = false
+      var sawNonSpace = false
+      while (i < noLit.length && !done) {
+        val c = noLit.charAt(i)
+        if (c == '(') depth += 1
+        else if (c == ')') { depth -= 1; if (depth == 0) done = true }
+        else if (c == ',' && depth == 1) args += 1
+        else if (depth >= 1 && !c.isWhitespace) sawNonSpace = true
+        i += 1
+      }
+      sawNonSpace && args >= 2
+    }
     retOverRe.findFirstMatchIn(noLit)
       .map(m => s"misuse of window function ${m.group(1).toLowerCase}()")
       .orElse(retWinRe.findFirstMatchIn(noLit)
         .map(m => s"misuse of window function ${m.group(1).toLowerCase}()"))
-      .orElse(retAggRe.findFirstMatchIn(noLit)
+      .orElse(retAggRe.findAllMatchIn(noLit).find(m => !scalarMinMax(m))
         .map(m => s"misuse of aggregate function ${m.group(1).toLowerCase}()"))
   }
 
@@ -739,8 +757,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     if (firstWord(sql) != "WITH") return None
     val hits = Seq("INSERT", "REPLACE", "UPDATE", "DELETE").flatMap { k =>
       val i = SqlText.findKeyword(sql, k)
-      // require a real keyword: findKeyword treats `_` as a boundary, so
-      // an identifier like `update_x` would false-match without this
+      // belt-and-braces: valid DML always has whitespace after the verb
       if (i >= 0 && i + k.length < sql.length &&
         sql.charAt(i + k.length).isWhitespace) Some(i)
       else None
@@ -2457,13 +2474,23 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           }
         resolved.map { case (fin, affected, nextId2, lastOpt) =>
           val ordByRid = mini.map { case (rid, (o, _)) => rid -> o }.toMap
+          // REPLACE = delete + re-insert: a landed candidate moves to the
+          // END of the table exactly like the Mem vector path (and fires
+          // its INSERT trigger in candidate order — ADVICE r12 #5), so an
+          // overwriting candidate takes a FRESH tail __ord instead of the
+          // displaced row's. Upsert DO UPDATE rows update in place and
+          // keep theirs.
+          val replacedRids: Set[Long] =
+            if (policy == Conflict.Replace) candidates.map(_._1).toSet
+            else Set.empty
           var ord = big.nextOrd
           val schema = StructType(
             StructField("__ord", LongType, nullable = false) +:
               StructField("__rowid", LongType, nullable = false) +:
               td.schema.fields)
           val sliceRows = fin.map { case (rid, v) =>
-            val o = ordByRid.getOrElse(rid, { val x = ord; ord += 1; x })
+            val o = if (replacedRids(rid)) { val x = ord; ord += 1; x }
+              else ordByRid.getOrElse(rid, { val x = ord; ord += 1; x })
             Row.fromSeq(o +: rid +: v)
           }
           val merged = keep.union(
@@ -5034,7 +5061,11 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       .filter(differs), budget).map { r =>
       val nw = vals(r, 2)
       val old = (2 + n + 1 until 2 + n + 1 + n).map(r.get).toIndexedSeq
-      (r.getLong(1), if (isReplace)
+      // REPLACE fires INSERT triggers in CANDIDATE order: key overwrites
+      // by the after frame's __ord (same key space as `added`) so fresh
+      // and overwritten rowids interleave as the statement listed them;
+      // UPDATE keeps rowid (= before-state matched) ordering.
+      (if (isReplace) r.getLong(0) else r.getLong(1), if (isReplace)
         ("INSERT", Some(nw): Option[IndexedSeq[Any]], None: Option[IndexedSeq[Any]])
       else ("UPDATE", Some(nw): Option[IndexedSeq[Any]],
         Some(old): Option[IndexedSeq[Any]]))
@@ -5524,11 +5555,15 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
               journalSeq = math.max(journalSeq, id) - 1 // re-append below
               val stmts = Seq.newBuilder[Statement]
               n.path("statements").forEach(s => stmts += Statement(s.asText))
-              val _ = executeReplay(n.path("transaction").asBoolean(false),
-                stmts.result())
+              val applied = executeReplay(
+                n.path("transaction").asBoolean(false), stmts.result())
               // streaming watermark: a replayed stamp restores exactly-once
-              // dedup across the crash (re-delivered micro-batch → no-op)
-              if (n.has("streamBatch"))
+              // dedup across the crash (re-delivered micro-batch → no-op).
+              // Only a stamp whose transaction APPLIED advances it — the
+              // journal is appended before execution, so a failed batch
+              // (constraint error) leaves a stamped line that must NOT
+              // swallow the source's re-delivery of those rows.
+              if (applied && n.has("streamBatch"))
                 lastStreamBatch =
                   math.max(lastStreamBatch, n.path("streamBatch").asLong(-1))
             }
@@ -5547,9 +5582,12 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     publishCommitted()
   }
 
-  private def executeReplay(tx: Boolean, stmts: Seq[Statement]): Unit = {
+  /** Re-run one journaled batch during recovery. Returns true iff the
+    * batch applied (no failed statement rolled a tx back) — the streaming
+    * watermark must only advance on applied stamps. */
+  private def executeReplay(tx: Boolean, stmts: Seq[Statement]): Boolean = {
     journalSeq += 1
-    if (tx && openTx.isDefined) { persist(); return } // mirrors execute()
+    if (tx && openTx.isDefined) { persist(); return false } // mirrors execute()
     val work: Tables = if (tx) snapshot() else tables
     var failed = false
     stmts.foreach { s =>
@@ -5561,6 +5599,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     }
     if (tx && !failed) tables = work
     persist()
+    !failed
   }
 }
 

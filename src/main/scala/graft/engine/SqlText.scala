@@ -68,18 +68,20 @@ object SqlText {
   }
 
   /** Find a top-level standalone keyword (e.g. WHERE) outside quotes/parens;
-    * returns its index or -1. */
+    * returns its index or -1. Word boundaries follow SQL identifier rules:
+    * `_` is a word character, so `last_update` never matches UPDATE and
+    * `returning_flag` never matches RETURNING. */
   def findKeyword(s: String, kw: String): Int = {
     val u = s.toUpperCase
+    def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
     var depth = 0; var found = -1
     scan(s) { (c, i, quoted) =>
       if (!quoted) {
         if (c == '(') depth += 1
         else if (c == ')') depth -= 1
         else if (found < 0 && depth == 0 && u.startsWith(kw, i) &&
-          (i == 0 || !Character.isLetterOrDigit(u.charAt(i - 1))) &&
-          (i + kw.length >= u.length ||
-            !Character.isLetterOrDigit(u.charAt(i + kw.length))))
+          (i == 0 || !isWord(u.charAt(i - 1))) &&
+          (i + kw.length >= u.length || !isWord(u.charAt(i + kw.length))))
           found = i
       }
     }

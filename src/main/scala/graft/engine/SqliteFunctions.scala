@@ -70,7 +70,9 @@ object SqliteFunctions {
       msOf(h, mi, se, fr).map(T(2000, 1, 1, _))
     case n if numRe.pattern.matcher(n).matches() =>
       Some(fromEpochMs(math.round((n.toDouble - 2440587.5) * 86400000.0)))
-    case "now" => throw new NonDeterministicTime("now")
+    // SQLite parses time strings case-insensitively: date('NOW') is
+    // 'now' — reject it the same way (determinism guard).
+    case s if s.equalsIgnoreCase("now") => throw new NonDeterministicTime("now")
     case _ => None
   }
 
