@@ -56,7 +56,8 @@ final case class ColDef(
     gen: Option[(String, Boolean)] = None, // (expr, STORED)
     fkDelete: String = "NO ACTION", // ON DELETE action of `ref`
     fkUpdate: String = "NO ACTION", // ON UPDATE action of `ref`
-    autoInc: Boolean = false) { // INTEGER PRIMARY KEY AUTOINCREMENT
+    autoInc: Boolean = false, // INTEGER PRIMARY KEY AUTOINCREMENT
+    collate: String = "BINARY") { // column collation (BINARY|NOCASE|RTRIM)
   def sparkType: DataType = Affinity.sparkType(affinity)
   /** SQLite: `INTEGER PRIMARY KEY` is an alias of the rowid. */
   def isRowidAlias: Boolean = pk && affinity == Affinity.Integer
@@ -270,7 +271,7 @@ object Ddl {
     val tsu = tScrub.toUpperCase
     // declared type = tokens before any constraint keyword
     val constraintIdx = (Seq("PRIMARY ", "NOT ", "UNIQUE", "REFERENCES",
-      "DEFAULT", "CHECK", "CONSTRAINT")
+      "DEFAULT", "CHECK", "CONSTRAINT", "COLLATE")
       .map(k => tsu.indexOf(k)) ++ Seq(genIdx)).filter(_ >= 0)
     val declared =
       (if (constraintIdx.nonEmpty) tScrub.take(constraintIdx.min)
@@ -307,7 +308,30 @@ object Ddl {
       gen = gen,
       fkDelete = if (ref.isDefined) fkAction("DELETE") else "NO ACTION",
       fkUpdate = if (ref.isDefined) fkAction("UPDATE") else "NO ACTION",
-      autoInc = tsu.contains("AUTOINCREMENT"))
+      autoInc = tsu.contains("AUTOINCREMENT"),
+      // the NAME is kept verbatim (uppercased) — doCreate rejects unknown
+      // collations with SQLite's "no such collation sequence" text. Search
+      // only OUTSIDE parens so a CHECK/DEFAULT body's own COLLATE never
+      // reads as the column collation.
+      collate = collateRe.findFirstMatchIn(blankParens(tScrub))
+        .map(_.group(1).toUpperCase).getOrElse("BINARY"))
+  }
+
+  private[engine] val collateRe =
+    """(?is)\bCOLLATE\s+["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?""".r
+
+  /** Replace every parenthesized region with spaces (length-preserving). */
+  private def blankParens(s: String): String = {
+    val a = s.toCharArray
+    var depth = 0
+    var i = 0
+    while (i < a.length) {
+      if (a(i) == '(') { depth += 1; a(i) = ' ' }
+      else if (a(i) == ')') { depth -= 1; a(i) = ' ' }
+      else if (depth > 0) a(i) = ' '
+      i += 1
+    }
+    new String(a)
   }
 
   /** Canonical CREATE TABLE text for a TableDef — used when ALTER TABLE
@@ -323,6 +347,7 @@ object Ddl {
         case _ => "TEXT"
       }
       c.name + " " + ty +
+        (if (c.collate != "BINARY") s" COLLATE ${c.collate}" else "") +
         c.gen.map { case (e, stored) =>
           s" GENERATED ALWAYS AS ($e)" + (if (stored) " STORED" else "")
         }.getOrElse("") +
@@ -356,15 +381,32 @@ object Ddl {
     """(?is)^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*;?\s*$""".r
 
   final case class CreateIndex(unique: Boolean, ifNotExists: Boolean,
-      name: String, table: String, cols: Seq[String], sql: String)
+      name: String, table: String, cols: Seq[String], sql: String,
+      colls: Seq[String] = Nil) { // per-column collation (parallel to cols;
+    // "" = unspecified → defaults to the COLUMN's declared collation)
+    def collOf(i: Int): String = if (i < colls.length) colls(i) else ""
+  }
   final case class DropIndex(ifExists: Boolean, name: String)
 
   def parseCreateIndex(sql: String): Option[CreateIndex] = sql match {
     case createIndexRe(uniq, ine, name, table, colList) =>
-      val cols = colList.split(",").map(_.trim
-        .stripPrefix("\"").stripSuffix("\"")
-        .stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
-      Some(CreateIndex(uniq != null, ine != null, name, table, cols, sql))
+      // each item: identifier, optionally `COLLATE <name>` (SQLite also
+      // allows ASC/DESC — direction is irrelevant to a full-scan engine)
+      val items = colList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val cols = Seq.newBuilder[String]
+      val colls = Seq.newBuilder[String]
+      items.foreach { it =>
+        val coll = collateRe.findFirstMatchIn(it)
+          .map(_.group(1).toUpperCase).getOrElse("")
+        val bare = collateRe.replaceAllIn(it, " ")
+          .replaceAll("(?i)\\b(ASC|DESC)\\b", " ").trim
+          .stripPrefix("\"").stripSuffix("\"")
+          .stripPrefix("`").stripSuffix("`")
+        cols += bare
+        colls += coll
+      }
+      Some(CreateIndex(uniq != null, ine != null, name, table,
+        cols.result(), sql, colls.result()))
     case _ => None
   }
 

@@ -1,8 +1,8 @@
 package graft.engine
 
 import graft.command._
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, expr, lit}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, expr, lit, lower, rtrim}
 import org.apache.spark.sql.types._
 import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import scala.collection.mutable
@@ -355,14 +355,16 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     snap.foreach {
       case (td, Mem(rows)) =>
         val data = rows.map { case (_, vals) => Row.fromSeq(vals) }.asJava
-        s.createDataFrame(data, td.schema).createOrReplaceTempView(td.name)
+        withQueryCollations(td, s.createDataFrame(data, td.schema))
+          .createOrReplaceTempView(td.name)
       case (td, Big(df, _, _)) =>
         // a DataFrame is bound to the engine's private session; re-root its
         // (already materialized) RDD on the fresh reader session. Sort by
         // __ord before dropping it — same insertion-order contract as the
         // locked view registration.
-        s.createDataFrame(df.rdd, df.schema).orderBy(col("__ord"))
-          .drop("__ord", "__rowid").createOrReplaceTempView(td.name)
+        withQueryCollations(td, s.createDataFrame(df.rdd, df.schema)
+            .orderBy(col("__ord")).drop("__ord", "__rowid"))
+          .createOrReplaceTempView(td.name)
     }
     committedViews.foreach { case (name, select) =>
       try s.sql(SqlText.fixQuotedIdents(select)).createOrReplaceTempView(name)
@@ -380,8 +382,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         else if (valuePragmaRe.findFirstMatchIn(sql).isDefined)
           out += valuePragma(valuePragmaRe.findFirstMatchIn(sql).get.group(1))
         else
-          try out += envelope(
-            s.sql(SqlText.aliasSelectList(SqlText.fixQuotedIdents(sql))))
+          try out += envelope(s.sql(
+            SqlText.mapCollations(SqlText.aliasSelectList(
+              SqlText.fixQuotedIdents(sql))).fold(e => return Left(e),
+              identity)))
           catch { case e: Exception => return Left(friendlyError(e)) }
       }
     }
@@ -736,7 +740,14 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       case Some((rec, ctes, tail)) => (Some((rec, ctes)), tail)
       case None => (None, retStripped)
     }
-    val sql = SqlText.fixQuotedIdents(sql0)
+    // expression-level `COLLATE name` maps onto Spark's collations before
+    // any DML sub-expression reaches Catalyst; CREATE-family statements
+    // keep their verbatim text (executeOneInner routes those via sql0 and
+    // Ddl parses the SQLite names itself)
+    val sql = SqlText.mapCollations(SqlText.fixQuotedIdents(sql0)) match {
+      case Left(e) => return Left(e)
+      case Right(s2) => s2
+    }
     val kw = firstWord(sql)
     val savedCtes = (pendingCtes, pendingCtesRec)
     pendingCtes = cteInfo.map(_._2.map(c => (cteName(c), c))).getOrElse(Nil)
@@ -944,6 +955,11 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         // alias (SQLite rejects it anywhere else at parse time)
         td.cols.find(c => c.autoInc && !c.isRowidAlias).foreach { _ =>
           return Left("near \"AUTOINCREMENT\": syntax error")
+        }
+        // collations are resolved at CREATE time (SQLite 3.40, probed:
+        // `CREATE TABLE bad(z TEXT COLLATE NOSUCH)` fails immediately)
+        td.cols.find(c => !knownCollations(c.collate)).foreach { c =>
+          return Left(s"no such collation sequence: ${c.collate}")
         }
         // composite-constraint shape errors (SQLite 3.40 texts, probed)
         (td.pkSet ++ td.uniqueSets.flatten).find(td.colIndex(_) < 0)
@@ -1543,14 +1559,23 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       return Left(s"no such table: ${ci.table}"))
     ci.cols.find(c => ts.d.colIndex(c) < 0)
       .foreach(c => return Left(s"no such column: $c"))
+    ci.colls.find(cl => cl.nonEmpty && !knownCollations(cl))
+      .foreach(cl => return Left(s"no such collation sequence: $cl"))
     if (ci.unique) {
       val idxs = ci.cols.map(ts.d.colIndex)
+      // unspecified index-column collation = the COLUMN's (SQLite);
+      // non-TEXT columns always compare BINARY
+      val colls = idxs.zipWithIndex.map { case (cidx, k) =>
+        val o = ci.collOf(k)
+        if (ts.d.cols(cidx).sparkType != StringType) "BINARY"
+        else if (o.isEmpty) ts.d.cols(cidx).collate else o
+      }
       val desc = ci.cols.map(c => s"${ts.d.name}.$c").mkString(", ")
       ts.store match {
         case Mem(rows) =>
           val seen = mutable.HashSet[Seq[Any]]()
           rows.foreach { case (_, r) =>
-            val key = idxs.map(r(_))
+            val key = specKey(idxs, colls, r)
             if (!key.contains(null) && !seen.add(key))
               return Left(s"UNIQUE constraint failed: $desc")
           }
@@ -1559,7 +1584,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           val names = idxs.map(ts.d.cols(_).name)
           val dup = df
             .filter(names.map(col(_).isNotNull).reduce(_ && _))
-            .groupBy(names.map(col): _*).count()
+            .groupBy(names.lazyZip(colls).map((nm, cl) =>
+              normCol(col(nm), cl)).toSeq: _*).count()
             .filter(col("count") > 1).limit(1).count()
           if (dup > 0) return Left(s"UNIQUE constraint failed: $desc")
       }
@@ -1929,18 +1955,91 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
 
   /** Uniqueness constraints of a table as (column indexes, error text):
     * PK / UNIQUE columns in declaration order, then UNIQUE indexes. */
-  private def uniqueSpecs(td: TableDef): Seq[(Seq[Int], String)] = {
-    def ofSet(cs: Seq[String]): Option[(Seq[Int], String)] = {
+  // ---------- collation (SQLite BINARY | NOCASE | RTRIM) ------------------
+  // NOCASE folds ASCII A-Z only (sqlite3UpperToLower); RTRIM ignores
+  // trailing spaces (0x20). Constraint paths compare NORMALIZED keys —
+  // lower-folded / right-trimmed — which matches SQLite's comparator
+  // exactly for ASCII text. The distributed legs use Spark's lower()/
+  // rtrim() (Unicode lower vs SQLite's ASCII fold — a documented
+  // divergence on non-ASCII case pairs only).
+
+  private val knownCollations = Set("BINARY", "NOCASE", "RTRIM")
+
+  /** Normalize one value under a collation (non-TEXT values pass through —
+    * SQLite collations only affect text comparison). */
+  private def collNorm(v: Any, coll: String): Any = v match {
+    case s: String => coll match {
+      case "NOCASE" =>
+        var i = 0; var needs = false
+        while (i < s.length && !needs) {
+          val c = s.charAt(i); if (c >= 'A' && c <= 'Z') needs = true; i += 1
+        }
+        if (!needs) s
+        else {
+          val a = s.toCharArray
+          var j = 0
+          while (j < a.length) {
+            val c = a(j); if (c >= 'A' && c <= 'Z') a(j) = (c + 32).toChar
+            j += 1
+          }
+          new String(a)
+        }
+      case "RTRIM" =>
+        var e = s.length
+        while (e > 0 && s.charAt(e - 1) == ' ') e -= 1
+        if (e == s.length) s else s.substring(0, e)
+      case _ => s
+    }
+    case other => other
+  }
+
+  /** A spec key for comparison: values at `idxs`, normalized per the
+    * spec's collations. */
+  private def specKey(idxs: Seq[Int], colls: Seq[String],
+                      vals: IndexedSeq[Any]): Seq[Any] =
+    idxs.lazyZip(colls).map((i, c) => collNorm(vals(i), c))
+
+  /** DataFrame column for collation-aware key comparison (grouping,
+    * joins, windows): lower() for NOCASE, rtrim() for RTRIM. The input is
+    * re-collated to UTF8_BINARY first — a source column may carry a
+    * collated TYPE from the query views, and mixing it into lower()/joins
+    * untreated trips Spark's INDETERMINATE_COLLATION analysis. */
+  private def normCol(c: Column, coll: String): Column = coll match {
+    case "NOCASE" =>
+      lower(org.apache.spark.sql.functions.collate(c, "UTF8_BINARY"))
+    case "RTRIM" =>
+      rtrim(org.apache.spark.sql.functions.collate(c, "UTF8_BINARY"))
+    case _ => c
+  }
+
+  /** Collations for a spec resolved from the COLUMN definitions. An index
+    * created with explicit per-column collations registers its own spec
+    * (see [[uniqueSpecs]]); everything else takes the column's. Non-TEXT
+    * columns always compare BINARY (collation only affects text). */
+  private def specColls(td: TableDef, idxs: Seq[Int]): Seq[String] =
+    idxs.map { i =>
+      val c = td.cols(i)
+      if (c.sparkType == StringType) c.collate else "BINARY"
+    }
+
+  /** A uniqueness spec: column indexes, SQLite error-text description, and
+    * the per-column collation each key position compares under. */
+  private type USpec = (Seq[Int], String, Seq[String])
+
+  private def uniqueSpecs(td: TableDef): Seq[USpec] = {
+    def ofSet(cs: Seq[String]): Option[USpec] = {
       val idxs = cs.map(td.colIndex)
       if (idxs.forall(_ >= 0))
-        Some((idxs, cs.map(c => s"${td.name}.$c").mkString(", ")))
+        Some((idxs, cs.map(c => s"${td.name}.$c").mkString(", "),
+          specColls(td, idxs)))
       else None
     }
     // a composite table-level PRIMARY KEY is a tuple-level unique spec in
     // clause order (the clause order also governs SQLite's error text)
     val pkSpec = if (td.pkSet.isEmpty) Nil else ofSet(td.pkSet).toSeq
     val colSpecs = td.cols.zipWithIndex.collect {
-      case (c, i) if c.pk || c.unique => (Seq(i), s"${td.name}.${c.name}")
+      case (c, i) if c.pk || c.unique =>
+        (Seq(i), s"${td.name}.${c.name}", specColls(td, Seq(i)))
     }
     val setSpecs = td.uniqueSets.flatMap(ofSet)
     val idxSpecs = indexes.values.toSeq
@@ -1948,7 +2047,14 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       .flatMap { ix =>
         val idxs = ix.cols.map(td.colIndex)
         if (idxs.forall(_ >= 0))
-          Some((idxs, ix.cols.map(c => s"${td.name}.$c").mkString(", ")))
+          // an index column's collation defaults to the COLUMN's (SQLite);
+          // an explicit `COLLATE c` in the index overrides it
+          Some((idxs, ix.cols.map(c => s"${td.name}.$c").mkString(", "),
+            idxs.zipWithIndex.map { case (ci, k) =>
+              val o = ix.collOf(k)
+              if (td.cols(ci).sparkType != StringType) "BINARY"
+              else if (o.isEmpty) td.cols(ci).collate else o
+            }))
         else None
       }
     // SQLite's within-row REPORTING order when one row violates several
@@ -1958,19 +2064,20 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     // table-level clauses and column constraints in reverse declaration
     // order. Only the error text depends on this order; conflict/victim
     // SETS are order-independent.
-    val (aliasSpec, otherCols) = colSpecs.partition { case (idxs, _) =>
+    val (aliasSpec, otherCols) = colSpecs.partition { case (idxs, _, _) =>
       idxs.sizeIs == 1 && td.cols(idxs.head).isRowidAlias }
     aliasSpec ++ idxSpecs.reverse ++ setSpecs.reverse ++ pkSpec ++
       otherCols.reverse
   }
 
   /** Does `vals` conflict with `row` on any spec? (SQLite: NULLs in any
-    * indexed column never conflict.) */
-  private def conflicts(specs: Seq[(Seq[Int], String)],
+    * indexed column never conflict; text positions compare under the
+    * spec's collation.) */
+  private def conflicts(specs: Seq[USpec],
                         row: IndexedSeq[Any], vals: IndexedSeq[Any]): Boolean =
-    specs.exists { case (idxs, _) =>
-      val key = idxs.map(vals(_))
-      !key.contains(null) && idxs.map(row(_)) == key
+    specs.exists { case (idxs, _, colls) =>
+      val key = specKey(idxs, colls, vals)
+      !key.contains(null) && specKey(idxs, colls, row) == key
     }
 
   /** Shared INSERT pipeline: `source` is either a VALUES tail or a SELECT
@@ -2258,7 +2365,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         val specs = confCols match {
           case Some(cs) =>
             val want = cs.map(_.toLowerCase).toSet
-            val m = all.filter { case (idxs, _) =>
+            val m = all.filter { case (idxs, _, _) =>
               idxs.map(i => td.cols(i).name.toLowerCase).toSet == want
             }
             if (m.isEmpty) return Left(
@@ -2387,22 +2494,25 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     * candidates × specs rows — spec keys are unique in the table by
     * invariant — never by the table. Returns rid -> (ord, vals). */
   private def collectInteracting(td: TableDef, big: Big,
-      specs: Seq[(Seq[Int], String)],
+      specs: Seq[USpec],
       candidates: IndexedSeq[(Long, IndexedSeq[Any])])
       : Seq[(Long, (Long, IndexedSeq[Any]))] = {
     if (specs.isEmpty || candidates.isEmpty) return Seq.empty
     val n = td.cols.size
     val out = mutable.LinkedHashMap[Long, (Long, IndexedSeq[Any])]()
-    specs.foreach { case (idxs, _) =>
+    specs.foreach { case (idxs, _, colls) =>
       val names = idxs.map(td.cols(_).name)
-      val keys = candidates.map(c => idxs.map(c._2(_)))
+      // probe with NORMALIZED keys against normalized table columns so a
+      // NOCASE/RTRIM collision lands in the interacting slice
+      val keys = candidates.map(c => specKey(idxs, colls, c._2))
         .filterNot(_.contains(null)).distinct
       if (keys.nonEmpty) {
         val kschema = StructType(idxs.map(i =>
           StructField("__q_" + td.cols(i).name, td.cols(i).sparkType)).toArray)
         val kdf = session.createDataFrame(
           keys.map(k => Row.fromSeq(k)).asJava, kschema)
-        val cond = names.map(nm => col(nm) === col("__q_" + nm)).reduce(_ && _)
+        val cond = names.lazyZip(colls).map((nm, cl) =>
+          normCol(col(nm), cl) === col("__q_" + nm)).reduce(_ && _)
         big.df.join(broadcast(kdf), cond, "left_semi").collect().foreach { r =>
           out(r.getLong(1)) =
             (r.getLong(0), (2 until 2 + n).map(r.get).toIndexedSeq)
@@ -2641,18 +2751,20 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             catch { case _: Exception => None } // unresolvable expr: ignore
           reportAt(bad, 1, s"CHECK constraint failed: $label")
         }
-        specs.foreach { case (idxs, desc) =>
+        specs.foreach { case (idxs, desc, colls) =>
           val names = specCols(idxs)
           val nn = notNullKeys(names)
+          def nc(n2: String) =
+            normCol(col(n2), colls(names.indexOf(n2)))
           // intra-batch: the LATER of each duplicate pair is the failing row
-          val w = Window.partitionBy(names.map(col): _*).orderBy(col("__ord"))
+          val w = Window.partitionBy(names.map(nc): _*).orderBy(col("__ord"))
           reportAt(minOrd(candDf.filter(nn)
               .withColumn("__rn", row_number().over(w))
               .filter(col("__rn") > 1)),
             2, s"UNIQUE constraint failed: $desc")
           val keyed = big.df
-            .select(names.map(n2 => col(n2).as("__q_" + n2)): _*)
-          val cond = names.map(n2 => col(n2) === col("__q_" + n2)).reduce(_ && _)
+            .select(names.map(n2 => nc(n2).as("__q_" + n2)): _*)
+          val cond = names.map(n2 => nc(n2) === col("__q_" + n2)).reduce(_ && _)
           reportAt(minOrd(candDf.filter(nn).join(keyed, cond, "left_semi")),
             2, s"UNIQUE constraint failed: $desc")
         }
@@ -2732,16 +2844,17 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         // documented fallback (chained cross-spec conflicts — see Scaladoc).
         def perSpecResolve(df0: DataFrame): DataFrame = {
           var k = df0
-          specs.foreach { case (idxs, _) =>
+          specs.foreach { case (idxs, _, colls) =>
             val names = specCols(idxs)
             val nn = notNullKeys(names)
+            def nc(n2: String) = normCol(col(n2), colls(names.indexOf(n2)))
             // intra-batch: first occurrence per key wins (insertion order)
-            val w = Window.partitionBy(names.map(col): _*).orderBy(col("__ord"))
+            val w = Window.partitionBy(names.map(nc): _*).orderBy(col("__ord"))
             k = k.withColumn("__rn", row_number().over(w))
               .filter(!nn || col("__rn") === 1).drop("__rn")
             // vs table: NULL keys never match an equi-join → they survive
-            val keyed = big.df.select(names.map(n2 => col(n2).as("__t_" + n2)): _*)
-            val cond = names.map(n2 => col(n2) === col("__t_" + n2)).reduce(_ && _)
+            val keyed = big.df.select(names.map(n2 => nc(n2).as("__t_" + n2)): _*)
+            val cond = names.map(n2 => nc(n2) === col("__t_" + n2)).reduce(_ && _)
             k = k.join(keyed, cond, "left_anti")
           }
           k
@@ -2757,12 +2870,13 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             // interacting slice (exact SQLite order), the rest distributed.
             import org.apache.spark.sql.functions.{count, lit}
             var m = kept
-            val flags = specs.zipWithIndex.map { case ((idxs, _), i) =>
+            val flags = specs.zipWithIndex.map { case ((idxs, _, colls), i) =>
               val names = specCols(idxs)
+              def nc(n2: String) = normCol(col(n2), colls(names.indexOf(n2)))
               m = m.withColumn(s"__c$i",
                 notNullKeys(names) &&
                   count(lit(1)).over(
-                    Window.partitionBy(names.map(col): _*)) > 1)
+                    Window.partitionBy(names.map(nc): _*)) > 1)
               s"__c$i"
             }
             val mC = m.localCheckpoint()
@@ -2820,10 +2934,11 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         // window and retain a row SQLite deletes (chained cross-spec
         // conflict).
         var flagged = candDf
-        val mxFlags = specs.zipWithIndex.map { case ((idxs, _), i) =>
+        val mxFlags = specs.zipWithIndex.map { case ((idxs, _, colls), i) =>
           val names = specCols(idxs)
           val nn = notNullKeys(names)
-          val w = Window.partitionBy(names.map(col): _*)
+          def nc(n2: String) = normCol(col(n2), colls(names.indexOf(n2)))
+          val w = Window.partitionBy(names.map(nc): _*)
           flagged = flagged.withColumn(s"__mx$i",
             !nn || col("__ord") === max(col("__ord")).over(w))
           s"__mx$i"
@@ -2833,12 +2948,13 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           else flagged.filter(mxFlags.map(col).reduce(_ && _))
             .drop(mxFlags: _*)
         var keepT = big.df
-        specs.foreach { case (idxs, _) =>
+        specs.foreach { case (idxs, _, colls) =>
           val names = specCols(idxs)
           val nn = notNullKeys(names)
+          def nc(n2: String) = normCol(col(n2), colls(names.indexOf(n2)))
           val keyed = candDf.filter(nn)
-            .select(names.map(n2 => col(n2).as("__q_" + n2)): _*)
-          val cond = names.map(n2 => col(n2) === col("__q_" + n2)).reduce(_ && _)
+            .select(names.map(n2 => nc(n2).as("__q_" + n2)): _*)
+          val cond = names.map(n2 => nc(n2) === col("__q_" + n2)).reduce(_ && _)
           keepT = keepT.join(keyed, cond, "left_anti")
         }
         val merged = keepT.union(surv)
@@ -3234,8 +3350,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       case b: Array[Byte] => b.toSeq
       case x => x
     }
-    def keyOf(vals: IndexedSeq[Any], idxs: Seq[Int]): IndexedSeq[Any] =
-      idxs.map(i => norm(vals(i))).toIndexedSeq
+    def keyOf(vals: IndexedSeq[Any], idxs: Seq[Int],
+              colls: Seq[String]): IndexedSeq[Any] =
+      idxs.lazyZip(colls).map((i, cl) =>
+        norm(collNorm(vals(i), cl))).toIndexedSeq
     // tracked rows: the matched set plus every unchanged row whose key
     // under some spec collides with a candidate new key (the only
     // unchanged rows any skip/displace decision can involve)
@@ -3248,8 +3366,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     val unchangedDf = baseDf.join(broadcast(ridsDf(changedRidSet)),
       col("__rowid") === col("__qr"), "left_anti")
     var partnersDf: Option[DataFrame] = None
-    specs.foreach { case (idxs, _) =>
-      val keys = changed.iterator.map(c => idxs.map(c.nw(_)).toIndexedSeq)
+    specs.foreach { case (idxs, _, colls) =>
+      val keys = changed.iterator
+        .map(c => specKey(idxs, colls, c.nw).toIndexedSeq)
         .filter(!_.contains(null)).toSeq.distinct
       if (keys.nonEmpty) {
         val kschema = StructType(idxs.zipWithIndex.map { case (ci, j) =>
@@ -3258,7 +3377,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         val kdf =
           session.createDataFrame(keys.map(Row.fromSeq(_)).asJava, kschema)
         val on = idxs.zipWithIndex.map { case (ci, j) =>
-          col(td.cols(ci).name) === col(s"__k$j") }.reduce(_ && _)
+          normCol(col(td.cols(ci).name), colls(j)) === col(s"__k$j") }
+          .reduce(_ && _)
         val sj = unchangedDf.join(broadcast(kdf), on, "left_semi")
         partnersDf = Some(partnersDf.map(_.unionAll(sj)).getOrElse(sj))
       }
@@ -3315,23 +3435,23 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     changed.foreach(c => cur(c.rid) = (c.ord, c.old))
     partners.foreach(p => cur(p._2) = (p._1, p._3))
     val dirty = mutable.HashSet[Long]()
-    val keyIdx = specs.map { case (idxs, _) =>
+    val keyIdx = specs.map { case (idxs, _, colls) =>
       val m = mutable.HashMap[IndexedSeq[Any], Long]()
       cur.foreach { case (rid, (_, vals)) =>
-        val k = keyOf(vals, idxs)
+        val k = keyOf(vals, idxs, colls)
         if (!k.contains(null)) m(k) = rid
       }
       m
     }.toIndexedSeq
     def dropKeys(rid: Long, vals: IndexedSeq[Any]): Unit =
-      specs.zipWithIndex.foreach { case ((idxs, _), s) =>
-        val k = keyOf(vals, idxs)
+      specs.zipWithIndex.foreach { case ((idxs, _, colls), s) =>
+        val k = keyOf(vals, idxs, colls)
         if (!k.contains(null) && keyIdx(s).get(k).contains(rid))
           keyIdx(s) -= k
       }
     def putKeys(rid: Long, vals: IndexedSeq[Any]): Unit =
-      specs.zipWithIndex.foreach { case ((idxs, _), s) =>
-        val k = keyOf(vals, idxs)
+      specs.zipWithIndex.foreach { case ((idxs, _, colls), s) =>
+        val k = keyOf(vals, idxs, colls)
         if (!k.contains(null)) keyIdx(s)(k) = rid
       }
     lazy val defVals: Map[Int, Any] = td.cols.zipWithIndex.collect {
@@ -3346,11 +3466,13 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     // (untracked rows never change during the statement, so the before
     // DF is exact); at most one per spec per supplemented row.
     def supplementPartners(nw: IndexedSeq[Any]): Unit =
-      specs.zipWithIndex.foreach { case ((idxs, _), s) =>
-        val k = keyOf(nw, idxs)
+      specs.zipWithIndex.foreach { case ((idxs, _, colls), s) =>
+        val k = keyOf(nw, idxs, colls)
         if (!k.contains(null) && !keyIdx(s).contains(k)) {
-          val flt = idxs.map(ci => col(td.cols(ci).name) <=>
-            org.apache.spark.sql.functions.lit(nw(ci))).reduce(_ && _)
+          val flt = idxs.lazyZip(colls).map((ci, cl) =>
+            normCol(col(td.cols(ci).name), cl) <=>
+              org.apache.spark.sql.functions.lit(collNorm(nw(ci), cl)))
+            .reduce(_ && _)
           baseDf.filter(flt).collect().foreach { r =>
             val rid = r.getLong(1)
             if (!trackedRidSet.contains(rid)) {
@@ -3437,8 +3559,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
               if (abortErr.isEmpty && !skip && !failed) {
                 if (keysChanged) supplementPartners(nw)
                 if (policy == "REPLACE") {
-                  specs.zipWithIndex.foreach { case ((idxs, _), s) =>
-                    val k = keyOf(nw, idxs)
+                  specs.zipWithIndex.foreach { case ((idxs, _, colls), s) =>
+                    val k = keyOf(nw, idxs, colls)
                     if (!k.contains(null))
                       keyIdx(s).get(k).filter(_ != c0.rid).foreach { v =>
                         val vVals = cur(v)._2
@@ -3449,8 +3571,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                   }
                 } else {
                   val hit = specs.zipWithIndex.collectFirst {
-                    case ((idxs, desc), s) if {
-                      val k = keyOf(nw, idxs)
+                    case ((idxs, desc, colls), s) if {
+                      val k = keyOf(nw, idxs, colls)
                       !k.contains(null) &&
                         keyIdx(s).get(k).exists(_ != c0.rid)
                     } => desc
@@ -3954,11 +4076,12 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         catch { case _: Exception => None } // unresolvable expr: ignore
       reportAt(bad, 1, s"CHECK constraint failed: $label")
     }
-    uniqueSpecs(td).foreach { case (idxs, desc) =>
+    uniqueSpecs(td).foreach { case (idxs, desc, colls) =>
       val names = idxs.map(td.cols(_).name)
       def keyed(df: DataFrame, ridAs: String, pfx: String): DataFrame =
         df.select(col("__rowid").as(ridAs) +:
-          names.map(n2 => col(n2).as(pfx + n2)): _*)
+          names.lazyZip(colls).map((n2, cl) =>
+            normCol(col(n2), cl).as(pfx + n2)).toSeq: _*)
       val iNew = keyed(changedNewDf, "__i", "__ki_")
         .filter(names.map(n2 => col("__ki_" + n2).isNotNull).reduce(_ && _))
       val keyEq = names.map(n2 =>
@@ -4473,10 +4596,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     }
     def idxOf(r: IndexedSeq[Any]): Option[Int] =
       Option(identIdx.get(r)).map(_.intValue)
-    uniqueSpecs(td).foreach { case (idxs, desc) =>
+    uniqueSpecs(td).foreach { case (idxs, desc, colls) =>
       val seen = mutable.HashMap[Seq[Any], IndexedSeq[Any]]()
       allRows.foreach { case (_, r) =>
-        val key = idxs.map(r(_))
+        val key = specKey(idxs, colls, r)
         if (!key.contains(null)) {
           seen.get(key) match {
             case Some(firstRow) =>
@@ -4492,7 +4615,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       // untouched remainder with the touched rows' keys (broadcast
       // semi-join, bounded by the statement, never by the table).
       uniqueRemainder.foreach { keep =>
-        val keys = newRows.map(r => idxs.map(r(_)))
+        val keys = newRows.map(r => specKey(idxs, colls, r))
           .filterNot(_.contains(null)).distinct
         if (keys.nonEmpty) {
           val names = idxs.map(td.cols(_).name)
@@ -4501,8 +4624,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
               td.cols(i).sparkType)).toArray)
           val kdf = session.createDataFrame(
             keys.map(k => Row.fromSeq(k)).asJava, kschema)
-          val cond = names.map(nm =>
-            col(nm) === col("__q_" + nm)).reduce(_ && _)
+          val cond = names.lazyZip(colls).map((nm, cl) =>
+            normCol(col(nm), cl) === col("__q_" + nm)).reduce(_ && _)
           // collect the CLASHING keys (bounded by the statement's own key
           // set) so the failure maps back to the first statement row
           val clash = kdf.join(
@@ -4510,7 +4633,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             .collect().map(_.toSeq).toSet
           if (clash.nonEmpty) {
             val k = newRows.indexWhere { r =>
-              val key = idxs.map(r(_))
+              val key = specKey(idxs, colls, r)
               !key.contains(null) && clash.contains(key)
             }
             report(math.max(k, 0), 2, s"UNIQUE constraint failed: $desc")
@@ -4586,7 +4709,13 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
   private def runSelect(work: Tables, sql0: String): Either[String, RowsResult] =
     try {
       registerViews(work)
-      val sql = SqlText.aliasSelectList(SqlText.fixQuotedIdents(sql0))
+      // alias FIRST (envelope column names keep the SQLite spelling of
+      // `expr COLLATE NOCASE`), then map the collation names for Catalyst
+      val sql = SqlText.mapCollations(
+          SqlText.aliasSelectList(SqlText.fixQuotedIdents(sql0))) match {
+        case Left(e) => return Left(e)
+        case Right(s2) => s2
+      }
       val df = session.sql(sql)
       Right(envelope(df))
     } catch { case e: Exception => Left(friendlyError(e)) }
@@ -5100,6 +5229,30 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
 
   private var registeredViews: Set[String] = Set.empty
 
+  /** Expose collated TEXT columns under Spark's matching collation TYPE so
+    * every query-side comparison, ORDER BY, GROUP BY, DISTINCT, IN and
+    * min/max on them is collation-aware exactly like SQLite's column
+    * collation: NOCASE → UTF8_LCASE, RTRIM → UTF8_BINARY_RTRIM. (Spark's
+    * LCASE folds full Unicode where SQLite folds ASCII only — a
+    * documented divergence on non-ASCII case pairs.) Values are
+    * unchanged; only the comparison semantics travel with the type. */
+  private def withQueryCollations(td: TableDef, df: DataFrame): DataFrame = {
+    if (!td.cols.exists(c => c.collate != "BINARY" &&
+        c.sparkType == StringType)) return df
+    val sel = df.columns.map { n =>
+      td.cols.find(c => c.name.equalsIgnoreCase(n) &&
+          c.sparkType == StringType).map(_.collate) match {
+        case Some("NOCASE") =>
+          org.apache.spark.sql.functions.collate(col(n), "UTF8_LCASE").as(n)
+        case Some("RTRIM") =>
+          org.apache.spark.sql.functions
+            .collate(col(n), "UTF8_BINARY_RTRIM").as(n)
+        case _ => col(n)
+      }
+    }
+    df.select(sel.toSeq: _*)
+  }
+
   private def registerViews(work: Tables): Unit = {
     // stale statement-scoped CTE views go first (a dead CTE name must not
     // resolve; a live one re-registers at the end, shadowing tables)
@@ -5116,7 +5269,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     }
     registeredViews = current
     work.values.foreach { ts =>
-      val df = ridDf(ts)
+      val df = withQueryCollations(ts.d, ridDf(ts))
       df.createOrReplaceTempView(ridView(ts.d.name))
       // A Big store's physical layout is not insertion order (merges append
       // relocated slices), so sort by __ord before dropping it: SELECT *
@@ -5455,8 +5608,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             else if (valuePragmaRe.findFirstMatchIn(sql).isDefined)
               out += valuePragma(valuePragmaRe.findFirstMatchIn(sql).get.group(1))
             else
-              try out += envelope(
-                s.sql(SqlText.aliasSelectList(SqlText.fixQuotedIdents(sql))))
+              try out += envelope(s.sql(
+                SqlText.mapCollations(SqlText.aliasSelectList(
+                  SqlText.fixQuotedIdents(sql))).fold(e => return Left(e),
+                  identity)))
               catch { case e: Exception => return Left(friendlyError(e)) }
           }
         }

@@ -50,6 +50,58 @@ object SqlText {
       "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
   }
 
+  /** Map SQLite collation names after an expression-level `COLLATE`
+    * keyword (outside string literals) onto Spark's builtin collations:
+    * NOCASE → UTF8_LCASE, BINARY → UTF8_BINARY, RTRIM →
+    * UTF8_BINARY_RTRIM. Returns Left with SQLite's exact error text for
+    * an unknown name. A statement without COLLATE passes through
+    * untouched (zero-cost fast path: one indexOf). */
+  def mapCollations(sql: String): Either[String, String] = {
+    if (!sql.toUpperCase.contains("COLLATE")) return Right(sql)
+    def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    val u = sql.toUpperCase
+    val out = new StringBuilder
+    var skipUntil = 0
+    var err: Option[String] = None
+    // own scanner: backtick-quoted ALIAS text (aliasSelectList's verbatim
+    // expression names) must keep the SQLite spelling, so backticks count
+    // as quotes here alongside '…' and "…"
+    var inS = false; var inD = false; var inB = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' && !inD && !inB) inS = !inS
+      else if (c == '"' && !inS && !inB) inD = !inD
+      else if (c == '`' && !inS && !inD) inB = !inB
+      val quoted = inS || inD || inB
+      if (i >= skipUntil && err.isEmpty) {
+        if (!quoted && u.startsWith("COLLATE", i) &&
+          (i == 0 || !isWord(u.charAt(i - 1))) &&
+          (i + 7 >= u.length || !isWord(u.charAt(i + 7)))) {
+          // parse the identifier after the keyword
+          var j = i + 7
+          while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+          val q = j < sql.length && (sql.charAt(j) == '"' || sql.charAt(j) == '`')
+          val qc = if (q) sql.charAt(j) else ' '
+          if (q) j += 1
+          val start = j
+          while (j < sql.length && isWord(sql.charAt(j))) j += 1
+          val name = sql.substring(start, j)
+          if (q && j < sql.length && sql.charAt(j) == qc) j += 1
+          name.toUpperCase match {
+            case "NOCASE" => out.append("COLLATE UTF8_LCASE"); skipUntil = j
+            case "BINARY" => out.append("COLLATE UTF8_BINARY"); skipUntil = j
+            case "RTRIM" =>
+              out.append("COLLATE UTF8_BINARY_RTRIM"); skipUntil = j
+            case _ => err = Some(s"no such collation sequence: $name")
+          }
+        } else out.append(c)
+      }
+      i += 1
+    }
+    err.toLeft(out.toString)
+  }
+
   /** Split on top-level commas (not inside parens or quotes). */
   def splitTopLevel(s: String, sep: Char = ','): Seq[String] = {
     val parts = Seq.newBuilder[String]
