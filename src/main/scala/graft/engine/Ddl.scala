@@ -57,10 +57,12 @@ final case class ColDef(
     fkDelete: String = "NO ACTION", // ON DELETE action of `ref`
     fkUpdate: String = "NO ACTION", // ON UPDATE action of `ref`
     autoInc: Boolean = false, // INTEGER PRIMARY KEY AUTOINCREMENT
-    collate: String = "BINARY") { // column collation (BINARY|NOCASE|RTRIM)
+    collate: String = "BINARY", // column collation (BINARY|NOCASE|RTRIM)
+    noAlias: Boolean = false) { // WITHOUT ROWID: INTEGER PK is NOT an alias
   def sparkType: DataType = Affinity.sparkType(affinity)
-  /** SQLite: `INTEGER PRIMARY KEY` is an alias of the rowid. */
-  def isRowidAlias: Boolean = pk && affinity == Affinity.Integer
+  /** SQLite: `INTEGER PRIMARY KEY` is an alias of the rowid — except on
+    * WITHOUT ROWID tables, where no rowid exists to alias. */
+  def isRowidAlias: Boolean = pk && affinity == Affinity.Integer && !noAlias
 }
 
 final case class TableDef(name: String, cols: Seq[ColDef],
@@ -72,7 +74,8 @@ final case class TableDef(name: String, cols: Seq[ColDef],
     // alias — and each >1-column UNIQUE (...). Single-column table-level
     // clauses keep folding onto the ColDef flags.
     pkSet: Seq[String] = Nil,
-    uniqueSets: Seq[Seq[String]] = Nil) {
+    uniqueSets: Seq[Seq[String]] = Nil,
+    withoutRowid: Boolean = false) {
   def schema: StructType =
     StructType(cols.map(c => StructField(c.name, c.sparkType, nullable = true)))
   def rowidAlias: Option[ColDef] = cols.find(_.isRowidAlias)
@@ -120,7 +123,7 @@ final case class TableDef(name: String, cols: Seq[ColDef],
 
 object Ddl {
   private val createRe =
-    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*\((.*)\)\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*\((.*)\)\s*(WITHOUT\s+ROWID)?\s*;?\s*$""".r
   private val dropRe =
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*;?\s*$""".r
   private val refRe =
@@ -130,7 +133,7 @@ object Ddl {
   final case class Drop(ifExists: Boolean, name: String)
 
   def parseCreate(sql: String): Option[Create] = sql match {
-    case createRe(ine, name, body) =>
+    case createRe(ine, name, body, wr) =>
       val items = SqlText.splitTopLevel(body).map(_.trim).filter(_.nonEmpty)
       val cols = Seq.newBuilder[ColDef]
       var tablePk: Option[String] = None
@@ -193,8 +196,16 @@ object Ddl {
       if (tableFk.nonEmpty)
         defs = defs.map(c => tableFk.get(c.name.toLowerCase)
           .map(r => c.copy(ref = Some(r))).getOrElse(c))
+      if (wr != null)
+        // WITHOUT ROWID (probed live, 3.40): the PK columns are the
+        // storage key — implicitly NOT NULL, never a rowid alias
+        defs = defs.map { c =>
+          val inPk = c.pk || pkSet.exists(_.equalsIgnoreCase(c.name))
+          c.copy(noAlias = true, notNull = c.notNull || inPk)
+        }
       Some(Create(ine != null,
-        TableDef(name, defs, tableChecks, pkSet, uniqueSets)))
+        TableDef(name, defs, tableChecks, pkSet, uniqueSets,
+          withoutRowid = wr != null)))
     case _ => None
   }
 
@@ -373,40 +384,74 @@ object Ddl {
       }.mkString +
       (if (td.pkSet.nonEmpty) td.pkSet.mkString(", PRIMARY KEY (", ", ", ")")
        else "") +
-      td.uniqueSets.map(_.mkString(", UNIQUE (", ", ", ")")).mkString + ")"
+      td.uniqueSets.map(_.mkString(", UNIQUE (", ", ", ")")).mkString + ")" +
+      (if (td.withoutRowid) " WITHOUT ROWID" else "")
 
+  // prefix only: the column list may nest parens (expression indexes) and
+  // a WHERE clause may follow (partial indexes) — parsed by hand below
   private val createIndexRe =
-    """(?is)^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(IF\s+NOT\s+EXISTS\s+)?["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s+ON\s+["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*\(([^)]*)\)\s*;?\s*$""".r
+    """(?is)^\s*CREATE\s+(UNIQUE\s+)?INDEX\s+(IF\s+NOT\s+EXISTS\s+)?["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s+ON\s+["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*(\(.*)$""".r
   private val dropIndexRe =
     """(?is)^\s*DROP\s+INDEX\s+(IF\s+EXISTS\s+)?["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*;?\s*$""".r
 
   final case class CreateIndex(unique: Boolean, ifNotExists: Boolean,
       name: String, table: String, cols: Seq[String], sql: String,
-      colls: Seq[String] = Nil) { // per-column collation (parallel to cols;
-    // "" = unspecified → defaults to the COLUMN's declared collation)
+      colls: Seq[String] = Nil, // per-column collation (parallel to cols;
+      // "" = unspecified → defaults to the COLUMN's declared collation)
+      exprs: Seq[String] = Nil, // verbatim item text for EXPRESSION
+      // positions ("" for a plain identifier column), parallel to cols
+      where: Option[String] = None) { // partial-index predicate
     def collOf(i: Int): String = if (i < colls.length) colls(i) else ""
+    def exprOf(i: Int): String = if (i < exprs.length) exprs(i) else ""
+    /** Any position an expression, or a WHERE predicate present. */
+    def advanced: Boolean = where.isDefined || exprs.exists(_.nonEmpty)
   }
   final case class DropIndex(ifExists: Boolean, name: String)
 
+  private val plainIdentRe = "^[A-Za-z_][A-Za-z0-9_]*$".r
+
   def parseCreateIndex(sql: String): Option[CreateIndex] = sql match {
-    case createIndexRe(uniq, ine, name, table, colList) =>
-      // each item: identifier, optionally `COLLATE <name>` (SQLite also
-      // allows ASC/DESC — direction is irrelevant to a full-scan engine)
-      val items = colList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    case createIndexRe(uniq, ine, name, table, tail) =>
+      // tail = "(items...) [WHERE pred] [;]" with balanced nesting
+      val colList = balancedParen(tail, 0).getOrElse(return None)
+      val close = {
+        var depth = 0; var i = 0; var end = -1
+        while (i < tail.length && end < 0) {
+          if (tail.charAt(i) == '(') depth += 1
+          else if (tail.charAt(i) == ')') { depth -= 1; if (depth == 0) end = i }
+          i += 1
+        }
+        end
+      }
+      val rest = tail.substring(close + 1).trim.stripSuffix(";").trim
+      val where: Option[String] =
+        if (rest.isEmpty) None
+        else if (rest.toUpperCase.startsWith("WHERE"))
+          Some(rest.substring(5).trim)
+        else return None // trailing garbage: not a CREATE INDEX we accept
+      // each item: identifier or expression, optionally `COLLATE <name>`
+      // (SQLite also allows ASC/DESC — direction is irrelevant to a
+      // full-scan engine)
+      val items = SqlText.splitTopLevel(colList).map(_.trim).filter(_.nonEmpty)
       val cols = Seq.newBuilder[String]
       val colls = Seq.newBuilder[String]
+      val exprs = Seq.newBuilder[String]
       items.foreach { it =>
         val coll = collateRe.findFirstMatchIn(it)
           .map(_.group(1).toUpperCase).getOrElse("")
         val bare = collateRe.replaceAllIn(it, " ")
           .replaceAll("(?i)\\b(ASC|DESC)\\b", " ").trim
-          .stripPrefix("\"").stripSuffix("\"")
+        val unq = bare.stripPrefix("\"").stripSuffix("\"")
           .stripPrefix("`").stripSuffix("`")
-        cols += bare
+        if (plainIdentRe.pattern.matcher(unq).matches()) {
+          cols += unq; exprs += ""
+        } else {
+          cols += it.trim; exprs += bare // expression position
+        }
         colls += coll
       }
       Some(CreateIndex(uniq != null, ine != null, name, table,
-        cols.result(), sql, colls.result()))
+        cols.result(), sql, colls.result(), exprs.result(), where))
     case _ => None
   }
 

@@ -96,6 +96,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     mutable.LinkedHashMap.empty
   private var fkEnabled = false
   private var lastRowId = 0L
+  // set per-statement by insertRows: WITHOUT ROWID tables never advance
+  // the connection's last_insert_rowid
+  private var lidSuppressed = false
+  private def noteLid(rid: Long): Unit = if (!lidSuppressed) lastRowId = rid
   private var appliedBatch = 0L
   private var closed = false
   private val lock = new Object
@@ -355,16 +359,18 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     snap.foreach {
       case (td, Mem(rows)) =>
         val data = rows.map { case (_, vals) => Row.fromSeq(vals) }.asJava
-        withQueryCollations(td, s.createDataFrame(data, td.schema))
-          .createOrReplaceTempView(td.name)
+        val base = withQueryCollations(td, s.createDataFrame(data, td.schema))
+        (if (td.withoutRowid) base.orderBy(wrOrder(td).map(col): _*)
+         else base).createOrReplaceTempView(td.name)
       case (td, Big(df, _, _)) =>
         // a DataFrame is bound to the engine's private session; re-root its
         // (already materialized) RDD on the fresh reader session. Sort by
         // __ord before dropping it — same insertion-order contract as the
         // locked view registration.
-        withQueryCollations(td, s.createDataFrame(df.rdd, df.schema)
+        val base = withQueryCollations(td, s.createDataFrame(df.rdd, df.schema)
             .orderBy(col("__ord")).drop("__ord", "__rowid"))
-          .createOrReplaceTempView(td.name)
+        (if (td.withoutRowid) base.orderBy(wrOrder(td).map(col): _*)
+         else base).createOrReplaceTempView(td.name)
     }
     committedViews.foreach { case (name, select) =>
       try s.sql(SqlText.fixQuotedIdents(select)).createOrReplaceTempView(name)
@@ -485,7 +491,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
   private def returningDf(work: Tables, td: TableDef,
       rows: Vector[(Long, IndexedSeq[Any])], retList: String): DataFrame = {
     registerViews(work)
-    val shadowed = td.cols.exists(_.name.equalsIgnoreCase("rowid"))
+    // WITHOUT ROWID tables have no rowid pseudo-column to expose
+    val shadowed = td.withoutRowid ||
+      td.cols.exists(_.name.equalsIgnoreCase("rowid"))
     val fields = StructField("__ord", LongType, nullable = false) +:
       ((if (shadowed) Array.empty[StructField]
         else Array(StructField("rowid", LongType, nullable = false))) ++
@@ -951,6 +959,13 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         if (key.startsWith("sqlite_"))
           return Left(
             s"object name reserved for internal use: ${td.name}")
+        // WITHOUT ROWID shape errors (SQLite 3.40 texts, probed live)
+        if (td.withoutRowid) {
+          if (td.cols.exists(_.autoInc))
+            return Left("AUTOINCREMENT not allowed on WITHOUT ROWID tables")
+          if (!td.cols.exists(_.pk) && td.pkSet.isEmpty)
+            return Left(s"PRIMARY KEY missing on table ${td.name}")
+        }
         // AUTOINCREMENT is valid ONLY on an INTEGER PRIMARY KEY rowid
         // alias (SQLite rejects it anywhere else at parse time)
         td.cols.find(c => c.autoInc && !c.isRowidAlias).foreach { _ =>
@@ -1557,10 +1572,43 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         else Left(s"index ${ci.name} already exists")
     val ts = work.getOrElse(ci.table.toLowerCase,
       return Left(s"no such table: ${ci.table}"))
-    ci.cols.find(c => ts.d.colIndex(c) < 0)
-      .foreach(c => return Left(s"no such column: $c"))
+    ci.cols.zipWithIndex.find { case (c, k) =>
+      ci.exprOf(k).isEmpty && ts.d.colIndex(c) < 0
+    }.foreach { case (c, _) => return Left(s"no such column: $c") }
     ci.colls.find(cl => cl.nonEmpty && !knownCollations(cl))
       .foreach(cl => return Left(s"no such collation sequence: $cl"))
+    if (ci.advanced) {
+      // SQLite resolves index expressions and the partial predicate at
+      // CREATE time: unknown columns and nondeterministic functions are
+      // rejected here with its exact texts (probed live, 3.40)
+      val exprTexts = ci.exprs.filter(_.nonEmpty) ++ ci.where.toSeq
+      exprTexts.find(e => nonDetRe.findFirstIn(
+          e.replaceAll("'(?:[^']|'')*'", "''")).isDefined).foreach { _ =>
+        return Left(
+          "non-deterministic functions prohibited in index expressions")
+      }
+      val probe = session.createDataFrame(
+        java.util.Collections.emptyList[Row](), ts.d.schema)
+      exprTexts.foreach { e =>
+        try probe.selectExpr(s"($e)").schema
+        catch { case ex: Exception =>
+          val m = Option(ex.getMessage).getOrElse("")
+          return Left(if (m.contains("UNRESOLVED_COLUMN")) {
+            val name = "with name `(.+?)` cannot".r.findFirstMatchIn(m)
+              .map(_.group(1).replace("`", "")).getOrElse("?")
+            s"no such column: $name"
+          } else friendlyError(ex))
+        }
+      }
+      if (ci.unique) {
+        // pre-scan the existing rows under the index's own semantics
+        val sp = xSpecOf(ts.d, ci)
+        checkAdvanced(ts.d, storeDf(ts.d, ts.store), Seq(sp))
+          .foreach(e => return Left(e))
+      }
+      indexes(ci.name.toLowerCase) = ci
+      return Right(0)
+    }
     if (ci.unique) {
       val idxs = ci.cols.map(ts.d.colIndex)
       // unspecified index-column collation = the COLUMN's (SQLite);
@@ -2043,7 +2091,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     }
     val setSpecs = td.uniqueSets.flatMap(ofSet)
     val idxSpecs = indexes.values.toSeq
-      .filter(ix => ix.unique && ix.table.equalsIgnoreCase(td.name))
+      .filter(ix => ix.unique && !ix.advanced &&
+        ix.table.equalsIgnoreCase(td.name))
       .flatMap { ix =>
         val idxs = ix.cols.map(td.colIndex)
         if (idxs.forall(_ >= 0))
@@ -2069,6 +2118,132 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     aliasSpec ++ idxSpecs.reverse ++ setSpecs.reverse ++ pkSpec ++
       otherCols.reverse
   }
+
+  // ---------- partial & expression unique indexes -------------------------
+  // `CREATE UNIQUE INDEX … ON t(expr[, …]) [WHERE pred]` (VERDICT r12 #2).
+  // These cannot key the slice/window machinery (their keys are computed,
+  // their row set predicate-filtered), so they enforce as a FINAL-STATE
+  // duplicate scan: exact for the plain ABORT paths (insert, update, bulk),
+  // zero cost for tables without one. Conflict POLICIES (OR IGNORE /
+  // REPLACE / FAIL / upsert / UPDATE OR x) would need the computed keys
+  // inside the sequential resolution loops — a loud documented boundary
+  // instead of a silent divergence. Non-unique advanced indexes are
+  // catalog-only (a full-scan engine has nothing to maintain).
+
+  private final case class XSpec(name: String, keys: Seq[String],
+      where: Option[String], err: String)
+
+  /** SQLite's error text: an index with any EXPRESSION position reports
+    * `index 'name'`; a plain-column (partial) one keeps the column list
+    * (probed live, 3.40). */
+  private def xSpecOf(td: TableDef, ix: Ddl.CreateIndex): XSpec = {
+    val keys = ix.cols.indices.map { k =>
+      val e = ix.exprOf(k)
+      val base = if (e.nonEmpty) s"($e)" else s"`${ix.cols(k)}`"
+      val coll = {
+        val o = ix.collOf(k)
+        if (o.nonEmpty) o
+        else if (e.isEmpty) {
+          val ci = td.colIndex(ix.cols(k))
+          if (ci >= 0 && td.cols(ci).sparkType == StringType)
+            td.cols(ci).collate
+          else "BINARY"
+        } else "BINARY"
+      }
+      coll match {
+        case "NOCASE" => s"lower($base)"
+        case "RTRIM" => s"rtrim($base)"
+        case _ => base
+      }
+    }
+    val desc =
+      if (ix.exprs.forall(_.isEmpty))
+        ix.cols.map(c => s"${td.name}.$c").mkString(", ")
+      else s"index '${ix.name}'"
+    XSpec(ix.name, keys, ix.where, s"UNIQUE constraint failed: $desc")
+  }
+
+  private def advancedSpecs(td: TableDef): Seq[XSpec] =
+    indexes.values.toSeq
+      .filter(ix => ix.unique && ix.advanced &&
+        ix.table.equalsIgnoreCase(td.name))
+      .map(xSpecOf(td, _))
+
+  /** Duplicate scan over a final-state frame exposing the table's data
+    * columns (extra bookkeeping columns are fine). Keys with any NULL
+    * position never conflict (SQLite). */
+  private def checkAdvanced(td: TableDef, df: DataFrame,
+      specs: Seq[XSpec]): Option[String] = {
+    specs.foreach { sp =>
+      try {
+        val base = sp.where.map(w => df.filter(s"COALESCE(($w), false)"))
+          .getOrElse(df)
+        val keyed = base.selectExpr(sp.keys.zipWithIndex.map {
+          case (k, i) => s"($k) AS __xk$i" }: _*)
+        val nn = sp.keys.indices.map(i => col(s"__xk$i").isNotNull)
+          .reduce(_ && _)
+        val dup = keyed.filter(nn)
+          .groupBy(sp.keys.indices.map(i => col(s"__xk$i")): _*)
+          .count().filter(col("count") > 1).limit(1).count()
+        if (dup > 0) return Some(sp.err)
+      } catch { case e: Exception => return Some(friendlyError(e)) }
+    }
+    None
+  }
+
+  /** [[checkAdvanced]] for the driver-row insert paths: `allRows` is the
+    * tentative final Mem/slice state, `remainder` the untouched spilled
+    * rows when the slice path is in play. Returns (error, position in
+    * `allRows` of the first VIOLATING row) — the LATER of each duplicate
+    * pair, so callers can reproduce SQLite's partial-advance
+    * last_insert_rowid on aborted multi-row inserts (fuzz seeds
+    * 310082/310083). Remainder rows order before every allRows row. */
+  private def advCheckRows(td: TableDef,
+      allRows: Vector[(Long, IndexedSeq[Any])],
+      remainder: Option[DataFrame]): Option[(String, Int)] = {
+    val specs = advancedSpecs(td)
+    if (specs.isEmpty) return None
+    val posSchema = StructType(
+      StructField("__pos", LongType, nullable = false) +: td.schema.fields)
+    val rowsDf = session.createDataFrame(
+      allRows.zipWithIndex.map { case ((_, v), i) =>
+        Row.fromSeq(i.toLong +: v) }.asJava, posSchema)
+    val full = remainder match {
+      case Some(keep) =>
+        keep.select(lit(-1L).as("__pos") +:
+          td.cols.map(c => col(c.name)): _*).unionAll(rowsDf)
+      case None => rowsDf
+    }
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    specs.foreach { sp =>
+      try {
+        val base = sp.where.map(w => full.filter(s"COALESCE(($w), false)"))
+          .getOrElse(full)
+        val keyed = base.selectExpr("__pos" +:
+          sp.keys.zipWithIndex.map { case (k, i) => s"($k) AS __xk$i" }: _*)
+        val nn = sp.keys.indices.map(i => col(s"__xk$i").isNotNull)
+          .reduce(_ && _)
+        val w = Window
+          .partitionBy(sp.keys.indices.map(i => col(s"__xk$i")): _*)
+          .orderBy(col("__pos"))
+        val bad = keyed.filter(nn)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") > 1)
+          .agg(expr("min(__pos)")).head()
+        if (!bad.isNullAt(0))
+          return Some((sp.err, math.max(bad.getLong(0), 0L).toInt))
+      } catch { case e: Exception => return Some((friendlyError(e), 0)) }
+    }
+    None
+  }
+
+  /** Policy statements cannot resolve against an advanced index — fail
+    * loudly instead of silently diverging from SQLite. */
+  private def advPolicyBoundary(td: TableDef): Option[String] =
+    advancedSpecs(td).headOption.map(sp =>
+      s"conflict resolution over a partial or expression index is not " +
+        s"supported: ${sp.name} (drop the index or use plain INSERT/UPDATE)")
 
   /** Does `vals` conflict with `row` on any spec? (SQLite: NULLs in any
     * indexed column never conflict; text positions compare under the
@@ -2122,6 +2297,14 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           s"SELECT CAST((${c.default.get}) AS ${sparkTypeName(c)})")
           .head.get(0)
     }.toMap
+    // conflict policies cannot resolve against partial/expression
+    // indexes — the sequential loops have no computed keys for them
+    if (policy != Conflict.Abort)
+      advPolicyBoundary(td).foreach(e => return Left(e))
+    // WITHOUT ROWID: inserts never touch last_insert_rowid (probed live —
+    // the connection counter keeps its previous value); the internal
+    // per-row ids remain pure store bookkeeping
+    lidSuppressed = td.withoutRowid
     val rowidIdx = td.rowidAlias.map(c => td.colIndex(c.name)).getOrElse(-1)
     val probeCap = math.min(maxDriverRows, Int.MaxValue - 2L).toInt
     // All-literal VALUES whose literals exactly type-match the declared
@@ -2225,8 +2408,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                     // SQLite: rows inserted BEFORE the failing row still
                     // advance last_insert_rowid even though the statement
                     // is undone (probed live; fuzz-pinned)
-                    insRids.take(k).flatten.lastOption
-                      .foreach(lastRowId = _)
+                    insRids.take(k).flatten.lastOption.foreach(noteLid)
                     if (policy == Conflict.Fail && constraintErr(err)) {
                       // OR FAIL keeps the prefix (all valid — k is the
                       // FIRST failure) and reports the error; FK failures
@@ -2246,7 +2428,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                   case Right(_) =>
                     ts.store = Mem(fin)
                     ts.nextRowId = nextId
-                    lastOpt.foreach(lastRowId = _)
+                    lastOpt.foreach(noteLid)
                     maybeSpill(ts)
                     // the sequence takes the statement's final rowid
                     // REGISTER — the max over ALL candidates, skipped and
@@ -2566,7 +2748,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             uniqueRemainder = probeRemainder) match {
             case Left((err, k)) =>
               // partial-abort last_insert_rowid semantics — see the Mem path
-              insRids.take(k).flatten.lastOption.foreach(lastRowId = _)
+              insRids.take(k).flatten.lastOption.foreach(noteLid)
               if (policy == Conflict.Fail && constraintErr(err)) {
                 // no sqlite_sequence bump for a kept prefix (probed: seq
                 // updates on statement SUCCESS only — fuzz seed 97149)
@@ -2619,7 +2801,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                 big.n - mini.size + fin.size, ord)
           }
           ts.nextRowId = nextId2
-          lastOpt.foreach(lastRowId = _)
+          lastOpt.foreach(noteLid)
           affected
         }
     }
@@ -2804,7 +2986,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             // failing row still advance the counter (SQLite, probed live)
             val prev = candDf.filter(col("__ord") < o)
               .agg(expr("max_by(__rowid, __ord)")).head()
-            if (!prev.isNullAt(0)) lastRowId = prev.getLong(0)
+            if (!prev.isNullAt(0)) noteLid(prev.getLong(0))
             if (policy == Conflict.Fail && constraintErr(msg)) {
               // OR FAIL keeps the prefix before the first failing
               // candidate (all valid — a later row never invalidates an
@@ -2820,11 +3002,15 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
               Right(st.getLong(0))
             } else Left(msg)
           case None =>
-            ts.store = mkBig(merged)
-            ts.nextRowId = newNextId
-            lastRowId = lastRid
-            if (candN > 0) bumpSeq(work, td, stats.getLong(1))
-            Right(candN)
+            checkAdvanced(td, merged, advancedSpecs(td)) match {
+              case Some(m) => Left(m)
+              case None =>
+                ts.store = mkBig(merged)
+                ts.nextRowId = newNextId
+                noteLid(lastRid)
+                if (candN > 0) bumpSeq(work, td, stats.getLong(1))
+                Right(candN)
+            }
         }
       case Conflict.Ignore =>
         var kept = candDf
@@ -2919,7 +3105,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             "max_by(__rowid, __ord) AS last").head()
           ts.store = mkBig(merged)
           ts.nextRowId = newNextId
-          if (ks.getLong(0) > 0) lastRowId = ks.getLong(1)
+          if (ks.getLong(0) > 0) noteLid(ks.getLong(1))
           // final rowid register: max over ALL candidates (fuzz V7)
           if (candN > 0) bumpSeq(work, td, stats.getLong(1))
           ks.getLong(0)
@@ -2961,7 +3147,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         validateBulk(work, td, candDf, merged).map { _ =>
           ts.store = mkBig(merged)
           ts.nextRowId = newNextId
-          lastRowId = lastRid
+          noteLid(lastRid)
           if (candN > 0) bumpSeq(work, td, stats.getLong(1))
           candN
         }
@@ -2978,6 +3164,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
   private def validateBulk(work: Tables, td: TableDef, newDf: DataFrame,
                            finalDf: DataFrame): Either[String, Unit] =
     validateNotNullCheckBulk(td, newDf).flatMap(_ =>
+      checkAdvanced(td, finalDf, advancedSpecs(td)).toLeft(())).flatMap(_ =>
       validateFkDf(work, td, newDf, finalDf))
 
   /** The NOT NULL and CHECK legs of [[validateBulk]], separable so the
@@ -3067,7 +3254,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     * degenerates to the plain set-based path — no sequential resolution
     * needed and no driver cap paid. */
   private def policyTrivial(td: TableDef, setCols: Iterable[String]): Boolean =
-    uniqueSpecs(td).isEmpty && td.checks.isEmpty &&
+    uniqueSpecs(td).isEmpty && advancedSpecs(td).isEmpty &&
+      td.checks.isEmpty &&
       !td.cols.exists(c => c.notNull && !c.isRowidAlias) &&
       !(fkEnabled && td.cols.exists(_.ref.isDefined)) &&
       !td.rowidAlias.exists(c => setCols.exists(_.equalsIgnoreCase(c.name)))
@@ -3281,6 +3469,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         t.table.equalsIgnoreCase(td.name) && t.event == "UPDATE"))
       return Left("UPDATE of the INTEGER PRIMARY KEY with UPDATE row " +
         "triggers armed is not supported (rekeying breaks the firing tape)")
+    advPolicyBoundary(td).foreach(e => return Left(e))
     registerViews(work)
     val cond = if (whereText.trim.isEmpty) "true" else s"(${whereText.trim})"
     def capMsg = s"too many rows for OR $policy conflict resolution on " +
@@ -3323,7 +3512,12 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       if (td.checks.isEmpty) leveled
       else s"SELECT *$checkFlags FROM ($leveled)"
     val matched =
-      try collectCapped(session.sql(matchedSql).orderBy("__rowid"),
+      try collectCapped(session.sql(matchedSql).orderBy(
+          // SQLite's sequential policy processes matched rows in SCAN
+          // order: rowid for ordinary tables, the clustered PRIMARY KEY
+          // for WITHOUT ROWID ones (probed live)
+          (if (td.withoutRowid) wrOrder(td).map(c => col(s"__po${td.colIndex(c)}"))
+           else Seq(col("__rowid"))): _*),
         maxDriverRows)
       catch {
         case _: TriggerDiffTooLarge => return Left(capMsg)
@@ -4129,7 +4323,11 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     }
     best match {
       case Some((_, _, m)) => Left(m)
-      case None => Right(())
+      case None =>
+        // partial/expression unique indexes: final-state scan over the
+        // full NEW frame (a row UPDATEd into a partial set must collide,
+        // probed live)
+        checkAdvanced(td, newAllDf, advancedSpecs(td)).toLeft(())
     }
   }
 
@@ -4700,8 +4898,17 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         }
       }
     }
-    if (bestIdx == Int.MaxValue) Right(())
-    else Left((bestMsg, bestIdx))
+    if (bestIdx == Int.MaxValue) {
+      // partial/expression unique indexes: exact final-state scan; the
+      // violating allRows position maps back to its statement-row index
+      // so aborted inserts keep SQLite's partial-advance lid semantics
+      advCheckRows(td, allRows, selfRemainder).foreach { case (m, pos) =>
+        val k =
+          if (pos < allRows.size) idxOf(allRows(pos)._2).getOrElse(0) else 0
+        return Left((m, k))
+      }
+      Right(())
+    } else Left((bestMsg, bestIdx))
   }
 
   // ---------- query execution ---------------------------------------------
@@ -5253,6 +5460,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     df.select(sel.toSeq: _*)
   }
 
+  /** PRIMARY KEY column order for a WITHOUT ROWID table's scan. */
+  private def wrOrder(td: TableDef): Seq[String] =
+    if (td.pkSet.nonEmpty) td.pkSet else td.cols.filter(_.pk).map(_.name)
+
   private def registerViews(work: Tables): Unit = {
     // stale statement-scoped CTE views go first (a dead CTE name must not
     // resolve; a live one re-registers at the end, shadowing tables)
@@ -5277,10 +5488,15 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       // store's contract documents. Catalyst's EliminateSorts strips the
       // sort wherever downstream operators don't observe ordering, so
       // aggregates/joins over the view pay nothing.
-      val ordered = ts.store match {
-        case _: Big => df.orderBy(col("__ord"))
-        case _ => df
-      }
+      val ordered =
+        if (ts.d.withoutRowid)
+          // WITHOUT ROWID scans in PRIMARY KEY order (clustered B-tree,
+          // probed live) — under the key's collation via the cast above
+          df.orderBy(wrOrder(ts.d).map(col): _*)
+        else ts.store match {
+          case _: Big => df.orderBy(col("__ord"))
+          case _ => df
+        }
       ordered.drop("__ord", "__rowid").createOrReplaceTempView(ts.d.name)
     }
     // SQL views expand over the tables just registered, in creation order
@@ -5335,14 +5551,24 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       val td = ts.d
       rows += Row("table", td.name, td.name, page, ts.createSql)
       page += 1
-      val auto = (if (td.pkSet.nonEmpty) 1 else 0) +
-        td.cols.count(c => (c.pk || c.unique) && !c.isRowidAlias) +
-        td.uniqueSets.size
-      (1 to auto).foreach { i =>
-        rows += Row("index", s"sqlite_autoindex_${td.name}_$i", td.name,
-          page, null)
-        page += 1
+      // WITHOUT ROWID: the PRIMARY KEY is the table's clustered key — it
+      // consumes its autoindex ORDINAL but emits no catalog entry
+      // (probed live: `w5(k PK, u UNIQUE) WITHOUT ROWID` lists only
+      // sqlite_autoindex_w5_2)
+      var autoN = 0
+      def emitAuto(isPk: Boolean): Unit = {
+        autoN += 1
+        if (!(td.withoutRowid && isPk)) {
+          rows += Row("index", s"sqlite_autoindex_${td.name}_$autoN",
+            td.name, page, null)
+          page += 1
+        }
       }
+      if (td.pkSet.nonEmpty) emitAuto(true)
+      td.cols.foreach { c =>
+        if ((c.pk || c.unique) && !c.isRowidAlias) emitAuto(c.pk)
+      }
+      td.uniqueSets.foreach(_ => emitAuto(false))
     }
     indexes.values.foreach { ix =>
       rows += Row("index", ix.name, ix.table, page, ix.sql)

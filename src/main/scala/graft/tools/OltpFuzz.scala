@@ -16,8 +16,10 @@ import scala.util.Random
   * last_insert_id, and probe SELECT results.
   *
   * Determinism by construction, same philosophy as SqlFuzz:
-  *  - integer + text domain only (no floats, no collation-sensitive
-  *    ORDER BY text — probes order by integer ids);
+  *  - integer + text domain only (no floats); probes order by integer
+  *    ids, and the grammar-v4 collation arms (NOCASE/RTRIM tables,
+  *    collated unique indexes, expression-level COLLATE) always add an
+  *    id tiebreaker so collation-equal rows compare deterministically;
   *  - small value pools so UNIQUE/PK/CHECK/FK collisions actually happen;
   *  - the generator tracks transaction depth and live savepoint names so
   *    MOST emitted tx ops are valid, with deliberate invalid ones
@@ -52,6 +54,9 @@ object OltpFuzz {
     private var t0HasG2 = false // ALTER-added generated column
     private var hasChild = false
     private var hasT2 = false
+    private var tcColl: Option[String] = None // NOCASE | RTRIM table armed
+    private var t3Adv: Option[String] = None // "partial" | "expr" index armed
+    private var hasT4 = false // WITHOUT ROWID table armed
     private var hasLog = false
     private var hasView = false
     private var hasTrg2 = false
@@ -119,10 +124,59 @@ object OltpFuzz {
       if (chance(0.3)) x("CREATE INDEX idx_a ON t0(a)")
       // a UNIQUE index (20%) gives t0 a SECOND uniqueness spec: conflict
       // policies then exercise multi-spec chains (a row skipped for one
-      // spec keeps blocking the other) and REPLACE multi-victim deletes
+      // spec keeps blocking the other) and REPLACE multi-victim deletes;
+      // one variant collates it NOCASE (grammar v4) so case-folded
+      // collisions run through every policy
       else if (chance(0.2)) {
-        if (chance(0.5)) x("CREATE UNIQUE INDEX uidx ON t0(b)")
-        else x("CREATE UNIQUE INDEX uidx ON t0(a, b)")
+        r.nextInt(3) match {
+          case 0 => x("CREATE UNIQUE INDEX uidx ON t0(b)")
+          case 1 => x("CREATE UNIQUE INDEX uidx ON t0(a, b)")
+          case _ => x("CREATE UNIQUE INDEX uidx ON t0(b COLLATE NOCASE)")
+        }
+      }
+      // collated table (grammar v4): NOCASE or RTRIM unique TEXT key with
+      // a value pool dense in case/trailing-space variants, so collation-
+      // folded UNIQUE collisions, policy skips/displacements and
+      // collation-aware WHERE/ORDER BY all actually happen
+      if (chance(0.35)) {
+        val coll = if (chance(0.5)) "NOCASE" else "RTRIM"
+        tcColl = Some(coll)
+        x("CREATE TABLE tc (id INTEGER NOT NULL PRIMARY KEY, " +
+          s"s TEXT COLLATE $coll UNIQUE, v INTEGER)")
+        (1 to int(2, 4)).foreach { _ =>
+          x(s"INSERT OR IGNORE INTO tc(s, v) VALUES ('${cword()}', " +
+            s"${int(0, 9)})")
+        }
+      }
+      // advanced-index table (grammar v4): partial or expression UNIQUE
+      // on a DEDICATED table that only ever sees plain (ABORT) DML — the
+      // engine's documented boundary rejects conflict policies over these
+      // indexes, so the fuzz surface is the exact-enforcement path:
+      // collisions inside/outside the partial set, computed-key dups,
+      // UPDATE moving rows across the predicate boundary
+      if (chance(0.3)) {
+        val kind = if (chance(0.5)) "partial" else "expr"
+        t3Adv = Some(kind)
+        x("CREATE TABLE t3 (id INTEGER NOT NULL PRIMARY KEY, " +
+          "a INTEGER, b TEXT)")
+        if (kind == "partial")
+          x("CREATE UNIQUE INDEX t3x ON t3(a) WHERE a > 2")
+        else
+          x("CREATE UNIQUE INDEX t3x ON t3(lower(b))")
+        (1 to int(1, 3)).foreach { _ =>
+          x(s"INSERT INTO t3(a, b) VALUES (${int(0, 6)}, '${cword()}')")
+        }
+      }
+      // WITHOUT ROWID table (grammar v4): TEXT clustered PK — pins
+      // PK-order scans, implicit NOT NULL, the silent last_insert_rowid
+      // (every lid comparison in the batch then differentially checks
+      // that t4 inserts never advanced it), and policies over the PK
+      if (chance(0.25)) {
+        hasT4 = true
+        x("CREATE TABLE t4 (k TEXT PRIMARY KEY, v INTEGER) WITHOUT ROWID")
+        (1 to int(1, 3)).foreach { _ =>
+          x(s"INSERT OR IGNORE INTO t4 VALUES ('${word()}', ${int(0, 9)})")
+        }
       }
       // a few guaranteed rows so early UPDATE/DELETE have targets
       (1 to int(2, 5)).foreach { _ =>
@@ -131,7 +185,17 @@ object OltpFuzz {
     }
 
     private def word(): String =
-      pick(Seq("ada", "bo", "cy", "dee", "eli", "fi", "gus"))
+      pick(Seq("ada", "bo", "cy", "dee", "eli", "fi", "gus",
+        // case variants (grammar v4): meaningful only when the NOCASE
+        // uidx variant is armed; otherwise just more distinct strings
+        "Ada", "BO", "Cy"))
+
+    /** Collation-pool word: case AND trailing-space variants of a tiny
+      * base set — collides under NOCASE and RTRIM respectively, and the
+      * mixed variants pin that the OTHER collation does NOT fold them. */
+    private def cword(): String =
+      pick(Seq("ada", "Ada", "ADA", "bo", "BO", "bo ", "bo  ", "cy",
+        "Cy", " cy", "dee", "dee "))
 
     private def pred(): String = r.nextInt(5) match {
       case 0 => s"id = ${int(1, 12)}"
@@ -141,7 +205,66 @@ object OltpFuzz {
       case _ => s"a % ${int(2, 4)} = 0"
     }
 
-    private def step(): Unit = r.nextInt(25) match {
+    private def step(): Unit = r.nextInt(28) match {
+      case 27 => // WITHOUT ROWID traffic
+        if (hasT4) r.nextInt(7) match {
+          case 0 => x(s"INSERT INTO t4 VALUES ('${word()}', ${int(0, 9)})")
+          case 1 => x(s"INSERT OR ${pick(Seq("IGNORE", "REPLACE"))} INTO t4 " +
+            s"VALUES ('${word()}', ${int(0, 9)})")
+          case 2 => x(s"INSERT INTO t4 VALUES ('${word()}', ${int(0, 9)}) " +
+            "ON CONFLICT(k) DO UPDATE SET v = v + excluded.v")
+          case 3 => x(s"UPDATE t4 SET v = v + 1 WHERE k = '${word()}'")
+          case 4 => // PK rekey inside the clustered key
+            x(s"UPDATE OR IGNORE t4 SET k = '${word()}' WHERE v = ${int(0, 9)}")
+          case 5 => x(s"DELETE FROM t4 WHERE k = '${word()}'")
+          case _ => q("SELECT k, v FROM t4") // unqualified: PK scan order
+        } else probe()
+      case 26 => // advanced-index traffic (plain DML only — see prologue)
+        t3Adv match {
+          case Some(_) => r.nextInt(6) match {
+            case 0 => x(s"INSERT INTO t3(a, b) VALUES (${int(0, 6)}, " +
+              s"'${cword()}')")
+            case 1 => // multi-row: one candidate may collide on the index
+              x(s"INSERT INTO t3(a, b) VALUES (${int(0, 6)}, '${cword()}'), " +
+                s"(${int(0, 6)}, '${cword()}')")
+            case 2 => // move rows across the partial predicate boundary
+              x(s"UPDATE t3 SET a = a + ${int(1, 3)} WHERE id = ${int(1, 8)}")
+            case 3 => x(s"UPDATE t3 SET b = '${cword()}' " +
+              s"WHERE id = ${int(1, 8)}")
+            case 4 => x(s"DELETE FROM t3 WHERE id = ${int(1, 8)}")
+            case _ => q("SELECT id, a, b FROM t3 ORDER BY id")
+          }
+          case None => probe()
+        }
+      case 25 => // collation traffic (grammar v4): the collated table's
+        // unique key under every policy, collation-aware WHERE/ORDER BY,
+        // and expression-level COLLATE probes when no table is armed
+        tcColl match {
+          case Some(_) => r.nextInt(8) match {
+            case 0 => x(s"INSERT INTO tc(s, v) VALUES ('${cword()}', " +
+              s"${int(0, 9)})")
+            case 1 => x(s"INSERT OR IGNORE INTO tc(s, v) VALUES " +
+              s"('${cword()}', ${int(0, 9)})")
+            case 2 => x(s"INSERT OR REPLACE INTO tc(s, v) VALUES " +
+              s"('${cword()}', ${int(0, 9)})")
+            case 3 => x(s"INSERT INTO tc(s, v) VALUES ('${cword()}', " +
+              s"${int(0, 9)}) ON CONFLICT(s) DO UPDATE SET " +
+              "v = v + excluded.v")
+            case 4 => x(s"UPDATE OR ${pick(Seq("IGNORE", "REPLACE", "ABORT"))} " +
+              s"tc SET s = '${cword()}' WHERE id = ${int(1, 8)}")
+            case 5 => x(s"DELETE FROM tc WHERE s = '${cword()}'")
+            case 6 => q("SELECT id, s, v FROM tc ORDER BY id")
+            case _ => q(s"SELECT id FROM tc WHERE s = '${cword()}' " +
+              "ORDER BY id")
+          }
+          case None => r.nextInt(3) match {
+            case 0 => q(s"SELECT id FROM t0 WHERE b = " +
+              s"'${word().toUpperCase}' COLLATE NOCASE ORDER BY id")
+            case 1 => q("SELECT id, b FROM t0 ORDER BY b COLLATE NOCASE, id")
+            case _ => q(s"SELECT id FROM t0 WHERE b = '${word()} ' " +
+              "COLLATE RTRIM ORDER BY id")
+          }
+        }
       case 0 | 1 | 2 => // plain insert: explicit id, auto id, or all-defaults
         if (chance(0.12)) x("INSERT INTO t0 DEFAULT VALUES")
         else if (chance(0.5))
@@ -441,6 +564,9 @@ object OltpFuzz {
       q("SELECT count(*) AS n FROM t0")
       if (hasChild) q("SELECT * FROM t1 ORDER BY id")
       if (hasT2) q("SELECT a, b, v FROM t2 ORDER BY a, b, v")
+      if (tcColl.isDefined) q("SELECT id, s, v FROM tc ORDER BY id")
+      if (t3Adv.isDefined) q("SELECT id, a, b FROM t3 ORDER BY id")
+      if (hasT4) q("SELECT k, v FROM t4")
       if (hasLog) q("SELECT lid, tag FROM log ORDER BY lid")
       if (t0AutoInc) q("SELECT name, seq FROM sqlite_sequence ORDER BY name")
       // full catalog incl. automatic-index naming parity
