@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Crash-replay differential checker (VERDICT r12 #4).
+
+Each record from graft.CrashReplayFuzz holds the raw statement journal of
+a database whose serving JVM was SIGKILLed mid-batch, plus the table
+states the ENGINE recovered on reopen. This script replays exactly the
+journal-committed statements in a real sqlite3 connection — stopping at
+the first torn (unparseable) line, exactly like the engine's recovery —
+rolls back any transaction the dead connection left open (the engine
+discards an open tx on recovery; SQLite's journal does the same for a
+dead connection), and compares final states table by table as sorted row
+multisets.
+
+Usage: python3 tools/check_crash.py <outFile-from-CrashReplayFuzz>
+"""
+import json
+import sqlite3
+import sys
+
+path = sys.argv[1]
+n = passed = fails = harness = 0
+details = []
+
+for line in open(path):
+    line = line.strip()
+    if not line:
+        continue
+    rec = json.loads(line)
+    if "harnessErr" in rec:
+        harness += 1
+        details.append((rec.get("seed"), "-", "-",
+                        ["HARNESS: " + rec["harnessErr"]]))
+        continue
+    n += 1
+    conn = sqlite3.connect(":memory:", isolation_level=None)
+    cur = conn.cursor()
+    for jl in rec["journal"]:
+        try:
+            j = json.loads(jl)
+        except Exception:
+            break  # torn trailing line — the engine stops replay here too
+        stmts = j.get("statements", [])
+        if j.get("transaction", False):
+            # engine executeReplay: a tx batch applies all-or-nothing
+            try:
+                cur.execute("BEGIN")
+            except Exception:
+                pass
+            failed = False
+            for s in stmts:
+                if failed:
+                    break
+                try:
+                    cur.execute(s)
+                except Exception:
+                    failed = True
+            try:
+                cur.execute("ROLLBACK" if failed else "COMMIT")
+            except Exception:
+                pass
+        else:
+            for s in stmts:
+                try:
+                    cur.execute(s)
+                except Exception:
+                    pass  # engine replay ignores per-statement errors too
+    if conn.in_transaction:  # the dead connection's open tx rolls back
+        try:
+            cur.execute("ROLLBACK")
+        except Exception:
+            pass
+
+    ok = True
+    msgs = []
+    names = [r[0] for r in cur.execute(
+        "SELECT name FROM sqlite_master WHERE type='table' ORDER BY name")]
+    mine = sorted(rec["tables"].keys())
+    if names != mine:
+        ok = False
+        msgs.append(f"table sets differ: sqlite={names} graft={mine}")
+    for t in rec["tables"]:
+        if t not in names:
+            continue
+        srows = sorted([list(r) for r in cur.execute(f"SELECT * FROM {t}")],
+                       key=repr)
+        grows = sorted(rec["tables"][t], key=repr)
+        if srows != grows:
+            ok = False
+            msgs.append(f"table {t}: sqlite={srows[:4]} graft={grows[:4]}")
+    conn.close()
+    if ok:
+        passed += 1
+    else:
+        fails += 1
+        details.append((rec["seed"], rec["killAt"], rec.get("applied"), msgs))
+
+print(f"CRASH-FUZZ {n} seeds: PASS {passed} / FAIL {fails} / "
+      f"HARNESS-ERR {harness}")
+for seed, k, a, msgs in details[:10]:
+    print(f"FAIL seed={seed} killAt={k} applied={a}")
+    for m in msgs:
+        print("   " + m)
+sys.exit(1 if (fails or harness) else 0)
