@@ -1851,16 +1851,22 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     """(?is)^ON\s+CONFLICT\s*(?:\(([^)]*)\))?\s*DO\s+(NOTHING|UPDATE\s+SET\s+.+)\s*$""".r
 
   /** How an INSERT resolves uniqueness conflicts (SQLite upsert surface:
-    * INSERT OR REPLACE / OR IGNORE / REPLACE INTO / ON CONFLICT DO). */
+    * INSERT OR REPLACE / OR IGNORE / REPLACE INTO / ON CONFLICT DO).
+    * An upsert carries one or more clauses (SQLite 3.35+ multi-clause
+    * form): per candidate, the FIRST clause in statement order whose
+    * target constraint the candidate actually violates applies; a clause
+    * without a target (only valid last) matches any uniqueness violation
+    * (probed live, 3.40). */
   private sealed trait Conflict
   private object Conflict {
     case object Abort extends Conflict
     case object Fail extends Conflict
     case object Ignore extends Conflict
     case object Replace extends Conflict
-    final case class Upsert(cols: Option[Seq[String]],
-                            sets: Seq[(String, String)]) extends Conflict
+    final case class Upsert(clauses: Seq[UpsertClause]) extends Conflict
   }
+  private final case class UpsertClause(cols: Option[Seq[String]],
+                                        sets: Seq[(String, String)])
 
   /** insertRows + the parent-side FK delta for policies that can drop or
     * rewrite referenced keys (REPLACE displacement, upsert DO UPDATE on a
@@ -1876,8 +1882,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       val refd = referencedCols(work, ts.d)
       refd.nonEmpty && (policy match {
         case Conflict.Replace => true
-        case Conflict.Upsert(_, sets) => sets.exists { case (c, _) =>
-          refd.exists(i => ts.d.cols(i).name.equalsIgnoreCase(c)) }
+        case Conflict.Upsert(clauses) => clauses.exists(_.sets.exists {
+          case (c, _) =>
+            refd.exists(i => ts.d.cols(i).name.equalsIgnoreCase(c)) })
         case _ => false
       })
     }
@@ -1960,30 +1967,69 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     }
   }
 
-  /** Parse an `ON CONFLICT …` clause into the Upsert policy: None when the
-    * text is not an upsert clause, Some(Left) on a malformed SET list. */
-  private def parseUpsert(clause: String): Option[Either[String, Conflict]] =
-    clause match {
-      case onConflictRe(confCols, action) =>
-        def cols = Option(confCols).map(_.split(",")
-          .map(_.trim.stripPrefix("\"").stripSuffix("\"")
-            .stripPrefix("`").stripSuffix("`")).toSeq)
-        if (action.equalsIgnoreCase("NOTHING"))
-          Some(Right(Conflict.Upsert(cols, Nil)))
-        else {
-          val setText = action.replaceAll("(?is)^UPDATE\\s+SET\\s+", "")
-          val sets = Seq.newBuilder[(String, String)]
-          SqlText.splitTopLevel(setText).foreach { a =>
-            val eq = a.indexOf('=')
-            if (eq < 0) return Some(Left("near \"SET\": syntax error"))
-            sets += (a.take(eq).trim.stripPrefix("\"").stripSuffix("\"")
-              .stripPrefix("`").stripSuffix("`") ->
-              a.substring(eq + 1).trim)
-          }
-          Some(Right(Conflict.Upsert(cols, sets.result())))
-        }
-      case _ => None
+  /** Parse an `ON CONFLICT … [ON CONFLICT …]*` tail into the Upsert
+    * policy: None when the text is not an upsert clause, Some(Left) on a
+    * malformed clause. SQLite 3.35+ accepts any number of clauses; only
+    * the LAST may omit its conflict target (earlier targetless clauses
+    * are `near "ON": syntax error` — probed live). */
+  private def parseUpsert(clause: String): Option[Either[String, Conflict]] = {
+    if (clause.isEmpty) return None
+    // segment boundaries: every top-level `ON CONFLICT` (quote/paren-aware
+    // via findOnConflict, so the keyword pair inside a SET string literal
+    // or a parenthesized expression never splits)
+    val starts = Vector.newBuilder[Int]
+    var from = 0
+    var guard = true
+    while (guard) {
+      val rel = findOnConflict(clause.substring(from))
+      if (rel < 0) guard = false
+      else { starts += from + rel; from = from + rel + 2 }
     }
+    val offs = starts.result()
+    if (offs.isEmpty || offs.head != 0) return None
+    val segs = offs.indices.map { i =>
+      val end = if (i + 1 < offs.size) offs(i + 1) else clause.length
+      clause.substring(offs(i), end).trim
+    }
+    val out = Seq.newBuilder[UpsertClause]
+    segs.zipWithIndex.foreach { case (seg, i) =>
+      seg match {
+        case onConflictRe(confCols, action) =>
+          if (confCols == null && i + 1 < segs.size)
+            return Some(Left("near \"ON\": syntax error"))
+          val cols = Option(confCols).map(_.split(",")
+            .map(_.trim.stripPrefix("\"").stripSuffix("\"")
+              .stripPrefix("`").stripSuffix("`")).toSeq)
+          if (action.equalsIgnoreCase("NOTHING"))
+            out += UpsertClause(cols, Nil)
+          else {
+            val setText = action.replaceAll("(?is)^UPDATE\\s+SET\\s+", "")
+            val sets = Seq.newBuilder[(String, String)]
+            SqlText.splitTopLevel(setText).foreach { a =>
+              val eq = a.indexOf('=')
+              if (eq < 0) return Some(Left("near \"SET\": syntax error"))
+              sets += (a.take(eq).trim.stripPrefix("\"").stripSuffix("\"")
+                .stripPrefix("`").stripSuffix("`") ->
+                a.substring(eq + 1).trim)
+            }
+            out += UpsertClause(cols, sets.result())
+          }
+        case _ =>
+          // first segment not an upsert clause: the ON belongs to the
+          // statement body; a later malformed segment is a real error
+          return if (i == 0) None
+                 else Some(Left("near \"ON\": syntax error"))
+      }
+    }
+    Some(Right(Conflict.Upsert(out.result())))
+  }
+
+  /** SQLite printf `%r`: 1st, 2nd, 3rd, 4th … with the 11th–13th
+    * exception (printf.c). Used by the multi-clause upsert target error. */
+  private def ordinal(n: Int): String = {
+    val x = if (n % 10 > 3 || (n % 100) / 10 == 1) 0 else n % 10
+    s"$n${Seq("th", "st", "nd", "rd")(x)}"
+  }
 
   /** Index of a top-level `ON CONFLICT` in an INSERT's SELECT tail, or -1.
     * Restarting the top-level scan after each ON is sound: a top-level
@@ -2542,20 +2588,31 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         captureRet(td, candidates.toVector)
         Right((cur, candidates.map(_._2), candidates.map(c => Some(c._1)),
           candidates.size.toLong, Some(lastId)))
-      case Conflict.Upsert(confCols, sets) =>
+      case Conflict.Upsert(clauses) =>
         val all = uniqueSpecs(td)
-        val specs = confCols match {
-          case Some(cs) =>
-            val want = cs.map(_.toLowerCase).toSet
-            val m = all.filter { case (idxs, _, _) =>
-              idxs.map(i => td.cols(i).name.toLowerCase).toSet == want
+        // Phase 1 — target validation, clause order (probed live: every
+        // clause's target resolves before ANY SET list does; an unknown
+        // target column reports `no such column` from its own clause
+        // position, an existing-but-unconstrained target reports the
+        // ordinal-prefixed text — no ordinal on a single-clause upsert)
+        val clauseSpecs: IndexedSeq[Seq[USpec]] =
+          clauses.zipWithIndex.map { case (cl, k) =>
+            cl.cols match {
+              case Some(cs) =>
+                cs.find(c => td.colIndex(c) < 0).foreach(c =>
+                  return Left(s"no such column: $c"))
+                val want = cs.map(_.toLowerCase).toSet
+                val m = all.filter { case (idxs, _, _) =>
+                  idxs.map(i => td.cols(i).name.toLowerCase).toSet == want
+                }
+                if (m.isEmpty) return Left(
+                  (if (clauses.sizeIs > 1) ordinal(k + 1) + " " else "") +
+                    "ON CONFLICT clause does not match any PRIMARY KEY or " +
+                    "UNIQUE constraint")
+                m
+              case None => all
             }
-            if (m.isEmpty) return Left(
-              "ON CONFLICT clause does not match any PRIMARY KEY or " +
-                "UNIQUE constraint")
-            m
-          case None => all
-        }
+          }.toIndexedSeq
         // resolve SET expressions: a bare excluded.col pulls the incoming
         // row directly; an EXPRESSION over excluded.* evaluates per
         // conflicting candidate with the incoming values inlined as typed
@@ -2571,34 +2628,41 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         case class Const(v: Any) extends SetVal
         case class RowExpr(f: (IndexedSeq[Any], IndexedSeq[Any]) => Any)
           extends SetVal
-        val resolved: Seq[(Int, SetVal)] = sets.map { case (c, e) =>
-          val ci = td.colIndex(c)
-          if (ci < 0) return Left(s"no such column: $c")
-          genWriteError(td, ci, "UPDATE").foreach(e => return Left(e))
-          e match {
-            case excludedRe(src) =>
-              val si = td.colIndex(src)
-              if (si < 0) return Left(s"no such column: excluded.$src")
-              ci -> FromExc(si)
-            case expr if upsertExprRefsRow(expr, td) =>
-              excludedRefRe.findAllMatchIn(
-                  expr.replaceAll("'([^']|'')*'", " "))
-                .map(_.group(1)).find(rn => td.colIndex(rn) < 0)
-                .foreach(bad => return Left(s"no such column: excluded.$bad"))
-              val ty = sparkTypeName(td.cols(ci))
-              // SQLite evaluates every SET expression against the ORIGINAL
-              // conflicting row (unqualified refs) and the incoming row
-              // (excluded.*) — per conflict, driver-side, statement-sized
-              ci -> RowExpr { (orow, vals) =>
-                val sub = substituteUpsertRefs(expr, td, orow, vals)
-                session.sql(s"SELECT CAST(($sub) AS $ty)").head.get(0)
+        // Phase 2 — resolve every clause's SET list (clause order; probed:
+        // SET-list name errors surface only after all targets validate)
+        val clauseResolved: IndexedSeq[Seq[(Int, SetVal)]] =
+          clauses.map { cl =>
+            cl.sets.map { case (c, e) =>
+              val ci = td.colIndex(c)
+              if (ci < 0) return Left(s"no such column: $c")
+              genWriteError(td, ci, "UPDATE").foreach(e => return Left(e))
+              e match {
+                case excludedRe(src) =>
+                  val si = td.colIndex(src)
+                  if (si < 0) return Left(s"no such column: excluded.$src")
+                  ci -> (FromExc(si): SetVal)
+                case expr if upsertExprRefsRow(expr, td) =>
+                  excludedRefRe.findAllMatchIn(
+                      expr.replaceAll("'([^']|'')*'", " "))
+                    .map(_.group(1)).find(rn => td.colIndex(rn) < 0)
+                    .foreach(bad =>
+                      return Left(s"no such column: excluded.$bad"))
+                  val ty = sparkTypeName(td.cols(ci))
+                  // SQLite evaluates every SET expression against the
+                  // ORIGINAL conflicting row (unqualified refs) and the
+                  // incoming row (excluded.*) — per conflict, driver-side,
+                  // statement-sized
+                  ci -> (RowExpr { (orow, vals) =>
+                    val sub = substituteUpsertRefs(expr, td, orow, vals)
+                    session.sql(s"SELECT CAST(($sub) AS $ty)").head.get(0)
+                  }: SetVal)
+                case lit =>
+                  ci -> (Const(session.sql(
+                    s"SELECT CAST(($lit) AS ${sparkTypeName(td.cols(ci))})")
+                    .head.get(0)): SetVal)
               }
-            case lit =>
-              ci -> Const(session.sql(
-                s"SELECT CAST(($lit) AS ${sparkTypeName(td.cols(ci))})")
-                .head.get(0))
-          }
-        }
+            }
+          }.toIndexedSeq
         var cur = base
         var affected = 0L
         var lastInserted: Option[Long] = None
@@ -2625,8 +2689,20 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           val rid = if (autoInc || explicitFlags(ci)) rid0 else nextAuto
           val vals = if (!explicitFlags(ci) && rowidIdx >= 0)
             vals0.updated(rowidIdx, rid: Any) else vals0
-          val hit = cur.indexWhere { case (_, r) => conflicts(specs, r, vals) }
+          // the FIRST clause (statement order) whose target constraint
+          // this candidate violates applies; unmatched violations fall
+          // through to validateIdx's normal constraint error (probed live)
+          var hit = -1
+          var ck = -1
+          var k = 0
+          while (k < clauseSpecs.size && hit < 0) {
+            val h = cur.indexWhere { case (_, r) =>
+              conflicts(clauseSpecs(k), r, vals) }
+            if (h >= 0) { hit = h; ck = k }
+            k += 1
+          }
           if (hit >= 0) {
+            val resolved = clauseResolved(ck)
             if (resolved.nonEmpty) { // DO UPDATE; DO NOTHING skips
               val (orid, orow) = cur(hit)
               val upd = orow.toArray
@@ -2734,7 +2810,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     // value the slice was not built from — those statements also probe the
     // remainder for clashes (validate's uniqueRemainder leg).
     val probeRemainder = policy match {
-      case Conflict.Upsert(_, sets) if sets.nonEmpty => Some(keep)
+      case Conflict.Upsert(cls) if cls.exists(_.sets.nonEmpty) => Some(keep)
       case _ => None
     }
     applyPolicySeq(td, policy, base, candidates, lastId,

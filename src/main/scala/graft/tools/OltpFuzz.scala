@@ -276,7 +276,7 @@ object OltpFuzz {
           .map(_ => s"(${int(1, 14)}, ${int(-8, 9)}, '${word()}')")
         x(s"INSERT INTO t0 VALUES ${rows.mkString(", ")}")
       case 4 => // upsert / conflict-clause family
-        r.nextInt(6) match {
+        r.nextInt(9) match {
           case 0 => x(s"INSERT INTO t0 VALUES (${int(1, 12)}, ${int(0, 9)}, " +
             s"'${word()}') ON CONFLICT(id) DO UPDATE SET a = excluded.a + 1")
           case 1 => x(s"INSERT INTO t0 VALUES (${int(1, 12)}, ${int(0, 9)}, " +
@@ -291,6 +291,24 @@ object OltpFuzz {
           case 4 => // OR ROLLBACK: aborts a live tx on constraint failure
             x(s"INSERT OR ROLLBACK INTO t0 VALUES (${int(1, 12)}, " +
               s"${int(-8, 9)}, '${word()}')")
+          case 5 | 6 => // multi-clause upsert (grammar v5, SQLite 3.35+):
+            // the FIRST clause whose target the candidate violates
+            // applies; with `a` not UNIQUE the ON CONFLICT(a) target must
+            // fail with SQLite's ordinal error text — both outcomes are
+            // differential. Multi-row variants interleave per-candidate
+            // clause selection with the rowid/lid bookkeeping.
+            val rows = (1 to int(1, 3))
+              .map(_ => s"(${int(1, 12)}, ${int(0, 9)}, '${word()}')")
+            val tail = r.nextInt(4) match {
+              case 0 => "ON CONFLICT(id) DO UPDATE SET a = excluded.a + 1 " +
+                "ON CONFLICT(a) DO NOTHING"
+              case 1 => "ON CONFLICT(a) DO UPDATE SET b = excluded.b || '!' " +
+                "ON CONFLICT(id) DO UPDATE SET a = a + 1"
+              case 2 => "ON CONFLICT(id) DO NOTHING ON CONFLICT DO NOTHING"
+              case _ => "ON CONFLICT(a) DO NOTHING " +
+                "ON CONFLICT(id) DO UPDATE SET b = excluded.b"
+            }
+            x(s"INSERT INTO t0 VALUES ${rows.mkString(", ")} $tail")
           case _ => x(s"INSERT OR REPLACE INTO t0 VALUES (${int(1, 12)}, " +
             s"${int(0, 9)}, '${word()}')")
         }
