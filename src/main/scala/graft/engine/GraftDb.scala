@@ -1865,8 +1865,15 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     case object Replace extends Conflict
     final case class Upsert(clauses: Seq[UpsertClause]) extends Conflict
   }
+  /** One `ON CONFLICT … DO …` clause: `sets` empty = DO NOTHING; `where`
+    * (DO UPDATE only — SQLite rejects it on DO NOTHING with `near
+    * "WHERE": syntax error`) gates the update per conflicting candidate,
+    * evaluated against the existing row + excluded.*; false/NULL skips
+    * the candidate entirely with NO fall-through to later clauses
+    * (probed live, 3.40). */
   private final case class UpsertClause(cols: Option[Seq[String]],
-                                        sets: Seq[(String, String)])
+                                        sets: Seq[(String, String)],
+                                        where: Option[String] = None)
 
   /** insertRows + the parent-side FK delta for policies that can drop or
     * rewrite referenced keys (REPLACE displacement, upsert DO UPDATE on a
@@ -2003,7 +2010,15 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           if (action.equalsIgnoreCase("NOTHING"))
             out += UpsertClause(cols, Nil)
           else {
-            val setText = action.replaceAll("(?is)^UPDATE\\s+SET\\s+", "")
+            val setText0 = action.replaceAll("(?is)^UPDATE\\s+SET\\s+", "")
+            // `DO UPDATE SET … WHERE cond` — top-level scan, so a WHERE
+            // inside a parenthesized subquery in a SET expression can
+            // never split (probed: the WHERE gates per candidate)
+            val wIdx = SqlText.findKeyword(setText0, "WHERE")
+            val (setText, where) =
+              if (wIdx < 0) (setText0, None)
+              else (setText0.take(wIdx),
+                Some(setText0.substring(wIdx + 5).trim))
             val sets = Seq.newBuilder[(String, String)]
             SqlText.splitTopLevel(setText).foreach { a =>
               val eq = a.indexOf('=')
@@ -2012,9 +2027,12 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                 .stripPrefix("`").stripSuffix("`") ->
                 a.substring(eq + 1).trim)
             }
-            out += UpsertClause(cols, sets.result())
+            out += UpsertClause(cols, sets.result(), where)
           }
         case _ =>
+          // DO NOTHING takes no WHERE (probed: SQLite rejects it)
+          if (seg.matches("(?is)^ON\\s+CONFLICT\\s*(?:\\([^)]*\\))?\\s*DO\\s+NOTHING\\s+WHERE\\b.*"))
+            return Some(Left("near \"WHERE\": syntax error"))
           // first segment not an upsert clause: the ON belongs to the
           // statement body; a later malformed segment is a real error
           return if (i == 0) None
@@ -2663,6 +2681,24 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
               }
             }
           }.toIndexedSeq
+        // WHERE clauses name-resolve at prepare time like SQLite (a bad
+        // column errors even when no conflict ever fires): substitute all
+        // KNOWN refs with a NULL row and let the session resolve the rest
+        clauses.foreach(_.where.foreach { w =>
+          excludedRefRe.findAllMatchIn(w.replaceAll("'([^']|'')*'", " "))
+            .map(_.group(1)).find(rn => td.colIndex(rn) < 0)
+            .foreach(bad => return Left(s"no such column: excluded.$bad"))
+          val nulls = IndexedSeq.fill[Any](td.cols.size)(null)
+          val sub = substituteUpsertRefs(w, td, nulls, nulls)
+          try session.sql(s"SELECT CAST(($sub) AS BOOLEAN)").head
+          catch { case e: Exception =>
+            val name = "`([A-Za-z_][A-Za-z0-9_]*)`".r
+              .findFirstMatchIn(Option(e.getMessage).getOrElse(""))
+              .map(_.group(1))
+            return Left(name.fold("near \"WHERE\": syntax error")(n =>
+              s"no such column: $n"))
+          }
+        })
         var cur = base
         var affected = 0L
         var lastInserted: Option[Long] = None
@@ -2703,7 +2739,16 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           }
           if (hit >= 0) {
             val resolved = clauseResolved(ck)
-            if (resolved.nonEmpty) { // DO UPDATE; DO NOTHING skips
+            // a DO UPDATE's WHERE gates per candidate: false/NULL skips
+            // it entirely — no update, no trigger firing, no RETURNING
+            // row, and NO fall-through to later clauses (probed live)
+            val whereOk = clauses(ck).where.forall { w =>
+              val sub = substituteUpsertRefs(w, td, cur(hit)._2, vals)
+              val row = session.sql(
+                s"SELECT COALESCE(CAST(($sub) AS BOOLEAN), false)").head
+              row.getBoolean(0)
+            }
+            if (resolved.nonEmpty && whereOk) { // DO UPDATE; NOTHING skips
               val (orid, orow) = cur(hit)
               val upd = orow.toArray
               resolved.foreach {
@@ -5110,8 +5155,13 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         val word = expr.substring(i, j)
         var k = j
         while (k < n && Character.isWhitespace(expr.charAt(k))) k += 1
-        if (word.equalsIgnoreCase("excluded") && k < n &&
+        if ((word.equalsIgnoreCase("excluded") ||
+             word.equalsIgnoreCase(td.name)) && k < n &&
             expr.charAt(k) == '.') {
+          // `excluded.col` pulls the incoming row; `<table>.col` (SQLite
+          // allows qualifying with the target table name) the existing
+          val src = if (word.equalsIgnoreCase("excluded")) incoming
+                    else existing
           k += 1
           while (k < n && Character.isWhitespace(expr.charAt(k))) k += 1
           var q = ' '
@@ -5123,7 +5173,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           val cn = expr.substring(k, m)
           if (q != ' ' && m < n && expr.charAt(m) == q) m += 1
           val ci = td.colIndex(cn)
-          out.append(if (ci >= 0) sqlLit(incoming(ci)) else s"excluded.$cn")
+          out.append(if (ci >= 0) sqlLit(src(ci)) else s"$word.$cn")
           i = m
         } else {
           val ci = td.colIndex(word)

@@ -299,12 +299,18 @@ object OltpFuzz {
             // clause selection with the rowid/lid bookkeeping.
             val rows = (1 to int(1, 3))
               .map(_ => s"(${int(1, 12)}, ${int(0, 9)}, '${word()}')")
-            val tail = r.nextInt(4) match {
+            val tail = r.nextInt(6) match {
               case 0 => "ON CONFLICT(id) DO UPDATE SET a = excluded.a + 1 " +
                 "ON CONFLICT(a) DO NOTHING"
               case 1 => "ON CONFLICT(a) DO UPDATE SET b = excluded.b || '!' " +
                 "ON CONFLICT(id) DO UPDATE SET a = a + 1"
               case 2 => "ON CONFLICT(id) DO NOTHING ON CONFLICT DO NOTHING"
+              case 3 => // DO UPDATE ... WHERE: gates per candidate, no
+                // fall-through when false (grammar v5)
+                s"ON CONFLICT(id) DO UPDATE SET a = excluded.a " +
+                  s"WHERE excluded.a > a"
+              case 4 => "ON CONFLICT(id) DO UPDATE SET b = excluded.b " +
+                s"WHERE t0.a <= ${int(2, 7)} ON CONFLICT(a) DO NOTHING"
               case _ => "ON CONFLICT(a) DO NOTHING " +
                 "ON CONFLICT(id) DO UPDATE SET b = excluded.b"
             }

@@ -196,6 +196,48 @@ class MultiUpsertSpec extends SparkSpec {
       text(row(1)))) == Seq((1L, "hitA"), (3L, "C")))
   }
 
+  test("DO UPDATE ... WHERE gates per candidate (probed)") {
+    caps.foreach { cap =>
+      val db = GraftDb.openInMemory(spark, cap)
+      ok(db, "CREATE TABLE w (id INTEGER PRIMARY KEY, a INTEGER, c TEXT)")
+      ok(db, "INSERT INTO w VALUES (1, 5, 'x'), (2, 3, 'y')")
+      // probed: excluded.a=2 > a=5 false → no update, ch=0
+      assert(affected(db, "INSERT INTO w VALUES (1, 2, 'z') " +
+        "ON CONFLICT(id) DO UPDATE SET a = excluded.a " +
+        "WHERE excluded.a > a") == 0L, s"cap=$cap")
+      // probed: 9 > 5 true → a=9, ch=1
+      assert(affected(db, "INSERT INTO w VALUES (1, 9, 'z') " +
+        "ON CONFLICT(id) DO UPDATE SET a = excluded.a " +
+        "WHERE excluded.a > a") == 1L)
+      // probed: qualified target-table ref works (w.a < excluded.a)
+      ok(db, "INSERT INTO w VALUES (2, 7, 'q') ON CONFLICT(id) " +
+        "DO UPDATE SET a = excluded.a WHERE w.a < excluded.a")
+      val rows = dump(db, "w")
+      assert(rows.map(_(1).asInstanceOf[Value.Integer].v) == Seq(9L, 7L),
+        s"cap=$cap")
+      // probed: NULL comparison → NULL → skip like false
+      assert(affected(db, "INSERT INTO w VALUES (1, NULL, 'z') " +
+        "ON CONFLICT(id) DO UPDATE SET a = excluded.a " +
+        "WHERE excluded.a > a") == 0L)
+      // probed: WHERE-false on a matching clause does NOT fall through
+      // to a later clause
+      ok(db, "CREATE TABLE u (a INTEGER UNIQUE, b INTEGER UNIQUE, c TEXT)")
+      ok(db, "INSERT INTO u VALUES (1, 10, 'x')")
+      assert(affected(db, "INSERT INTO u VALUES (1, 10, 'B') " +
+        "ON CONFLICT(a) DO UPDATE SET c = 'A' WHERE excluded.c = 'zz' " +
+        "ON CONFLICT(b) DO UPDATE SET c = 'B2' WHERE 1") == 0L)
+      assert(text(dump(db, "u").head(2)) == "x", s"cap=$cap")
+      // probed error texts: DO NOTHING takes no WHERE; a bad WHERE
+      // column errors at prepare even with no conflict
+      assert(err(db, "INSERT INTO w VALUES (1, 2, 'z') " +
+        "ON CONFLICT(id) DO NOTHING WHERE a > 1") ==
+        "near \"WHERE\": syntax error")
+      assert(err(db, "INSERT INTO w VALUES (50, 2, 'z') " +
+        "ON CONFLICT(id) DO UPDATE SET a = 9 WHERE qq > 0") ==
+        "no such column: qq")
+    }
+  }
+
   test("PK + UNIQUE multi-clause and composite targets") {
     caps.foreach { cap =>
       val db = GraftDb.openInMemory(spark, cap)
