@@ -137,8 +137,14 @@ object CrashReplayFuzz {
         if (Files.exists(jf)) Files.readAllLines(jf).asScala.toSeq
         else Seq.empty
       }
-      val db = GraftDb.open(spark, dbPath.toString, cap)
-        .fold(e => sys.error(s"reopen failed: $e"), identity)
+      // replay failures are LOUD now (a committed line that fails to
+      // apply fails open() instead of silently truncating history); a
+      // transient Spark error under machine contention deserves one
+      // operator-style retry — a real replay bug fails both attempts
+      val db = GraftDb.open(spark, dbPath.toString, cap).left.flatMap { e1 =>
+        System.err.println(s"[crash] seed=$seed reopen attempt 1: $e1")
+        GraftDb.open(spark, dbPath.toString, cap)
+      }.fold(e => sys.error(s"reopen failed: $e"), identity)
       try {
         val names = db.queryStringStmt(
           "SELECT name FROM sqlite_master WHERE type = 'table' ORDER BY name")

@@ -311,8 +311,14 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
               out += valuePragma(
                 valuePragmaRe.findFirstMatchIn(sql).get.group(1))
             } else if (tableInfoRe.findFirstMatchIn(sql).isDefined) {
-              out += tableInfo(
+              out += tableInfo(readTables,
                 tableInfoRe.findFirstMatchIn(sql).get.group(1))
+            } else if (indexListRe.findFirstMatchIn(sql).isDefined) {
+              out += indexList(readTables,
+                indexListRe.findFirstMatchIn(sql).get.group(1))
+            } else if (indexInfoRe.findFirstMatchIn(sql).isDefined) {
+              out += indexInfo(readTables,
+                indexInfoRe.findFirstMatchIn(sql).get.group(1))
             } else if (isRowReturning(sql)) {
               runSelect(readTables, sql) match {
                 case Right(r) => out += r
@@ -872,8 +878,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
   /** PRAGMA table_info(t): (cid, name, type, notnull, dflt_value, pk) with
     * SQLite's shapes — empty result for a missing table, pk = 1-based
     * position, declared type collapsed to the affinity's canonical name. */
-  private def tableInfo(tname: String): RowsResult =
-    tables.get(tname.toLowerCase) match {
+  private def tableInfo(work: Tables, tname: String): RowsResult =
+    work.get(tname.toLowerCase) match {
       case None => RowsResult(Nil, Nil, Nil)
       case Some(ts) =>
         val cols = Seq("cid", "name", "type", "notnull", "dflt_value", "pk")
@@ -904,6 +910,87 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         }
         RowsResult(cols, tags, rows)
     }
+
+  private val indexListRe =
+    """(?is)^\s*PRAGMA\s+INDEX_LIST\s*\(\s*["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*\)\s*;?\s*$""".r
+  private val indexInfoRe =
+    """(?is)^\s*PRAGMA\s+INDEX_INFO\s*\(\s*["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*\)\s*;?\s*$""".r
+
+  /** One index of a table's roster in SQLite's LIST order (the index list
+    * PREPENDS on creation: named indexes newest-first, then the automatic
+    * constraint indexes in reverse declaration order — same order the
+    * UNIQUE error text walk uses). `cols` = (cid, name) per position with
+    * SQLite's shapes: cid over the FULL column list — generated columns
+    * keep their slot here even though table_info renumbers around them
+    * (probed: an index on the column after a hidden generated one reports
+    * the un-renumbered cid) — and (-2, NULL) for an expression position.
+    * A WITHOUT ROWID PK appears here (origin 'pk') even though
+    * sqlite_master hides it (both probed live). */
+  private def indexRoster(work: Tables, tname: String)
+      : Seq[(String, Boolean, String, Boolean, Seq[(Int, Option[String])])] =
+    work.get(tname.toLowerCase) match {
+      case None => Nil
+      case Some(ts) =>
+        val td = ts.d
+        def cid(c: String): Int = td.colIndex(c)
+        def pos(cs: Seq[String]): Seq[(Int, Option[String])] =
+          cs.map(c => (cid(c), Some(c)))
+        var autoN = 0
+        val autos = Vector.newBuilder[
+          (String, Boolean, String, Boolean, Seq[(Int, Option[String])])]
+        def emitAuto(isPk: Boolean, cs: Seq[String]): Unit = {
+          autoN += 1
+          autos += ((s"sqlite_autoindex_${td.name}_$autoN", true,
+            if (isPk) "pk" else "u", false, pos(cs)))
+        }
+        if (td.pkSet.nonEmpty) emitAuto(true, td.pkSet)
+        td.cols.foreach { c =>
+          if ((c.pk || c.unique) && !c.isRowidAlias)
+            emitAuto(c.pk, Seq(c.name))
+        }
+        td.uniqueSets.foreach(s => emitAuto(false, s))
+        val named = indexes.values.toVector
+          .filter(_.table.equalsIgnoreCase(td.name))
+          .map { ix =>
+            val cols = ix.cols.indices.map { k =>
+              if (ix.exprOf(k).nonEmpty) (-2, None: Option[String])
+              else (cid(ix.cols(k)), Some(ix.cols(k)))
+            }
+            (ix.name, ix.unique, "c", ix.where.isDefined, cols: Seq[(Int, Option[String])])
+          }
+        named.reverse ++ autos.result().reverse
+    }
+
+  /** PRAGMA index_list(t): (seq, name, unique, origin, partial) — the
+    * empty envelope (empty cols too — the reference's first-row
+    * type-sniffing contract) for a missing or index-less table. */
+  private def indexList(work: Tables, tname: String): RowsResult = {
+    val rows = indexRoster(work, tname).zipWithIndex.map {
+      case ((name, uq, origin, partial, _), i) =>
+        Seq[Value](Value.Integer(i.toLong), Value.Text(name),
+          Value.Integer(if (uq) 1 else 0), Value.Text(origin),
+          Value.Integer(if (partial) 1 else 0))
+    }
+    if (rows.isEmpty) RowsResult(Nil, Nil, Nil)
+    else RowsResult(Seq("seq", "name", "unique", "origin", "partial"),
+      Seq("integer", "text", "integer", "text", "integer"), rows)
+  }
+
+  /** PRAGMA index_info(ix): (seqno, cid, name) — the empty envelope for
+    * an unknown index; expression positions report (-2, NULL), probed
+    * live. */
+  private def indexInfo(work: Tables, iname: String): RowsResult = {
+    val entry = work.keysIterator.flatMap(indexRoster(work, _))
+      .find(_._1.equalsIgnoreCase(iname))
+    val rows = entry.toSeq.flatMap(_._5.zipWithIndex.map {
+      case ((ci, cn), k) =>
+        Seq[Value](Value.Integer(k.toLong), Value.Integer(ci.toLong),
+          cn.map(Value.Text(_): Value).getOrElse(Value.Null))
+    })
+    if (rows.isEmpty) RowsResult(Nil, Nil, Nil)
+    else RowsResult(Seq("seqno", "cid", "name"),
+      Seq("integer", "integer", "text"), rows)
+  }
 
   private def doPragma(sql: String, reqTx: Boolean): Either[String, Long] = {
     val u = sql.toUpperCase.replaceAll("\\s+", "")
@@ -1329,6 +1416,19 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     * cannot reproduce. Cleared before every wrapped statement. */
   private var upsertFirings: Option[
     Seq[(String, Option[IndexedSeq[Any]], Option[IndexedSeq[Any]])]] = None
+
+  /** Set by the sequential REPLACE branches (insert policy + update
+    * policy): the full row images of rows DISPLACED by this statement,
+    * in displacement order. fkParentDelta's ACTION leg consumes (and
+    * clears) it — SQLite runs ON DELETE actions for every displaced ROW
+    * even when its key survives via the displacing row (probed live;
+    * OLTP-fuzz seed 320869 — ON DELETE SET NULL fired although the
+    * rekeyed row immediately re-occupied the key), while the
+    * plain-REFERENCES guard stays final-state (a surviving key satisfies
+    * it). None = the path did not track victims (the over-cap bulk
+    * INSERT ... SELECT OR REPLACE), where the delta falls back to
+    * final-state lost keys — a documented bulk-scale-only boundary. */
+  private var replaceVictims: Option[Vector[IndexedSeq[Any]]] = None
 
   /** Set by [[doUpdatePolicy]] during `run`: the exact firing tape of a
     * conflict-policy UPDATE — APPLIED rows only, in processing order.
@@ -1895,6 +1995,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         case _ => false
       })
     }
+    // a stale victim tape from an earlier aborted statement must never
+    // feed this statement's delta (the bulk path sets none of its own)
+    replaceVictims = None
     if (!needDelta) return insertRows(work, tname, colList, source, policy)
     val ts = tsOpt.get
     val beforeDf = ridDf(ts)
@@ -2594,13 +2697,20 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         Right((cur, ins.map(_._2), ins.map(r => Some(r._1)),
           ins.size.toLong, ins.lastOption.map(_._1)))
       case Conflict.Replace =>
-        // each candidate deletes the rows it conflicts with, then lands
+        // each candidate deletes the rows it conflicts with, then lands;
+        // the displaced images feed fkParentDelta's ON DELETE action leg
+        // (a row applied by this statement and displaced later is a
+        // victim too — same contract as the trigger tape)
         val specs = uniqueSpecs(td)
         var cur = base
+        val victims = Vector.newBuilder[IndexedSeq[Any]]
         candidates.foreach { case (rid, vals) =>
-          cur = cur.filterNot { case (_, r) => conflicts(specs, r, vals) }
-          cur :+= ((rid, vals))
+          val (gone, kept2) =
+            cur.partition { case (_, r) => conflicts(specs, r, vals) }
+          victims ++= gone.map(_._2)
+          cur = kept2 :+ ((rid, vals))
         }
+        replaceVictims = Some(victims.result())
         // RETURNING: one row per surviving insert; displaced rows are
         // invisible (probed live)
         captureRet(td, candidates.toVector)
@@ -3806,6 +3916,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       }
     val tape = Vector.newBuilder[
       (String, Option[IndexedSeq[Any]], Option[IndexedSeq[Any]])]
+    val updVictims = Vector.newBuilder[IndexedSeq[Any]]
     val retRows = Vector.newBuilder[(Long, IndexedSeq[Any])]
     var applied = 0L
     var abortErr: Option[String] = None
@@ -3879,6 +3990,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                     if (!k.contains(null))
                       keyIdx(s).get(k).filter(_ != c0.rid).foreach { v =>
                         val vVals = cur(v)._2
+                        updVictims += vVals
                         dropKeys(v, vVals)
                         cur -= v
                         dirty -= v
@@ -4025,6 +4137,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             }
           }
         }
+        if (policy == "REPLACE") replaceVictims = Some(updVictims.result())
         fkParentDelta(work, ts, beforeDf,
           deleteLike = policy == "REPLACE") match {
           case Left(e) => return fkAbort(e)
@@ -4574,6 +4687,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     * out of scope). */
   private def fkParentDelta(work: Tables, ts: TableState,
       beforeDf: DataFrame, deleteLike: Boolean): Either[String, Unit] = {
+    val victims = replaceVictims
+    replaceVictims = None
     if (!fkEnabled) return Right(())
     val td = ts.d
     val refd = referencedCols(work, td)
@@ -4600,7 +4715,21 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           maxDriverRows).map(_.get(1)).distinct
       pi -> ordered
     }.toMap
-    if (lost.forall(_._2.isEmpty)) return Right(())
+    // ON DELETE actions fire per displaced ROW's key, in displacement
+    // order, even when the key survives via the displacing row (probed
+    // live; fuzz seed 320869). The sequential REPLACE paths tape their
+    // victims; an untracked path (over-cap bulk) keeps the final-state
+    // lost keys — a bulk-scale-only documented boundary.
+    val actionLost: Map[Int, Seq[Any]] =
+      if (!deleteLike) Map.empty
+      else victims match {
+        case Some(vs) => refd.map(pi =>
+          pi -> vs.iterator.map(_(pi)).filter(_ != null).toSeq.distinct)
+          .toMap
+        case None => lost
+      }
+    if (lost.forall(_._2.isEmpty) && actionLost.forall(_._2.isEmpty))
+      return Right(())
     def childCols(ch: TableState): Seq[(Int, Int)] = // (child col, parent col)
       ch.d.cols.indices.flatMap { i =>
         ch.d.cols(i).ref.collect { case (rt, rc)
@@ -4651,12 +4780,12 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     }
     val stmts: Seq[String] =
       if (triggers.nonEmpty)
-        lost.values.flatten.toSeq.distinct.flatMap(k =>
+        actionLost.values.flatten.toSeq.distinct.flatMap(k =>
           acts.flatMap { case (ch, i, pi) =>
-            if (lost.getOrElse(pi, Nil).contains(k))
+            if (actionLost.getOrElse(pi, Nil).contains(k))
               stmt(ch, i, Seq(k)) else None })
       else acts.flatMap { case (ch, i, pi) =>
-        stmt(ch, i, lost.getOrElse(pi, Nil)) }
+        stmt(ch, i, actionLost.getOrElse(pi, Nil)) }
     if (stmts.isEmpty) return Right(())
     val backup = work.map { case (k, v) => k -> v.copyState }
     val savedRet = retArmed
@@ -6055,15 +6184,28 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         if (line.trim.nonEmpty) {
           // A crash mid-append leaves a torn trailing line; the manifest is
           // still intact, so stop replay there instead of failing open().
-          try {
-            val n = om.readTree(line)
+          // ONLY a JSON parse failure is "torn" — an exception thrown
+          // while APPLYING a well-formed committed line must fail open()
+          // loudly instead (swallowing it here silently dropped every
+          // later committed transaction — caught by the crash-replay
+          // fuzzer, seed 400037, under a transient Spark error).
+          val parsed =
+            try Some(om.readTree(line))
+            catch { case _: Exception => torn = true; None }
+          parsed.foreach { n =>
             val id = n.path("id").asLong(0)
             if (id > appliedBatch) {
               journalSeq = math.max(journalSeq, id) - 1 // re-append below
               val stmts = Seq.newBuilder[Statement]
               n.path("statements").forEach(s => stmts += Statement(s.asText))
-              val applied = executeReplay(
-                n.path("transaction").asBoolean(false), stmts.result())
+              val applied =
+                try executeReplay(
+                  n.path("transaction").asBoolean(false), stmts.result())
+                catch { case e: Exception =>
+                  throw new GraftDb.RecoveryFailed(
+                    s"journal replay failed at batch $id: " +
+                      Option(e.getMessage).getOrElse(e.toString), e)
+                }
               // streaming watermark: a replayed stamp restores exactly-once
               // dedup across the crash (re-delivered micro-batch → no-op).
               // Only a stamp whose transaction APPLIED advances it — the
@@ -6074,7 +6216,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                 lastStreamBatch =
                   math.max(lastStreamBatch, n.path("streamBatch").asLong(-1))
             }
-          } catch { case _: Exception => torn = true }
+          }
         }
       }
     }
@@ -6111,6 +6253,14 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
 }
 
 object GraftDb {
+  /** A well-formed committed journal line failed to APPLY on reopen —
+    * distinct from a torn trailing line (which just ends replay) and
+    * from an unusable root (the reference's open error). open() surfaces
+    * the message so the caller can retry instead of silently serving a
+    * truncated history. */
+  private[engine] final class RecoveryFailed(msg: String, cause: Throwable)
+    extends RuntimeException(msg, cause)
+
   /** Above this many rows a managed table spills from the driver-side
     * vector to the Spark-resident copy-on-write store (SURVEY §7.4) —
     * the boundary between exact-OLTP Mem semantics and distributed
@@ -6156,6 +6306,7 @@ object GraftDb {
           throw e
       }
     } catch {
+      case e: RecoveryFailed => Left(e.getMessage)
       case _: Exception => Left(s"unable to open database file: $path")
     }
   }

@@ -567,7 +567,7 @@ object OltpFuzz {
         }
     }
 
-    private def probe(): Unit = r.nextInt(6) match {
+    private def probe(): Unit = r.nextInt(8) match {
       case 0 => q("SELECT * FROM t0 ORDER BY id")
       case 1 => q("SELECT count(*) AS n FROM t0")
       case 2 => q(s"SELECT id, a FROM t0 WHERE a > ${int(-4, 6)} ORDER BY id")
@@ -578,6 +578,13 @@ object OltpFuzz {
         // engine-vs-SQLite representation differences)
         q("SELECT type, name, tbl_name FROM sqlite_master " +
           "WHERE type IN ('table', 'view', 'trigger') ORDER BY type, name")
+      case 5 => // index roster introspection (grammar v5): list order,
+        // origin/partial flags and autoindex ordinals are differential
+        q(s"PRAGMA index_list(${pick(Seq("t0", "t2", "t3", "t4", "tc"))})")
+      case 6 => // named or automatic; unknown names yield the empty
+        // envelope on both sides
+        q(s"PRAGMA index_info(${pick(Seq("idx_a", "uidx", "t3x",
+          "sqlite_autoindex_t2_1", "sqlite_autoindex_tc_1"))})")
       case _ if hasLog => q("SELECT lid, tag FROM log ORDER BY lid")
       case _ => q("SELECT id, b FROM t0 ORDER BY id")
     }

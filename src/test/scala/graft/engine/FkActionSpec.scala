@@ -157,6 +157,52 @@ class FkActionSpec extends SparkSpec {
     }
   }
 
+  test("displaced victims run ON DELETE actions even when the key survives") {
+    // probed live (OLTP-fuzz seed 320869): REPLACE displacement is a
+    // per-ROW delete — SET NULL / CASCADE fire for the displaced row's
+    // key even though the displacing row immediately re-occupies it; the
+    // plain-REFERENCES guard stays final-state (the surviving key
+    // satisfies it, earlier golden above).
+    caps.foreach { cap =>
+      def mk(act: String): GraftDb = {
+        val db = GraftDb.openInMemory(spark, cap)
+        exec(db, "PRAGMA foreign_keys=ON")
+        exec(db, "CREATE TABLE t0 (id INTEGER NOT NULL PRIMARY KEY, " +
+          "a INTEGER)")
+        exec(db, "CREATE TABLE t1 (id INTEGER NOT NULL PRIMARY KEY, " +
+          s"t0_id INTEGER REFERENCES t0(id) $act, c INTEGER)")
+        exec(db, "INSERT INTO t0 VALUES (3, 1), (5, 2)")
+        exec(db, "INSERT INTO t1(t0_id, c) VALUES (5, 2)")
+        db
+      }
+      // INSERT OR REPLACE re-inserting the SAME key: action still fires
+      val i1 = mk("ON DELETE SET NULL")
+      exec(i1, "INSERT OR REPLACE INTO t0 VALUES (5, 99)")
+      assert(q(i1, "SELECT id, t0_id, c FROM t1") ==
+        Seq(Seq(1L, null, 2L)), s"cap=$cap ins setnull")
+      val i2 = mk("ON DELETE CASCADE")
+      exec(i2, "INSERT OR REPLACE INTO t0 VALUES (5, 99)")
+      assert(q(i2, "SELECT count(*) FROM t1") == Seq(Seq(0L)),
+        s"cap=$cap ins cascade")
+      // UPDATE OR REPLACE rekey 3→5 displacing the referenced victim
+      val u1 = mk("ON DELETE SET NULL")
+      exec(u1, "UPDATE OR REPLACE t0 SET id = id + 2 WHERE id <= 4")
+      assert(q(u1, "SELECT id, t0_id, c FROM t1") ==
+        Seq(Seq(1L, null, 2L)), s"cap=$cap upd setnull")
+      assert(q(u1, "SELECT id, a FROM t0 ORDER BY id") ==
+        Seq(Seq(5L, 1L)), s"cap=$cap upd setnull t0")
+      val u2 = mk("ON DELETE CASCADE")
+      exec(u2, "UPDATE OR REPLACE t0 SET id = id + 2 WHERE id <= 4")
+      assert(q(u2, "SELECT count(*) FROM t1") == Seq(Seq(0L)),
+        s"cap=$cap upd cascade")
+      // plain REFERENCES: the surviving key satisfies the guard
+      val u3 = mk("")
+      exec(u3, "UPDATE OR REPLACE t0 SET id = id + 2 WHERE id <= 4")
+      assert(q(u3, "SELECT id, t0_id, c FROM t1") ==
+        Seq(Seq(1L, 5L, 2L)), s"cap=$cap upd guard")
+    }
+  }
+
   test("key rewrites fail for every child; ON UPDATE actions reject at CREATE") {
     caps.foreach { cap =>
       val db = GraftDb.openInMemory(spark, cap)
