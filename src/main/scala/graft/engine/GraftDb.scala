@@ -313,6 +313,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             } else if (tableInfoRe.findFirstMatchIn(sql).isDefined) {
               out += tableInfo(readTables,
                 tableInfoRe.findFirstMatchIn(sql).get.group(1))
+            } else if (tableXinfoRe.findFirstMatchIn(sql).isDefined) {
+              out += tableInfo(readTables,
+                tableXinfoRe.findFirstMatchIn(sql).get.group(1), xinfo = true)
             } else if (indexListRe.findFirstMatchIn(sql).isDefined) {
               out += indexList(readTables,
                 indexListRe.findFirstMatchIn(sql).get.group(1))
@@ -874,22 +877,28 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
 
   private val tableInfoRe =
     """(?is)^\s*PRAGMA\s+TABLE_INFO\s*\(\s*["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*\)\s*;?\s*$""".r
+  private val tableXinfoRe =
+    """(?is)^\s*PRAGMA\s+TABLE_XINFO\s*\(\s*["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s*\)\s*;?\s*$""".r
 
-  /** PRAGMA table_info(t): (cid, name, type, notnull, dflt_value, pk) with
-    * SQLite's shapes — empty result for a missing table, pk = 1-based
-    * position, declared type collapsed to the affinity's canonical name. */
-  private def tableInfo(work: Tables, tname: String): RowsResult =
+  /** PRAGMA table_info(t) / table_xinfo(t): (cid, name, type, notnull,
+    * dflt_value, pk[, hidden]) with SQLite's shapes — empty result for a
+    * missing table, pk = 1-based position, declared type collapsed to
+    * the affinity's canonical name. table_info hides generated columns
+    * and renumbers cids over the visible ones; table_xinfo keeps every
+    * column with hidden = 2 (VIRTUAL) / 3 (STORED), probed live. */
+  private def tableInfo(work: Tables, tname: String,
+                        xinfo: Boolean = false): RowsResult =
     work.get(tname.toLowerCase) match {
       case None => RowsResult(Nil, Nil, Nil)
       case Some(ts) =>
-        val cols = Seq("cid", "name", "type", "notnull", "dflt_value", "pk")
-        val tags = Seq("integer", "text", "text", "integer", "text", "integer")
+        val cols = Seq("cid", "name", "type", "notnull", "dflt_value",
+          "pk") ++ (if (xinfo) Seq("hidden") else Nil)
+        val tags = Seq("integer", "text", "text", "integer", "text",
+          "integer") ++ (if (xinfo) Seq("integer") else Nil)
         var pkSeen = 0
-        // generated columns are hidden from table_info (SQLite shows them
-        // only in table_xinfo, hidden=2/3 — probed live); cids renumber
-        // over the visible columns
-        val rows = ts.d.cols.filter(_.gen.isEmpty).zipWithIndex.map {
-          case (c, i) =>
+        val listed =
+          if (xinfo) ts.d.cols else ts.d.cols.filter(_.gen.isEmpty)
+        val rows = listed.zipWithIndex.map { case (c, i) =>
           // composite table-level PK: ordinals follow the CLAUSE order
           val pk =
             if (ts.d.pkSet.nonEmpty)
@@ -906,7 +915,13 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             // PRIMARY KEY rowid alias shows notnull=0 — historic quirk)
             Value.Integer(if (c.notNull) 1 else 0),
             c.default.map(Value.Text(_): Value).getOrElse(Value.Null),
-            Value.Integer(pk.toLong))
+            Value.Integer(pk.toLong)) ++
+            (if (xinfo)
+              Seq[Value](Value.Integer(c.gen match {
+                case None => 0L
+                case Some((_, stored)) => if (stored) 3L else 2L
+              }))
+            else Nil)
         }
         RowsResult(cols, tags, rows)
     }
@@ -1019,9 +1034,20 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     * storage truth: `memory` for in-memory databases, `wal` for file-backed
     * ones (the journal-ahead-of-apply design, SURVEY §7.4). */
   private val valuePragmaRe =
-    """(?is)^\s*PRAGMA\s+(JOURNAL_MODE|PAGE_SIZE|USER_VERSION|SCHEMA_VERSION)\s*;?\s*$""".r
+    """(?is)^\s*PRAGMA\s+(JOURNAL_MODE|PAGE_SIZE|USER_VERSION|SCHEMA_VERSION|INTEGRITY_CHECK|QUICK_CHECK|DATABASE_LIST)\s*;?\s*$""".r
 
   private def valuePragma(name: String): RowsResult = name.toLowerCase match {
+    case "integrity_check" | "quick_check" =>
+      // constraints hold by construction (validate() gates every commit)
+      RowsResult(Seq(name.toLowerCase), Seq("text"),
+        Seq(Seq(Value.Text("ok"))))
+    case "database_list" =>
+      // single-database engine: one `main` row; SQLite shows the file
+      // path for file-backed stores, '' for memory (probed live)
+      RowsResult(Seq("seq", "name", "file"),
+        Seq("integer", "text", "text"),
+        Seq(Seq(Value.Integer(0L), Value.Text("main"),
+          Value.Text(root.map(_.toAbsolutePath.toString).getOrElse("")))))
     case "journal_mode" =>
       RowsResult(Seq("journal_mode"), Seq("text"),
         Seq(Seq(Value.Text(if (root.isEmpty) "memory" else "wal"))))

@@ -567,7 +567,7 @@ object OltpFuzz {
         }
     }
 
-    private def probe(): Unit = r.nextInt(8) match {
+    private def probe(): Unit = r.nextInt(9) match {
       case 0 => q("SELECT * FROM t0 ORDER BY id")
       case 1 => q("SELECT count(*) AS n FROM t0")
       case 2 => q(s"SELECT id, a FROM t0 WHERE a > ${int(-4, 6)} ORDER BY id")
@@ -585,6 +585,8 @@ object OltpFuzz {
         // envelope on both sides
         q(s"PRAGMA index_info(${pick(Seq("idx_a", "uidx", "t3x",
           "sqlite_autoindex_t2_1", "sqlite_autoindex_tc_1"))})")
+      case 7 => // full-column introspection incl. hidden generated slots
+        q("PRAGMA table_xinfo(t0)")
       case _ if hasLog => q("SELECT lid, tag FROM log ORDER BY lid")
       case _ => q("SELECT id, b FROM t0 ORDER BY id")
     }

@@ -83,6 +83,29 @@ class IndexPragmaSpec extends SparkSpec {
     assert(rows(db2, "PRAGMA index_info(nope)").isEmpty)
   }
 
+  test("table_xinfo, integrity_check, database_list (probed)") {
+    val db = GraftDb.openInMemory(spark, 500)
+    ok(db, "CREATE TABLE g (id INTEGER PRIMARY KEY, " +
+      "a INTEGER NOT NULL DEFAULT 7, " +
+      "b TEXT GENERATED ALWAYS AS (a + 1) VIRTUAL, " +
+      "s TEXT GENERATED ALWAYS AS (a * 2) STORED, d TEXT)")
+    // probed: xinfo keeps generated columns, hidden 2=VIRTUAL 3=STORED,
+    // full cid numbering; table_info hides them and renumbers
+    assert(rows(db, "PRAGMA table_xinfo(g)") == Seq(
+      Seq(0L, "id", "INTEGER", 0L, null, 1L, 0L),
+      Seq(1L, "a", "INTEGER", 1L, "7", 0L, 0L),
+      Seq(2L, "b", "TEXT", 0L, null, 0L, 2L),
+      Seq(3L, "s", "TEXT", 0L, null, 0L, 3L),
+      Seq(4L, "d", "TEXT", 0L, null, 0L, 0L)))
+    assert(rows(db, "PRAGMA table_info(g)").map(_(1)) ==
+      Seq("id", "a", "d"))
+    assert(rows(db, "PRAGMA table_xinfo(nope)").isEmpty)
+    assert(rows(db, "PRAGMA integrity_check") == Seq(Seq("ok")))
+    assert(rows(db, "PRAGMA quick_check") == Seq(Seq("ok")))
+    // memory database: file is '' (probed)
+    assert(rows(db, "PRAGMA database_list") == Seq(Seq(0L, "main", "")))
+  }
+
   test("uncommitted DDL is visible inside the open transaction") {
     val db = GraftDb.openInMemory(spark, 500)
     ok(db, "CREATE TABLE t (id INTEGER PRIMARY KEY, a INTEGER)")
