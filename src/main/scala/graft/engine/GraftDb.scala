@@ -1034,13 +1034,18 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     * storage truth: `memory` for in-memory databases, `wal` for file-backed
     * ones (the journal-ahead-of-apply design, SURVEY §7.4). */
   private val valuePragmaRe =
-    """(?is)^\s*PRAGMA\s+(JOURNAL_MODE|PAGE_SIZE|USER_VERSION|SCHEMA_VERSION|INTEGRITY_CHECK|QUICK_CHECK|DATABASE_LIST)\s*;?\s*$""".r
+    """(?is)^\s*PRAGMA\s+(JOURNAL_MODE|PAGE_SIZE|USER_VERSION|SCHEMA_VERSION|INTEGRITY_CHECK|QUICK_CHECK|DATABASE_LIST|COLLATION_LIST)\s*;?\s*$""".r
 
   private def valuePragma(name: String): RowsResult = name.toLowerCase match {
     case "integrity_check" | "quick_check" =>
       // constraints hold by construction (validate() gates every commit)
       RowsResult(Seq(name.toLowerCase), Seq("text"),
         Seq(Seq(Value.Text("ok"))))
+    case "collation_list" =>
+      // the engine's collation surface, in SQLite's listing order
+      RowsResult(Seq("seq", "name"), Seq("integer", "text"),
+        Seq("RTRIM", "NOCASE", "BINARY").zipWithIndex.map { case (n2, i) =>
+          Seq[Value](Value.Integer(i.toLong), Value.Text(n2)) })
     case "database_list" =>
       // single-database engine: one `main` row; SQLite shows the file
       // path for file-backed stores, '' for memory (probed live)
@@ -1281,7 +1286,12 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     Ddl.parseDrop(sql) match {
       case Some(Ddl.Drop(ie, name)) =>
         val key = name.toLowerCase
-        if (key == "sqlite_sequence" || key == "sqlite_master")
+        if (key == "sqlite_master" || key == "sqlite_schema")
+          // SQLite echoes the CANONICAL catalog name for the alias
+          Left("table sqlite_master may not be dropped")
+        else if (key == "sqlite_sequence" && work.contains(key))
+          // absent sequence table falls through to `no such table`
+          // (probed: the guard applies only when it exists)
           Left(s"table $key may not be dropped")
         else if (viewDefs.contains(key))
           Left(s"use DROP VIEW to delete view $name")
@@ -2008,7 +2018,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
   private def insertWithFkDelta(work: Tables, tname: String, colList: String,
       source: Either[String, String], policy: Conflict)
       : Either[String, Long] = {
-    if (tname.equalsIgnoreCase("sqlite_master"))
+    if (tname.equalsIgnoreCase("sqlite_master") ||
+        tname.equalsIgnoreCase("sqlite_schema"))
       return Left("table sqlite_master may not be modified")
     val tsOpt = work.get(tname.toLowerCase)
     val needDelta = fkEnabled && tsOpt.exists { ts =>
@@ -3520,7 +3531,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
   private def doUpdateInner(work: Tables, tname: String,
       alias: Option[String], rest: String, policy: String)
       : Either[String, Long] = {
-        if (tname.equalsIgnoreCase("sqlite_master"))
+        if (tname.equalsIgnoreCase("sqlite_master") ||
+        tname.equalsIgnoreCase("sqlite_schema"))
           return Left("table sqlite_master may not be modified")
         if (viewDefs.contains(tname.toLowerCase))
           return Left(s"cannot modify $tname because it is a view")
@@ -4832,7 +4844,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
   private def doDelete(work: Tables, sql: String): Either[String, Long] =
     sql match {
       case deleteRe(tname, whereText) =>
-        if (tname.equalsIgnoreCase("sqlite_master"))
+        if (tname.equalsIgnoreCase("sqlite_master") ||
+        tname.equalsIgnoreCase("sqlite_schema"))
           return Left("table sqlite_master may not be modified")
         if (viewDefs.contains(tname.toLowerCase))
           return Left(s"cannot modify $tname because it is a view")
@@ -5867,8 +5880,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       StructField("tbl_name", StringType, nullable = true),
       StructField("rootpage", LongType, nullable = true),
       StructField("sql", StringType, nullable = true)))
-    session.createDataFrame(rows.result().asJava, schema)
-      .createOrReplaceTempView("sqlite_master")
+    val masterDf = session.createDataFrame(rows.result().asJava, schema)
+    masterDf.createOrReplaceTempView("sqlite_master")
+    // SQLite 3.33+ alias (the modern name in docs and client code)
+    masterDf.createOrReplaceTempView("sqlite_schema")
   }
 
   private def snapshot(): Tables = {

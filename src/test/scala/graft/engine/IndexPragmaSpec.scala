@@ -106,6 +106,27 @@ class IndexPragmaSpec extends SparkSpec {
     assert(rows(db, "PRAGMA database_list") == Seq(Seq(0L, "main", "")))
   }
 
+  test("sqlite_schema alias and collation_list (probed)") {
+    val db = GraftDb.openInMemory(spark, 500)
+    ok(db, "CREATE TABLE t (a INTEGER)")
+    // SQLite 3.33+: sqlite_schema is the same catalog as sqlite_master
+    assert(rows(db, "SELECT name FROM sqlite_schema WHERE type = 'table'")
+      == Seq(Seq("t")))
+    // writes through the alias echo the CANONICAL name (probed)
+    val r = db.executeStringStmt("DELETE FROM sqlite_schema")
+      .fold(e => fail(e), identity).head
+    assert(r.error == "table sqlite_master may not be modified")
+    val d = db.executeStringStmt("DROP TABLE sqlite_schema")
+      .fold(e => fail(e), identity).head
+    assert(d.error == "table sqlite_master may not be dropped")
+    // absent sqlite_sequence: `no such table`, not the drop guard
+    val s2 = db.executeStringStmt("DROP TABLE sqlite_sequence")
+      .fold(e => fail(e), identity).head
+    assert(s2.error == "no such table: sqlite_sequence")
+    assert(rows(db, "PRAGMA collation_list") == Seq(
+      Seq(0L, "RTRIM"), Seq(1L, "NOCASE"), Seq(2L, "BINARY")))
+  }
+
   test("uncommitted DDL is visible inside the open transaction") {
     val db = GraftDb.openInMemory(spark, 500)
     ok(db, "CREATE TABLE t (id INTEGER PRIMARY KEY, a INTEGER)")
