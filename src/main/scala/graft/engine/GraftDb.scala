@@ -850,9 +850,24 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         Left("Execute returned results - did you mean to call query?")
       case _ => Left(s"unsupported statement: ${sql.trim.take(40)}")
     } catch {
-      case e: Exception => Left(friendlyError(e))
+      case e: Exception => Left(stmtError(e))
     }
   }
+
+  /** True while journal recovery is replaying committed statements:
+    * a NON-Analysis exception then escapes (via [[stmtError]]) to
+    * executeReplay's transient retry instead of masquerading as the
+    * statement's live outcome — a transient Spark error converted to a
+    * statement Left silently dropped a committed DELETE (crash-replay
+    * fuzz seeds 400037 / 410063). Deterministic user errors
+    * (AnalysisException: unknown table/column, parse) keep their live
+    * Left semantics in both modes. */
+  private var replayActive = false
+
+  private def stmtError(e: Exception): String =
+    if (replayActive &&
+        !e.isInstanceOf[org.apache.spark.sql.AnalysisException]) throw e
+    else friendlyError(e)
 
   private def friendlyError(e: Exception): String = {
     if (sys.props.contains("graft.debugErrors")) e.printStackTrace()
@@ -2390,7 +2405,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           .groupBy(sp.keys.indices.map(i => col(s"__xk$i")): _*)
           .count().filter(col("count") > 1).limit(1).count()
         if (dup > 0) return Some(sp.err)
-      } catch { case e: Exception => return Some(friendlyError(e)) }
+      } catch { case e: Exception => return Some(stmtError(e)) }
     }
     None
   }
@@ -2437,7 +2452,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           .agg(expr("min(__pos)")).head()
         if (!bad.isNullAt(0))
           return Some((sp.err, math.max(bad.getLong(0), 0L).toInt))
-      } catch { case e: Exception => return Some((friendlyError(e), 0)) }
+      } catch { case e: Exception => return Some((stmtError(e), 0)) }
     }
     None
   }
@@ -3790,7 +3805,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         maxDriverRows)
       catch {
         case _: TriggerDiffTooLarge => return Left(capMsg)
-        case e: Exception => return Left(friendlyError(e))
+        case e: Exception => return Left(stmtError(e))
       }
     final case class Cand(ord: Long, rid: Long, newRid: Any,
         old: IndexedSeq[Any], nw: IndexedSeq[Any], ck: Option[String])
@@ -4224,7 +4239,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         case ((label, _), i) if r.getBoolean(1 + n + i) => label }
       Right((if (r.isNullAt(0)) null else r.getLong(0),
         (1 until 1 + n).map(r.get).toIndexedSeq, ckFail))
-    } catch { case e: Exception => Left(friendlyError(e)) }
+    } catch { case e: Exception => Left(stmtError(e)) }
   }
 
   /** CHECK flags for one driver-held row image (REPLACE's NOT NULL
@@ -4244,7 +4259,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         s"(VALUES ($lits)) AS __pv($vcols))").head()
       Right(td.checks.zipWithIndex.collectFirst {
         case ((label, _), i) if r.getBoolean(i) => label })
-    } catch { case e: Exception => Left(friendlyError(e)) }
+    } catch { case e: Exception => Left(stmtError(e)) }
   }
 
   /** Parent-delta capture for UPDATE paths — taken only when the SET list
@@ -6280,13 +6295,30 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     if (tx && openTx.isDefined) { persist(); return false } // mirrors execute()
     val work: Tables = if (tx) snapshot() else tables
     var failed = false
-    stmts.foreach { s =>
-      if (!failed && s.sql.trim.nonEmpty)
-        dispatch(work, tx, s.sql) match {
+    replayActive = true
+    try stmts.foreach { s =>
+      if (!failed && s.sql.trim.nonEmpty) {
+        // A committed statement that THROWS here (stmtError escape) is a
+        // transient suspect — retry once. An IDENTICAL second failure is
+        // the deterministic live outcome (the live run produced the same
+        // Left); a different one is machine trouble and fails open()
+        // loudly via RecoveryFailed so the journal survives for a retry.
+        val r: Either[String, Long] =
+          try dispatch(work, tx, s.sql)
+          catch { case e1: Exception =>
+            try dispatch(work, tx, s.sql)
+            catch { case e2: Exception =>
+              if (Option(e1.getMessage) == Option(e2.getMessage))
+                Left(friendlyError(e2))
+              else throw e2
+            }
+          }
+        r match {
           case Left(_) => if (tx) failed = true
           case Right(_) =>
         }
-    }
+      }
+    } finally replayActive = false
     if (tx && !failed) tables = work
     persist()
     !failed
