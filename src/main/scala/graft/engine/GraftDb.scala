@@ -1637,9 +1637,12 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             // skipped and displaced rows must not fire
             case _ if kind == "UPDATE" && updPolicyFirings.isDefined =>
               updPolicyFirings.get
-            case (Some(tape), _) if kind == "INSERT" && !isReplace =>
-              // same driver-row contract as the diff paths: more firings
-              // than maxDriverRows fails loudly with full statement undo
+            case (Some(tape), _) if kind == "INSERT" =>
+              // upsert's per-candidate tape, and (since fuzz seed 360645)
+              // REPLACE's exact INSERT tape — the value diff missed a
+              // displacement re-inserting identical values. Same
+              // driver-row contract as the diff paths: more firings than
+              // maxDriverRows fails loudly with full statement undo.
               if (tape.size > maxDriverRows) throw new TriggerDiffTooLarge
               tape
             case (_, Some(rids)) if kind == "UPDATE" =>
@@ -2763,6 +2766,12 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           cur = kept2 :+ ((rid, vals))
         }
         replaceVictims = Some(victims.result())
+        // exact INSERT-firing tape, per candidate in statement order: the
+        // before/after value diff is blind to a displacement that
+        // re-inserts IDENTICAL values under the same rowid — SQLite still
+        // fires the INSERT trigger (fuzz seed 360645, probed live)
+        upsertFirings = Some(candidates.map(c =>
+          ("INSERT", Some(c._2), None)))
         // RETURNING: one row per surviving insert; displaced rows are
         // invisible (probed live)
         captureRet(td, candidates.toVector)
@@ -2866,6 +2875,30 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         var lastInserted: Option[Long] = None
         val touched = Vector.newBuilder[IndexedSeq[Any]]
         val insRids = Vector.newBuilder[Option[Long]]
+        // SQLite applies constraints ROW-AT-A-TIME: the applied image of
+        // each candidate (inserted or DO-UPDATEd) validates IMMEDIATELY
+        // against the current state — a later DO UPDATE can rewrite the
+        // evidence away from the final-state scan (fuzz seed 360810:
+        // cand2's a-collision was erased by cand3's SET a). Per-image
+        // precedence NOT NULL > CHECK > UNIQUE, same as the Abort path.
+        // A failing candidate aborts the statement but keeps the
+        // partial-advance last_insert_rowid (fuzz-pinned contract).
+        def immediateErr(img: IndexedSeq[Any], exclude: Int)
+            : Option[String] =
+          td.cols.zipWithIndex.collectFirst {
+            case (c, i) if c.notNull && !c.isRowidAlias && img(i) == null =>
+              s"NOT NULL constraint failed: ${td.name}.${c.name}"
+          }.orElse {
+            if (td.checks.isEmpty) None
+            else policyChecksOf(td, img) match {
+              case Left(e) => Some(e)
+              case Right(lbl) => lbl.map(l => s"CHECK constraint failed: $l")
+            }
+          }.orElse(all.collectFirst {
+            case spec if cur.indices.exists(j =>
+              j != exclude && conflicts(Seq(spec), cur(j)._2, img)) =>
+              s"UNIQUE constraint failed: ${spec._2}"
+          })
         // exact firing tape for the trigger layer: SQLite fires the upsert
         // UPDATE trigger for every CONFLICTING candidate (even when DO
         // UPDATE writes identical values — probed live), interleaved with
@@ -2930,6 +2963,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                   u(rowidIdx).asInstanceOf[Long] != orid)
                   u(rowidIdx).asInstanceOf[Long]
                 else orid
+              immediateErr(u, exclude = hit).foreach { e =>
+                lastInserted.foreach(noteLid)
+                return Left(e)
+              }
               cur = cur.updated(hit, (keptRid, u))
               touched += u
               insRids += None
@@ -2938,6 +2975,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
               affected += 1
             }
           } else {
+            immediateErr(vals, exclude = -1).foreach { e =>
+              lastInserted.foreach(noteLid)
+              return Left(e)
+            }
             cur :+= ((rid, vals))
             touched += vals
             insRids += Some(rid)

@@ -513,7 +513,14 @@ object OltpFuzz {
           case 2 if !hasLog =>
             x(s"UPDATE OR ${pick(Seq("IGNORE", "REPLACE"))} t0 " +
               s"SET id = id + 1 WHERE id <= ${int(2, 6)}")
-          case 3 if !hasLog =>
+          case 3 if !hasLog && !hasChild =>
+            // hasChild excluded: with foreign_keys armed on the target,
+            // SQLite drops the one-pass UPDATE and its index-maintenance
+            // order reports a SPURIOUS UNIQUE failure on a multi-row
+            // rowid rekey that also writes a unique column (probed,
+            // seed 360812 — no logical duplicate exists; the engine
+            // keeps logical row semantics). check_oltp classifies the
+            // residue as fk-armed-rekey-scan-order.
             x(s"UPDATE OR REPLACE t0 SET id = id + ${int(1, 2)}, " +
               s"a = a + ${int(1, 3)} WHERE id <= ${int(2, 5)}")
           case 4 => q(s"UPDATE OR IGNORE t0 SET a = a + ${int(1, 3)} " +

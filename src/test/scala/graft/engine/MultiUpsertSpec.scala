@@ -238,6 +238,36 @@ class MultiUpsertSpec extends SparkSpec {
     }
   }
 
+  test("per-candidate immediate checks: later updates can't mask violations") {
+    // probed live (fuzz seed 360810): cand2 inserts a=2 colliding with an
+    // existing row; cand3's DO UPDATE then rewrites row 10's a to 5 — a
+    // FINAL-state scan sees no duplicate, but SQLite checks row-at-a-time
+    // and fails the statement at cand2.
+    caps.foreach { cap =>
+      val db = GraftDb.openInMemory(spark, cap)
+      ok(db, "CREATE TABLE m (id INTEGER PRIMARY KEY, a INTEGER UNIQUE, " +
+        "b TEXT)")
+      ok(db, "INSERT INTO m VALUES (11, 5, 'eli'), (12, 2, 'dee')")
+      assert(err(db, "INSERT INTO m VALUES " +
+        "(11, 9, 'BO'), (10, 2, 'eli2'), (10, 5, 'cy') " +
+        "ON CONFLICT(id) DO UPDATE SET a = excluded.a " +
+        "WHERE excluded.a > a") == "UNIQUE constraint failed: m.a",
+        s"cap=$cap")
+      // statement undone wholesale
+      assert(dump(db, "m").map(_(1).asInstanceOf[Value.Integer].v) ==
+        Seq(5L, 2L), s"cap=$cap")
+      // the same masking through two DO UPDATEs of one row: cand2 writes
+      // NULL into a NOT NULL column, cand3 repairs it — SQLite reports
+      // the NOT NULL failure at cand2 (probed)
+      ok(db, "CREATE TABLE n (id INTEGER PRIMARY KEY, a INTEGER NOT NULL)")
+      ok(db, "INSERT INTO n VALUES (1, 5)")
+      assert(err(db, "INSERT INTO n VALUES (1, 7), (1, 8) " +
+        "ON CONFLICT(id) DO UPDATE SET a = " +
+        "CASE WHEN excluded.a = 7 THEN NULL ELSE excluded.a END") ==
+        "NOT NULL constraint failed: n.a", s"cap=$cap")
+    }
+  }
+
   test("PK + UNIQUE multi-clause and composite targets") {
     caps.foreach { cap =>
       val db = GraftDb.openInMemory(spark, cap)

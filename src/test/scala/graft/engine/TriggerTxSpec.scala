@@ -241,6 +241,28 @@ class TriggerTxSpec extends SparkSpec {
     assert(query(db, "SELECT COUNT(*) AS n FROM c").contains("[[2]]"))
   }
 
+  test("REPLACE re-inserting IDENTICAL values still fires INSERT (sqlite 3.40)") {
+    // probed live (fuzz seed 360645): same-key INSERT OR REPLACE with a
+    // byte-identical row is still a displacement + insert — the INSERT
+    // trigger fires; no DELETE trigger fires (recursive_triggers off).
+    // A before/after value diff cannot see this; the REPLACE branch
+    // tapes its candidates instead.
+    val db = memDb
+    exec(db, "CREATE TABLE t0 (id INTEGER PRIMARY KEY, a INTEGER)")
+    exec(db, "CREATE TABLE log (lid INTEGER PRIMARY KEY, tag TEXT)")
+    exec(db, "CREATE TRIGGER ti AFTER INSERT ON t0 BEGIN " +
+      "INSERT INTO log(tag) VALUES ('I:' || NEW.id); END")
+    exec(db, "CREATE TRIGGER td AFTER DELETE ON t0 BEGIN " +
+      "INSERT INTO log(tag) VALUES ('D:' || OLD.id); END")
+    exec(db, "INSERT INTO t0 VALUES (5, 2)")
+    exec(db, "DELETE FROM log")
+    // probed: identical values -> log [I:5] only
+    exec(db, "INSERT OR REPLACE INTO t0 VALUES (5, 2)")
+    assert(query(db, "SELECT tag FROM log ORDER BY lid") ==
+      Json.rowsSeq(Seq(graft.command.RowsResult(Seq("tag"), Seq("text"),
+        Seq(Seq(graft.command.Value.Text("I:5")))))))
+  }
+
   test("DROP TABLE drops its triggers (sqlite 3.40)") {
     val db = memDb
     exec(db, "CREATE TABLE t (id INTEGER)")
