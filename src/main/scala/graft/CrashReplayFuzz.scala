@@ -115,8 +115,11 @@ object CrashReplayFuzz {
         new java.io.InputStreamReader(proc.getInputStream))
       var applied = -1
       var killed = false
+      val capLines = Vector.newBuilder[Int]
       var line = reader.readLine()
       while (line != null && !killed) {
+        if (line.startsWith("GRAFT-CAPLINE "))
+          capLines += line.substring("GRAFT-CAPLINE ".length).toInt
         if (line.startsWith("GRAFT-APPLIED ")) {
           applied = line.substring("GRAFT-APPLIED ".length).toInt
           if (applied >= killAt) {
@@ -152,6 +155,7 @@ object CrashReplayFuzz {
           .map(_.head.asInstanceOf[Value.Text].v)
         val sb = new StringBuilder
         sb.append(s"""{"seed":$seed,"cap":$cap,"killAt":$killAt,""")
+        sb.append(s""""capLines":[${capLines.result().mkString(",")}],""")
         sb.append(s""""applied":$applied,"journal":[""")
         sb.append(journalLines.map(Json.escapeQ).mkString(","))
         sb.append("""],"tables":{""")
@@ -204,11 +208,35 @@ object CrashReplayChild {
     val db = GraftDb.open(spark, dbPath, cap)
       .fold(e => sys.error(s"child open failed: $e"), identity)
     val lines = Files.readAllLines(Paths.get(stmtFile)).asScala
+    // a DRIVER-CAP refusal (documented deviation: the engine refuses and
+    // applies NOTHING where in-process SQLite just runs the row loop) is
+    // journaled before apply like any statement — report its journal
+    // LINE so check_crash.py can skip it in the sqlite replay (the
+    // refusal is deterministic, so recovery re-refuses identically)
+    val jf = Paths.get(dbPath).resolve("journal.jsonl")
+    def jLines(): Int =
+      if (!Files.exists(jf)) 0
+      else {
+        val bytes = Files.readAllBytes(jf)
+        bytes.count(_ == '\n') +
+          (if (bytes.nonEmpty && bytes.last != '\n') 1 else 0)
+      }
+    def isCap(e: String): Boolean =
+      e.contains("too many rows for") ||
+        e.contains("conflict resolution materializes the matched rows")
     lines.zipWithIndex.foreach { case (l, i) =>
       val sep = l.indexOf('\t')
       val kind = l.substring(0, sep)
       val sql = l.substring(sep + 1)
-      if (kind == "q") db.queryStringStmt(sql) else db.executeStringStmt(sql)
+      val errMsg =
+        if (kind == "q")
+          db.queryStringStmt(sql).left.toOption.getOrElse("")
+        else db.executeStringStmt(sql)
+          .fold(identity, _.headOption.map(_.error).getOrElse(""))
+      if (isCap(errMsg)) {
+        val k = jLines()
+        if (k > 0) { println(s"GRAFT-CAPLINE $k"); Console.out.flush() }
+      }
       // stdout marker AFTER the statement's journal append + apply
       println(s"GRAFT-APPLIED $i")
       Console.out.flush()
