@@ -114,6 +114,7 @@ object CrashReplayFuzz {
       val reader = new java.io.BufferedReader(
         new java.io.InputStreamReader(proc.getInputStream))
       var applied = -1
+      var ackedLines = 0 // journal length at the last ACKED statement
       var killed = false
       val capLines = Vector.newBuilder[Int]
       var line = reader.readLine()
@@ -121,7 +122,9 @@ object CrashReplayFuzz {
         if (line.startsWith("GRAFT-CAPLINE "))
           capLines += line.substring("GRAFT-CAPLINE ".length).toInt
         if (line.startsWith("GRAFT-APPLIED ")) {
-          applied = line.substring("GRAFT-APPLIED ".length).toInt
+          val parts = line.substring("GRAFT-APPLIED ".length).split(" ")
+          applied = parts(0).toInt
+          if (parts.length > 1) ackedLines = parts(1).toInt
           if (applied >= killAt) {
             proc.destroyForcibly()
             killed = true
@@ -156,7 +159,8 @@ object CrashReplayFuzz {
         val sb = new StringBuilder
         sb.append(s"""{"seed":$seed,"cap":$cap,"killAt":$killAt,""")
         sb.append(s""""capLines":[${capLines.result().mkString(",")}],""")
-        sb.append(s""""applied":$applied,"journal":[""")
+        sb.append(s""""applied":$applied,"ackedLines":$ackedLines,""")
+        sb.append(""""journal":[""")
         sb.append(journalLines.map(Json.escapeQ).mkString(","))
         sb.append("""],"tables":{""")
         sb.append(names.map { n =>
@@ -228,17 +232,24 @@ object CrashReplayChild {
       val sep = l.indexOf('\t')
       val kind = l.substring(0, sep)
       val sql = l.substring(sep + 1)
+      // journal length BEFORE the statement: a cap refusal on an op that
+      // appended no line (e.g. a query-path RETURNING cap) must NOT mark
+      // the PREVIOUS statement's genuinely-applied line (ADVICE r13)
+      val before = jLines()
       val errMsg =
         if (kind == "q")
           db.queryStringStmt(sql).left.toOption.getOrElse("")
         else db.executeStringStmt(sql)
           .fold(identity, _.headOption.map(_.error).getOrElse(""))
-      if (isCap(errMsg)) {
-        val k = jLines()
-        if (k > 0) { println(s"GRAFT-CAPLINE $k"); Console.out.flush() }
+      val after = jLines()
+      if (isCap(errMsg) && after > before) {
+        println(s"GRAFT-CAPLINE $after"); Console.out.flush()
       }
-      // stdout marker AFTER the statement's journal append + apply
-      println(s"GRAFT-APPLIED $i")
+      // stdout marker AFTER the statement's journal append + apply; the
+      // journal length rides along so the checker knows which journal
+      // lines belong to ACKNOWLEDGED statements (ADVICE r13: drop_tail
+      // recovery is only legitimate for an UNacknowledged tail)
+      println(s"GRAFT-APPLIED $i $after")
       Console.out.flush()
     }
     db.close()

@@ -75,7 +75,16 @@ final case class TableDef(name: String, cols: Seq[ColDef],
     // clauses keep folding onto the ColDef flags.
     pkSet: Seq[String] = Nil,
     uniqueSets: Seq[Seq[String]] = Nil,
-    withoutRowid: Boolean = false) {
+    withoutRowid: Boolean = false,
+    // automatic-index specs (isPk, member columns) in SOURCE order —
+    // SQLite numbers sqlite_autoindex_t_N by declaration position:
+    // column-level constraints at their column, table-level clauses
+    // (incl. single-column ones that otherwise fold onto ColDef flags)
+    // at their clause (probed: p(x, y UNIQUE, z, PRIMARY KEY(x,z)) →
+    // _1=u(y), _2=pk, but PRIMARY KEY(a,b), UNIQUE(c) → _1=pk; ADVICE
+    // r13). Captured at parse time; empty for TableDefs built outside
+    // the parser (autoIndexSpecs then falls back to the flag order).
+    autoSpecs: Seq[(Boolean, Seq[String])] = Nil) {
   def schema: StructType =
     StructType(cols.map(c => StructField(c.name, c.sparkType, nullable = true)))
   def rowidAlias: Option[ColDef] = cols.find(_.isRowidAlias)
@@ -119,6 +128,23 @@ final case class TableDef(name: String, cols: Seq[ColDef],
   /** All CHECK constraints in declaration order: column-level then
     * table-level, each as (error label, SQL expression). */
   def checks: Seq[(String, String)] = cols.flatMap(_.check) ++ tableChecks
+
+  /** Automatic-index specs (isPk, member columns) in SQLite's NUMBERING
+    * order (see [[autoSpecs]]). Single-column entries that turn out to
+    * be the rowid alias create no index (SQLite core). */
+  def autoIndexSpecs: Seq[(Boolean, Seq[String])] = {
+    val specs =
+      if (autoSpecs.nonEmpty) autoSpecs
+      else { // fallback for non-parser construction (pre-r14 order)
+        (if (pkSet.nonEmpty) Seq((true, pkSet)) else Nil) ++
+          cols.collect { case c if c.pk || c.unique => (c.pk, Seq(c.name)) } ++
+          uniqueSets.map(s => (false, s))
+      }
+    specs.filterNot { case (_, cs) =>
+      cs.size == 1 && cols.exists(c =>
+        c.name.equalsIgnoreCase(cs.head) && c.isRowidAlias)
+    }
+  }
 }
 
 object Ddl {
@@ -138,6 +164,7 @@ object Ddl {
       val cols = Seq.newBuilder[ColDef]
       var tablePk: Option[String] = None
       var pkSet: Seq[String] = Nil
+      var autoSp: Seq[(Boolean, Seq[String])] = Nil
       var tableUnique: Set[String] = Set.empty
       var uniqueSets: Seq[Seq[String]] = Nil
       var tableFk: Map[String, (String, String)] = Map.empty
@@ -152,14 +179,22 @@ object Ddl {
           // single column folds onto the ColDef (an INTEGER one is the
           // rowid alias); a composite key is a tuple-level unique spec
           clauseCols(item) match {
-            case Seq(one) => tablePk = Some(one)
-            case many if many.size > 1 => pkSet = many
+            case Seq(one) =>
+              tablePk = Some(one)
+              autoSp :+= ((true, Seq(one)))
+            case many if many.size > 1 =>
+              pkSet = many
+              autoSp :+= ((true, many))
             case _ =>
           }
         } else if (u.startsWith("UNIQUE")) {
           clauseCols(item) match {
-            case Seq(one) => tableUnique += one.toLowerCase
-            case many if many.size > 1 => uniqueSets :+= many
+            case Seq(one) =>
+              tableUnique += one.toLowerCase
+              autoSp :+= ((false, Seq(one)))
+            case many if many.size > 1 =>
+              uniqueSets :+= many
+              autoSp :+= ((false, many))
             case _ =>
           }
         } else if (u.startsWith("FOREIGN KEY")) {
@@ -175,7 +210,12 @@ object Ddl {
           balancedParen(item, u.indexOf("CHECK")).foreach(e =>
             tableChecks :+= (label.getOrElse(e.trim), e.trim))
         } else {
-          cols += parseColDef(item)
+          val cd = parseColDef(item)
+          // source-order autoindex capture: rowid-alias filtering happens
+          // in autoIndexSpecs (alias-ness depends on WITHOUT ROWID, seen
+          // only after the full item list)
+          if (cd.pk || cd.unique) autoSp :+= ((cd.pk, Seq(cd.name)))
+          cols += cd
         }
       }
       var defs = cols.result()
@@ -205,7 +245,7 @@ object Ddl {
         }
       Some(Create(ine != null,
         TableDef(name, defs, tableChecks, pkSet, uniqueSets,
-          withoutRowid = wr != null)))
+          withoutRowid = wr != null, autoSpecs = autoSp)))
     case _ => None
   }
 

@@ -52,7 +52,19 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
   // SQLite core scalar functions (date/time family + misc) on the PRIVATE
   // session only — the reference's delegated SQLite gives its users these
   // on every query (db/src/db.rs:278); see SqliteFunctions for semantics
-  SqliteFunctions.register(session)
+  SqliteFunctions.register(session, () => csLike)
+
+  // PRAGMA case_sensitive_like state (SQLite default: insensitive). Set
+  // through the journaled PRAGMA path, so crash replay reproduces the
+  // LIKE semantics each statement ran under.
+  private var csLike = false
+
+  /** Every OLTP statement executes through the SQLite-semantics rewrite
+    * ([[SqliteRewrite]]): parse, substitute SQLite expression forms,
+    * run. The analytics surface (SparkEntry sessions) never routes
+    * here. */
+  private def ssql(sqlText: String): DataFrame =
+    SqliteRewrite.run(session, sqlText, csLike)
 
   /** Table row storage. [[Mem]] is the driver-side vector — exact SQLite
     * row-order/rowid semantics at OLTP size. [[Big]] is the form a table
@@ -74,8 +86,13 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       val d: TableDef,
       val createSql: String,
       var store: Store,
-      var nextRowId: Long) {
-    def copyState = new TableState(d, createSql, store, nextRowId)
+      var nextRowId: Long,
+      // CREATE TEMP TABLE: connection-scoped — excluded from the manifest
+      // (never durable, never replicated: the journal's replayed temp
+      // statements are dropped at the end of recovery), hidden from
+      // sqlite_master (sqlite_temp_master lists it), dropped on close
+      val temp: Boolean = false) {
+    def copyState = new TableState(d, createSql, store, nextRowId, temp)
     def rowCount: Long = store match {
       case Mem(r) => r.size.toLong
       case Big(_, n, _) => n
@@ -371,18 +388,41 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         val base = withQueryCollations(td, s.createDataFrame(data, td.schema))
         (if (td.withoutRowid) base.orderBy(wrOrder(td).map(col): _*)
          else base).createOrReplaceTempView(td.name)
+        if (!td.withoutRowid) {
+          // rowid pseudo-column view (same contract as registerViews')
+          val ridData = rows.map { case (rid, vals) =>
+            Row.fromSeq(rid +: vals) }.asJava
+          val ridSchema = StructType(
+            StructField("__rowid", LongType, nullable = false) +:
+              td.schema.fields)
+          withQueryCollations(td, s.createDataFrame(ridData, ridSchema))
+            .createOrReplaceTempView(ridView(td.name))
+        }
       case (td, Big(df, _, _)) =>
         // a DataFrame is bound to the engine's private session; re-root its
         // (already materialized) RDD on the fresh reader session. Sort by
         // __ord before dropping it — same insertion-order contract as the
         // locked view registration.
-        val base = withQueryCollations(td, s.createDataFrame(df.rdd, df.schema)
-            .orderBy(col("__ord")).drop("__ord", "__rowid"))
+        val rooted = s.createDataFrame(df.rdd, df.schema)
+        val base = withQueryCollations(td,
+          rooted.orderBy(col("__ord")).drop("__ord", "__rowid"))
         (if (td.withoutRowid) base.orderBy(wrOrder(td).map(col): _*)
          else base).createOrReplaceTempView(td.name)
+        if (!td.withoutRowid)
+          withQueryCollations(td, rooted.orderBy(col("__ord")).drop("__ord"))
+            .createOrReplaceTempView(ridView(td.name))
     }
+    def ridInfo(name: String): Option[SqlText.RowidInfo] =
+      snap.collectFirst {
+        case (td, _) if td.name.equalsIgnoreCase(name) && !td.withoutRowid =>
+          SqlText.RowidInfo(td.rowidAlias.map(_.name),
+            td.cols.exists(c => Set("rowid", "_rowid_", "oid")
+              .contains(c.name.toLowerCase)),
+            td.cols.map(_.name))
+      }
     committedViews.foreach { case (name, select) =>
-      try s.sql(SqlText.fixQuotedIdents(select)).createOrReplaceTempView(name)
+      try SqliteRewrite.run(s, SqlText.fixQuotedIdents(select), csLike)
+        .createOrReplaceTempView(name)
       catch { case _: Exception => }
     }
     val out = Seq.newBuilder[RowsResult]
@@ -397,10 +437,11 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         else if (valuePragmaRe.findFirstMatchIn(sql).isDefined)
           out += valuePragma(valuePragmaRe.findFirstMatchIn(sql).get.group(1))
         else
-          try out += envelope(s.sql(
-            SqlText.mapCollations(SqlText.aliasSelectList(
-              SqlText.fixQuotedIdents(sql))).fold(e => return Left(e),
-              identity)))
+          try out += envelope(SqliteRewrite.run(s,
+            SqlText.mapCollations(SqlText.exposeRowid(
+              SqlText.aliasSelectList(SqlText.fixQuotedIdents(sql)),
+              ridInfo)).fold(e => return Left(e),
+              identity), csLike))
           catch { case e: Exception => return Left(friendlyError(e)) }
       }
     }
@@ -518,7 +559,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         td.cols.map(_.name) // bare: the envelope reports the plain names
       else Seq(it)
     }
-    session.sql(SqlText.aliasSelectList(
+    ssql(SqlText.aliasSelectList(
       s"SELECT ${expanded.mkString(", ")} FROM __graft_ret AS `${td.name}`") +
       " ORDER BY __ord")
   }
@@ -818,6 +859,18 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                               kw: String,
       reqTx: Boolean): Either[String, Long] = {
     try kw match {
+      case "CREATE" if tempCreateRe.findFirstMatchIn(sql0).isDefined =>
+        // CREATE TEMP|TEMPORARY <what>: tables are connection-scoped
+        // (SQLite core); temp triggers/views/indexes reject loudly
+        // rather than silently lose their connection scoping
+        val m = tempCreateRe.findFirstMatchIn(sql0).get
+        m.group(2).toUpperCase match {
+          case "TABLE" =>
+            doCreate(work, sql0.substring(0, m.start(1)) +
+              sql0.substring(m.end(1)), temp = true)
+          case what => Left(s"temporary ${what.toLowerCase}s are not " +
+            "supported (temporary tables are)")
+        }
       case "CREATE" if triggerKeywordRe.findFirstIn(sql0).isDefined =>
         doCreateTrigger(work, sql0)
       case "CREATE" => Ddl.parseCreateIndex(sql0) match {
@@ -829,10 +882,19 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         }
       }
       case "DROP" => doDrop(work, sql)
-      case "INSERT" | "REPLACE" => withTriggers(work, sql, "INSERT")(
-        doInsert(work, sql))
-      case "UPDATE" => withTriggers(work, sql, "UPDATE")(doUpdate(work, sql))
-      case "DELETE" => withTriggers(work, sql, "DELETE")(doDelete(work, sql))
+      case "INSERT" | "REPLACE" =>
+        tempMixError(work, sql).getOrElse(
+          withTriggers(work, sql, "INSERT")(doInsert(work, sql)))
+      case "UPDATE" =>
+        tempMixError(work, sql).getOrElse {
+          val sqlR = rowidDml(work, sql)
+          withTriggers(work, sqlR, "UPDATE")(doUpdate(work, sqlR))
+        }
+      case "DELETE" =>
+        tempMixError(work, sql).getOrElse {
+          val sqlR = rowidDml(work, sql)
+          withTriggers(work, sqlR, "DELETE")(doDelete(work, sqlR))
+        }
       case "ALTER" => doAlter(work, sql)
       case "PRAGMA" => doPragma(sql, reqTx)
       // routine SQLite maintenance: nothing to compact/collect here —
@@ -887,7 +949,38 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         .map(_.group(1).replace("`.`", ".").replace("`", ""))
         .getOrElse("?")
       s"no such column: $name"
+    } else if (m.contains("UNRESOLVED_ROUTINE")) {
+      // SQLite prepare-time text (probed: `no such function: nosuch`) —
+      // Spark's SQLSTATE banner must not leak through the envelope
+      val name = "routine `([^`]+)`".r.findFirstMatchIn(m)
+        .map(_.group(1)).getOrElse("?")
+      s"no such function: $name"
     } else m.linesIterator.take(2).mkString(" ").trim
+  }
+
+  private val tempCreateRe =
+    """(?is)^\s*CREATE\s+(TEMP|TEMPORARY)\s+(TABLE|TRIGGER|VIEW|INDEX|UNIQUE)""".r
+
+  /** A journaled statement whose target is PERMANENT must not read
+    * connection-scoped temp tables: its replay (recovery here, statement
+    * log on a follower) would see different temp state than the live
+    * run. SQLite allows the mix (in-process, no replication); the
+    * engine's statement-log contract rejects it LOUDLY. Statements
+    * targeting a TEMP table are unconstrained (their replayed effects
+    * are dropped with the temp tables at the end of recovery). */
+  private def tempMixError(work: Tables,
+                           sql: String): Option[Either[String, Long]] = {
+    val temps = work.collect { case (k, ts) if ts.temp => k }.toSet
+    if (temps.isEmpty) return None
+    val target = dmlTableName(sql).map(_.toLowerCase)
+    if (target.exists(temps)) return None // temp-targeted: fine
+    val scrubbed = sql.replaceAll("'(?:[^']|'')*'", "''").toLowerCase
+    temps.find(t =>
+      s"(?<![a-z0-9_])${java.util.regex.Pattern.quote(t)}(?![a-z0-9_])"
+        .r.findFirstIn(scrubbed).isDefined)
+      .map(t => Left("statement writes a permanent table from temporary " +
+        s"table $t: temporary tables are connection-scoped and never " +
+        "replicated (statement-log replication requires replayable SQL)"))
   }
 
   private val tableInfoRe =
@@ -973,12 +1066,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           autos += ((s"sqlite_autoindex_${td.name}_$autoN", true,
             if (isPk) "pk" else "u", false, pos(cs)))
         }
-        if (td.pkSet.nonEmpty) emitAuto(true, td.pkSet)
-        td.cols.foreach { c =>
-          if ((c.pk || c.unique) && !c.isRowidAlias)
-            emitAuto(c.pk, Seq(c.name))
-        }
-        td.uniqueSets.foreach(s => emitAuto(false, s))
+        // SQLite numbers automatic indexes in SOURCE order (column-level
+        // constraints in column order, the table-level PK clause at its
+        // declared position — probed live, ADVICE r13)
+        td.autoIndexSpecs.foreach { case (isPk, cs) => emitAuto(isPk, cs) }
         val named = indexes.values.toVector
           .filter(_.table.equalsIgnoreCase(td.name))
           .map { ix =>
@@ -1036,6 +1127,14 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       if (!inTx) fkEnabled = false
       Right(0)
     }
+    else if (u.startsWith("PRAGMACASE_SENSITIVE_LIKE=")) {
+      // connection-scoped LIKE behavior (not db state): applies
+      // immediately, probed live — ON/TRUE/1 enable, anything else off
+      val v = u.substring("PRAGMACASE_SENSITIVE_LIKE=".length)
+        .stripSuffix(";")
+      csLike = v == "ON" || v == "TRUE" || v == "1"
+      Right(0)
+    }
     else u match {
       case userVersionSetRe(v) => userVersion = v.toLong; Right(0)
       case _ => Right(0) // unknown pragmas no-op, like SQLite
@@ -1085,7 +1184,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
   private val ctasRe =
     """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?["`]?([A-Za-z_][A-Za-z0-9_]*)["`]?\s+AS\s+((?:SELECT|WITH)\s.+?)\s*;?\s*$""".r
 
-  private def doCreate(work: Tables, sql: String): Either[String, Long] =
+  private def doCreate(work: Tables, sql: String,
+                       temp: Boolean = false): Either[String, Long] =
     Ddl.parseCreate(sql) match {
       case Some(Ddl.Create(ine, td)) =>
         val key = td.name.toLowerCase
@@ -1136,7 +1236,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         } else if (work.contains(key)) {
           if (ine) Right(0) else Left(s"table ${td.name} already exists")
         } else {
-          work(key) = new TableState(td, sql, Mem(Vector.empty), 1L)
+          work(key) = new TableState(td, sql, Mem(Vector.empty), 1L,
+            temp = temp)
           // the first AUTOINCREMENT table materializes the internal
           // sequence catalog (SQLite: exists but empty until an insert)
           if (td.cols.exists(_.autoInc)) ensureSeqTable(work)
@@ -1256,7 +1357,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     if (work.contains(key))
       return if (ine) Right(0) else Left(s"table $name already exists")
     registerViews(work)
-    val df = session.sql(SqlText.fixQuotedIdents(select))
+    val df = ssql(SqlText.fixQuotedIdents(select))
     val cols = df.schema.fields.map { f =>
       val aff = f.dataType match {
         case LongType | IntegerType | ShortType | ByteType | BooleanType =>
@@ -1597,7 +1698,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                     s"${ridView(key)} AS `$eff`, $srcSql WHERE ($cond)"
                 } else s"SELECT `__rowid` FROM ${ridView(key)} AS `$eff` " +
                   s"WHERE ($cond)"
-              Some(collectCapped(session.sql(matchedSql), maxDriverRows)
+              Some(collectCapped(ssql(matchedSql), maxDriverRows)
                 .map(_.getLong(0)))
             } catch {
               case _: TriggerDiffTooLarge =>
@@ -1978,7 +2079,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         // SQLite backfills existing rows with the (constant) default
         val defVal: Any = cd.default match {
           case Some(d) =>
-            session.sql(s"SELECT CAST(($d) AS ${sparkTypeName(cd)})").head.get(0)
+            ssql(s"SELECT CAST(($d) AS ${sparkTypeName(cd)})").head.get(0)
           case None => null
         }
         replaceEntry(tname.toLowerCase, tname.toLowerCase,
@@ -2515,7 +2616,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     // evaluated once through Catalyst), else NULL — SQLite semantics
     val defaults: Map[Int, Any] = td.cols.zipWithIndex.collect {
       case (c, i) if !targetCols.contains(i) && c.default.isDefined =>
-        i -> session.sql(
+        i -> ssql(
           s"SELECT CAST((${c.default.get}) AS ${sparkTypeName(c)})")
           .head.get(0)
     }.toMap
@@ -2559,11 +2660,11 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                 return Left(s"table $tname has ${td.storedColIdx.size} " +
                   s"columns but $arity values were supplied")
               val alias = (1 to arity).map(i => s"c$i").mkString(",")
-              session.sql(
+              ssql(
                 s"SELECT * FROM (VALUES ${tuples.mkString(",")}) AS __v($alias)")
             case Right(select) =>
               registerViews(work)
-              val df0 = session.sql(SqlText.fixQuotedIdents(select))
+              val df0 = ssql(SqlText.fixQuotedIdents(select))
               if (df0.columns.length != targetCols.size)
                 return Left(s"table $tname has ${td.storedColIdx.size} " +
                   s"columns but ${df0.columns.length} values were supplied")
@@ -2843,10 +2944,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                   // statement-sized
                   ci -> (RowExpr { (orow, vals) =>
                     val sub = substituteUpsertRefs(expr, td, orow, vals)
-                    session.sql(s"SELECT CAST(($sub) AS $ty)").head.get(0)
+                    ssql(s"SELECT CAST(($sub) AS $ty)").head.get(0)
                   }: SetVal)
                 case lit =>
-                  ci -> (Const(session.sql(
+                  ci -> (Const(ssql(
                     s"SELECT CAST(($lit) AS ${sparkTypeName(td.cols(ci))})")
                     .head.get(0)): SetVal)
               }
@@ -2861,7 +2962,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             .foreach(bad => return Left(s"no such column: excluded.$bad"))
           val nulls = IndexedSeq.fill[Any](td.cols.size)(null)
           val sub = substituteUpsertRefs(w, td, nulls, nulls)
-          try session.sql(s"SELECT CAST(($sub) AS BOOLEAN)").head
+          try ssql(s"SELECT CAST(($sub) AS BOOLEAN)").head
           catch { case e: Exception =>
             val name = "`([A-Za-z_][A-Za-z0-9_]*)`".r
               .findFirstMatchIn(Option(e.getMessage).getOrElse(""))
@@ -2939,7 +3040,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             // row, and NO fall-through to later clauses (probed live)
             val whereOk = clauses(ck).where.forall { w =>
               val sub = substituteUpsertRefs(w, td, cur(hit)._2, vals)
-              val row = session.sql(
+              val row = ssql(
                 s"SELECT COALESCE(CAST(($sub) AS BOOLEAN), false)").head
               row.getBoolean(0)
             }
@@ -3652,7 +3753,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           }
           s"$e AS `${c.name}`"
         }.mkString(", ")
-        val affected = session.sql(
+        val affected = ssql(
           s"SELECT COUNT(*) FROM ${ridView(td.name)} AS `$eff` WHERE $cond").head.getLong(0)
         if (retArmed && affected > maxDriverRows) {
           retArmed = false
@@ -3661,7 +3762,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         // per-row live-state validation inputs (shared by both stores):
         // the BEFORE table, the matched rows' OLD and NEW images
         val beforeAllDf = session.table(ridView(td.name))
-        val changedOldDf = session.sql(
+        val changedOldDf = ssql(
           s"SELECT * FROM ${ridView(td.name)} AS `$eff` WHERE $cond")
         // rewriting a referenced key orphans children — SQLite fails the
         // statement even when the child declares ON DELETE CASCADE (the
@@ -3682,10 +3783,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           }
         val res0 = ts.store match {
           case Mem(memRows) =>
-            val df = session.sql(withGenLevels(td,
+            val df = ssql(withGenLevels(td,
               s"SELECT $ridSel, $proj FROM ${ridView(td.name)} AS `$eff`",
               Seq("__rowid")))
-            val changedNewDf = session.sql(withGenLevels(td,
+            val changedNewDf = ssql(withGenLevels(td,
               s"SELECT `__rowid`, $proj FROM ${ridView(td.name)} AS `$eff` " +
                 s"WHERE $cond", Seq("__rowid")))
             validateUpdatePerRow(work, td, beforeAllDf, df,
@@ -3708,10 +3809,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             // (partition-scoped, see the Big-bucket helpers); memory dbs
             // reproject every row (the CASE keeps unaffected rows
             // bit-identical) into a fresh localCheckpoint.
-            val newDf = session.sql(withGenLevels(td,
+            val newDf = ssql(withGenLevels(td,
               s"SELECT `__ord`, $ridSel, $proj FROM ${ridView(td.name)} AS `$eff`",
               Seq("__ord", "__rowid")))
-            val changedDf = session.sql(withGenLevels(td,
+            val changedDf = ssql(withGenLevels(td,
               s"SELECT `__ord`, `__rowid`, $proj FROM ${ridView(td.name)} AS `$eff` " +
                 s"WHERE $cond", Seq("__ord", "__rowid")))
             validateUpdatePerRow(work, td, beforeAllDf, newDf,
@@ -3837,7 +3938,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       if (td.checks.isEmpty) leveled
       else s"SELECT *$checkFlags FROM ($leveled)"
     val matched =
-      try collectCapped(session.sql(matchedSql).orderBy(
+      try collectCapped(ssql(matchedSql).orderBy(
           // SQLite's sequential policy processes matched rows in SCAN
           // order: rowid for ordinary tables, the clustered PRIMARY KEY
           // for WITHOUT ROWID ones (probed live)
@@ -3975,7 +4076,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       }
     lazy val defVals: Map[Int, Any] = td.cols.zipWithIndex.collect {
       case (c, i) if c.notNull && c.default.isDefined =>
-        i -> session.sql(
+        i -> ssql(
           s"SELECT CAST((${c.default.get}) AS ${sparkTypeName(c)})")
           .head.get(0)
     }.toMap
@@ -4275,7 +4376,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         s"NOT COALESCE(($ex), TRUE) AS `__ck$i`" }.mkString(", ") +
         s" FROM ($leveled)"
     try {
-      val r = session.sql(q).head()
+      val r = ssql(q).head()
       val ckFail = td.checks.zipWithIndex.collectFirst {
         case ((label, _), i) if r.getBoolean(1 + n + i) => label }
       Right((if (r.isNullAt(0)) null else r.getLong(0),
@@ -4296,7 +4397,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     val flags = td.checks.zipWithIndex.map { case ((_, ex), i) =>
       s"NOT COALESCE(($ex), TRUE) AS `__ck$i`" }.mkString(", ")
     try {
-      val r = session.sql(s"SELECT $flags FROM (SELECT $typed FROM " +
+      val r = ssql(s"SELECT $flags FROM (SELECT $typed FROM " +
         s"(VALUES ($lits)) AS __pv($vcols))").head()
       Right(td.checks.zipWithIndex.collectFirst {
         case ((label, _), i) if r.getBoolean(i) => label })
@@ -4429,7 +4530,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         s"SELECT `$eff`.`__rowid` AS `__rowid`$vList$srcOrdSel " +
         s"FROM ${ridView(td.name)} AS `$eff`, $srcSql WHERE $cond)" +
         s") WHERE `__rn` = 1"
-    val updDf = session.sql(mapSql).localCheckpoint()
+    val updDf = ssql(mapSql).localCheckpoint()
     val affected = updDf.count()
     if (retArmed && affected > maxDriverRows) {
       retArmed = false
@@ -4452,7 +4553,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       val joinMatched = s"FROM ${ridView(td.name)} AS b JOIN $mv AS m " +
         "ON b.`__rowid` = m.`__rowid`"
       val beforeAllDf = session.table(ridView(td.name))
-      val changedOldDf = session.sql(s"SELECT b.* $joinMatched")
+      val changedOldDf = ssql(s"SELECT b.* $joinMatched")
       ts.store match {
         case Mem(_) =>
           val ridSel =
@@ -4462,9 +4563,9 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
               s"CASE WHEN m.`__rowid` IS NOT NULL THEN m.`__v_$idc` " +
                 "ELSE b.`__rowid` END AS `__rowid`"
             }
-          val df = session.sql(withGenLevels(td,
+          val df = ssql(withGenLevels(td,
             s"SELECT $ridSel, $projCols $joinAll", Seq("__rowid")))
-          val changedNewDf = session.sql(withGenLevels(td,
+          val changedNewDf = ssql(withGenLevels(td,
             s"SELECT b.`__rowid`, $projCols $joinMatched", Seq("__rowid")))
           validateUpdatePerRow(work, td, beforeAllDf, df, changedNewDf,
             changedOldDf).flatMap { _ =>
@@ -4486,10 +4587,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
               s"CASE WHEN m.`__rowid` IS NOT NULL THEN m.`__v_$idc` " +
                 "ELSE b.`__rowid` END AS `__rowid`"
             }
-          val newDf = session.sql(withGenLevels(td,
+          val newDf = ssql(withGenLevels(td,
             s"SELECT b.`__ord`, $ridSel, $projCols $joinAll",
             Seq("__ord", "__rowid")))
-          val changedDf = session.sql(withGenLevels(td,
+          val changedDf = ssql(withGenLevels(td,
             s"SELECT b.`__ord`, b.`__rowid`, $projCols $joinMatched",
             Seq("__ord", "__rowid")))
           validateUpdatePerRow(work, td, beforeAllDf, newDf, changedDf,
@@ -4547,7 +4648,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         s"CAST(`${c.name}` AS ${sparkTypeName(c)}) AS `${c.name}`")
         .mkString(", ") +
       s" FROM (VALUES ${tuples.mkString(", ")}) AS __g(${colNames.mkString(", ")})"
-    session.sql(
+    ssql(
       s"SELECT * FROM (${withGenLevels(td, inner, Seq("__i"))}) ORDER BY `__i`")
       .collect().toVector
       .map(r => (1 until r.length).map(r.get).toIndexedSeq)
@@ -4913,7 +5014,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           else s"(${whereText.trim})"
         ts.store match {
           case Mem(memRows0) =>
-            val doomed0 = session.sql(
+            val doomed0 = ssql(
               s"SELECT `__rowid` FROM ${ridView(ts.d.name)} AS __rv WHERE $cond")
               .collect().map(_.getLong(0)).toSet
             val doomedRows0 = memRows0.filter(r => doomed0.contains(r._1))
@@ -4930,7 +5031,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
                 }
               val doomed =
                 if (!acted) doomed0
-                else session.sql(s"SELECT `__rowid` FROM " +
+                else ssql(s"SELECT `__rowid` FROM " +
                   s"${ridView(ts.d.name)} AS __rv WHERE $cond")
                   .collect().map(_.getLong(0)).toSet
               val remaining = memRows.filterNot(r => doomed.contains(r._1))
@@ -4949,10 +5050,10 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
             // WHERE-filter semantics on the Mem path), guard FKs with
             // anti-joins, then swap the version. Disk-backed dbs rewrite
             // only the rowid buckets holding doomed rows.
-            val affected0 = session.sql(
+            val affected0 = ssql(
               s"SELECT COUNT(*) FROM ${ridView(ts.d.name)} AS __rv WHERE $cond")
               .head.getLong(0)
-            val doomedDf0 = session.sql(
+            val doomedDf0 = ssql(
               s"SELECT * FROM ${ridView(ts.d.name)} AS __rv " +
                 s"WHERE COALESCE($cond, false)")
             if (retArmed && affected0 > maxDriverRows) {
@@ -4965,16 +5066,16 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
               // stale, so action'd deletes take the full rewrite)
               if (acted) registerViews(work)
               val big = ts.store.asInstanceOf[Big]
-              val remainingDf = session.sql(
+              val remainingDf = ssql(
                 s"SELECT * FROM ${ridView(ts.d.name)} AS __rv " +
                   s"WHERE NOT COALESCE($cond, false)")
               val doomedDf =
                 if (!acted) doomedDf0
-                else session.sql(s"SELECT * FROM ${ridView(ts.d.name)} " +
+                else ssql(s"SELECT * FROM ${ridView(ts.d.name)} " +
                   s"AS __rv WHERE COALESCE($cond, false)")
               val affected =
                 if (!acted) affected0
-                else session.sql(s"SELECT COUNT(*) FROM " +
+                else ssql(s"SELECT COUNT(*) FROM " +
                   s"${ridView(ts.d.name)} AS __rv WHERE $cond").head.getLong(0)
               fkDeleteGuard(work, ts, Right(doomedDf),
                 Right(remainingDf)).map { _ =>
@@ -5258,17 +5359,44 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
 
   // ---------- query execution ---------------------------------------------
 
+  /** [[SqlText.RowidInfo]] lookup over the working tables (rowid tables
+    * only; WITHOUT ROWID has no rowid pseudo-column, probed live). */
+  private def rowidInfoOf(work: Tables)(name: String)
+      : Option[SqlText.RowidInfo] =
+    work.get(name.toLowerCase).collect {
+      case ts if !ts.d.withoutRowid =>
+        SqlText.RowidInfo(ts.d.rowidAlias.map(_.name),
+          ts.d.cols.exists(c => Set("rowid", "_rowid_", "oid")
+            .contains(c.name.toLowerCase)),
+          ts.d.cols.map(_.name))
+    }
+
+  /** Token-level rowid substitution for UPDATE/DELETE: their executors
+    * evaluate conditions over the `__rid_` view, where `__rowid` (or
+    * the INTEGER PRIMARY KEY alias) resolves. */
+  private def rowidDml(work: Tables, sql: String): String =
+    if (!SqlText.mentionsRowid(sql)) sql
+    else dmlTableName(sql).flatMap(rowidInfoOf(work)) match {
+      case Some(ri) if !ri.shadowed =>
+        SqlText.replaceRowidTokens(sql,
+          ri.ipk.map(n => s"`$n`").getOrElse("`__rowid`"))
+      case _ => sql
+    }
+
   private def runSelect(work: Tables, sql0: String): Either[String, RowsResult] =
     try {
       registerViews(work)
       // alias FIRST (envelope column names keep the SQLite spelling of
-      // `expr COLLATE NOCASE`), then map the collation names for Catalyst
+      // `expr COLLATE NOCASE`), then expose the rowid pseudo-column,
+      // then map the collation names for Catalyst
       val sql = SqlText.mapCollations(
-          SqlText.aliasSelectList(SqlText.fixQuotedIdents(sql0))) match {
+          SqlText.exposeRowid(
+            SqlText.aliasSelectList(SqlText.fixQuotedIdents(sql0)),
+            rowidInfoOf(work))) match {
         case Left(e) => return Left(e)
         case Right(s2) => s2
       }
-      val df = session.sql(sql)
+      val df = ssql(sql)
       Right(envelope(df))
     } catch { case e: Exception => Left(friendlyError(e)) }
 
@@ -5605,7 +5733,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
 
   /** The touched bucket set of a predicate against the current version. */
   private def bigTouchedPids(tname: String, cond: String): Set[Long] =
-    session.sql(s"SELECT DISTINCT $bigPidExpr AS p FROM ${ridView(tname)} AS __rv " +
+    ssql(s"SELECT DISTINCT $bigPidExpr AS p FROM ${ridView(tname)} AS __rv " +
         s"WHERE $cond")
       .collect().map(_.getLong(0)).toSet
 
@@ -5618,11 +5746,11 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     val touched = bigTouchedPids(tname, cond)
     if (touched.isEmpty) return big
     if (2 * touched.size >= files.size)
-      return bigPartitionedFull(tname, session.sql(
+      return bigPartitionedFull(tname, ssql(
         s"SELECT `__ord`, `__rowid`, $proj FROM ${ridView(tname)}"),
         big.n, big.nextOrd)
     val out = nextBigGenDir(tname)
-    session.sql(s"SELECT `__ord`, `__rowid`, $proj FROM ${ridView(tname)} AS __rv " +
+    ssql(s"SELECT `__ord`, `__rowid`, $proj FROM ${ridView(tname)} AS __rv " +
         s"WHERE $bigPidExpr IN (${touched.mkString(",")})")
       .withColumn("__pid", expr(bigPidExpr))
       .write.partitionBy("__pid").mode("overwrite").parquet(out.toString)
@@ -5657,11 +5785,11 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     val touched = bigTouchedPids(tname, cond)
     if (touched.isEmpty) return big
     if (2 * touched.size >= files.size)
-      return bigPartitionedFull(tname, session.sql(
+      return bigPartitionedFull(tname, ssql(
         s"SELECT * FROM ${ridView(tname)} AS __rv WHERE NOT COALESCE($cond, false)"),
         big.n - affected, big.nextOrd)
     val out = nextBigGenDir(tname)
-    session.sql(s"SELECT * FROM ${ridView(tname)} AS __rv " +
+    ssql(s"SELECT * FROM ${ridView(tname)} AS __rv " +
         s"WHERE $bigPidExpr IN (${touched.mkString(",")}) " +
         s"AND NOT COALESCE($cond, false)")
       .withColumn("__pid", expr(bigPidExpr))
@@ -5853,7 +5981,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     // (view-on-view works). A broken view (underlying table dropped) stays
     // unregistered and errors lazily at use — SQLite's behavior.
     viewDefs.values.foreach { case (name, select, _) =>
-      try session.sql(SqlText.fixQuotedIdents(select))
+      try ssql(SqlText.fixQuotedIdents(select))
         .createOrReplaceTempView(name)
       catch { case _: Exception => session.catalog.dropTempView(name) }
     }
@@ -5866,7 +5994,7 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
       val kw = if (pendingCtesRec) "WITH RECURSIVE " else "WITH "
       pendingCtes.indices.foreach { k =>
         val defs = pendingCtes.take(k + 1).map(_._2).mkString(", ")
-        session.sql(SqlText.fixQuotedIdents(
+        ssql(SqlText.fixQuotedIdents(
           s"$kw$defs SELECT * FROM `${pendingCtes(k)._1}`"))
           .createOrReplaceTempView(pendingCtes(k)._1)
       }
@@ -5914,11 +6042,8 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
           page += 1
         }
       }
-      if (td.pkSet.nonEmpty) emitAuto(true)
-      td.cols.foreach { c =>
-        if ((c.pk || c.unique) && !c.isRowidAlias) emitAuto(c.pk)
-      }
-      td.uniqueSets.foreach(_ => emitAuto(false))
+      // same source-order numbering as indexRoster (ADVICE r13)
+      td.autoIndexSpecs.foreach { case (isPk, _) => emitAuto(isPk) }
     }
     indexes.values.foreach { ix =>
       rows += Row("index", ix.name, ix.table, page, ix.sql)
@@ -6344,9 +6469,32 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         // the deterministic live outcome (the live run produced the same
         // Left); a different one is machine trouble and fails open()
         // loudly via RecoveryFailed so the journal survives for a retry.
+        //
+        // dispatch is not exception-atomic (statement undo fires on
+        // Left, not on throw), so the retry must NOT re-run on state the
+        // first attempt may have partially mutated — snapshot the
+        // working tables + schema registries first and restore them
+        // before retrying (ADVICE r13: a succeeding retry could
+        // otherwise silently double-apply rows into recovered state).
+        // Store values are immutable, so copyState is a reference copy.
+        val preWork = work.map { case (k, v) => k -> v.copyState }
+        val preIdx = indexes.toSeq
+        val preViews = viewDefs.toSeq
+        val preTrigs = triggers.toSeq
+        val preScalars = (lastRowId, fkEnabled, csLike, userVersion)
+        def restore(): Unit = {
+          work.clear()
+          preWork.foreach { case (k, v) => work(k) = v.copyState }
+          indexes = mutable.LinkedHashMap(preIdx: _*)
+          viewDefs = mutable.LinkedHashMap(preViews: _*)
+          triggers = mutable.LinkedHashMap(preTrigs: _*)
+          lastRowId = preScalars._1; fkEnabled = preScalars._2
+          csLike = preScalars._3; userVersion = preScalars._4
+        }
         val r: Either[String, Long] =
           try dispatch(work, tx, s.sql)
           catch { case e1: Exception =>
+            restore()
             try dispatch(work, tx, s.sql)
             catch { case e2: Exception =>
               if (Option(e1.getMessage) == Option(e2.getMessage))

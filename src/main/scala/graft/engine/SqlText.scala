@@ -40,14 +40,13 @@ object SqlText {
   def render(p: Parameter): String = p match {
     case Parameter.Integer(v) => v.toString
     case Parameter.Real(v) => if (v.isWhole && math.abs(v) < 1e15) s"${v.toLong}.0" else v.toString
-    // Spark's default parser treats backslash as an escape inside string
-    // literals (unlike SQLite/rusqlite binding): double backslashes FIRST,
-    // then quotes, or text containing \n / trailing \ is corrupted and a
-    // trailing backslash swallows the closing quote (literal breakout in
-    // the journaled replay text). `''` quote-doubling works in this mode;
-    // escapedStringLiterals=true would break it ('don''t' stays two chars).
-    case Parameter.Text(v) =>
-      "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+    // SQLite literal rules: `''` quote-doubling only, backslash is a
+    // plain character. The bound text is the engine's canonical form
+    // (journal, triggers, FastValues, the sqlite differential replays);
+    // SqliteRewrite.preText doubles backslashes at the one point text
+    // crosses into Spark's parser, whose string literals treat `\` as
+    // an escape.
+    case Parameter.Text(v) => "'" + v.replace("'", "''") + "'"
   }
 
   /** Map SQLite collation names after an expression-level `COLLATE`
@@ -163,6 +162,240 @@ object SqlText {
       else s" $t AS `${t.replace("`", "``")}`"
     }
     sql.take(selIdx) + "SELECT" + items.mkString(",") + " " + rest
+  }
+
+  // ---------- rowid pseudo-column exposure ---------------------------------
+
+  /** What [[exposeRowid]] needs to know about a ROWID table: the INTEGER
+    * PRIMARY KEY alias column (if any), whether a declared column shadows
+    * the rowid names, and the declared column list (for `*` expansion
+    * against the rid view). */
+  final case class RowidInfo(ipk: Option[String], shadowed: Boolean,
+                             cols: Seq[String])
+
+  private val rowidNames = Set("ROWID", "_ROWID_", "OID")
+  private def isWordC(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+
+  /** Whether the statement mentions a rowid pseudo-column name outside
+    * quotes (cheap pre-check). */
+  def mentionsRowid(sql: String): Boolean = {
+    val u = sql.toUpperCase
+    if (!u.contains("ROWID") && !u.contains("OID")) return false
+    var found = false
+    scan(sql) { (c, i, quoted) =>
+      if (!quoted && !found && (c == 'r' || c == 'R' || c == '_' ||
+        c == 'o' || c == 'O')) {
+        rowidNames.foreach { n =>
+          if (u.startsWith(n, i) && (i == 0 || !isWordC(u.charAt(i - 1))) &&
+            (i + n.length >= u.length || !isWordC(u.charAt(i + n.length))))
+            found = true
+        }
+      }
+    }
+    found
+  }
+
+  /** Expose SQLite's `rowid`/`_rowid_`/`oid` pseudo-column in a SELECT
+    * (the reference's users get it from SQLite itself). Single-table
+    * statements only — the overwhelmingly common shape; others pass
+    * through and keep today's `no such column` behavior.
+    *
+    *  - INTEGER PRIMARY KEY tables: the alias column IS the rowid —
+    *    token-level substitution, nothing else changes;
+    *  - plain rowid tables: substitute `__rowid` and repoint table
+    *    references at the engine's `__rid_<t>` view (aliased back to the
+    *    table name), expanding `*` to the declared columns so the star
+    *    contract is unchanged;
+    *  - bare select items keep SQLite's column naming (`SELECT rowid` →
+    *    column `rowid`) via an explicit alias.
+    *
+    * Call AFTER [[aliasSelectList]] (expression items are then already
+    * aliased to their verbatim SQLite spelling) and AFTER
+    * [[fixQuotedIdents]]. CTE names shadow tables, so statements whose
+    * WITH-list defines the table name pass through. */
+  def exposeRowid(sql: String, info: String => Option[RowidInfo]): String = {
+    if (!mentionsRowid(sql)) return sql
+    val u = sql.toUpperCase
+    // CTE names shadow tables
+    val cteNames = "(?i)\\b([A-Za-z_][A-Za-z0-9_]*)\\s+AS\\s*\\(".r
+      .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
+    // pass 1: table references after FROM/JOIN (incl. comma lists)
+    val refs = Seq.newBuilder[String]
+    var depth0 = 0
+    var expectTable = false // just saw FROM/JOIN/',' inside a FROM clause
+    var inFromClause = false
+    var skipNextIdent = false // alias position after a table ref / AS
+    scan(sql) { (c, i, quoted) =>
+      if (!quoted) {
+        if (c == '(') depth0 += 1
+        else if (c == ')') depth0 -= 1
+        def kw(k: String): Boolean = u.startsWith(k, i) &&
+          (i == 0 || !isWordC(u.charAt(i - 1))) &&
+          (i + k.length >= u.length || !isWordC(u.charAt(i + k.length)))
+        if (kw("FROM") || kw("JOIN")) { expectTable = true; inFromClause = true }
+        else if (kw("WHERE") || kw("GROUP") || kw("ORDER") || kw("HAVING") ||
+          kw("LIMIT") || kw("ON") || kw("SELECT") || kw("UNION") ||
+          kw("INTERSECT") || kw("EXCEPT") || kw("WINDOW"))
+          inFromClause = false
+        else if (c == ',' && inFromClause) expectTable = true
+        else if (kw("AS")) skipNextIdent = true
+        else if (isWordC(c) && (i == 0 || !isWordC(sql.charAt(i - 1))) &&
+          sql.charAt(i) != '`') {
+          var j = i
+          while (j < sql.length && isWordC(sql.charAt(j))) j += 1
+          val word = sql.substring(i, j)
+          val upper = word.toUpperCase
+          val isKw = Set("FROM", "JOIN", "AS", "ON", "WHERE", "LEFT",
+            "RIGHT", "FULL", "INNER", "OUTER", "CROSS", "NATURAL",
+            "SELECT", "GROUP", "ORDER", "HAVING", "LIMIT", "UNION",
+            "INTERSECT", "EXCEPT", "WINDOW").contains(upper)
+          if (expectTable && !isKw) {
+            if (j < sql.length && sql.charAt(j) == '(') ()
+            else refs += word.toLowerCase
+            expectTable = false; skipNextIdent = true
+          } else if (skipNextIdent && !isKw) skipNextIdent = false
+        }
+      }
+    }
+    // backtick-quoted table refs (fixQuotedIdents output): FROM `t`
+    "(?i)\\b(FROM|JOIN)\\s+`([A-Za-z_][A-Za-z0-9_]*)`".r
+      .findAllMatchIn(sql).foreach(m => refs += m.group(2).toLowerCase)
+    val rowidRefs = refs.result().distinct
+      .filterNot(cteNames)
+      .flatMap(n => info(n).map(n -> _).filterNot(_._2.shadowed))
+    if (rowidRefs.size != 1) return sql
+    val (tname, ri) = rowidRefs.head
+    val repl = ri.ipk.map(n => s"`$n`").getOrElse("`__rowid`")
+    val needRid = ri.ipk.isEmpty
+
+    // pass 2: emit
+    val out = new java.lang.StringBuilder(sql.length + 32)
+    var inS = false; var inD = false; var inB = false
+    // clause keyword per paren depth (SELECT list detection)
+    val clause = scala.collection.mutable.Map[Int, String]()
+    var depth = 0
+    var i = 0
+    var aliasNext = false // emitted a rid view ref; next ident is its alias
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' && !inD && !inB) inS = !inS
+      else if (c == '"' && !inS && !inB) inD = !inD
+      else if (c == '`' && !inS && !inD) inB = !inB
+      val quoted = inS || inD || inB
+      def kwAt(k: String): Boolean = !quoted && u.startsWith(k, i) &&
+        (i == 0 || !isWordC(u.charAt(i - 1))) &&
+        (i + k.length >= u.length || !isWordC(u.charAt(i + k.length)))
+      if (!quoted && c == '(') { depth += 1; out.append(c); i += 1 }
+      else if (!quoted && c == ')') {
+        clause.remove(depth); depth -= 1; out.append(c); i += 1
+      }
+      else if (!quoted && isWordC(c) && (i == 0 || !isWordC(sql.charAt(i - 1)))) {
+        var j = i
+        while (j < sql.length && isWordC(sql.charAt(j))) j += 1
+        val word = sql.substring(i, j)
+        val upper = word.toUpperCase
+        Seq("SELECT", "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "ON",
+          "SET", "RETURNING").find(_ == upper)
+          .foreach(k => clause(depth) = k)
+        if (rowidNames.contains(upper)) {
+          val qualified = i > 0 && sql.charAt(i - 1) == '.'
+          // bare select item? (preceded by SELECT/comma (+opt qualifier),
+          // followed by comma/FROM/end) → alias to SQLite's name
+          val inSelect = clause.getOrElse(depth, "") == "SELECT"
+          var back = i - 1
+          if (qualified) { // skip qualifier chain
+            back -= 1
+            while (back >= 0 && (isWordC(sql.charAt(back)) ||
+              sql.charAt(back) == '`')) back -= 1
+          }
+          while (back >= 0 && sql.charAt(back).isWhitespace) back -= 1
+          val bareStart = back < 0 || sql.charAt(back) == ',' ||
+            (back >= 5 && u.startsWith("SELECT", back - 5))
+          var fwd = j
+          while (fwd < sql.length && sql.charAt(fwd).isWhitespace) fwd += 1
+          val bareEnd = fwd >= sql.length || sql.charAt(fwd) == ',' ||
+            u.startsWith("FROM", fwd)
+          out.append(repl)
+          // SQLite's column naming (probed): on a PLAIN rowid table any
+          // of the three spellings reports as `rowid`; on an INTEGER
+          // PRIMARY KEY table it reports the ALIAS COLUMN's name — which
+          // the plain substitution already yields
+          if (needRid && inSelect && bareStart && bareEnd)
+            out.append(" AS `rowid`")
+          i = j
+        } else if (needRid && !aliasNext &&
+          word.equalsIgnoreCase(tname) &&
+          (clause.getOrElse(depth, "") == "FROM") &&
+          !(j < sql.length && (sql.charAt(j) == '(' || sql.charAt(j) == '.'))) {
+          out.append("__rid_").append(tname)
+          // alias follows? else pin the original name
+          var k2 = j
+          while (k2 < sql.length && sql.charAt(k2).isWhitespace) k2 += 1
+          val hasAlias =
+            (k2 < sql.length && (sql.charAt(k2) == '`' ||
+              (isWordC(sql.charAt(k2)) && {
+                var k3 = k2
+                while (k3 < sql.length && isWordC(sql.charAt(k3))) k3 += 1
+                val w2 = sql.substring(k2, k3).toUpperCase
+                w2 == "AS" || !Set("WHERE", "GROUP", "ORDER", "HAVING",
+                  "LIMIT", "ON", "JOIN", "LEFT", "RIGHT", "FULL", "INNER",
+                  "OUTER", "CROSS", "NATURAL", "UNION", "INTERSECT",
+                  "EXCEPT", "WINDOW").contains(w2)
+              })))
+          if (!hasAlias) out.append(" AS `").append(tname).append("`")
+          else aliasNext = true
+          i = j
+        } else {
+          if (aliasNext && !Set("AS").contains(upper)) aliasNext = false
+          out.append(word)
+          i = j
+        }
+      }
+      else if (!quoted && c == '*' && needRid &&
+        clause.getOrElse(depth, "") == "SELECT") {
+        // `*` / `alias.*` over the rid view would leak engine columns —
+        // expand to the declared list
+        val qual =
+          if (i > 0 && sql.charAt(i - 1) == '.') {
+            // strip the qualifier we already emitted
+            var back = out.length - 1 // the '.'
+            back -= 1
+            val qEnd = back + 1
+            while (back >= 0 && (isWordC(out.charAt(back)) ||
+              out.charAt(back) == '`')) back -= 1
+            val q = out.substring(back + 1, qEnd)
+            out.setLength(back + 1)
+            q + "."
+          } else ""
+        out.append(ri.cols.map(cn => s"$qual`$cn`").mkString(", "))
+        i += 1
+      }
+      else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  /** Token-only rowid substitution for UPDATE/DELETE statements: their
+    * executors evaluate conditions over the `__rid_` view, where
+    * `__rowid` (or the INTEGER PRIMARY KEY alias) is already in scope. */
+  def replaceRowidTokens(sql: String, repl: String): String = {
+    if (!mentionsRowid(sql)) return sql
+    val u = sql.toUpperCase
+    val out = new java.lang.StringBuilder(sql.length + 16)
+    var last = 0
+    scan(sql) { (c, i, quoted) =>
+      if (!quoted && isWordC(c) && (i == 0 || !isWordC(sql.charAt(i - 1))) &&
+        i >= last) {
+        rowidNames.find(n => u.startsWith(n, i) &&
+          (i + n.length >= u.length || !isWordC(u.charAt(i + n.length))))
+          .foreach { n =>
+            out.append(sql.substring(last, i)).append(repl)
+            last = i + n.length
+          }
+      }
+    }
+    out.append(sql.substring(last))
+    out.toString
   }
 
   /** Rewrite double-quoted identifiers right after structural keywords

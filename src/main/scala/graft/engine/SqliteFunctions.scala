@@ -197,7 +197,8 @@ object SqliteFunctions {
     sb.toString
   }
 
-  def register(session: SparkSession): Unit = {
+  def register(session: SparkSession, csLike: () => Boolean = () => false)
+      : Unit = {
     def varargs[R: scala.reflect.runtime.universe.TypeTag](
         name: String, maxMods: Int)(f: Seq[String] => R): Unit = {
       def at(k: Int) = k match {
@@ -227,10 +228,12 @@ object SqliteFunctions {
         resolve(rest).map(strf(fmt, _)).orNull
       case _ => null: String
     }
-    // misc scalars — pure column composition, no UDF
-    SessionFunctions.register(session, "iif", { cols =>
-      require(cols.size == 3, "wrong number of arguments to function iif()")
-      F.when(cols(0), cols(1)).otherwise(cols(2))
+    // misc scalars — iif's condition takes SQLite truth coercion
+    // (probed IIF(2.5,'a','b') → 'a')
+    SessionFunctions.registerExpr(session, "iif", { es =>
+      require(es.size == 3, "wrong number of arguments to function iif()")
+      org.apache.spark.sql.catalyst.expressions.If(
+        SqliteTruth(es(0)), es(1), es(2))
     })
     SessionFunctions.register(session, "unicode", { cols =>
       require(cols.size == 1, "wrong number of arguments to function unicode()")
@@ -257,6 +260,22 @@ object SqliteFunctions {
       SessionFunctions.registerExpr(session, name, { es =>
         require(es.nonEmpty, s"wrong number of arguments to function $name()")
         if (es.size == 1) agg(es.head)
+        else if (es.forall(_.isInstanceOf[Literal])) {
+          // all-literal scalar form: SQLite storage-class ordering
+          // (probed min(3,'2') → 3: numeric sorts before text) with full
+          // dynamic typing, like SqliteRewrite's literal folding
+          val vals = es.map(e => SqliteValue.norm(
+            e.asInstanceOf[Literal].value))
+          if (vals.contains(null)) Literal.create(null)
+          else {
+            val wantMin = name == "min"
+            SqliteRewrite.dynLit(vals.reduceLeft { (a, b) =>
+              val c = SqliteValue.cmp(a, b, SqliteValue.AffNone,
+                SqliteValue.AffNone, "BINARY")
+              if ((c <= 0) == wantMin) a else b
+            })
+          }
+        }
         else If(es.map(IsNull).reduce(Or), Literal.create(null), pick(es))
       })
     minmax("min", e => Min(e).toAggregateExpression(), Least(_))
@@ -267,5 +286,36 @@ object SqliteFunctions {
       Coalesce(Seq(Sum(Cast(es.head, DoubleType)).toAggregateExpression(),
         Literal(0.0)))
     })
+    // typeof() speaks SQLite's storage-class vocabulary (Spark's builtin
+    // would answer `bigint`/`string`); glob()/like() are the function
+    // forms of the operators — SQLite argument order is (pattern, string
+    // [, escape]), probed. The builders shadow Spark builtins on the
+    // PRIVATE session only.
+    SessionFunctions.registerExpr(session, "typeof", { es =>
+      require(es.size == 1, "wrong number of arguments to function typeof()")
+      SqliteTypeof(es.head)
+    })
+    SessionFunctions.registerExpr(session, "glob", { es =>
+      require(es.size == 2, "wrong number of arguments to function glob()")
+      SqliteGlob(es(1), es.head)
+    })
+    SessionFunctions.registerExpr(session, "like", { es =>
+      require(es.size == 2 || es.size == 3,
+        "wrong number of arguments to function like()")
+      val esc = if (es.size == 3) es(2) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _)
+            if s.numChars == 1 => Some(s.toString.charAt(0))
+        case _ => throw new IllegalArgumentException(
+          "ESCAPE expression must be a single character")
+      } else None
+      SqliteLike(es(1), es.head, esc, csLike())
+    })
+    // core scalar family with SQLite value semantics (ASCII-only case
+    // folding, text numeric coercion, SQLite substr index rules, …) —
+    // see SqliteScalar for the per-function contracts
+    SqliteScalar.arities.keys.foreach { name =>
+      SessionFunctions.registerExpr(session, name,
+        es => SqliteScalar.build(name, es))
+    }
   }
 }

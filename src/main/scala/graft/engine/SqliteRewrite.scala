@@ -1,0 +1,358 @@
+package graft.engine
+
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedFunction, UnresolvedHaving, UnresolvedInlineTable}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, CollectList}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, Join, LocalLimit, LogicalPlan, Offset}
+import org.apache.spark.sql.graft.GraftSql
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.unsafe.types.UTF8String
+
+import SqliteValue.SqliteEvalError
+
+/** Pre-analysis plan rewrite giving the engine's OLTP SQL path SQLite
+  * expression semantics (the reference executes user statements inside
+  * SQLite itself, `db/src/db.rs:278`; this engine executes them on
+  * Spark, whose ANSI dialect diverges on division, LIKE case folding,
+  * CAST of malformed text, typeof vocabulary, and mixed-type
+  * comparisons — all probed live on 3.40 and pinned in SqliteExprSpec).
+  *
+  * Substitution strategy, sized to keep Catalyst's planning intact:
+  *  - operators (`+ - * / %`, unary minus, `& | ~`, LIKE, CAST) are
+  *    ALWAYS rewritten to the [[SqliteExprs]] forms;
+  *  - comparisons are rewritten only when ONE side is a literal — the
+  *    shape where Spark's ANSI coercion errors or answers differently
+  *    (`i = 'abc'`), while column-to-column comparisons stay native so
+  *    equi-join planning and pushdown survive (cross-TYPE column
+  *    comparisons are a documented static-typing residue, SURVEY §3);
+  *  - all-literal subtrees fold at rewrite time with FULL dynamic
+  *    typing, so literal probes get SQLite's exact value classes
+  *    ('12abc'+1 → integer 13) even where a column expression would
+  *    declare real;
+  *  - WHERE/HAVING/JOIN/CASE conditions pass through SQLite's truth
+  *    coercion ([[SqliteTruth]]) unless syntactically boolean already.
+  */
+object SqliteRewrite {
+
+  /** Run one OLTP statement with SQLite expression semantics. */
+  def run(session: SparkSession, sqlText: String,
+          caseSensitiveLike: Boolean): DataFrame = {
+    val text = preText(sqlText)
+    val plan = GraftSql.parsePlan(session, text)
+    GraftSql.ofRows(session, rewrite(plan, caseSensitiveLike))
+  }
+
+  // ---------- text-level pass: GLOB token, RLIKE/REGEXP rejection ----------
+
+  /** Text-level adjustments between SQLite's dialect and Spark's
+    * grammar, all quote-aware (backticks count: aliasSelectList's
+    * verbatim expression names keep their SQLite spelling):
+    *  - backslashes inside string literals double, because Spark's
+    *    parser treats `\` as an escape while SQLite has none ('C:\dir'
+    *    must stay five characters) — this is the ONLY place engine text
+    *    crosses into Spark's parser, so journal/trigger/view text stays
+    *    SQLite-shaped everywhere else;
+    *  - the GLOB operator token maps onto RLIKE (same precedence slot;
+    *    the plan rewrite turns the node into [[SqliteGlob]]) — but not
+    *    `glob(`, the function form. Raw RLIKE/REGEXP get SQLite's own
+    *    responses first, so the mapping is unambiguous;
+    *  - `CAST(… AS TEXT|CLOB|BLOB)` type names map to Spark's
+    *    (STRING/BINARY) — recognized as `AS <name> )`, which a column
+    *    alias can never produce outside a parenthesized subquery tail. */
+  private[engine] def preText(sql: String): String = {
+    def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    val u = sql.toUpperCase
+    val out = new StringBuilder(sql.length + 8)
+    var inS = false; var inD = false; var inB = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (c == '\'' && !inD && !inB) inS = !inS
+      else if (c == '"' && !inS && !inB) inD = !inD
+      else if (c == '`' && !inS && !inD) inB = !inB
+      val quoted = inS || inD || inB
+      def tok(kw: String): Boolean =
+        !quoted && u.startsWith(kw, i) &&
+          (i == 0 || !isWord(u.charAt(i - 1))) &&
+          (i + kw.length >= u.length || !isWord(u.charAt(i + kw.length)))
+      if ((inS || inD) && c == '\\') { out.append("\\\\"); i += 1 }
+      else if (tok("RLIKE"))
+        throw new SqliteEvalError("near \"RLIKE\": syntax error")
+      else if (tok("REGEXP"))
+        throw new SqliteEvalError("no such function: REGEXP")
+      else if (tok("GLOB")) {
+        var j = i + 4
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        if (j < sql.length && sql.charAt(j) == '(') { out.append(c); i += 1 }
+        else { out.append("RLIKE"); i += 5 }
+      } else if (tok("AS")) {
+        // CAST target type names Spark's parser lacks
+        var j = i + 2
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        val start = j
+        while (j < sql.length && isWord(sql.charAt(j))) j += 1
+        var k = j
+        while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+        val name = u.substring(start, j)
+        if (k < sql.length && sql.charAt(k) == ')' &&
+          (name == "TEXT" || name == "CLOB" || name == "BLOB")) {
+          out.append(sql.substring(i, start))
+          out.append(if (name == "BLOB") "BINARY" else "STRING")
+          i = j
+        } else { out.append(c); i += 1 }
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
+  // ---------- plan rewrite ---------------------------------------------------
+
+  def rewrite(plan: LogicalPlan, csLike: Boolean): LogicalPlan =
+    plan.transformDownWithSubqueries {
+      case f: Filter =>
+        f.copy(condition = truthify(rewriteExpr(f.condition, csLike)))
+      case h: UnresolvedHaving =>
+        h.copy(havingCondition =
+          truthify(rewriteExpr(h.havingCondition, csLike)))
+      case j: Join if j.condition.isDefined =>
+        j.copy(condition =
+          j.condition.map(c => truthify(rewriteExpr(c, csLike))))
+      // LIMIT/OFFSET expressions stay native: Catalyst requires an
+      // IntegerType literal there (the i64 promotion would break it)
+      case l: GlobalLimit => l
+      case l: LocalLimit => l
+      case o: Offset => o
+      // inline VALUES rows must stay foldable for ResolveInlineTables:
+      // rewrite, then strip the affinity markers (plain literals inside)
+      case it: UnresolvedInlineTable =>
+        it.transformExpressionsUp(rules(csLike))
+          .transformExpressionsUp { case SqliteAffLit(lit, _) => lit }
+      case other => other.transformExpressionsUp(rules(csLike))
+    }
+
+  private def rewriteExpr(e: Expression, csLike: Boolean): Expression =
+    e.transformUp(rules(csLike))
+
+  /** Nodes that are boolean by construction — no truth wrap, so native
+    * equality predicates keep their planning shapes (equi-join keys,
+    * pushdown). Everything else gets SQLite's numeric truth coercion
+    * (identity on values that turn out boolean). */
+  private def boolShaped(e: Expression): Boolean = e match {
+    case _: And | _: Or | _: Not | _: EqualTo | _: EqualNullSafe |
+        _: LessThan | _: LessThanOrEqual | _: GreaterThan |
+        _: GreaterThanOrEqual | _: In | _: InSubquery | _: Exists |
+        _: IsNull | _: IsNotNull | _: Like | _: RLike |
+        _: SqliteCmpLit | _: SqliteLike | _: SqliteGlob | _: SqliteTruth =>
+      true
+    case l: Literal => l.dataType == BooleanType
+    case _ => false
+  }
+
+  private def truthify(e: Expression): Expression =
+    if (boolShaped(e)) e else fold(SqliteTruth(e))
+
+  private def isLitLike(e: Expression): Boolean =
+    e.isInstanceOf[Literal] || e.isInstanceOf[SqliteAffLit]
+
+  private def litSide(l: Expression, r: Expression): Boolean =
+    isLitLike(l) || isLitLike(r)
+
+  private def rules(csLike: Boolean): PartialFunction[Expression, Expression] = {
+    // i64 everywhere: SQLite integers are 64-bit (probed
+    // abs(-2147483648) → 2147483648; the parser types that literal i32)
+    case Literal(v, IntegerType) =>
+      Literal(if (v == null) null else v.asInstanceOf[Int].toLong, LongType)
+    case Literal(v, ShortType) =>
+      Literal(if (v == null) null else v.asInstanceOf[Short].toLong, LongType)
+    case Literal(v, ByteType) =>
+      Literal(if (v == null) null else v.asInstanceOf[Byte].toLong, LongType)
+    // SQLite has no decimal storage class: `1.0` is REAL (Spark's parser
+    // types it DECIMAL(2,1))
+    case Literal(v, _: DecimalType) =>
+      if (v == null) Literal.create(null, DoubleType)
+      else Literal(v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble)
+
+    case a: Add => fold(SqliteArith(0, a.left, a.right))
+    case a: Subtract => fold(SqliteArith(1, a.left, a.right))
+    case a: Multiply => fold(SqliteArith(2, a.left, a.right))
+    case a: Divide => fold(SqliteArith(3, a.left, a.right))
+    case a: Remainder => fold(SqliteArith(4, a.left, a.right))
+    case u: UnaryMinus => fold(SqliteNegate(u.child))
+    case u: UnaryPositive => u.child // SQLite: +x is identity, no coercion
+
+    case b: BitwiseAnd => fold(SqliteBit(0, b.left, b.right))
+    case b: BitwiseOr => fold(SqliteBit(1, b.left, b.right))
+    case b: BitwiseNot => fold(SqliteBitNot(b.child))
+    case s: ShiftLeft => fold(SqliteShift(true, s.left, s.right))
+    case s: ShiftRight => fold(SqliteShift(false, s.left, s.right))
+
+    case l: Like =>
+      // Spark's grammar defaults the escape to backslash; SQLite LIKE
+      // has NO default escape (probed: 'a\b' LIKE 'a\b' → 1). A
+      // user-written ESCAPE '\' is indistinguishable — documented.
+      val esc = if (l.escapeChar == '\\') None else Some(l.escapeChar)
+      fold(SqliteLike(l.left, l.right, esc, csLike))
+    case r: RLike => // only reachable via the GLOB token mapping
+      fold(SqliteGlob(r.left, r.right))
+
+    case c: Cast => c.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        fold(SqliteCastInt(c.child))
+      case DoubleType | FloatType => fold(SqliteCastReal(c.child))
+      case _: DecimalType => fold(SqliteCastNumeric(c.child))
+      case st: StringType if st == StringType => fold(SqliteCastText(c.child))
+      case BinaryType => fold(SqliteCastBlob(c.child))
+      case _ => c // BOOLEAN (engine CHECK shape), timestamps: native
+    }
+    // string-typed CAST targets Spark's parser lacks arrive via preText
+    // (TEXT/CLOB → STRING, BLOB → BINARY), so nothing further here
+
+    case e: EqualTo if litSide(e.left, e.right) =>
+      fold(SqliteCmpLit(e.left, e.right, 0))
+    case e: LessThan if litSide(e.left, e.right) =>
+      fold(SqliteCmpLit(e.left, e.right, 1))
+    case e: LessThanOrEqual if litSide(e.left, e.right) =>
+      fold(SqliteCmpLit(e.left, e.right, 2))
+    case e: GreaterThan if litSide(e.left, e.right) =>
+      fold(SqliteCmpLit(e.left, e.right, 3))
+    case e: GreaterThanOrEqual if litSide(e.left, e.right) =>
+      fold(SqliteCmpLit(e.left, e.right, 4))
+    case in: In if in.list.nonEmpty && in.list.forall(isLitLike) =>
+      // per-element SQLite comparison; the OR chain reproduces IN's
+      // three-valued logic exactly (probed 1 IN ('1') → 0)
+      in.list.map(e => fold(SqliteCmpLit(in.value, e, 0)))
+        .reduceLeft[Expression]((a, b) => Or(a, b))
+
+    case n: Not => Not(truthify(n.child))
+    case a: And => And(truthify(a.left), truthify(a.right))
+    case o: Or => Or(truthify(o.left), truthify(o.right))
+    case cw: CaseWhen =>
+      cw.copy(branches = cw.branches.map { case (c, v) => (truthify(c), v) })
+
+    case c: Concat =>
+      // SQLite || renders numeric operands with its own real format
+      // (1.0 || 'a' → '1.0a'); NULL propagation matches Spark's
+      Concat(c.children.map(ch => fold(SqliteCastText(ch))))
+
+    case uf: UnresolvedFunction
+        if fnName(uf) == "group_concat" && !uf.isDistinct &&
+          (uf.arguments.size == 1 || uf.arguments.size == 2) =>
+      groupConcat(uf.arguments, distinct = false)
+    case uf: UnresolvedFunction
+        if fnName(uf) == "group_concat" && uf.isDistinct &&
+          uf.arguments.size == 1 =>
+      groupConcat(uf.arguments, distinct = true)
+
+    case uf: UnresolvedFunction
+        if fnName(uf) == "between" && uf.arguments.size == 3 =>
+      // Spark's analyzer would desugar BETWEEN only AFTER this rewrite
+      // (into With/CommonExpressionRef, which also trips collated
+      // columns); desugar here so the bounds get SQLite comparison
+      // semantics like any other comparison
+      val x = uf.arguments.head
+      val lo = uf.arguments(1); val hi = uf.arguments(2)
+      val lower =
+        if (litSide(x, lo)) fold(SqliteCmpLit(x, lo, 4))
+        else GreaterThanOrEqual(x, lo)
+      val upper =
+        if (litSide(x, hi)) fold(SqliteCmpLit(x, hi, 2))
+        else LessThanOrEqual(x, hi)
+      And(lower, upper)
+
+    case uf: UnresolvedFunction
+        if fnName(uf) == "nullif" && uf.arguments.size == 2 &&
+          litSide(uf.arguments.head, uf.arguments(1)) =>
+      // SQLite NULLIF compares without ANSI coercion (nullif(1,'1') → 1)
+      If(fold(SqliteCmpLit(uf.arguments.head, uf.arguments(1), 0)),
+        Literal.create(null, NullType), uf.arguments.head)
+  }
+
+  private def fnName(uf: UnresolvedFunction): String =
+    if (uf.nameParts.size == 1) uf.nameParts.head.toLowerCase else ""
+
+  /** group_concat(x[, sep]): non-NULL values in arrival order, rendered
+    * SQLite-style, NULL on empty input (probed). DISTINCT keeps first
+    * occurrences. */
+  private def groupConcat(args: Seq[Expression],
+                          distinct: Boolean): Expression = {
+    val item = fold(SqliteCastText(args.head))
+    val sep: Expression =
+      if (args.size > 1) fold(SqliteCastText(args(1))) else Literal(",")
+    val arr0: Expression = CollectList(item).toAggregateExpression()
+    val arr = if (distinct) ArrayDistinct(arr0) else arr0
+    If(GreaterThan(Count(args.head).toAggregateExpression(), Literal(0L)),
+      ArrayJoin(arr, sep, None), Literal.create(null, StringType))
+  }
+
+  // ---------- rewrite-time literal folding -----------------------------------
+
+  /** Literal or folded-cast marker: the foldable shapes with their
+    * remembered affinity. */
+  private object LitLike {
+    def unapply(e: Expression): Option[(Any, Int)] = e match {
+      case Literal(v, _) => Some((v, SqliteValue.AffNone))
+      case SqliteAffLit(Literal(v, _), aff) => Some((v, aff))
+      case _ => None
+    }
+  }
+
+  /** Evaluate an all-literal SQLite node NOW, with full dynamic typing —
+    * this is how literal probes keep SQLite's exact value classes
+    * ('12abc'+1 → integer 13) where the column-typed expression would
+    * declare real. Folded CASTs keep their affinity in a [[SqliteAffLit]]
+    * marker (probed: CAST(1 AS INTEGER) = '1' → 1). */
+  private def fold(e: Expression): Expression = e match {
+    case SqliteArith(op, LitLike(a, _), LitLike(b, _)) =>
+      dynLit(SqliteValue.arith(op, a, b))
+    case SqliteNegate(LitLike(a, _)) => dynLit(SqliteValue.negate(a))
+    case SqliteCastInt(LitLike(a, _)) =>
+      SqliteAffLit(dynLit(SqliteValue.castInt(a)), SqliteValue.AffNum)
+    case SqliteCastReal(LitLike(a, _)) =>
+      SqliteAffLit(dynLit(SqliteValue.castReal(a)), SqliteValue.AffNum)
+    case SqliteCastNumeric(LitLike(a, _)) =>
+      SqliteAffLit(dynLit(SqliteValue.castNumeric(a)), SqliteValue.AffNum)
+    case SqliteCastText(LitLike(a, _)) =>
+      SqliteAffLit(dynLit(SqliteValue.castText(a)), SqliteValue.AffText)
+    case SqliteCastBlob(LitLike(a, _)) =>
+      SqliteAffLit(dynLit(SqliteValue.castBlob(a)), SqliteValue.AffBlob)
+    case SqliteLike(LitLike(a, _), LitLike(b, _), esc, cs) =>
+      dynLit(SqliteValue.like(a, b, esc, cs))
+    case SqliteGlob(LitLike(a, _), LitLike(b, _)) =>
+      dynLit(SqliteValue.glob(a, b))
+    case SqliteTruth(LitLike(a, _)) => dynLit(SqliteValue.truth(a))
+    case SqliteBit(op, LitLike(a, _), LitLike(b, _)) =>
+      val l = SqliteValue.toI64(a); val r = SqliteValue.toI64(b)
+      dynLit(if (l == null || r == null) null
+      else java.lang.Long.valueOf(
+        if (op == 0) l.longValue & r.longValue else l.longValue | r.longValue))
+    case SqliteBitNot(LitLike(a, _)) =>
+      val v = SqliteValue.toI64(a)
+      dynLit(if (v == null) null else java.lang.Long.valueOf(~v.longValue))
+    case SqliteShift(dir, LitLike(a, _), LitLike(b, _)) =>
+      dynLit(SqliteValue.shift(dir, a, b))
+    case cmp @ SqliteCmpLit(LitLike(a, laff), LitLike(b, raff), op) =>
+      if (a == null || b == null) Literal.create(null, BooleanType)
+      else {
+        val c = SqliteValue.cmp(a, b, laff, raff, "BINARY")
+        dynLit(java.lang.Boolean.valueOf(op match {
+          case 0 => c == 0
+          case 1 => c < 0
+          case 2 => c <= 0
+          case 3 => c > 0
+          case _ => c >= 0
+        }))
+      }
+    case other => other
+  }
+
+  private[engine] def dynLit(v: Any): Literal = v match {
+    case null => Literal.create(null, NullType)
+    case l: java.lang.Long => Literal(l.longValue)
+    case d: java.lang.Double => Literal(d.doubleValue)
+    case s: UTF8String => Literal.create(s.toString, StringType)
+    case b: Array[Byte] => Literal(b)
+    case b: java.lang.Boolean => Literal(b.booleanValue)
+    case other => Literal.create(SqliteValue.renderText(other), StringType)
+  }
+}

@@ -57,6 +57,7 @@ object OltpFuzz {
     private var tcColl: Option[String] = None // NOCASE | RTRIM table armed
     private var t3Adv: Option[String] = None // "partial" | "expr" index armed
     private var hasT4 = false // WITHOUT ROWID table armed
+    private var hasPlain = false // plain rowid table (no INTEGER PK) armed
     private var hasLog = false
     private var hasView = false
     private var hasTrg2 = false
@@ -178,6 +179,16 @@ object OltpFuzz {
           x(s"INSERT OR IGNORE INTO t4 VALUES ('${word()}', ${int(0, 9)})")
         }
       }
+      // plain rowid table (grammar v6): NO integer PK, so `rowid` is the
+      // real pseudo-column (not an alias) — rowid SELECT/WHERE/DML all
+      // run the engine's __rid-view exposure path differentially
+      if (chance(0.35)) {
+        hasPlain = true
+        x("CREATE TABLE plain (v TEXT)")
+        (1 to int(2, 4)).foreach { _ =>
+          x(s"INSERT INTO plain VALUES ('${word()}')")
+        }
+      }
       // a few guaranteed rows so early UPDATE/DELETE have targets
       (1 to int(2, 5)).foreach { _ =>
         x(s"INSERT INTO t0(a, b) VALUES (${int(-3, 9)}, '${word()}')")
@@ -205,7 +216,13 @@ object OltpFuzz {
       case _ => s"a % ${int(2, 4)} = 0"
     }
 
-    private def step(): Unit = r.nextInt(28) match {
+    private def step(): Unit = r.nextInt(32) match {
+      case 28 | 29 => exprProbe() // grammar v6: expression semantics
+      case 30 => rowidStep() // grammar v6: rowid pseudo-column
+      case 31 => // grammar v6: case_sensitive_like flips + immediate probe
+        x(s"PRAGMA case_sensitive_like=${if (chance(0.5)) "ON" else "OFF"}")
+        q(s"SELECT id FROM t0 WHERE b LIKE " +
+          s"'${pick(Seq("A%", "a%", "%O", "_y", "%e%"))}' ORDER BY id")
       case 27 => // WITHOUT ROWID traffic
         if (hasT4) r.nextInt(7) match {
           case 0 => x(s"INSERT INTO t4 VALUES ('${word()}', ${int(0, 9)})")
@@ -574,6 +591,107 @@ object OltpFuzz {
         }
     }
 
+    // grammar v6 pools — every shape probed live in SqliteExprSpec's
+    // golden battery; the fuzzer spreads them over random live state
+    private def numish(): String = pick(Seq(
+      "12abc", "abc", "1.5x", "  12", "+5", ".5", "1e", "9x", "", "1.",
+      "12e1y", "-3z"))
+
+    /** Expression-semantics probes (VERDICT r13 #1/#2): division, text
+      * coercion, LIKE/GLOB, CAST, typeof, group_concat, comparisons with
+      * storage-class ordering, truth coercion, bitwise/shifts, scalar
+      * functions — all differential vs real SQLite. */
+    private def exprProbe(): Unit = r.nextInt(14) match {
+      case 0 => // integer division / modulo / divide-by-zero
+        q(s"SELECT ${int(-9, 9)} ${pick(Seq("+", "-", "*", "/", "%"))} " +
+          s"${int(-3, 3)} AS v, 7/2 AS w, 1/0 AS z")
+      case 1 => // text numeric coercion in arithmetic
+        q(s"SELECT '${numish()}' + ${int(-3, 3)} AS v, " +
+          s"'${numish()}' * 2 AS w")
+      case 2 => // column arithmetic (integer columns: static types exact)
+        q(s"SELECT id, a * 2 - 1 AS v, a / ${int(2, 3)} AS w, " +
+          s"a % 3 AS m, a / (a - a) AS z FROM t0 ORDER BY id")
+      case 3 => // LIKE over mixed-case data, with and without ESCAPE
+        if (chance(0.5))
+          q(s"SELECT id FROM t0 WHERE b ${if (chance(0.3)) "NOT " else ""}" +
+            s"LIKE '${pick(Seq("A%", "a%", "%O", "_y", "%E%", "a_a", "B_"))}' " +
+            "ORDER BY id")
+        else
+          q(s"SELECT id FROM t0 WHERE b LIKE " +
+            s"'${pick(Seq("a!_%", "!%x%", "a!%"))}' ESCAPE '!' ORDER BY id")
+      case 4 => // GLOB (case-sensitive, sets with ^ negation / ! literal)
+        q(s"SELECT id FROM t0 WHERE b GLOB " +
+          s"'${pick(Seq("a*", "[AB]*", "*y", "?o*", "[^ab]*", "[!b]*",
+            "[a-f]*"))}' ORDER BY id")
+      case 5 => // CAST with prefix parse + rendering
+        q(s"SELECT id, CAST(b AS INTEGER) AS ci, CAST(a AS TEXT) AS ct, " +
+          s"CAST('${numish()}' AS NUMERIC) AS cn, " +
+          s"CAST(a AS REAL) AS cr FROM t0 ORDER BY id")
+      case 6 => // typeof vocabulary
+        q("SELECT id, typeof(a) AS ta, typeof(b) AS tb, " +
+          "typeof(a + 0.5) AS tr, typeof(a / 1) AS ti FROM t0 ORDER BY id")
+      case 7 => // group_concat (sort preserved under order-sensitive agg)
+        q(s"SELECT group_concat(b${if (chance(0.5)) ", '|'" else ""}) AS g " +
+          s"FROM (SELECT b FROM t0 WHERE id <= ${int(2, 8)} ORDER BY id)")
+      case 8 => // comparison affinity + storage-class ordering
+        q(s"SELECT id FROM t0 WHERE a ${pick(Seq("<", ">", "=", "<=", ">="))} " +
+          s"'${pick(Seq("3", "3.0", "abc", "", "-2"))}' ORDER BY id")
+      case 9 => // text column vs numeric literal (TEXT affinity applies)
+        q(s"SELECT id FROM t0 WHERE b ${pick(Seq("<", ">", "="))} " +
+          s"${int(0, 9)} ORDER BY id")
+      case 10 => // IN with mixed-type literal list; truth coercion
+        if (chance(0.5))
+          q(s"SELECT id FROM t0 WHERE a IN ('${int(0, 5)}', ${int(0, 5)}, " +
+            s"'${int(0, 5)}.0') ORDER BY id")
+        else
+          q(s"SELECT id FROM t0 WHERE ${pick(Seq("a", "b", "NOT a",
+            "a AND b", "a - a"))} ORDER BY id")
+      case 11 => // bitwise / shifts with coercion
+        q(s"SELECT id, a & 3 AS ba, a | 8 AS bo, ~a AS bn, " +
+          s"a << ${int(0, 3)} AS sl, a >> 1 AS sr FROM t0 ORDER BY id")
+      case 12 => // scalar-function family over live rows
+        r.nextInt(4) match {
+          case 0 => q("SELECT id, length(b) AS l, upper(b) AS u, " +
+            "substr(b, 2) AS s2, substr(b, -2) AS sm, " +
+            "instr(b, 'a') AS ia FROM t0 ORDER BY id")
+          case 1 => q(s"SELECT id, hex(b) AS h, quote(b) AS qb, " +
+            s"replace(b, 'a', '${word()}') AS rp FROM t0 ORDER BY id")
+          case 2 => q(s"SELECT id, abs(a) AS ab, sign(a) AS sg, " +
+            s"round(a * 1.0 / 3, 2) AS rd, min(a, ${int(0, 5)}) AS mn " +
+            "FROM t0 ORDER BY id")
+          case _ => q(s"SELECT id, nullif(a, ${int(0, 5)}) AS nf, " +
+            s"iif(a, b, 'zero') AS ii, trim(b, 'a') AS tr " +
+            "FROM t0 ORDER BY id")
+        }
+      case _ => // CASE truthiness + || rendering
+        q("SELECT id, CASE WHEN b THEN 'T' WHEN a THEN b ELSE 'F' END " +
+          "AS c, a || b AS cat, a || 0.5 AS catr FROM t0 ORDER BY id")
+    }
+
+    /** rowid pseudo-column probes: SELECT/WHERE/DML over a plain rowid
+      * table (pseudo-column) and t0 (INTEGER PRIMARY KEY alias). */
+    private def rowidStep(): Unit =
+      if (hasPlain) r.nextInt(8) match {
+        case 0 => q("SELECT rowid, v FROM plain ORDER BY rowid")
+        case 1 => q(s"SELECT _rowid_, v FROM plain WHERE oid ${pick(Seq(
+          "<", ">", "="))} ${int(1, 6)} ORDER BY _rowid_")
+        case 2 => q(s"SELECT * FROM plain WHERE rowid = ${int(1, 6)}")
+        case 3 => x(s"DELETE FROM plain WHERE rowid = ${int(1, 6)}")
+        case 4 => x(s"UPDATE plain SET v = v || 'r' WHERE rowid = " +
+          s"${int(1, 6)}")
+        case 5 => x(s"INSERT INTO plain VALUES ('${word()}')")
+        case 6 => q("SELECT max(rowid) AS m, count(*) AS n FROM plain")
+        case _ => q(s"SELECT p.rowid, p.v FROM plain AS p WHERE " +
+          s"p.rowid > ${int(0, 4)} ORDER BY p.rowid")
+      } else r.nextInt(4) match {
+        case 0 => q("SELECT rowid, a FROM t0 ORDER BY rowid")
+        case 1 => q(s"SELECT oid FROM t0 WHERE rowid = ${int(1, 9)}")
+        case 2 => x(s"DELETE FROM t0 WHERE rowid = ${int(1, 9)}")
+        case _ if hasT4 => q("SELECT rowid FROM t4") // both: no such column
+        case _ => q(s"SELECT id FROM t0 WHERE _rowid_ <= ${int(2, 8)} " +
+          "ORDER BY id")
+      }
+
     private def probe(): Unit = r.nextInt(9) match {
       case 0 => q("SELECT * FROM t0 ORDER BY id")
       case 1 => q("SELECT count(*) AS n FROM t0")
@@ -607,6 +725,7 @@ object OltpFuzz {
       if (tcColl.isDefined) q("SELECT id, s, v FROM tc ORDER BY id")
       if (t3Adv.isDefined) q("SELECT id, a, b FROM t3 ORDER BY id")
       if (hasT4) q("SELECT k, v FROM t4")
+      if (hasPlain) q("SELECT rowid, v FROM plain ORDER BY rowid")
       if (hasLog) q("SELECT lid, tag FROM log ORDER BY lid")
       if (t0AutoInc) q("SELECT name, seq FROM sqlite_sequence ORDER BY name")
       // full catalog incl. automatic-index naming parity

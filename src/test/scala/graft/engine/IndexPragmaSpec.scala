@@ -137,4 +137,34 @@ class IndexPragmaSpec extends SparkSpec {
     ok(db, "ROLLBACK")
     assert(rows(db, "PRAGMA index_list(t)").isEmpty)
   }
+
+  test("autoindex numbering follows source order: UNIQUE column before " +
+    "a table-level PK clause (probed 3.40.1, ADVICE r13)") {
+    val db = GraftDb.openInMemory(spark, 500)
+    // probed: sqlite_autoindex_p_1 = u(y), sqlite_autoindex_p_2 = pk(x,z)
+    ok(db, "CREATE TABLE p (x INTEGER, y INTEGER UNIQUE, z INTEGER, " +
+      "PRIMARY KEY (x, z))")
+    assert(rows(db, "PRAGMA index_list(p)") == Seq(
+      Seq(0L, "sqlite_autoindex_p_2", 1L, "pk", 0L),
+      Seq(1L, "sqlite_autoindex_p_1", 1L, "u", 0L)))
+    assert(rows(db, "PRAGMA index_info(sqlite_autoindex_p_1)") ==
+      Seq(Seq(0L, 1L, "y")))
+    assert(rows(db, "PRAGMA index_info(sqlite_autoindex_p_2)") ==
+      Seq(Seq(0L, 0L, "x"), Seq(1L, 2L, "z")))
+    // declared clause order among table-level constraints (probed:
+    // UNIQUE(x,z) then PRIMARY KEY(x,y) then UNIQUE(y,z) → _2, _3, _4)
+    ok(db, "CREATE TABLE p2 (x INTEGER, y INTEGER UNIQUE, z INTEGER, " +
+      "UNIQUE (x, z), PRIMARY KEY (x, y), UNIQUE (y, z))")
+    assert(rows(db, "PRAGMA index_list(p2)").map(r => (r(1), r(3))) == Seq(
+      ("sqlite_autoindex_p2_4", "u"), ("sqlite_autoindex_p2_3", "pk"),
+      ("sqlite_autoindex_p2_2", "u"), ("sqlite_autoindex_p2_1", "u")))
+    assert(rows(db, "PRAGMA index_info(sqlite_autoindex_p2_3)")
+      .map(_(2)) == Seq("x", "y"))
+    // sqlite_master shows the same ordinals
+    assert(rows(db,
+      "SELECT name FROM sqlite_master WHERE tbl_name = 'p' " +
+        "AND type = 'index' ORDER BY name").flatten ==
+      Seq("sqlite_autoindex_p_1", "sqlite_autoindex_p_2"))
+    db.close()
+  }
 }
