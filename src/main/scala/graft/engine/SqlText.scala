@@ -142,26 +142,93 @@ object SqlText {
   private val identRe = "^[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)?$".r
   private val starRe = "^(\\*|[A-Za-z_][A-Za-z0-9_]*\\.\\*)$".r
 
+  private val quantRe = "(?is)^(\\s*(?:DISTINCT|ALL)(?![A-Za-z0-9_]))".r
+
   /** SQLite reports an expression column under its verbatim source text
     * (golden `db/src/db.rs:499-504`: `SELECT id || "_bar"` → column name
     * `id || "_bar"`). Alias every non-trivial un-aliased SELECT item with
-    * its raw text so the envelope matches. */
+    * its raw text so the envelope matches.
+    *
+    * The DISTINCT/ALL quantifier is NOT part of the first item (probed:
+    * `SELECT DISTINCT s FROM t` names its column `s`, and
+    * `SELECT DISTINCT v FROM t ORDER BY v` is valid), and when FROM is
+    * absent the list ends at the first top-level tail clause — SQLite
+    * accepts `SELECT 1 ORDER BY 1`, `SELECT 1 LIMIT 1`,
+    * `SELECT 2+2 WHERE 'abc'` (VERDICT r14). */
   def aliasSelectList(sql: String): String = {
     val selIdx = findKeyword(sql, "SELECT")
     if (selIdx != 0 && sql.take(selIdx).trim.nonEmpty) return sql
     if (selIdx < 0) return sql
+    var listStart = selIdx + 6
+    var quant = ""
+    quantRe.findFirstMatchIn(sql.substring(listStart)).foreach { m =>
+      quant = m.group(1); listStart += m.group(1).length
+    }
     val fromIdx = findKeyword(sql, "FROM")
-    val (list, rest) =
-      if (fromIdx >= 0) (sql.substring(selIdx + 6, fromIdx), sql.substring(fromIdx))
-      else (sql.substring(selIdx + 6), "")
-    val items = splitTopLevel(list).map { raw =>
+    val endIdx =
+      if (fromIdx >= listStart) fromIdx
+      else Seq("WHERE", "GROUP", "HAVING", "WINDOW", "ORDER", "LIMIT",
+        "OFFSET", "UNION", "INTERSECT", "EXCEPT")
+        .map(k => findKeywordFrom(sql, k, listStart)).filter(_ >= 0)
+        .reduceOption(math.min).getOrElse(sql.length)
+    val (list, rest) = (sql.substring(listStart, endIdx), sql.substring(endIdx))
+    val parts = splitTopLevel(list)
+    // a malformed item (unbalanced parens/quotes, trailing operator or
+    // infix keyword) must reach the parser VERBATIM — aliasing it would
+    // turn SQLite's `incomplete input` / syntax error into a different,
+    // misleading error (probed `SELECT (1`, `SELECT 1 +`)
+    if (parts.exists { p =>
+      val t = p.trim
+      t.nonEmpty && !identRe.matches(t) && !starRe.matches(t) &&
+        findKeyword(t, "AS") < 0 && malformedItem(t)
+    }) return sql
+    val items = parts.map { raw =>
       val t = raw.trim
       val isPlain = identRe.matches(t) || starRe.matches(t)
       val hasAlias = findKeyword(t, "AS") >= 0
       if (isPlain || hasAlias || t.isEmpty) raw
       else s" $t AS `${t.replace("`", "``")}`"
     }
-    sql.take(selIdx) + "SELECT" + items.mkString(",") + " " + rest
+    sql.take(selIdx) + "SELECT" + quant + items.mkString(",") + " " + rest
+  }
+
+  /** Syntactically incomplete select item: unbalanced parens or quotes,
+    * or a trailing binary-operator token. */
+  private def malformedItem(t: String): Boolean = {
+    var depth = 0; var inS = false; var inD = false; var inB = false
+    var i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (c == '\'' && !inD && !inB) inS = !inS
+      else if (c == '"' && !inS && !inB) inD = !inD
+      else if (c == '`' && !inS && !inD) inB = !inB
+      else if (!inS && !inD && !inB) {
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+      }
+      i += 1
+    }
+    if (depth != 0 || inS || inD || inB) return true
+    val last = t.charAt(t.length - 1)
+    if ("+-*/%&|<>=~,.".indexOf(last.toInt) >= 0) return true
+    var w = t.length
+    while (w > 0 && (Character.isLetterOrDigit(t.charAt(w - 1)) ||
+      t.charAt(w - 1) == '_')) w -= 1
+    Set("AND", "OR", "NOT", "IS", "IN", "LIKE", "GLOB", "BETWEEN",
+      "ESCAPE", "WHEN", "THEN", "ELSE", "CASE", "CAST", "COLLATE")
+      .contains(t.substring(w).toUpperCase)
+  }
+
+  /** [[findKeyword]] restricted to matches at or after `from`. */
+  private def findKeywordFrom(s: String, kw: String, from: Int): Int = {
+    val i = findKeyword(s, kw)
+    if (i >= from) i
+    else if (i < 0) -1
+    else {
+      // a hit before `from` (e.g. inside the stripped quantifier region is
+      // impossible, but be safe): rescan the tail and re-offset
+      val j = findKeyword(s.substring(from), kw)
+      if (j < 0) -1 else j + from
+    }
   }
 
   // ---------- rowid pseudo-column exposure ---------------------------------
@@ -352,7 +419,24 @@ object SqlText {
         }
       }
       else if (!quoted && c == '*' && needRid &&
-        clause.getOrElse(depth, "") == "SELECT") {
+        clause.getOrElse(depth, "") == "SELECT" && {
+          // bare select item only — `*` or `alias.*`, never the
+          // multiplication operator (ADVICE r14: `SELECT rowid, a*b FROM t`
+          // must keep a*b): preceded (ignoring whitespace) by SELECT, a
+          // comma, or a qualifier dot; followed by a comma, FROM, or end
+          val qualDot = i > 0 && sql.charAt(i - 1) == '.'
+          var back = i - 1
+          while (back >= 0 && sql.charAt(back).isWhitespace) back -= 1
+          val bareStart = qualDot || back < 0 || sql.charAt(back) == ',' ||
+            (back >= 5 && u.startsWith("SELECT", back - 5) &&
+              (back == 5 || !isWordC(u.charAt(back - 6))))
+          var fwd = i + 1
+          while (fwd < sql.length && sql.charAt(fwd).isWhitespace) fwd += 1
+          val bareEnd = fwd >= sql.length || sql.charAt(fwd) == ',' ||
+            (u.startsWith("FROM", fwd) &&
+              (fwd + 4 >= u.length || !isWordC(u.charAt(fwd + 4))))
+          bareStart && bareEnd
+        }) {
         // `*` / `alias.*` over the rid view would leak engine columns —
         // expand to the declared list
         val qual =

@@ -37,7 +37,17 @@ object SqliteExprs {
   /** Coerce a dynamic SQLite value onto the expression's declared Spark
     * type. A long-declared slot receiving a real (integer overflow that
     * SQLite would promote) fails loudly with SQLite's own error text
-    * rather than wrap silently. */
+    * rather than wrap silently.
+    *
+    * Pinned divergence (ADVICE r14): SQLite promotes overflowing i64
+    * column arithmetic to REAL and succeeds (`big + 1` → 9.22…e18);
+    * this engine's static typing declares LongType for integer-column
+    * arithmetic, so the runtime overflow has no REAL slot to land in —
+    * it errors with `integer overflow` instead. Literal arithmetic is
+    * unaffected (rewrite-time folding is fully dynamic and DOES promote,
+    * matching SQLite). The loud error beats a silent wrap; the fuzz
+    * grammar's value pools stay well inside i64 so campaigns never trip
+    * it accidentally. */
   private[engine] def fit(dt: DataType, v: Any): Any = v match {
     case null => null
     case l: java.lang.Long if dt == LongType => l

@@ -33,6 +33,34 @@ import org.apache.spark.sql.{Column, SparkSession, functions => F}
   * these functions. The misc scalars compose public column expressions. */
 object SqliteFunctions {
 
+  /** Every function name resolvable on the OLTP SQL surface — the SQLite
+    * 3.40.1 oracle's builtin set that this engine implements (most of the
+    * list) or deliberately delegates to a parity-verified Spark builtin
+    * (coalesce/ifnull/nullif/printf — battery-pinned). A name outside
+    * this set answers SQLite's `no such function:` error instead of
+    * silently leaking a Spark builtin's behavior (VERDICT r14 #6:
+    * `concat('a',1,NULL)` resolved to Spark's NULL-propagating concat
+    * where the 3.40 oracle says `no such function: concat`; same for
+    * unhex/octet_length and the rest of Spark's registry). The json_*
+    * family (present in 3.40) is not implemented — those names keep
+    * erroring exactly as before this gate. */
+  val known: Set[String] = Set(
+    // date/time family
+    "date", "time", "datetime", "julianday", "unixepoch", "strftime",
+    // misc scalars + operators' function forms
+    "iif", "unicode", "char", "typeof", "glob", "like",
+    "format", "printf", "coalesce", "ifnull", "nullif",
+    "likely", "unlikely", "likelihood", "sqlite_version",
+    "random", "randomblob",
+    "last_insert_rowid", "changes", "total_changes",
+    // aggregates (min/max are the arity-overloaded scalar/agg pair)
+    "count", "sum", "avg", "total", "min", "max", "group_concat",
+    // window functions
+    "row_number", "rank", "dense_rank", "percent_rank", "cume_dist",
+    "ntile", "lag", "lead", "first_value", "last_value", "nth_value",
+    // Spark's parser desugars BETWEEN into this marker
+    "between") ++ SqliteScalar.arities.keySet
+
   /** Deliberate rejection (determinism), distinct from a parse miss. */
   final class NonDeterministicTime(what: String) extends RuntimeException(
     s"non-deterministic time value '$what' is not allowed " +
@@ -311,11 +339,85 @@ object SqliteFunctions {
       SqliteLike(es(1), es.head, esc, csLike())
     })
     // core scalar family with SQLite value semantics (ASCII-only case
-    // folding, text numeric coercion, SQLite substr index rules, …) —
-    // see SqliteScalar for the per-function contracts
+    // folding, text numeric coercion, SQLite substr index rules, the
+    // SQLITE_ENABLE_MATH_FUNCTIONS family, …) — see SqliteScalar for the
+    // per-function contracts
     SqliteScalar.arities.keys.foreach { name =>
       SessionFunctions.registerExpr(session, name,
         es => SqliteScalar.build(name, es))
     }
+    // format() is SQLite ≥3.38's preferred name for printf() (probed on
+    // the 3.40.1 oracle); both resolve to the C-style formatter
+    SessionFunctions.registerExpr(session, "format", { es =>
+      require(es.nonEmpty, "wrong number of arguments to function format()")
+      org.apache.spark.sql.catalyst.expressions.FormatString(es: _*)
+    })
+    // planner hints: SQLite evaluates these to their first argument
+    // unchanged (probed likelihood(7,0.5) → 7)
+    SessionFunctions.registerExpr(session, "likely", { es =>
+      require(es.size == 1, "wrong number of arguments to function likely()")
+      es.head
+    })
+    SessionFunctions.registerExpr(session, "unlikely", { es =>
+      require(es.size == 1,
+        "wrong number of arguments to function unlikely()")
+      es.head
+    })
+    SessionFunctions.registerExpr(session, "likelihood", { es =>
+      require(es.size == 2,
+        "wrong number of arguments to function likelihood()")
+      val ok = es(1) match {
+        case Literal(d: Double, DoubleType) => d >= 0.0 && d <= 1.0
+        case Literal(dec: org.apache.spark.sql.types.Decimal, _) =>
+          dec.toDouble >= 0.0 && dec.toDouble <= 1.0
+        case _ => false
+      }
+      require(ok, "second argument to likelihood() must be a " +
+        "constant between 0.0 and 1.0")
+      es.head
+    })
+    // the version this engine's SQLite-parity surface is probed against
+    // (the differential oracle is SQLite 3.40.1)
+    SessionFunctions.registerExpr(session, "sqlite_version", { es =>
+      require(es.isEmpty,
+        "wrong number of arguments to function sqlite_version()")
+      Literal("3.40.1")
+    })
+    // random()/randomblob() answer SQLite's value domains (full-range i64;
+    // N-byte blob, N<1 → 1 byte — probed). The QUERY path only: execute
+    // batches keep rejecting them loudly (statement-log determinism).
+    SessionFunctions.register(session, "random", { cols =>
+      require(cols.isEmpty, "wrong number of arguments to function random()")
+      F.udf(() => java.util.concurrent.ThreadLocalRandom.current().nextLong())
+        .asNondeterministic()()
+    })
+    SessionFunctions.register(session, "randomblob", { cols =>
+      require(cols.size == 1,
+        "wrong number of arguments to function randomblob()")
+      F.udf((n: java.lang.Long) => {
+        val len = math.max(1L, if (n == null) 1L else n.longValue).toInt
+        val b = new Array[Byte](len)
+        java.util.concurrent.ThreadLocalRandom.current().nextBytes(b)
+        b
+      }).asNondeterministic()(cols.head.cast("long"))
+    })
+  }
+
+  /** Connection-state functions on the SELECT surface (VERDICT r14 #1:
+    * `last_insert_rowid()`, `changes()`, `total_changes()` are what ORMs
+    * poll; the execute envelope already carries the same registers). The
+    * builder runs at analysis time, so each statement observes the value
+    * as of its own prepare — SQLite's behavior for a fresh statement. */
+  def registerConnState(session: SparkSession, lastRowId: () => Long,
+                        changes: () => Long, totalChanges: () => Long)
+      : Unit = {
+    def zeroArg(name: String, v: () => Long): Unit =
+      SessionFunctions.registerExpr(session, name, { es =>
+        require(es.isEmpty, s"wrong number of arguments to function $name()")
+        org.apache.spark.sql.catalyst.expressions.Literal(v())
+      })
+    zeroArg("last_insert_rowid", lastRowId)
+    zeroArg("changes", changes)
+    zeroArg("total_changes", totalChanges)
   }
 }

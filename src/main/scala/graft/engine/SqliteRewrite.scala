@@ -40,8 +40,26 @@ object SqliteRewrite {
           caseSensitiveLike: Boolean): DataFrame = {
     val text = preText(sqlText)
     val plan = GraftSql.parsePlan(session, text)
+    checkFunctions(plan)
     GraftSql.ofRows(session, rewrite(plan, caseSensitiveLike))
   }
+
+  /** Closed function registry (VERDICT r14 #6): a name the SQLite 3.40
+    * oracle lacks — or that this engine neither implements nor
+    * deliberately delegates — fails at prepare time with SQLite's error
+    * text, instead of resolving to whatever Spark builtin happens to
+    * share the name. */
+  private def checkFunctions(plan: LogicalPlan): Unit =
+    plan.transformDownWithSubqueries { case p =>
+      p.expressions.foreach(_.foreach {
+        case uf: UnresolvedFunction if uf.nameParts.size == 1 &&
+            !SqliteFunctions.known(uf.nameParts.head.toLowerCase) =>
+          throw new SqliteEvalError(
+            s"no such function: ${uf.nameParts.head}")
+        case _ =>
+      })
+      p
+    }
 
   // ---------- text-level pass: GLOB token, RLIKE/REGEXP rejection ----------
 
@@ -59,7 +77,19 @@ object SqliteRewrite {
     *    responses first, so the mapping is unambiguous;
     *  - `CAST(… AS TEXT|CLOB|BLOB)` type names map to Spark's
     *    (STRING/BINARY) — recognized as `AS <name> )`, which a column
-    *    alias can never produce outside a parenthesized subquery tail. */
+    *    alias can never produce outside a parenthesized subquery tail;
+    *  - bare `IS` / `IS NOT` between scalars (SQLite null-safe equality)
+    *    map onto `IS [NOT] DISTINCT FROM`, which Spark's grammar accepts
+    *    (`IS [NOT] NULL` and already-spelled DISTINCT forms untouched);
+    *  - `0x`-prefixed hex integer literals become decimal (SQLite reads
+    *    them as two's-complement i64: 0xFFFFFFFFFFFFFFFF → -1; more than
+    *    16 digits is SQLite's `hex literal too big` error — probed);
+    *  - negative LIMIT means no bound and negative OFFSET means zero
+    *    (probed `SELECT 1 LIMIT -1` → 1 row), and the `LIMIT a, b` comma
+    *    form (= LIMIT b OFFSET a) is rewritten — literal counts only. */
+  private def isHexDigit(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
   private[engine] def preText(sql: String): String = {
     def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
     val u = sql.toUpperCase
@@ -76,7 +106,92 @@ object SqliteRewrite {
         !quoted && u.startsWith(kw, i) &&
           (i == 0 || !isWord(u.charAt(i - 1))) &&
           (i + kw.length >= u.length || !isWord(u.charAt(i + kw.length)))
+      def wordAfter(k0: Int): (String, Int, Int) = {
+        var k = k0
+        while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+        var e = k
+        while (e < sql.length && isWord(sql.charAt(e))) e += 1
+        (u.substring(k, e), k, e)
+      }
+      // signed integer literal after position k0: (text, start, end) or null
+      def intAfter(k0: Int): (String, Int, Int) = {
+        var k = k0
+        while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+        var e = k
+        if (e < sql.length && (sql.charAt(e) == '-' || sql.charAt(e) == '+'))
+          e += 1
+        val ds = e
+        while (e < sql.length && sql.charAt(e).isDigit) e += 1
+        if (e == ds || (e < sql.length && isWord(sql.charAt(e)))) null
+        else (sql.substring(k, e), k, e)
+      }
       if ((inS || inD) && c == '\\') { out.append("\\\\"); i += 1 }
+      else if (!quoted && c == '0' && i + 1 < sql.length &&
+        (sql.charAt(i + 1) == 'x' || sql.charAt(i + 1) == 'X') &&
+        (i == 0 || !isWord(sql.charAt(i - 1))) &&
+        i + 2 < sql.length && isHexDigit(sql.charAt(i + 2))) {
+        var j = i + 2
+        while (j < sql.length && isHexDigit(sql.charAt(j))) j += 1
+        val digits = sql.substring(i + 2, j)
+        if (digits.length > 16)
+          throw new SqliteEvalError(
+            s"hex literal too big: 0x$digits")
+        out.append(java.lang.Long.parseUnsignedLong(digits, 16).toString)
+        i = j
+      }
+      else if (tok("IS")) {
+        val (w1, _, e1) = wordAfter(i + 2)
+        if (w1 == "NULL" || w1 == "DISTINCT") {
+          out.append(sql.substring(i, i + 2)); i += 2
+        } else if (w1 == "NOT") {
+          val (w2, _, _) = wordAfter(e1)
+          if (w2 == "NULL" || w2 == "DISTINCT") {
+            out.append(sql.substring(i, i + 2)); i += 2
+          } else { out.append("IS DISTINCT FROM"); i = e1 }
+        } else { out.append("IS NOT DISTINCT FROM"); i += 2 }
+      }
+      else if (tok("LIMIT")) {
+        val a = intAfter(i + 5)
+        if (a == null) { out.append(c); i += 1 }
+        else {
+          // comma form? LIMIT a, b = LIMIT b OFFSET a (SQLite grammar)
+          var k = a._3
+          while (k < sql.length && sql.charAt(k).isWhitespace) k += 1
+          val b =
+            if (k < sql.length && sql.charAt(k) == ',') intAfter(k + 1)
+            else null
+          def off(s: String) = if (s.trim.startsWith("-")) "0" else s.trim
+          // Spark enforces limit + offset ≤ Int.MaxValue, so the
+          // "unbounded" stand-in must leave room for the offset
+          def bound(s: String, offTxt: String) =
+            if (!s.trim.startsWith("-")) s.trim
+            else (Int.MaxValue.toLong -
+              offTxt.toLongOption.filter(_ > 0).getOrElse(0L)).toString
+          if (b != null) {
+            val o = off(a._1)
+            out.append("LIMIT ").append(bound(b._1, o))
+              .append(" OFFSET ").append(o)
+            i = b._3
+          } else {
+            // a trailing OFFSET clause (only relevant when this LIMIT is
+            // negative = unbounded): peek so the stand-in leaves room
+            val oAfter =
+              if (a._1.trim.startsWith("-")) {
+                var k2 = a._3
+                while (k2 < sql.length && sql.charAt(k2).isWhitespace) k2 += 1
+                if (u.startsWith("OFFSET", k2)) intAfter(k2 + 6) else null
+              } else null
+            val oTxt = if (oAfter == null) "0" else off(oAfter._1)
+            out.append("LIMIT ").append(bound(a._1, oTxt))
+            i = a._3
+          }
+        }
+      }
+      else if (tok("OFFSET")) {
+        val a = intAfter(i + 6)
+        if (a == null || !a._1.trim.startsWith("-")) { out.append(c); i += 1 }
+        else { out.append("OFFSET 0"); i = a._3 }
+      }
       else if (tok("RLIKE"))
         throw new SqliteEvalError("near \"RLIKE\": syntax error")
       else if (tok("REGEXP"))
@@ -210,6 +325,14 @@ object SqliteRewrite {
 
     case e: EqualTo if litSide(e.left, e.right) =>
       fold(SqliteCmpLit(e.left, e.right, 0))
+    case e: EqualNullSafe if litSide(e.left, e.right) =>
+      // SQLite's IS compares without affinity coercion exactly like =
+      // (probed 1 IS '1' → 0); NULL operands: both → 1, one → 0.
+      // preText maps bare `IS [NOT]` onto the DISTINCT FROM spellings,
+      // which parse to [Not(]EqualNullSafe[)].
+      If(IsNull(e.left), IsNull(e.right),
+        Coalesce(Seq(fold(SqliteCmpLit(e.left, e.right, 0)),
+          Literal(false))))
     case e: LessThan if litSide(e.left, e.right) =>
       fold(SqliteCmpLit(e.left, e.right, 1))
     case e: LessThanOrEqual if litSide(e.left, e.right) =>
@@ -223,6 +346,21 @@ object SqliteRewrite {
       // three-valued logic exactly (probed 1 IN ('1') → 0)
       in.list.map(e => fold(SqliteCmpLit(in.value, e, 0)))
         .reduceLeft[Expression]((a, b) => Or(a, b))
+
+    // Catalyst requires IntegerType literals in window frame bounds and
+    // the ntile/lag/lead/nth_value count-or-offset slot (ADVICE r14: the
+    // blanket i64 promotion broke `ROWS BETWEEN 1 PRECEDING …` and
+    // ntile(4) on the OLTP path). transformExpressionsUp is bottom-up, so
+    // the literal was already promoted by the time this parent is
+    // visited — demote it back; the slot is operator bookkeeping, never a
+    // value the user observes.
+    case f: SpecifiedWindowFrame =>
+      f.copy(lower = demoteInt(f.lower), upper = demoteInt(f.upper))
+    case uf: UnresolvedFunction
+        if Set("ntile", "lag", "lead", "nth_value").contains(fnName(uf)) &&
+          uf.arguments.size > (if (fnName(uf) == "ntile") 0 else 1) =>
+      val k = if (fnName(uf) == "ntile") 0 else 1
+      uf.copy(arguments = uf.arguments.updated(k, demoteInt(uf.arguments(k))))
 
     case n: Not => Not(truthify(n.child))
     case a: And => And(truthify(a.left), truthify(a.right))
@@ -271,16 +409,34 @@ object SqliteRewrite {
   private def fnName(uf: UnresolvedFunction): String =
     if (uf.nameParts.size == 1) uf.nameParts.head.toLowerCase else ""
 
+  /** Undo the i64 literal promotion where Catalyst's contract requires an
+    * IntegerType literal (window frame bounds, ntile/offset slots). */
+  private def demoteInt(e: Expression): Expression = e match {
+    case Literal(v: Long, LongType)
+        if v >= Int.MinValue && v <= Int.MaxValue =>
+      Literal(v.toInt)
+    case other => other
+  }
+
   /** group_concat(x[, sep]): non-NULL values in arrival order, rendered
     * SQLite-style, NULL on empty input (probed). DISTINCT keeps first
-    * occurrences. */
+    * occurrences — deduplicated BEFORE rendering, on the operand's own
+    * type, so a collated column dedups under its collation (probed:
+    * group_concat(DISTINCT s) on a NOCASE column → 'Apple,BANANA', not
+    * 'Apple,apple,BANANA' — VERDICT r14), with each survivor rendered
+    * through [[SqliteCastText]] afterwards. */
   private def groupConcat(args: Seq[Expression],
                           distinct: Boolean): Expression = {
-    val item = fold(SqliteCastText(args.head))
     val sep: Expression =
       if (args.size > 1) fold(SqliteCastText(args(1))) else Literal(",")
-    val arr0: Expression = CollectList(item).toAggregateExpression()
-    val arr = if (distinct) ArrayDistinct(arr0) else arr0
+    val arr: Expression =
+      if (distinct) {
+        val x = UnresolvedNamedLambdaVariable(Seq("__gc_x"))
+        ArrayTransform(
+          ArrayDistinct(CollectList(args.head).toAggregateExpression()),
+          LambdaFunction(SqliteCastText(x), Seq(x)))
+      } else
+        CollectList(fold(SqliteCastText(args.head))).toAggregateExpression()
     If(GreaterThan(Count(args.head).toAggregateExpression(), Literal(0L)),
       ArrayJoin(arr, sep, None), Literal.create(null, StringType))
   }

@@ -26,6 +26,13 @@ case class SqliteScalar(fn: String, children: Seq[Expression])
     case "abs" =>
       if (SqliteExprs.isIntegral(children.head.dataType)) LongType
       else DoubleType
+    // ceil/floor/trunc pass integer inputs through unchanged (probed:
+    // ceil(3) → 3 integer, ceil(3.0) → 3.0 real); everything else in the
+    // math family answers real
+    case "ceil" | "ceiling" | "floor" | "trunc" =>
+      if (SqliteExprs.isIntegral(children.head.dataType)) LongType
+      else DoubleType
+    case f if SqliteScalar.mathFns(f) => DoubleType
     case "zeroblob" => BinaryType
     case "substr" =>
       if (children.head.dataType == BinaryType) BinaryType else StringType
@@ -45,6 +52,18 @@ case class SqliteScalar(fn: String, children: Seq[Expression])
 
 object SqliteScalar {
 
+  /** The SQLITE_ENABLE_MATH_FUNCTIONS family (present in the 3.40.1
+    * oracle build, all semantics probed live): strict numeric coercion —
+    * non-numeric text answers NULL, never 0.0 — NaN results answer NULL
+    * while infinities pass through (exp(1000) → Inf, but acos(2) → NULL),
+    * and the log family pre-checks its domain (log(-1) → NULL). */
+  private[engine] val mathFns: Set[String] = Set(
+    "ceil", "ceiling", "floor", "trunc",
+    "ln", "log", "log10", "log2", "exp", "sqrt", "pow", "power", "mod",
+    "pi", "sin", "cos", "tan", "sinh", "cosh", "tanh",
+    "asin", "acos", "atan", "asinh", "acosh", "atanh", "atan2",
+    "degrees", "radians")
+
   /** Registered names → accepted arity range. */
   val arities: Map[String, (Int, Int)] = Map(
     "abs" -> (1, 1), "sign" -> (1, 1), "round" -> (1, 2),
@@ -54,7 +73,13 @@ object SqliteScalar {
     "substr" -> (2, 3), "substring" -> (2, 3),
     "instr" -> (2, 2), "replace" -> (3, 3),
     "trim" -> (1, 2), "ltrim" -> (1, 2), "rtrim" -> (1, 2),
-    "zeroblob" -> (1, 1))
+    "zeroblob" -> (1, 1)) ++
+    mathFns.map {
+      case f @ ("pow" | "power" | "mod" | "atan2") => f -> (2, 2)
+      case "pi" => "pi" -> (0, 0)
+      case "log" => "log" -> (1, 2)
+      case f => f -> (1, 1)
+    }
 
   /** Build (folding all-literal calls immediately, with full dynamic
     * typing — same contract as [[SqliteRewrite]]'s fold). */
@@ -62,7 +87,12 @@ object SqliteScalar {
     val (lo, hi) = arities(fn)
     require(args.size >= lo && args.size <= hi,
       s"wrong number of arguments to function $fn()")
-    val canon = if (fn == "substring") "substr" else fn
+    val canon = fn match {
+      case "substring" => "substr"
+      case "ceiling" => "ceil"
+      case "power" => "pow"
+      case other => other
+    }
     if (args.forall(_.isInstanceOf[Literal]))
       SqliteRewrite.dynLit(eval(canon,
         args.map(_.asInstanceOf[Literal].value)))
@@ -294,10 +324,114 @@ object SqliteScalar {
           throw new SqliteEvalError("string or blob too big")
         new Array[Byte](math.max(0L, len).toInt)
 
+      case "pi" => java.lang.Double.valueOf(math.Pi)
+
+      case "ceil" | "floor" | "trunc" => mathNum(args.head) match {
+        case null => null
+        case l: java.lang.Long => l // integers pass through (probed)
+        case d: java.lang.Double =>
+          val v = d.doubleValue
+          java.lang.Double.valueOf(fn match {
+            case "floor" => math.floor(v)
+            case "trunc" => if (v < 0) math.ceil(v) else math.floor(v)
+            case _ => math.ceil(v)
+          })
+        case _ => null
+      }
+
+      case "mod" =>
+        // always real, NULL divisor-zero (probed mod(7,0) → NULL,
+        // mod(-7,3) → -1.0: C fmod truncated semantics)
+        (toD(args.head), toD(args(1))) match {
+          case (x: java.lang.Double, y: java.lang.Double) =>
+            if (y.doubleValue == 0.0) null
+            else nanNull(x.doubleValue % y.doubleValue)
+          case _ => null
+        }
+
+      case "log" | "ln" | "log10" | "log2" =>
+        // domain pre-checked: any non-positive operand answers NULL
+        // (probed log(-1), log(0,8), log(1,8) → NULL via the Inf check)
+        if (fn == "log" && args.size > 1) {
+          (toD(args.head), toD(args(1))) match {
+            case (b: java.lang.Double, x: java.lang.Double) =>
+              if (b.doubleValue <= 0.0 || x.doubleValue <= 0.0) null
+              else finiteNull(math.log(x.doubleValue) / math.log(b.doubleValue))
+            case _ => null
+          }
+        } else toD(args.head) match {
+          case x: java.lang.Double =>
+            if (x.doubleValue <= 0.0) null
+            else finiteNull(fn match {
+              case "ln" => math.log(x.doubleValue)
+              case "log2" => math.log(x.doubleValue) / math.log(2.0)
+              case _ => math.log10(x.doubleValue)
+            })
+          case _ => null
+        }
+
+      case "pow" | "atan2" => (toD(args.head), toD(args(1))) match {
+        case (x: java.lang.Double, y: java.lang.Double) =>
+          nanNull(if (fn == "pow") math.pow(x.doubleValue, y.doubleValue)
+          else math.atan2(x.doubleValue, y.doubleValue))
+        case _ => null
+      }
+
+      case "exp" | "sqrt" | "sin" | "cos" | "tan" | "sinh" | "cosh" |
+          "tanh" | "asin" | "acos" | "atan" | "asinh" | "acosh" |
+          "atanh" | "degrees" | "radians" => toD(args.head) match {
+        case x: java.lang.Double =>
+          val v = x.doubleValue
+          nanNull(fn match {
+            case "exp" => math.exp(v)
+            case "sqrt" => math.sqrt(v)
+            case "sin" => math.sin(v)
+            case "cos" => math.cos(v)
+            case "tan" => math.tan(v)
+            case "sinh" => math.sinh(v)
+            case "cosh" => math.cosh(v)
+            case "tanh" => math.tanh(v)
+            case "asin" => math.asin(v)
+            case "acos" => math.acos(v)
+            case "atan" => math.atan(v)
+            case "asinh" => math.log(v + math.sqrt(v * v + 1.0))
+            case "acosh" => math.log(v + math.sqrt(v * v - 1.0))
+            case "atanh" => 0.5 * math.log((1.0 + v) / (1.0 - v))
+            case "degrees" => math.toDegrees(v)
+            case _ => math.toRadians(v)
+          })
+        case _ => null
+      }
+
       case other =>
         throw new IllegalStateException(s"unknown sqlite scalar: $other")
     }
   }
+
+  /** Math-family numeric coercion: STRICT — non-numeric text answers
+    * NULL, never 0.0 (probed ceil('abc') → NULL where abs('abc') → 0.0);
+    * whole-integer text stays integer (trunc('5') → 5, an integer). */
+  private def mathNum(a: Any): Any = SqliteValue.norm(a) match {
+    case null => null
+    case s: UTF8String => SqliteValue.wholeNum(s.toString.trim).orNull
+    case b: Array[Byte] => SqliteValue.wholeNum(
+      new String(b, java.nio.charset.StandardCharsets.UTF_8).trim).orNull
+    case other => other
+  }
+
+  private def toD(a: Any): java.lang.Double = mathNum(a) match {
+    case l: java.lang.Long => java.lang.Double.valueOf(l.doubleValue)
+    case d: java.lang.Double => d
+    case _ => null
+  }
+
+  /** NaN → NULL; infinities pass through (probed exp(1000) → Inf,
+    * atanh(1) → Inf, but acos(2) → NULL). */
+  private def nanNull(v: Double): Any =
+    if (v.isNaN) null else java.lang.Double.valueOf(v)
+
+  private def finiteNull(v: Double): Any =
+    if (v.isNaN || v.isInfinite) null else java.lang.Double.valueOf(v)
 
   /** SQLite's substr index arithmetic over n units (code points or
     * bytes), re-derived from live probes: 1-based, position 0 exists as

@@ -437,10 +437,33 @@ object SqliteValue {
     Integer.compare(a.length, b.length)
   }
 
+  /** SQLite's NOCASE folds ASCII A-Z only (ADVICE r14: full Unicode
+    * folding made 'Ä' = 'ä' COLLATE NOCASE compare equal where SQLite
+    * says unequal). */
+  private def foldAsciiLower(s: UTF8String): UTF8String = {
+    val str = s.toString
+    var i = 0; var ascii = true
+    while (ascii && i < str.length) {
+      if (str.charAt(i) >= 'A' && str.charAt(i) <= 'Z') ascii = false
+      i += 1
+    }
+    if (ascii) s
+    else {
+      val sb = new java.lang.StringBuilder(str.length)
+      var j = 0
+      while (j < str.length) {
+        val c = str.charAt(j)
+        sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+        j += 1
+      }
+      UTF8String.fromString(sb.toString)
+    }
+  }
+
   /** Collation vocabulary for [[cmp]]: "BINARY" | "NOCASE" | "RTRIM". */
   def cmpText(a: UTF8String, b: UTF8String, collation: String): Int =
     collation match {
-      case "NOCASE" => a.toLowerCase.binaryCompare(b.toLowerCase)
+      case "NOCASE" => foldAsciiLower(a).binaryCompare(foldAsciiLower(b))
       case "RTRIM" => a.trimRight().binaryCompare(b.trimRight())
       case _ => a.binaryCompare(b)
     }

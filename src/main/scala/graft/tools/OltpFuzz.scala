@@ -216,7 +216,11 @@ object OltpFuzz {
       case _ => s"a % ${int(2, 4)} = 0"
     }
 
-    private def step(): Unit = r.nextInt(32) match {
+    private def step(): Unit = r.nextInt(36) match {
+      case 32 | 33 => selectShapeProbe() // grammar v7 (VERDICT r14):
+      // DISTINCT lists, no-FROM tails, IS/hex/negative-LIMIT forms
+      case 34 => connStateProbe() // grammar v7: connection registers
+      case 35 => mathProbe() // grammar v7: math family (exact-value subset)
       case 28 | 29 => exprProbe() // grammar v6: expression semantics
       case 30 => rowidStep() // grammar v6: rowid pseudo-column
       case 31 => // grammar v6: case_sensitive_like flips + immediate probe
@@ -666,6 +670,62 @@ object OltpFuzz {
       case _ => // CASE truthiness + || rendering
         q("SELECT id, CASE WHEN b THEN 'T' WHEN a THEN b ELSE 'F' END " +
           "AS c, a || b AS cat, a || 0.5 AS catr FROM t0 ORDER BY id")
+    }
+
+    /** Grammar v7 (VERDICT r14): select-list shapes the aliaser must not
+      * mangle — DISTINCT lists (incl. expression items and the
+      * column-name contract), no-FROM SELECTs with tail clauses, bare
+      * IS/IS NOT, hex literals, negative LIMIT/OFFSET and the comma form.
+      * DISTINCT probes stay on BINARY columns: a collated DISTINCT's
+      * surviving representative is engine-ambiguous (group_concat
+      * DISTINCT over tc is pinned in R15ParitySpec instead). */
+    private def selectShapeProbe(): Unit = r.nextInt(10) match {
+      case 0 => q(s"SELECT DISTINCT a FROM t0 ORDER BY a" +
+        s"${if (chance(0.3)) " DESC" else ""}")
+      case 1 => q("SELECT DISTINCT b FROM t0 ORDER BY b")
+      case 2 => q(s"SELECT DISTINCT a ${pick(Seq("+", "-", "*"))} " +
+        s"${int(1, 3)} FROM t0 ORDER BY 1")
+      case 3 => q(s"SELECT DISTINCT a, b FROM t0 ORDER BY a, b")
+      case 4 => q(s"SELECT ${int(-3, 9)} ${pick(Seq("ORDER BY 1",
+        "LIMIT 1", s"WHERE ${pick(Seq("1", "0", "'abc'", "'1x'"))}"))}")
+      case 5 => q(s"SELECT ${int(0, 5)} + ${int(0, 5)} WHERE 1")
+      case 6 => q(s"SELECT 0x${Integer.toHexString(int(0, 255))} AS h, " +
+        s"-0x${Integer.toHexString(int(1, 15))} AS nh")
+      case 7 => q(s"SELECT id, a IS ${int(-2, 6)} AS i1, " +
+        s"a IS NOT ${int(-2, 6)} AS i2, b IS '${word()}' AS i3, " +
+        "a IS NULL AS i4 FROM t0 ORDER BY id")
+      case 8 => q(s"SELECT id FROM t0 ORDER BY id " +
+        s"LIMIT ${pick(Seq("-1", "-1 OFFSET 2", s"${int(1, 4)}, ${int(0, 3)}",
+          s"${int(1, 5)} OFFSET -2"))}")
+      case _ => q(s"SELECT DISTINCT ${pick(Seq("a % 3", "length(b)",
+        "a IS 2"))} FROM t0 ORDER BY 1")
+    }
+
+    /** Grammar v7: connection-state registers on the SELECT surface.
+      * changes()/total_changes() parity is exact over applied statements;
+      * SQLite also counts rows applied-then-undone by FAILED statements,
+      * which this engine's registers do not — the checker excuses the
+      * probe when an earlier statement in the batch errored (the
+      * documented deviation; see check_oltp.py). */
+    private def connStateProbe(): Unit =
+      q("SELECT last_insert_rowid() AS lid, changes() AS ch, " +
+        "total_changes() AS tc")
+
+    /** Grammar v7: math family over live integer columns, restricted to
+      * exact-value shapes (ceil/floor/trunc/mod/pow-with-small-int,
+      * sqrt of squares) — transcendentals are battery-pinned in
+      * R15ParitySpec, not fuzzed (libm vs java ulp drift). */
+    private def mathProbe(): Unit = r.nextInt(5) match {
+      case 0 => q("SELECT id, ceil(a * 1.0 / 2) AS c, floor(a * 1.0 / 2) " +
+        "AS f, trunc(a * 1.0 / 2) AS t FROM t0 ORDER BY id")
+      case 1 => q(s"SELECT id, mod(a, ${int(2, 4)}) AS m, mod(a, 0) AS z " +
+        "FROM t0 ORDER BY id")
+      case 2 => q(s"SELECT id, pow(a, 2) AS p, sqrt(a * a) AS s " +
+        "FROM t0 ORDER BY id")
+      case 3 => q(s"SELECT ceil(${int(-9, 9)}), floor('${numish()}'), " +
+        "trunc('x'), mod(7, 0), log(-1), sqrt(-4), pi()")
+      case _ => q(s"SELECT id, ceil(b) AS cb, floor(b) AS fb " +
+        "FROM t0 ORDER BY id")
     }
 
     /** rowid pseudo-column probes: SELECT/WHERE/DML over a plain rowid

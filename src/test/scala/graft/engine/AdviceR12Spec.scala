@@ -102,7 +102,7 @@ class AdviceR12Spec extends SparkSpec {
   test("spilled REPLACE fires INSERT triggers in candidate order") {
     val db = GraftDb.openInMemory(spark, 200)
     ok(db, "CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)")
-    ok(db, "INSERT INTO t SELECT id + 1, concat('r', CAST(id AS STRING)) " +
+    ok(db, "INSERT INTO t SELECT id + 1, 'r' || CAST(id AS STRING) " +
       "FROM range(300)")
     assert(db.isSpilled("t"))
     ok(db, "CREATE TABLE audit (s TEXT)")

@@ -37,7 +37,7 @@ class BigPartitionPropertySpec extends SparkSpec {
       val model = GraftDb.openInMemory(spark, 1000000)
       val ddl = "CREATE TABLE t (id INTEGER PRIMARY KEY, v INTEGER, s TEXT)"
       val seed = "INSERT INTO t SELECT id + 1, (id + 1) * 3, " +
-        "concat('r', CAST(id AS STRING)) FROM range(500)"
+        "'r' || CAST(id AS STRING) FROM range(500)"
       Seq(disk, model).foreach { db => ok(db, ddl); ok(db, seed) }
       assert(disk.isSpilled("t"), "500 rows over cap 100 must spill")
       ok(disk, "UPDATE t SET v = v WHERE id = 1") // materialize buckets

@@ -41,7 +41,7 @@ class BigTableSpec extends SparkSpec {
   private def seedBig(db: GraftDb): Unit = {
     ok(db, "CREATE TABLE big (id INTEGER PRIMARY KEY, v INTEGER, s TEXT)")
     ok(db, "INSERT INTO big SELECT id + 1, (id + 1) * 2, " +
-      "concat('r', CAST(id AS STRING)) FROM range(1000)")
+      "'r' || CAST(id AS STRING) FROM range(1000)")
   }
 
   test("bulk INSERT...SELECT spills past the cap and stays queryable") {
@@ -59,7 +59,7 @@ class BigTableSpec extends SparkSpec {
     val db = mem()
     ok(db, "CREATE TABLE big (id INTEGER PRIMARY KEY, v INTEGER, s TEXT)")
     val r = ok(db, "INSERT INTO big SELECT id + 1, (id + 1) * 2, " +
-      "concat('r', CAST(id AS STRING)) FROM range(1000)")
+      "'r' || CAST(id AS STRING) FROM range(1000)")
     assert(r.rowsAffected == 1000L)
     assert(r.lastInsertId == 1000L)
     // a subsequent auto-rowid insert continues past the bulk block
@@ -159,8 +159,8 @@ class BigTableSpec extends SparkSpec {
     // (spilled) one must produce identical envelopes and final state
     val stmts = Seq(
       "CREATE TABLE big (id INTEGER PRIMARY KEY, v INTEGER, s TEXT)",
-      "INSERT INTO big SELECT id + 1, (id + 1) * 2, concat('r', " +
-        "CAST(id AS STRING)) FROM range(1000)",
+      "INSERT INTO big SELECT id + 1, (id + 1) * 2, 'r' || " +
+        "CAST(id AS STRING) FROM range(1000)",
       "UPDATE big SET v = -v WHERE id % 7 = 0",
       "DELETE FROM big WHERE id % 13 = 0",
       "INSERT OR REPLACE INTO big VALUES (77, 0, 'x')",

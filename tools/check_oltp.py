@@ -156,7 +156,10 @@ def norm(side):
     return json.dumps(side, sort_keys=True)
 
 
-def known_deviation(mine, theirs, sql="", fk_armed=False):
+CONN_REG_RE = re.compile(r"(?i)\b(changes|total_changes)\s*\(")
+
+
+def known_deviation(mine, theirs, sql="", fk_armed=False, prior_err=False):
     """Documented intentional deviations from raw SQLite — classified and
     counted, NOT failed.
 
@@ -214,6 +217,21 @@ def known_deviation(mine, theirs, sql="", fk_armed=False):
     if (mine.get("spurious_fk_rekey")
             and not theirs.get("err")):
         return "fk-armed-rekey-scan-order-converged"
+    # 4. Connection-register probe after a failed statement (grammar v7):
+    #    SQLite's changes()/total_changes() also count rows applied by
+    #    statements that LATER failed or aborted (OR FAIL partial applies;
+    #    aborted-then-undone rows still bump total_changes), while the
+    #    engine's registers count successfully applied statements only.
+    #    The divergence is reachable only once a statement in the batch
+    #    has errored; the registers are bookkeeping, not data state, so
+    #    comparison continues. The same excuse covers probes after the
+    #    disk8 mode's mid-stream close+reopen ("ckpt" op): a reopen is a
+    #    NEW connection whose registers start at zero (R15ParitySpec),
+    #    while this oracle keeps one sqlite3 connection for the batch —
+    #    the caller passes prior_err=True from the ckpt marker on.
+    if (prior_err and CONN_REG_RE.search(sql)
+            and not mine.get("err") and not theirs.get("err")):
+        return "conn-register-after-failed-stmt-converged"
     return None
 
 
@@ -227,8 +245,10 @@ for line in open(path):
         continue
     bad = None
     fk_armed = False
+    prior_err = False
     for i, (kind, mine, theirs) in enumerate(replay(rec["ops"])):
         if kind == "c":
+            prior_err = True  # reopen resets the engine's conn registers
             continue
         sql_i = rec["ops"][i].get("sql", "")
         if re.match(r"(?i)\s*PRAGMA\s+foreign_keys\s*=\s*ON", sql_i):
@@ -236,7 +256,7 @@ for line in open(path):
         elif re.match(r"(?i)\s*PRAGMA\s+foreign_keys\s*=\s*OFF", sql_i):
             fk_armed = False
         if norm(mine) != norm(theirs):
-            kd = known_deviation(mine, theirs, sql_i, fk_armed)
+            kd = known_deviation(mine, theirs, sql_i, fk_armed, prior_err)
             if kd:
                 deviations.append((rec, i, kd))
                 if kd.endswith("-converged"):
@@ -247,6 +267,8 @@ for line in open(path):
                 break
             bad = (i, rec["ops"][i].get("sql", ""), mine, theirs)
             break
+        if (mine or {}).get("err") or (theirs or {}).get("err"):
+            prior_err = True
     else:
         passed += 1
         continue
