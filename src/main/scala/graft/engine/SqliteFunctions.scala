@@ -41,9 +41,10 @@ object SqliteFunctions {
     * silently leaking a Spark builtin's behavior (VERDICT r14 #6:
     * `concat('a',1,NULL)` resolved to Spark's NULL-propagating concat
     * where the 3.40 oracle says `no such function: concat`; same for
-    * unhex/octet_length and the rest of Spark's registry). The json_*
-    * family (present in 3.40) is not implemented — those names keep
-    * erroring exactly as before this gate. */
+    * unhex/octet_length and the rest of Spark's registry). The json1
+    * scalar family and both json aggregates are implemented
+    * ([[SqliteJson]]); json_each/json_tree (table-valued) are not —
+    * those two names error as `no such function`, a documented gap. */
   val known: Set[String] = Set(
     // date/time family
     "date", "time", "datetime", "julianday", "unixepoch", "strftime",
@@ -58,8 +59,10 @@ object SqliteFunctions {
     // window functions
     "row_number", "rank", "dense_rank", "percent_rank", "cume_dist",
     "ntile", "lag", "lead", "first_value", "last_value", "nth_value",
+    // json aggregates (the scalar family joins via SqliteJson.arities)
+    "json_group_array", "json_group_object",
     // Spark's parser desugars BETWEEN into this marker
-    "between") ++ SqliteScalar.arities.keySet
+    "between") ++ SqliteScalar.arities.keySet ++ SqliteJson.arities.keySet
 
   /** Deliberate rejection (determinism), distinct from a parse miss. */
   final class NonDeterministicTime(what: String) extends RuntimeException(
@@ -345,6 +348,55 @@ object SqliteFunctions {
     SqliteScalar.arities.keys.foreach { name =>
       SessionFunctions.registerExpr(session, name,
         es => SqliteScalar.build(name, es))
+    }
+    // the json1 scalar family (SqliteJson, semantics probed on 3.40.1)
+    SqliteJson.arities.keys.foreach { name =>
+      SessionFunctions.registerExpr(session, name,
+        es => SqliteJson.build(name, es))
+    }
+    // json aggregates: per-element json_quote rendering over the arrival
+    // order, composed from collect_list — a struct wrapper keeps NULL
+    // elements (CollectList drops bare NULLs; json_group_array('[1,
+    // null]') keeps them, probed). Empty group → '[]' / '{}' for free
+    // (ArrayJoin of the empty array is ''). SQLite's NULL-label output
+    // for json_group_object is its own invalid-JSON quirk (`:4`) — here
+    // a NULL label renders as the json text `null`, documented.
+    locally {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+      import org.apache.spark.sql.catalyst.expressions.{ArrayJoin, ArrayTransform, Concat, CreateNamedStruct, LambdaFunction, Literal, UnresolvedNamedLambdaVariable}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.CollectList
+      def quoted(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+        SqliteJson("json_quote", Seq(e))
+      SessionFunctions.registerExpr(session, "json_group_array", { es =>
+        require(es.size == 1,
+          "wrong number of arguments to function json_group_array()")
+        val x = UnresolvedNamedLambdaVariable(Seq("__jga"))
+        val arr = CollectList(
+          CreateNamedStruct(Seq(Literal("a"), es.head)))
+          .toAggregateExpression()
+        Concat(Seq(Literal("["),
+          ArrayJoin(ArrayTransform(arr,
+            LambdaFunction(
+              quoted(UnresolvedExtractValue(x, Literal("a"))), Seq(x))),
+            Literal(","), None),
+          Literal("]")))
+      })
+      SessionFunctions.registerExpr(session, "json_group_object", { es =>
+        require(es.size == 2,
+          "wrong number of arguments to function json_group_object()")
+        val x = UnresolvedNamedLambdaVariable(Seq("__jgo"))
+        val arr = CollectList(CreateNamedStruct(Seq(
+          Literal("k"), es.head, Literal("v"), es(1))))
+          .toAggregateExpression()
+        Concat(Seq(Literal("{"),
+          ArrayJoin(ArrayTransform(arr,
+            LambdaFunction(Concat(Seq(
+              quoted(UnresolvedExtractValue(x, Literal("k"))),
+              Literal(":"),
+              quoted(UnresolvedExtractValue(x, Literal("v"))))), Seq(x))),
+            Literal(","), None),
+          Literal("}")))
+      })
     }
     // format() is SQLite ≥3.38's preferred name for printf() (probed on
     // the 3.40.1 oracle); both resolve to the C-style formatter

@@ -577,30 +577,45 @@ object Dedup {
          |            FROM __x54u_tp tp
          |            JOIN __x54_v1 v ON tp.lang = v.lang AND tp.tok = v.tok)
          |      GROUP BY doc_id, lang)""".stripMargin, "__x54_r1a")
+    // Probe rows carry ONLY (lang, doc_id, n1, pref, prank) — the short
+    // prefix slice (~(1−t)·|doc|), never the full ranks1 array. The
+    // r13-measured /tmp scratch of the pair-stage sort (~40–50 GB at
+    // 128×, the single-VM boundary) was dominated by every exploded
+    // probe row dragging its O(|doc|) ranks1 through the shuffle; with
+    // the narrow payload the shuffle volume drops ~6× (0.2|d| vs 1.2|d|
+    // longs per probe row) and the verify arrays join back AFTER the
+    // candidate pairs are deduped — two cheap doc_id equi-joins over the
+    // (small) candidate set instead of a corpus×prefix-wide payload.
     spark.sql(
-      """SELECT lang, doc_id, n1, ranks1, pref, prank
+      """SELECT lang, doc_id, n1, pref, prank
         |FROM __x54_r1a LATERAL VIEW explode(pref) AS prank""".stripMargin)
       .createOrReplaceTempView("__x54_pfa")
-    // inter computed once in the inner projection (codegen subexpression
-    // reuse, same shape as the mask branch); the lowest-shared-prefix
-    // single-emission test intersects only the short prefix slices
-    val out = spark.sql(
-      s"""SELECT doc_a, doc_b,
-         |       CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS j1
+    // candidate pairs, each emitted exactly once at the LOWEST shared
+    // prefix rank (the pref slices are short — array_intersect stays
+    // cheap); the length filter prunes before the dedup test
+    ckpt(
+      s"""SELECT doc_a, doc_b
          |FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |        a.n1 AS na, b.n1 AS nb,
-         |        sorted_intersect_count(a.ranks1, b.ranks1) AS inter,
          |        a.prank AS prank,
          |        array_min(array_intersect(a.pref, b.pref)) AS lowpr
          |      FROM __x54_pfa a JOIN __x54_pfa b
          |        ON a.lang = b.lang AND a.prank = b.prank
          |       AND a.doc_id < b.doc_id
          |       AND LEAST(a.n1, b.n1) >= $threshold * GREATEST(a.n1, b.n1))
-         |WHERE prank = lowpr
-         |  AND CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)
+         |WHERE prank = lowpr""".stripMargin, "__x54_cand")
+    val out = spark.sql(
+      s"""SELECT doc_a, doc_b,
+         |       CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) AS j1
+         |FROM (SELECT c.doc_a, c.doc_b, fa.n1 AS na, fb.n1 AS nb,
+         |        sorted_intersect_count(fa.ranks1, fb.ranks1) AS inter
+         |      FROM __x54_cand c
+         |      JOIN __x54_r1a fa ON fa.doc_id = c.doc_a
+         |      JOIN __x54_r1a fb ON fb.doc_id = c.doc_b)
+         |WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE)
          |        >= $threshold""".stripMargin)
       .stageMaterialize
-    Seq("__x54_r1a", "__x54_pfa").foreach(spark.catalog.dropTempView)
+    Seq("__x54_r1a", "__x54_pfa", "__x54_cand")
+      .foreach(spark.catalog.dropTempView)
     out
   }
 

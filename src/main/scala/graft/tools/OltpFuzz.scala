@@ -216,11 +216,12 @@ object OltpFuzz {
       case _ => s"a % ${int(2, 4)} = 0"
     }
 
-    private def step(): Unit = r.nextInt(36) match {
+    private def step(): Unit = r.nextInt(37) match {
       case 32 | 33 => selectShapeProbe() // grammar v7 (VERDICT r14):
       // DISTINCT lists, no-FROM tails, IS/hex/negative-LIMIT forms
       case 34 => connStateProbe() // grammar v7: connection registers
       case 35 => mathProbe() // grammar v7: math family (exact-value subset)
+      case 36 => jsonProbe() // grammar v7: json1 family
       case 28 | 29 => exprProbe() // grammar v6: expression semantics
       case 30 => rowidStep() // grammar v6: rowid pseudo-column
       case 31 => // grammar v6: case_sensitive_like flips + immediate probe
@@ -726,6 +727,41 @@ object OltpFuzz {
         "trunc('x'), mod(7, 0), log(-1), sqrt(-4), pi()")
       case _ => q(s"SELECT id, ceil(b) AS cb, floor(b) AS fb " +
         "FROM t0 ORDER BY id")
+    }
+
+    /** Grammar v7: json1 probes — random small documents assembled from
+      * the integer/word pools, extraction/type/length/modification over
+      * literal docs (exactly foldable, full dynamic typing), plus
+      * json_array/json_object over live columns and the aggregates over
+      * an id-ordered subquery (arrival order deterministic both sides). */
+    private def jsonProbe(): Unit = {
+      def doc(): String = r.nextInt(3) match {
+        case 0 => s"""{"a":${int(-5, 9)},"b":[${int(0, 5)},${int(0, 5)}],""" +
+          s""""c":{"d":"${word()}"},"e":${int(0, 9)}.5}"""
+        case 1 => s"""[${int(0, 9)},"${word()}",null,{"k":${int(0, 5)}}]"""
+        case _ => s"""{"x":"${word()}","y":true,"z":null}"""
+      }
+      val d = doc().replace("'", "''")
+      r.nextInt(8) match {
+        case 0 => q(s"SELECT json('$d') AS j, json_valid('$d') AS v, " +
+          s"json_valid('{bad') AS b")
+        case 1 => q(s"SELECT json_extract('$d', " +
+          s"'${pick(Seq("$.a", "$.b", "$.b[1]", "$.c.d", "$.e", "$[0]",
+            "$[#-1]", "$.zz", "$"))}') AS e")
+        case 2 => q(s"SELECT json_type('$d') AS t, json_type('$d', " +
+          s"'${pick(Seq("$.a", "$.c", "$.z", "$.zz"))}') AS pt")
+        case 3 => q(s"SELECT json_array(${int(-3, 9)}, '${word()}', NULL) " +
+          "AS a, json_object('k', " +
+          s"${int(0, 9)}, 'w', '${word()}') AS o")
+        case 4 => q(s"SELECT json_insert('$d', '$$.q', ${int(0, 9)}) AS i, " +
+          s"json_set('$d', '$$.a', ${int(0, 9)}) AS s, " +
+          s"json_remove('$d', '${pick(Seq("$.a", "$.zz", "$[0]"))}') AS r")
+        case 5 => q("SELECT json_array(a, b) AS j FROM t0 ORDER BY id")
+        case 6 => q("SELECT json_group_array(b) AS g FROM " +
+          s"(SELECT b FROM t0 WHERE id <= ${int(2, 9)} ORDER BY id)")
+        case _ => q("SELECT json_group_object('k' || id, a) AS g FROM " +
+          s"(SELECT id, a FROM t0 WHERE id <= ${int(2, 6)} ORDER BY id)")
+      }
     }
 
     /** rowid pseudo-column probes: SELECT/WHERE/DML over a plain rowid
