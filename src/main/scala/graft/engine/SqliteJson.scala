@@ -104,7 +104,11 @@ object SqliteJson {
     "json_array_length" -> (1, 2),
     "json_insert" -> (3, -1), "json_replace" -> (3, -1),
     "json_set" -> (3, -1), "json_remove" -> (1, -1),
-    "json_patch" -> (2, 2))
+    "json_patch" -> (2, 2),
+    // the -> and ->> operators (SQLite 3.38+), mapped by
+    // SqliteRewrite.rewriteArrows; registered under internal names so a
+    // user-typed `->` works while the names stay out of the way
+    "__json_arrow" -> (2, 2), "__json_arrow2" -> (2, 2))
 
   def build(fn: String, args: Seq[Expression]): Expression = {
     val (lo, hi) = arities(fn)
@@ -412,7 +416,7 @@ object SqliteJson {
       case _ => None
     }
     case Idx(n) :: rest => j match {
-      case JArr(items) if n < items.size => lookup(items(n), rest)
+      case JArr(items) if n >= 0 && n < items.size => lookup(items(n), rest)
       case _ => None
     }
     case End(back) :: rest => j match {
@@ -444,7 +448,7 @@ object SqliteJson {
     }
     case Idx(n) :: rest => j match {
       case JArr(items) =>
-        if (n < items.size)
+        if (n >= 0 && n < items.size)
           JArr(items.updated(n, put(items(n), rest, v, create, overwrite)))
         else if (n == items.size && create)
           mkLeaf(rest, v).map(leaf => JArr(items :+ leaf)).getOrElse(j)
@@ -702,6 +706,34 @@ object SqliteJson {
       case "json_patch" =>
         if (as.exists(_ == null)) return null
         JRes(mergePatch(docOf(as.head), docOf(as(1))))
+
+      case "__json_arrow" | "__json_arrow2" =>
+        // `doc -> p` / `doc ->> p` with the 3.38 shorthand paths: text
+        // not starting with `$` is `$.text`, an integer is `$[n]`
+        // (probed). `->` answers the JSON TEXT of the sub-value (always
+        // text, subtype kept for chaining); `->>` answers the SQL value
+        // (containers render as plain text).
+        if (as.head == null || as(1) == null) return null
+        val doc = docOf(as.head)
+        val steps = as(1) match {
+          case s: UTF8String if s.toString.startsWith("$") =>
+            parsePath(s.toString)
+          case s: UTF8String => List(Key(s.toString): Step)
+          case l: java.lang.Long => List(Idx(l.intValue): Step)
+          case d: java.lang.Double => List(Idx(d.intValue): Step)
+          case other => List(Key(SqliteValue.renderText(other)): Step)
+        }
+        lookup(doc, steps) match {
+          case None => null
+          case Some(j) =>
+            if (fn == "__json_arrow") JRes(j)
+            else j match {
+              case JNull => null
+              case container @ (_: JArr | _: JObj) =>
+                UTF8String.fromString(render(container))
+              case scalar => extracted(scalar)
+            }
+        }
 
       case other =>
         throw new IllegalStateException(s"unknown json function: $other")

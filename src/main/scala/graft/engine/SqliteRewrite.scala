@@ -38,7 +38,7 @@ object SqliteRewrite {
   /** Run one OLTP statement with SQLite expression semantics. */
   def run(session: SparkSession, sqlText: String,
           caseSensitiveLike: Boolean): DataFrame = {
-    val text = preText(sqlText)
+    val text = preText(rewriteArrows(sqlText))
     val plan = GraftSql.parsePlan(session, text)
     checkFunctions(plan)
     GraftSql.ofRows(session, rewrite(plan, caseSensitiveLike))
@@ -89,6 +89,157 @@ object SqliteRewrite {
     *    form (= LIMIT b OFFSET a) is rewritten — literal counts only. */
   private def isHexDigit(c: Char): Boolean =
     (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  // ---------- `->` / `->>` operator mapping (SQLite 3.38+) ------------------
+
+  /** One lexed token: kind 's' string, 'q' quoted ident (`"` or backtick),
+    * 'n' number, 'i' ident, 'o' operator, 'p' punctuation, 'c' comment. */
+  private final case class Tok(kind: Char, text: String, start: Int, end: Int)
+
+  private def lex(sql: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    def isW(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      val start = i
+      if (c.isWhitespace) i += 1
+      else if (c == '\'') {
+        i += 1
+        var done = false
+        while (!done && i < sql.length) {
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') i += 2
+            else { i += 1; done = true }
+          } else i += 1
+        }
+        out += Tok('s', sql.substring(start, i), start, i)
+      } else if (c == '"' || c == '`') {
+        i += 1
+        while (i < sql.length && sql.charAt(i) != c) i += 1
+        if (i < sql.length) i += 1
+        out += Tok('q', sql.substring(start, i), start, i)
+      } else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '-') {
+        while (i < sql.length && sql.charAt(i) != '\n') i += 1
+        out += Tok('c', sql.substring(start, i), start, i)
+      } else if (c == '/' && i + 1 < sql.length && sql.charAt(i + 1) == '*') {
+        val end = sql.indexOf("*/", i + 2)
+        i = if (end < 0) sql.length else end + 2
+        out += Tok('c', sql.substring(start, i), start, i)
+      } else if (c.isDigit ||
+        (c == '.' && i + 1 < sql.length && sql.charAt(i + 1).isDigit)) {
+        while (i < sql.length && (isW(sql.charAt(i)) || sql.charAt(i) == '.'))
+          i += 1
+        out += Tok('n', sql.substring(start, i), start, i)
+      } else if (isW(c)) {
+        while (i < sql.length && isW(sql.charAt(i))) i += 1
+        out += Tok('i', sql.substring(start, i), start, i)
+      } else if (c == '-' && i + 2 < sql.length && sql.charAt(i + 1) == '>' &&
+        sql.charAt(i + 2) == '>') {
+        i += 3; out += Tok('o', "->>", start, i)
+      } else if (c == '-' && i + 1 < sql.length && sql.charAt(i + 1) == '>') {
+        i += 2; out += Tok('o', "->", start, i)
+      } else if (c == '(' || c == ')' || c == ',' || c == ';' || c == '.') {
+        i += 1; out += Tok('p', c.toString, start, i)
+      } else {
+        i += 1; out += Tok('o', c.toString, start, i)
+      }
+    }
+    out.result()
+  }
+
+  /** Map infix `doc -> path` / `doc ->> path` onto the internal
+    * [[SqliteJson]] functions, repeatedly until none remain. Operands are
+    * one "primary" each — a literal, an identifier chain (with optional
+    * call parens), or a parenthesized expression — which reproduces
+    * SQLite's precedence (`j -> 'a' = 5` compares the arrow's result).
+    * A shape this scan cannot bound passes through untouched and fails
+    * in the parser like before. */
+  private[engine] def rewriteArrows(sql0: String): String = {
+    if (!sql0.contains("->")) return sql0
+    var sql = sql0
+    var guard = 0
+    while (guard < 256) {
+      guard += 1
+      val toks = lex(sql)
+      val ai = toks.indexWhere(t => t.kind == 'o' &&
+        (t.text == "->" || t.text == "->>"))
+      if (ai < 0) return sql
+      // ---- left operand: walk back one primary
+      var lo = ai - 1
+      if (lo < 0) return sql
+      if (toks(lo).kind == 'p' && toks(lo).text == ")") {
+        var depth = 1
+        lo -= 1
+        while (lo >= 0 && depth > 0) {
+          if (toks(lo).kind == 'p' && toks(lo).text == ")") depth += 1
+          else if (toks(lo).kind == 'p' && toks(lo).text == "(") depth -= 1
+          if (depth > 0) lo -= 1
+        }
+        if (lo < 0) return sql
+        if (lo - 1 >= 0 && toks(lo - 1).kind == 'i') lo -= 1 // call name
+      } else if (toks(lo).kind != 's' && toks(lo).kind != 'n' &&
+        toks(lo).kind != 'i' && toks(lo).kind != 'q') return sql
+      // dotted qualifier chain before the primary (t.j -> 'a')
+      while (lo - 2 >= 0 && toks(lo - 1).kind == 'p' &&
+        toks(lo - 1).text == "." &&
+        (toks(lo - 2).kind == 'i' || toks(lo - 2).kind == 'q')) lo -= 2
+      // ---- right operand: one primary forward
+      var ro = ai + 1
+      if (ro >= toks.size) return sql
+      if (toks(ro).kind == 'o' &&
+        (toks(ro).text == "-" || toks(ro).text == "+") &&
+        ro + 1 < toks.size && toks(ro + 1).kind == 'n') ro += 1
+      toks(ro).kind match {
+        case 's' | 'n' | 'q' => // literal
+        case 'i' =>
+          // identifier chain with optional call parens
+          var k = ro
+          var extended = true
+          while (extended) {
+            extended = false
+            if (k + 1 < toks.size && toks(k + 1).kind == 'p' &&
+              toks(k + 1).text == "(") {
+              var depth = 1
+              var m = k + 2
+              while (m < toks.size && depth > 0) {
+                if (toks(m).kind == 'p' && toks(m).text == "(") depth += 1
+                else if (toks(m).kind == 'p' && toks(m).text == ")") depth -= 1
+                m += 1
+              }
+              if (depth != 0) return sql
+              k = m - 1
+              extended = true
+            } else if (k + 2 < toks.size && toks(k + 1).kind == 'p' &&
+              toks(k + 1).text == "." && toks(k + 2).kind == 'i') {
+              k += 2
+              extended = true
+            }
+          }
+          ro = k
+        case 'p' if toks(ro).text == "(" =>
+          var depth = 1
+          var m = ro + 1
+          while (m < toks.size && depth > 0) {
+            if (toks(m).kind == 'p' && toks(m).text == "(") depth += 1
+            else if (toks(m).kind == 'p' && toks(m).text == ")") depth -= 1
+            m += 1
+          }
+          if (depth != 0) return sql
+          ro = m - 1
+        case _ => return sql
+      }
+      val fnName =
+        if (toks(ai).text == "->") "__json_arrow" else "__json_arrow2"
+      val lStart = toks(lo).start
+      val rEnd = toks(ro).end
+      sql = sql.substring(0, lStart) + fnName + "(" +
+        sql.substring(lStart, toks(ai).start).trim + ", " +
+        sql.substring(toks(ai).end, rEnd).trim + ")" +
+        sql.substring(rEnd)
+    }
+    sql
+  }
 
   private[engine] def preText(sql: String): String = {
     def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'

@@ -756,7 +756,13 @@ object OltpFuzz {
         case 4 => q(s"SELECT json_insert('$d', '$$.q', ${int(0, 9)}) AS i, " +
           s"json_set('$d', '$$.a', ${int(0, 9)}) AS s, " +
           s"json_remove('$d', '${pick(Seq("$.a", "$.zz", "$[0]"))}') AS r")
-        case 5 => q("SELECT json_array(a, b) AS j FROM t0 ORDER BY id")
+        case 5 =>
+          if (chance(0.5))
+            q("SELECT json_array(a, b) AS j FROM t0 ORDER BY id")
+          else // -> / ->> operators incl. shorthand paths and chaining
+            q(s"SELECT '$d' ${pick(Seq("->", "->>"))} " +
+              s"'${pick(Seq("$.a", "a", "c", "x", "zz"))}' AS v, " +
+              s"'$d' -> 'c' ->> 'd' AS w")
         case 6 => q("SELECT json_group_array(b) AS g FROM " +
           s"(SELECT b FROM t0 WHERE id <= ${int(2, 9)} ORDER BY id)")
         case _ => q("SELECT json_group_object('k' || id, a) AS g FROM " +

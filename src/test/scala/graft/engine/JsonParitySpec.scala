@@ -209,6 +209,40 @@ class JsonParitySpec extends SparkSpec {
       Seq(Seq("""{"a":1,"t":"x","n":7}"""), Seq("""{"a":2,"t":"y","n":7}""")))
   }
 
+  test("-> and ->> operators (probed, incl. shorthand paths + chains)") {
+    assert(one("""'{"a":1}' -> '$.a'""") == "1")
+    assert(one("""'{"a":1}' -> 'a'""") == "1")
+    assert(one("""'[1,2]' -> 1""") == "2")
+    assert(one("""'[1,2]' -> 2""") == null)
+    assert(one("""'{"a":{"b":5}}' -> 'a' -> 'b'""") == "5")
+    assert(one("""'{"a":1}' ->> 'a'""") == 1L)
+    assert(one("""'{"a":"x"}' -> 'a'""") == "\"x\"")
+    assert(one("""'{"a":"x"}' ->> 'a'""") == "x")
+    assert(one("""'{"a":[1,2]}' -> 'a'""") == "[1,2]")
+    assert(one("""'{"a":[1,2]}' ->> 'a'""") == "[1,2]")
+    assert(one("""'{"a":1}' -> 'zz'""") == null)
+    assert(one("""'{"a":2.5}' ->> 'a'""") == 2.5)
+    assert(one("""typeof('{"a":1}' -> 'a')""") == "text")
+    assert(one("""typeof('{"a":1}' ->> 'a')""") == "integer")
+    assert(one("""'{"a":true}' ->> 'a'""") == 1L)
+    assert(one("""'{"a":true}' -> 'a'""") == "true")
+    assert(one("""'{"a":null}' -> 'a'""") == "null")
+    assert(one("""'{"a":null}' ->> 'a'""") == null)
+    assert(one("""'{"a":1}' -> '$.a' = 1""") == 0L)
+    assert(one("""'[1,2]' -> '$[#-1]'""") == "2")
+    assert(one("""NULL -> 'a'""") == null)
+    assert(one("""'{"a":1}' -> NULL""") == null)
+    assert(err("""'{bad' -> 'a'""") == "malformed JSON")
+    // column operand + chained comparisons through the envelope
+    val r = db.queryStringStmt(
+      "SELECT id FROM docs WHERE j ->> 't' = 'y'")
+      .fold(e => fail(e), identity).head
+    assert(r.values.map(_.map(unwrap)) == Seq(Seq(2L)))
+    val r2 = db.queryStringStmt("SELECT j -> 'a' AS a FROM docs ORDER BY id")
+      .fold(e => fail(e), identity).head
+    assert(r2.values.map(_.map(unwrap)) == Seq(Seq("1"), Seq("2")))
+  }
+
   test("json_each/json_tree stay unimplemented with SQLite's error") {
     val e = db.queryStringStmt(
       "SELECT * FROM json_each('[1,2]')")
