@@ -888,8 +888,16 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
         val m = tempCreateRe.findFirstMatchIn(sql0).get
         m.group(2).toUpperCase match {
           case "TABLE" =>
+            // strip the keyword AND its trailing whitespace: SQLite's
+            // stored sql reads `CREATE TABLE …`, single space (probed —
+            // sqlite_temp_master lists it that way)
+            val afterKw = {
+              var k = m.end(1)
+              while (k < sql0.length && sql0.charAt(k).isWhitespace) k += 1
+              k
+            }
             doCreate(work, sql0.substring(0, m.start(1)) +
-              sql0.substring(m.end(1)), temp = true)
+              sql0.substring(afterKw), temp = true)
           case what => Left(s"temporary ${what.toLowerCase}s are not " +
             "supported (temporary tables are)")
         }
@@ -6113,6 +6121,20 @@ final class GraftDb private (parent: SparkSession, root: Option[Path],
     masterDf.createOrReplaceTempView("sqlite_master")
     // SQLite 3.33+ alias (the modern name in docs and client code)
     masterDf.createOrReplaceTempView("sqlite_schema")
+    // the TEMP schema's own catalog: connection-scoped tables only. The
+    // stored createSql already has the TEMP keyword stripped — exactly
+    // SQLite's rendering (probed: `CREATE TEMP TABLE s (x INTEGER)`
+    // lists as `CREATE TABLE s (x INTEGER)`); rootpage ordinals restart
+    // per schema like SQLite's separate temp database file.
+    val tempRows = Vector.newBuilder[Row]
+    var tpage = 2L
+    work.values.filter(_.temp).foreach { ts =>
+      tempRows += Row("table", ts.d.name, ts.d.name, tpage, ts.createSql)
+      tpage += 1
+    }
+    val tempDf = session.createDataFrame(tempRows.result().asJava, schema)
+    tempDf.createOrReplaceTempView("sqlite_temp_master")
+    tempDf.createOrReplaceTempView("sqlite_temp_schema")
   }
 
   private def snapshot(): Tables = {

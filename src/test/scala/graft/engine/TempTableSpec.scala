@@ -85,6 +85,23 @@ class TempTableSpec extends SparkSpec {
       .fold(e => fail(e), identity).head.values.map(_.head)
     assert(names.contains(Value.Text("perm")), names)
     assert(!names.contains(Value.Text("scratch")), names)
+    // the temp catalog lists it instead, with the TEMP keyword stripped
+    // from the stored sql (probed live)
+    val tm = q(db,
+      "SELECT type, name, tbl_name, sql FROM sqlite_temp_master")
+      .fold(e => fail(e), identity).head
+    assert(tm.values.map(_.map {
+      case Value.Text(s) => s
+      case v => v
+    }) == Seq(Seq("table", "scratch", "scratch",
+      "CREATE TABLE scratch (x INTEGER)")), tm)
+    // empty when no temp tables exist (probed: empty result set)
+    val db2 = GraftDb.openInMemory(spark, 500)
+    db2.executeStringStmt("CREATE TABLE t (x INTEGER)")
+    val empty = q(db2, "SELECT * FROM sqlite_temp_master")
+      .fold(e => fail(e), identity).head
+    assert(empty.values.isEmpty, empty)
+    db2.close()
     db.close()
   }
 }
