@@ -162,7 +162,16 @@ object Tables {
       }
     }
 
-  /** Lift a SQL text into the driver's (session, sfDir) => DataFrame shape. */
+  /** Lift a SQL text into the driver's (session, sfDir) => DataFrame shape.
+    * Registers the graft native functions first (idempotent, one registry
+    * lookup when already installed) so SQL-text queries can use the
+    * codegen kernels (word_ngrams, graft_levenshtein, ...) — this is the
+    * ANALYTICS session path only; the OLTP engine's private session keeps
+    * its closed SQLite-parity registry. */
   def sql(q: String): (SparkSession, String) => DataFrame =
-    (spark, dir) => { ensure(spark, dir); spark.sql(q) }
+    (spark, dir) => {
+      graft.functions.GraftFunctions.register(spark)
+      ensure(spark, dir)
+      spark.sql(q)
+    }
 }

@@ -341,29 +341,28 @@ object Dedup {
     // unigram candidate+verify stage (shared with x75; see below)
     unigramPairs(spark, threshold).createOrReplaceTempView("__x54_q")
 
-    // token positions again for the trigram side (plain view — a straight
-    // scan recomputes cheaper than a checkpoint materializes)
-    spark.sql(tokenPosSql).createOrReplaceTempView("__x54_tp")
-    // distinct word-trigram set per doc, built with a codegen'd window
-    // lead() over token positions (the transform(sequence…) lambda
-    // formulation evaluates interpreted), encoded as SORTED xxhash64
-    // arrays for the j3 verify — hashing replaces the per-lang dictionary
-    // (a 26k+-entry window + string equi-join per corpus scan, measured
-    // ~1.2 s at sf0.1) because only intersection COUNTS are consumed; a
-    // count changes only if two distinct trigrams of one compared pair
-    // collide in 64 bits (P ≈ d²/2⁶⁵ per pair, d ≈ 50 — negligible, and
-    // deterministic for a fixed corpus so the oracle hash pins it).
+    // distinct word-trigram set per doc as SORTED xxhash64 arrays for the
+    // j3 verify, computed MAP-ONLY by the codegen'd ngram_hashes_sorted
+    // kernel (r15; one tight loop over the token array the doc already
+    // carries). The previous posexplode → two lead() windows → collect_list
+    // re-aggregate detour paid one exchange + a per-doc sort just to pair
+    // tokens that sit adjacent in the array (guide §2.4); value parity
+    // with that formulation — same concat_ws(' ') grams, same DISTINCT on
+    // the gram STRING, same xxhash64 seed — is pinned in
+    // NGramsEditDistanceSpec. Hashing (vs a per-lang dictionary) is the
+    // r13 trade: only intersection COUNTS are consumed; a count changes
+    // only if two distinct trigrams of one compared pair collide in 64
+    // bits (P ≈ d²/2⁶⁵ per pair, d ≈ 50 — negligible, deterministic for a
+    // fixed corpus so the oracle hash pins it). Docs with < 3 tokens get
+    // no row (the old GROUP BY over zero trigram rows), preserving the
+    // LEFT-JOIN null extension below.
     ckpt(
-      """WITH tri AS (SELECT DISTINCT doc_id, lang, tok FROM (
-        |  SELECT doc_id, lang,
-        |    concat_ws(' ', tok,
-        |      lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos),
-        |      lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS tok,
-        |    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
-        |  FROM __x54_tp) WHERE t2 IS NOT NULL)
-        |SELECT doc_id, sort_array(collect_list(xxhash64(tok))) AS ranks3,
-        |       COUNT(*) AS n3
-        |FROM tri GROUP BY doc_id""".stripMargin, "__x54_r3")
+      """SELECT doc_id, ranks3, CAST(size(ranks3) AS BIGINT) AS n3
+        |FROM (SELECT doc_id,
+        |        ngram_hashes_sorted(
+        |          array_remove(split(LOWER(text), ' '), ''), 3) AS ranks3
+        |      FROM documents)
+        |WHERE size(ranks3) > 0""".stripMargin, "__x54_r3")
     val out = spark.sql(
       s"""SELECT doc_a, doc_b,
          |  CAST(CAST(FLOOR(j1 * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS j1,
@@ -389,7 +388,7 @@ object Dedup {
     // RDDs directly, and dangling view references would pin their blocks in
     // the block manager after the caller is done (clearCache can't free
     // localCheckpoint blocks — only GC of the last RDD reference does)
-    Seq("__x54_tp", "__x54_r3", "__x54_q")
+    Seq("__x54_r3", "__x54_q")
       .foreach(spark.catalog.dropTempView)
     out
   }
@@ -777,19 +776,17 @@ object Dedup {
         |             ' ') AS text
         |FROM documents WHERE doc_id < 10""".stripMargin)
       .createOrReplaceTempView("__x82_docs")
-    spark.sql(tokenPosSql.replace("FROM documents", "FROM __x82_docs"))
-      .createOrReplaceTempView("__x82_tp")
+    // distinct trigram hashes MAP-ONLY via ngram_hashes_sorted (r15) —
+    // same replacement as the x54 trigram stage: no posexplode, no window
+    // exchange, value parity pinned in NGramsEditDistanceSpec. Docs with
+    // < 3 tokens keep getting no row (null extension below).
     spark.sql(
-      """WITH tri AS (SELECT DISTINCT doc_id, lang, tok FROM (
-        |  SELECT doc_id, lang,
-        |    concat_ws(' ', tok,
-        |      lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos),
-        |      lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS tok,
-        |    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
-        |  FROM __x82_tp) WHERE t2 IS NOT NULL)
-        |SELECT doc_id, lang, sort_array(collect_list(xxhash64(tok))) AS h3,
-        |       COUNT(*) AS n3
-        |FROM tri GROUP BY doc_id, lang""".stripMargin)
+      """SELECT doc_id, lang, h3, CAST(size(h3) AS BIGINT) AS n3
+        |FROM (SELECT doc_id, lang,
+        |        ngram_hashes_sorted(
+        |          array_remove(split(LOWER(text), ' '), ''), 3) AS h3
+        |      FROM __x82_docs)
+        |WHERE size(h3) > 0""".stripMargin)
       .stageMaterialize
       .createOrReplaceTempView("__x82_t3")
     val out = spark.sql(
@@ -827,7 +824,7 @@ object Dedup {
          |LEFT JOIN m ON m.probe = d.doc_id
          |ORDER BY d.doc_id""".stripMargin)
       .stageMaterialize
-    Seq("__x82_docs", "__x82_tp", "__x82_t3")
+    Seq("__x82_docs", "__x82_t3")
       .foreach(spark.catalog.dropTempView)
     out
   }
@@ -849,6 +846,7 @@ object Dedup {
     * for any blocked pairwise op whose block sizes follow duplication.
     */
   def editDistanceQuery(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables.ensure(spark, dir)
     val f = spark.sql(
       """SELECT doc_id, text,
@@ -862,8 +860,13 @@ object Dedup {
     val scored = a.join(b, col("fp") === col("fpb") && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "ta", "tb")
       .repartition(spark.sparkContext.defaultParallelism)
+      // graft_levenshtein = the levenshtein builtin's exact value via the
+      // bit-parallel Myers kernel (r15: the builtin's per-cell DP was ~4 s
+      // of this query at sf0.1 — 8.2e9 cells at ~15 ns; the kernel prices
+      // 64 cells per word op, value parity pinned in
+      // NGramsEditDistanceSpec and by the unchanged DuckDB twin)
       .selectExpr("doc_a", "doc_b",
-        "CAST(levenshtein(ta, tb) AS INT) AS lev",
+        "CAST(graft_levenshtein(ta, tb) AS INT) AS lev",
         "CAST((length(ta) = length(tb)) AS INT) AS same_len")
       .stageMaterialize
     scored.orderBy("doc_a", "doc_b")
@@ -905,7 +908,7 @@ object Dedup {
     componentsQuery(spark, dir).createOrReplaceTempView("__x108_comp")
     spark.sql(
       """WITH q AS (SELECT doc_id,
-        |             size(filter(split(LOWER(text), ' '), t -> t <> '')) AS ntoks
+        |             size(array_remove(split(LOWER(text), ' '), '')) AS ntoks
         |           FROM documents)
         |SELECT c.doc_id, c.comp, CAST(q.ntoks AS INT) AS ntoks,
         |  ROW_NUMBER() OVER (PARTITION BY c.comp

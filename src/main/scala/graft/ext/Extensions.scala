@@ -148,9 +148,7 @@ object Extensions {
         |                filter(split(LOWER(text), ' '), t -> t <> '') AS tk
         |              FROM documents),
         |g AS (SELECT DISTINCT doc_id, gram FROM (
-        |        SELECT doc_id, explode(transform(sequence(1, size(tk) - 2),
-        |          i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
-        |                         element_at(tk, i + 2)))) AS gram
+        |        SELECT doc_id, explode(word_ngrams(tk, 3)) AS gram
         |        FROM toks WHERE size(tk) >= 3)),
         |fst AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
         |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS grams,
@@ -1661,10 +1659,9 @@ object Extensions {
         |u AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c1
         |      FROM (SELECT explode(tk) AS tok FROM t) GROUP BY tok),
         |n AS (SELECT CAST(SUM(c1) AS DOUBLE) AS nn FROM u),
-        |bp AS (SELECT doc_id, p.prev AS prev, p.cur AS cur FROM (
-        |         SELECT doc_id, explode(transform(sequence(2, size(tk)),
-        |           i -> struct(element_at(tk, i - 1) AS prev,
-        |                       element_at(tk, i) AS cur))) AS p
+        |bp AS (SELECT doc_id, substring_index(g, ' ', 1) AS prev,
+        |              substring_index(g, ' ', -1) AS cur FROM (
+        |         SELECT doc_id, explode(word_ngrams(tk, 2)) AS g
         |         FROM t WHERE size(tk) >= 2)),
         |b2 AS (SELECT prev, cur, CAST(COUNT(*) AS DOUBLE) AS c2
         |       FROM bp GROUP BY prev, cur),

@@ -98,6 +98,42 @@ object GraftFunctions {
     classOf[XxHash64Sorted].getName, null, "xxhash64_sorted",
     "xxhash64_sorted(words) - sorted xxhash64 array of a word array", "")
 
+  private def literalN(name: String, e: Expression): Int = e match {
+    case lit: org.apache.spark.sql.catalyst.expressions.Literal
+        if lit.dataType == org.apache.spark.sql.types.IntegerType =>
+      lit.value.asInstanceOf[Int]
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal int n, got $other")
+  }
+
+  private[functions] def wordNgramsBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "word_ngrams takes exactly 2 arguments")
+    WordNgrams(args.head, literalN("word_ngrams", args(1)))
+  }
+
+  private val wordNgramsInfo = new ExpressionInfo(
+    classOf[WordNgrams].getName, null, "word_ngrams",
+    "word_ngrams(words, n) - consecutive space-joined word n-grams", "")
+
+  private[functions] def ngramHashesBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "ngram_hashes_sorted takes exactly 2 arguments")
+    NgramHashesSorted(args.head, literalN("ngram_hashes_sorted", args(1)))
+  }
+
+  private val ngramHashesInfo = new ExpressionInfo(
+    classOf[NgramHashesSorted].getName, null, "ngram_hashes_sorted",
+    "ngram_hashes_sorted(words, n) - sorted xxhash64 of distinct word n-grams",
+    "")
+
+  private[functions] def levenshteinFastBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "graft_levenshtein takes exactly 2 arguments")
+    LevenshteinFast(args.head, args(1))
+  }
+
+  private val levenshteinFastInfo = new ExpressionInfo(
+    classOf[LevenshteinFast].getName, null, "graft_levenshtein",
+    "graft_levenshtein(a, b) - exact Levenshtein distance, bit-parallel", "")
+
   // Spark's own runtime-join-filter Bloom machinery (BloomFilterAggregate /
   // BloomFilterMightContain, spark-catalyst), surfaced as SQL functions so
   // the decontamination pipeline can build one sketch per benchmark set and
@@ -160,6 +196,14 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("zorder2"), zorderInfo, zorderBuilder _)
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("word_ngrams"), wordNgramsInfo, wordNgramsBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("ngram_hashes_sorted"), ngramHashesInfo,
+      ngramHashesBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_levenshtein"), levenshteinFastInfo,
+      levenshteinFastBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("bloom_filter_agg"), bloomAggInfo, bloomAggBuilder _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("might_contain"), mightContainInfo,
@@ -214,6 +258,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ZOrder2].getName, null, "zorder2",
         "zorder2(x, y) - 42-bit Morton (Z-order) interleave of two ints", ""),
       (args: Seq[Expression]) => ZOrder2(args.head, args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, null, "word_ngrams",
+        "word_ngrams(words, n) - consecutive space-joined word n-grams", ""),
+      GraftFunctions.wordNgramsBuilder _))
+    ext.injectFunction((
+      FunctionIdentifier("ngram_hashes_sorted"),
+      new ExpressionInfo(classOf[NgramHashesSorted].getName, null,
+        "ngram_hashes_sorted",
+        "ngram_hashes_sorted(words, n) - sorted xxhash64 of distinct word n-grams",
+        ""),
+      GraftFunctions.ngramHashesBuilder _))
+    ext.injectFunction((
+      FunctionIdentifier("graft_levenshtein"),
+      new ExpressionInfo(classOf[LevenshteinFast].getName, null,
+        "graft_levenshtein",
+        "graft_levenshtein(a, b) - exact Levenshtein distance, bit-parallel",
+        ""),
+      GraftFunctions.levenshteinFastBuilder _))
     // opt-in similarity-join rewrites (spark.graft.cosineJoinRewrite.enabled
     // / spark.graft.jaccardJoinRewrite.enabled)
     ext.injectOptimizerRule(_ => graft.plans.CosineJoinRewrite)
