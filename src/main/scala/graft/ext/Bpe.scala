@@ -141,8 +141,7 @@ object Bpe {
       """SELECT w, cnt,
         |  transform(sequence(1, length(w)), i -> substring(w, i, 1)) AS syms
         |FROM (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
-        |      FROM (SELECT explode(filter(split(LOWER(text), ' '),
-        |                                  x -> x <> '')) AS w
+        |      FROM (SELECT explode(array_remove(split(LOWER(text), ' '), '')) AS w
         |            FROM documents)
         |      GROUP BY w)""".stripMargin).stageMaterialize
     var k = 0

@@ -35,7 +35,7 @@ object CorpusGraph {
       Stages.materialize(spark.sql(
         """SELECT doc_id, lang, source,
           |  md5(CAST(array_join(array_sort(array_distinct(
-          |    filter(split(LOWER(text), ' '), t -> t <> ''))), ' ')
+          |    array_remove(split(LOWER(text), ' '), ''))), ' ')
           |    AS BINARY)) AS fp
           |FROM documents""".stripMargin))
     }

@@ -51,13 +51,10 @@ object Decontam {
     graft.functions.GraftFunctions.register(spark)
     Tables.ensure(spark, dir)
     spark.sql(
-      """WITH toks AS (SELECT doc_id, filter(split(LOWER(text), ' '), t -> t <> '') AS tk
+      """WITH toks AS (SELECT doc_id, array_remove(split(LOWER(text), ' '), '') AS tk
         |              FROM documents),
         |g AS (SELECT doc_id, gram FROM (
-        |        SELECT doc_id, explode(array_distinct(transform(
-        |          sequence(1, size(tk) - 2),
-        |          i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
-        |                         element_at(tk, i + 2))))) AS gram
+        |        SELECT doc_id, explode(array_distinct(word_ngrams(tk, 3))) AS gram
         |        FROM toks WHERE size(tk) >= 3)),
         |bg AS (SELECT gram, doc_id AS bench_id FROM g WHERE doc_id % 97 = 0),
         |bf AS (SELECT bloom_filter_agg(xxhash64(gram), CAST(131072 AS BIGINT)) AS f

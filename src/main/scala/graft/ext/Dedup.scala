@@ -201,13 +201,23 @@ object Dedup {
     * recall the sketches by construction can't deliver. The DuckDB twin
     * filters symmetrically (len(ws) > 0). */
   private[ext] def setEqualPairs(spark: SparkSession, dir: String): DataFrame = {
-    val fp = docWords(spark, dir)
-      .filter(size(col("words")) > 0)
-      .select(col("doc_id"),
-        md5(concat_ws(" ", sort_array(col("words"))).cast("binary")).as("fp"))
-    fp.as("a").join(fp.as("b"),
-        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // register the dir BEFORE the shared lookup: the registry scopes its
+    // entries to the session's registered dir, and an ensure inside the
+    // build thunk would key the stage under the PREVIOUS dir
+    Tables.ensure(spark, dir)
+    // r15: shared across x57/x58/x65 (each recall check asserts against
+    // this same floor), so one session derives the fingerprint self-join
+    // once — the unigramPairs/x104-fingerprint shared-stage pattern.
+    Stages.shared(spark, "setEqualPairs") {
+      val fp = docWords(spark, dir)
+        .filter(size(col("words")) > 0)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", sort_array(col("words"))).cast("binary")).as("fp"))
+      Stages.materialize(
+        fp.as("a").join(fp.as("b"),
+            col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")))
+    }
   }
 
   /** x57 driver query — the oracle-checkable recall assertion over the REAL
@@ -393,13 +403,19 @@ object Dedup {
     out
   }
 
-  // ordered token positions per doc (codegen posexplode, no lambdas)
-  private val tokenPosSql =
-    """SELECT doc_id, lang, pos, tok
+  // DISTINCT tokens per doc, deduped MAP-SIDE via array_distinct before
+  // the explode (r15): the PPJoin stage only consumes per-doc token SETS,
+  // so deduping inside the row removes the `SELECT DISTINCT doc_id, lang,
+  // tok` exchange+aggregate the exploded stream previously paid twice
+  // (dictionary build AND rank join-back) — guide §2.3 "aggregate before
+  // you shuffle". (The trigram stages that needed positions derive their
+  // grams map-only via ngram_hashes_sorted now, so positions are gone.)
+  private val tokenSetSql =
+    """SELECT doc_id, lang, tok
       |FROM (SELECT doc_id, lang,
-      |        array_remove(split(LOWER(text), ' '), '') AS toks
+      |        array_distinct(array_remove(split(LOWER(text), ' '), '')) AS toks
       |      FROM documents)
-      |LATERAL VIEW posexplode(toks) AS pos, tok""".stripMargin
+      |LATERAL VIEW explode(toks) AS tok""".stripMargin
 
   /** The PPJoin unigram candidate+verify stage of [[ngramJaccard]]: all
     * pairs with word-set Jaccard >= threshold, each emitted exactly once,
@@ -433,12 +449,14 @@ object Dedup {
     def ckpt(sql: String, view: String): Unit =
       spark.sql(sql).stageMaterialize.createOrReplaceTempView(view)
 
-    spark.sql(tokenPosSql).createOrReplaceTempView("__x54u_tp")
-    // per-lang df-ascending dictionary: token → rank (rarest first)
+    spark.sql(tokenSetSql).createOrReplaceTempView("__x54u_tp")
+    // per-lang df-ascending dictionary: token → rank (rarest first);
+    // the stream is already distinct per doc, so COUNT(*) IS the doc
+    // frequency — no DISTINCT pre-aggregate
     ckpt(
       """SELECT lang, tok,
         |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*), tok) AS rank
-        |FROM (SELECT DISTINCT doc_id, lang, tok FROM __x54u_tp)
+        |FROM __x54u_tp
         |GROUP BY lang, tok""".stripMargin, "__x54_v1")
     // one scalar job: widest per-lang vocabulary → number of 64-bit words
     val maxVocab = spark.sql("SELECT MAX(rank) FROM __x54_v1").head.getInt(0)
@@ -504,7 +522,7 @@ object Dedup {
          |        ${(0 until nMask).map(k => s"m$k").mkString(", ")}
          |      FROM (SELECT doc_id, lang, COUNT(*) AS n1,
          |              sort_array(collect_list(rank)) AS ranks1, $maskCols
-         |            FROM (SELECT DISTINCT tp.doc_id, tp.lang, v.rank
+         |            FROM (SELECT tp.doc_id, tp.lang, v.rank
          |                  FROM __x54u_tp tp
          |                  JOIN __x54_v1 v ON tp.lang = v.lang AND tp.tok = v.tok)
          |            GROUP BY doc_id, lang))""".stripMargin, "__x54_r1")
@@ -572,7 +590,7 @@ object Dedup {
          |    AS pref
          |FROM (SELECT doc_id, lang, COUNT(*) AS n1,
          |        sort_array(collect_list(rank)) AS ranks1
-         |      FROM (SELECT DISTINCT tp.doc_id, tp.lang, v.rank
+         |      FROM (SELECT tp.doc_id, tp.lang, v.rank
          |            FROM __x54u_tp tp
          |            JOIN __x54_v1 v ON tp.lang = v.lang AND tp.tok = v.tok)
          |      GROUP BY doc_id, lang)""".stripMargin, "__x54_r1a")

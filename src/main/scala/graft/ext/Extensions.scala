@@ -77,7 +77,7 @@ object Extensions {
     Q("x109_triangles",
       """WITH f AS (SELECT doc_id, source,
         |             md5(CAST(array_join(array_sort(array_distinct(
-        |               filter(split(LOWER(text), ' '), t -> t <> ''))), ' ')
+        |               array_remove(split(LOWER(text), ' '), ''))), ' ')
         |               AS BINARY)) AS fp
         |           FROM documents),
         |e AS (SELECT DISTINCT LEAST(a.source, b.source) AS u,
@@ -145,7 +145,7 @@ object Extensions {
     // from integer counts.
     Q("x111_novelty",
       """WITH toks AS (SELECT doc_id,
-        |                filter(split(LOWER(text), ' '), t -> t <> '') AS tk
+        |                array_remove(split(LOWER(text), ' '), '') AS tk
         |              FROM documents),
         |g AS (SELECT DISTINCT doc_id, gram FROM (
         |        SELECT doc_id, explode(word_ngrams(tk, 3)) AS gram
@@ -186,7 +186,7 @@ object Extensions {
     // corpus-bounded.
     Q("x112_zipf",
       """WITH tc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
-        |              SELECT explode(filter(split(LOWER(text), ' '), t -> t <> '')) AS tok
+        |              SELECT explode(array_remove(split(LOWER(text), ' '), '')) AS tok
         |              FROM documents) GROUP BY tok),
         |rk AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r FROM tc),
         |m AS (SELECT CAST(CAST(ROUND(LN(CAST(r AS DOUBLE)), 9) AS DECIMAL(12,9)) AS DECIMAL(12,9)) AS x,
@@ -246,7 +246,7 @@ object Extensions {
     // it is tiny and broadcastable at any corpus size.
     Q("x114_boilerplate",
       """WITH toks AS (SELECT doc_id, source,
-        |                filter(split(LOWER(text), ' '), t -> t <> '') AS tk
+        |                array_remove(split(LOWER(text), ' '), '') AS tk
         |              FROM documents),
         |pos AS (SELECT doc_id, source, p + 1 AS i,
         |          concat_ws(' ', element_at(tk, p + 1), element_at(tk, p + 2),
@@ -325,7 +325,7 @@ object Extensions {
     // the token count, the apportionment is free.
     Q("x116_apportion",
       """WITH d AS (SELECT source,
-        |             CAST(size(filter(split(LOWER(text), ' '), t -> t <> '')) AS BIGINT) AS ntoks
+        |             CAST(size(array_remove(split(LOWER(text), ' '), '')) AS BIGINT) AS ntoks
         |           FROM documents),
         |w AS (SELECT source, CAST(SUM(ntoks) AS BIGINT) AS toks FROM d GROUP BY source),
         |t AS (SELECT CAST(SUM(toks) AS BIGINT) AS tot FROM w),
@@ -375,7 +375,7 @@ object Extensions {
     // tokenizer (word pieces and single punctuation marks).
     Q("x51_tokens",
       """SELECT doc_id,
-        |       CAST(size(filter(split(text, ' '), t -> t <> '')) AS INT) AS ws_toks,
+        |       CAST(size(array_remove(split(text, ' '), '')) AS INT) AS ws_toks,
         |       CAST(size(regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)) AS INT) AS re_toks
         |FROM documents ORDER BY doc_id""".stripMargin,
       """SELECT doc_id,
@@ -389,7 +389,7 @@ object Extensions {
     Q("x52_fingerprint",
       """WITH f AS (SELECT doc_id,
         |             md5(CAST(array_join(array_sort(array_distinct(
-        |               filter(split(LOWER(text), ' '), t -> t <> ''))), ' ')
+        |               array_remove(split(LOWER(text), ' '), ''))), ' ')
         |               AS BINARY)) AS fp
         |           FROM documents)
         |SELECT fp, COUNT(*) AS n, MIN(doc_id) AS keeper
@@ -428,13 +428,11 @@ object Extensions {
     // direct pairwise formulation; both compute identical values.
     Q("x54_ngram_jaccard",
       """WITH d AS (SELECT doc_id, lang,
-        |             filter(split(LOWER(text), ' '), t -> t <> '') AS toks
+        |             array_remove(split(LOWER(text), ' '), '') AS toks
         |           FROM documents),
         |s AS (SELECT doc_id, lang, array_distinct(toks) AS w1,
         |        CASE WHEN size(toks) >= 3 THEN
-        |          array_distinct(transform(sequence(1, size(toks)-2),
-        |            i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1),
-        |                           element_at(toks, i+2))))
+        |          array_distinct(word_ngrams(toks, 3))
         |        ELSE CAST(array() AS ARRAY<STRING>) END AS w3
         |      FROM d),
         |n AS (SELECT doc_id, lang, w1, w3, size(w1) AS n1, size(w3) AS n3 FROM s),
@@ -620,9 +618,9 @@ object Extensions {
     // on the fingerprint -> keeper semi-join -> final aggregate.
     Q("x67_pipeline",
       """WITH m AS (SELECT doc_id, lang,
-        |             size(filter(split(LOWER(text), ' '), x -> x <> '')) AS ntoks,
+        |             size(array_remove(split(LOWER(text), ' '), '')) AS ntoks,
         |             md5(CAST(array_join(array_sort(array_distinct(
-        |               filter(split(LOWER(text), ' '), x -> x <> ''))), ' ')
+        |               array_remove(split(LOWER(text), ' '), ''))), ' ')
         |               AS BINARY)) AS fp
         |           FROM documents),
         |q AS (SELECT * FROM m WHERE ntoks >= 5),
@@ -945,13 +943,10 @@ object Extensions {
     // benchmark side of the join is tiny by construction — at real scale
     // it broadcasts, and the explode never shuffles before the join.
     Q("x76_decontam",
-      """WITH toks AS (SELECT doc_id, filter(split(LOWER(text), ' '), t -> t <> '') AS tk
+      """WITH toks AS (SELECT doc_id, array_remove(split(LOWER(text), ' '), '') AS tk
         |              FROM documents),
         |g AS (SELECT doc_id, gram FROM (
-        |        SELECT doc_id, explode(array_distinct(transform(
-        |          sequence(1, size(tk) - 2),
-        |          i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
-        |                         element_at(tk, i + 2))))) AS gram
+        |        SELECT doc_id, explode(array_distinct(word_ngrams(tk, 3))) AS gram
         |        FROM toks WHERE size(tk) >= 3)),
         |bg AS (SELECT gram, doc_id AS bench_id FROM g WHERE doc_id % 97 = 0),
         |tg AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
@@ -985,7 +980,7 @@ object Extensions {
     // shuffle-order-dependent in the last ulp).
     Q("x78_unigram_lm",
       """WITH t AS (SELECT doc_id,
-        |             explode(filter(split(LOWER(text), ' '), x -> x <> '')) AS tok
+        |             explode(array_remove(split(LOWER(text), ' '), '')) AS tok
         |           FROM documents),
         |v AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM t GROUP BY tok),
         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM t),
@@ -1016,7 +1011,7 @@ object Extensions {
     // winners unique, so the rows hash-compare.
     Q("x79_tfidf",
       """WITH t AS (SELECT doc_id,
-        |             explode(filter(split(LOWER(text), ' '), x -> x <> '')) AS tok
+        |             explode(array_remove(split(LOWER(text), ' '), '')) AS tok
         |           FROM documents),
         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
         |       FROM t GROUP BY doc_id, tok),
@@ -1206,7 +1201,7 @@ object Extensions {
     // no window, no join.
     Q("x87_entropy",
       """WITH t AS (SELECT doc_id,
-        |             explode(filter(split(LOWER(text), ' '), x -> x <> '')) AS tok
+        |             explode(array_remove(split(LOWER(text), ' '), '')) AS tok
         |           FROM documents),
         |c AS (SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS c
         |      FROM t GROUP BY doc_id, tok),
@@ -1349,7 +1344,7 @@ object Extensions {
     // map-side), and the top-20 is TakeOrderedAndProject — a distributed
     // top-k, not a global window sort.
     Q("x93_bpe_pairs",
-      """WITH t AS (SELECT explode(filter(split(LOWER(text), ' '), x -> x <> '')) AS w
+      """WITH t AS (SELECT explode(array_remove(split(LOWER(text), ' '), '')) AS w
         |           FROM documents),
         |p AS (SELECT substr(w, i, 2) AS pair
         |      FROM (SELECT w FROM t WHERE length(w) >= 2)
@@ -1379,7 +1374,7 @@ object Extensions {
     // WindowGroupLimit prunes below the per-lang sort; no global ordering.
     Q("x94_temp_sample",
       """WITH d AS (SELECT doc_id, lang,
-        |             size(filter(split(LOWER(text), ' '), t -> t <> '')) AS ntoks
+        |             size(array_remove(split(LOWER(text), ' '), '')) AS ntoks
         |           FROM documents),
         |s AS (SELECT lang, CAST(FLOOR(SQRT(CAST(SUM(ntoks) AS DOUBLE)) * 1000.0) AS BIGINT) AS w
         |      FROM d GROUP BY lang),
@@ -1415,7 +1410,7 @@ object Extensions {
     // scan + one keyed window shuffle on lang; no global sort.
     Q("x96_quality_filter",
       """WITH t AS (SELECT doc_id, lang, text, CAST(LENGTH(text) AS INT) AS nchars,
-        |             filter(split(text, ' '), x -> x <> '') AS toks
+        |             array_remove(split(text, ' '), '') AS toks
         |           FROM documents),
         |m AS (SELECT doc_id, lang, nchars, CAST(size(toks) AS INT) AS ntoks,
         |        CAST(size(filter(toks, x -> x IN ('the','and','of','to','in','is','it','that','a','for'))) AS INT) AS stop_hits,
@@ -1463,7 +1458,7 @@ object Extensions {
     // map-only; the only shuffle is the output ORDER BY.
     Q("x97_rule_filter",
       """WITH t AS (SELECT doc_id, text, CAST(LENGTH(text) AS INT) AS nchars,
-        |             filter(split(LOWER(text), ' '), x -> x <> '') AS toks
+        |             array_remove(split(LOWER(text), ' '), '') AS toks
         |           FROM documents),
         |m AS (SELECT doc_id, nchars, CAST(size(toks) AS INT) AS n_words,
         |        AGGREGATE(toks, CAST(0 AS BIGINT), (acc, w) -> acc + length(w)) AS wchars,
@@ -1519,7 +1514,7 @@ object Extensions {
     // order-independent FP-aggregation pattern (see x78).
     Q("x98_dsir_sample",
       """WITH t AS (SELECT doc_id, lang,
-        |             explode(filter(split(LOWER(text), ' '), x -> x <> '')) AS tok
+        |             explode(array_remove(split(LOWER(text), ' '), '')) AS tok
         |           FROM documents),
         |src AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
         |tgt AS (SELECT tok, COUNT(*) AS c FROM t WHERE lang = 'en' GROUP BY tok),
@@ -1591,7 +1586,7 @@ object Extensions {
         |SELECT doc_id,
         |  CAST(LENGTH(text) AS INT) AS raw_len,
         |  CAST(LENGTH(norm) AS INT) AS norm_len,
-        |  CAST(size(filter(split(norm, ' '), x -> x <> '')) AS INT) AS norm_toks,
+        |  CAST(size(array_remove(split(norm, ' '), '')) AS INT) AS norm_toks,
         |  md5(norm) AS norm_md5,
         |  substr(norm, 1, 40) AS norm_head
         |FROM n ORDER BY doc_id""".stripMargin,
@@ -1615,7 +1610,7 @@ object Extensions {
     // doc_id; the output width is fixed at any corpus scale, which is the
     // point of the trick — no vocabulary state, no second pass.
     Q("x101_feature_hash",
-      featureHashSql("explode(filter(split(LOWER(text), ' '), x -> x <> ''))"),
+      featureHashSql("explode(array_remove(split(LOWER(text), ' '), ''))"),
       featureHashSql(
         "unnest(list_filter(string_split(LOWER(text), ' '), x -> x <> ''))")),
 
@@ -1632,7 +1627,7 @@ object Extensions {
     // basis points (integer) and the keep decision compares integers.
     Q("x102_quality_score",
       qualityScoreSql(
-        toksExpr = "filter(split(LOWER(text), ' '), x -> x <> '')",
+        toksExpr = "array_remove(split(LOWER(text), ' '), '')",
         sizeFn = "size", filterFn = "filter",
         wcharsExpr =
           "AGGREGATE(toks, CAST(0 AS BIGINT), (acc, w) -> acc + length(w))",
@@ -1654,7 +1649,7 @@ object Extensions {
     // terms ROUND→DECIMAL before summing (the x78 order-independence
     // idiom).
     Q("x106_bigram_lm",
-      """WITH t AS (SELECT doc_id, filter(split(LOWER(text), ' '), x -> x <> '') AS tk
+      """WITH t AS (SELECT doc_id, array_remove(split(LOWER(text), ' '), '') AS tk
         |           FROM documents),
         |u AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c1
         |      FROM (SELECT explode(tk) AS tok FROM t) GROUP BY tok),
@@ -1719,14 +1714,10 @@ object Extensions {
         |  FROM documents),
         |s AS (SELECT doc_id, text, u16 < 6554 AS is_test FROM d),
         |toks AS (SELECT doc_id, is_test,
-        |           filter(split(LOWER(text), ' '), t -> t <> '') AS tk
+        |           array_remove(split(LOWER(text), ' '), '') AS tk
         |         FROM s),
         |g AS (SELECT doc_id, is_test, gram FROM (
-        |        SELECT doc_id, is_test, explode(array_distinct(transform(
-        |          sequence(1, size(tk) - 4),
-        |          i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
-        |                         element_at(tk, i + 2), element_at(tk, i + 3),
-        |                         element_at(tk, i + 4))))) AS gram
+        |        SELECT doc_id, is_test, explode(array_distinct(word_ngrams(tk, 5))) AS gram
         |        FROM toks WHERE size(tk) >= 5)),
         |leak AS (SELECT DISTINCT tg.doc_id
         |         FROM g tg JOIN g bg ON tg.gram = bg.gram
@@ -1771,7 +1762,7 @@ object Extensions {
     Q("x104_overlap_matrix",
       """WITH f AS (SELECT doc_id, lang,
         |             md5(CAST(array_join(array_sort(array_distinct(
-        |               filter(split(LOWER(text), ' '), t -> t <> ''))), ' ')
+        |               array_remove(split(LOWER(text), ' '), ''))), ' ')
         |               AS BINARY)) AS fp
         |           FROM documents),
         |p AS (SELECT LEAST(a.lang, b.lang) AS lang_a,
@@ -1945,15 +1936,12 @@ object Extensions {
   def stripBoilerplate(docs: org.apache.spark.sql.DataFrame,
                        minDf: Long = 10): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val toks = docs.withColumn("tk",
-      filter(split(lower(col("text")), " "), t => t =!= ""))
+      array_remove(split(lower(col("text")), " "), ""))
     val pos = toks.filter(size(col("tk")) >= 5)
       .select(col("doc_id"), col("source"),
-        posexplode(expr(
-          """transform(sequence(1, size(tk) - 4),
-            |  i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
-            |       element_at(tk, i + 2), element_at(tk, i + 3),
-            |       element_at(tk, i + 4)))""".stripMargin)).as(Seq("p", "gram")))
+        posexplode(expr("word_ngrams(tk, 5)")).as(Seq("p", "gram")))
       .withColumn("i", col("p") + 1).drop("p")
     val bp = pos.groupBy("source", "gram")
       .agg(countDistinct("doc_id").as("df"))

@@ -24,7 +24,7 @@ object Frequency {
     // top-20 pass both scan it, and re-exploding the corpus is the whole
     // cost of this row
     val toks = spark.sql(
-      """SELECT explode(filter(split(LOWER(text), ' '), x -> x <> '')) AS tok
+      """SELECT explode(array_remove(split(LOWER(text), ' '), '')) AS tok
         |FROM documents""".stripMargin).as[String].persist()
     val (sketch, top) = try {
       (toks.select(CountMin.agg.toColumn).head(),

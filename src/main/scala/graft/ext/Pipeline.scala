@@ -61,7 +61,7 @@ object Pipeline {
     // one scan computes every per-doc feature the stages need
     val base = source
       .withColumn("toks",
-        filter(split(lower(col("text")), " "), t => t =!= ""))
+        array_remove(split(lower(col("text")), " "), ""))
       .withColumn("ntoks", size(col("toks")))
       .withColumn("nchars", length(col("text")))
       .withColumn("stop_hits",

@@ -79,7 +79,7 @@ object Rank {
 
   def sparkSql: String = rankSql(
     """md5(CAST(array_join(array_sort(array_distinct(
-      |      filter(split(LOWER(text), ' '), t -> t <> ''))), ' ') AS BINARY))"""
+      |      array_remove(split(LOWER(text), ' '), ''))), ' ') AS BINARY))"""
       .stripMargin)
 
   def duckSql: String = rankSql(

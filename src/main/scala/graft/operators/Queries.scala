@@ -1162,7 +1162,7 @@ object Queries {
     // output sort.
     Q("q83_posexplode",
       """SELECT doc_id, CAST(pos AS INT) AS pos, tok
-        |FROM (SELECT doc_id, filter(split(LOWER(text), ' '), t -> t <> '') AS toks
+        |FROM (SELECT doc_id, array_remove(split(LOWER(text), ' '), '') AS toks
         |      FROM documents WHERE doc_id < 30)
         |LATERAL VIEW posexplode(toks) AS pos, tok
         |ORDER BY doc_id, pos""".stripMargin,

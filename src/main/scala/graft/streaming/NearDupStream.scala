@@ -58,7 +58,7 @@ object NearDupStream {
     val banded = docs
       .withWatermark("ts", delay)
       .withColumn("sig",
-        expr("minhash_signature(filter(split(lower(text), ' '), x -> x <> ''))"))
+        expr("minhash_signature(array_remove(split(lower(text), ' '), ''))"))
       .withColumn("band", explode(expr("minhash_band_keys(text)")))
       .select(col("band"), col("doc_id"), col("sig"), col("ts"))
       .as[(Long, Long, Array[Int], java.sql.Timestamp)]
