@@ -25,35 +25,25 @@ object Similarity {
   /** Bucket ids per LSH table: bit j of table t = sign of the projection on
     * a pseudo-random ±1 hyperplane (sign from murmur3(t, j, dim)).
     *
-    * Computed as posexplode → one codegen'd SUM column per (table, plane)
-    * — the aggregate(sequence…) lambda formulation evaluates interpreted
-    * and was the dominant cost of every LSH consumer (same lesson as the
-    * MinHash signatures). Each vector's dims explode within one partition,
-    * so per-group sum order is dim order: identical vectors always get
-    * identical projections and therefore identical buckets. */
+    * Computed MAP-ONLY by the codegen'd [[graft.functions.LshBucketsM3]]
+    * kernel (r15) — one fused loop per vector, zero shuffle. The previous
+    * posexplode → (tables × planes) SUM columns → join-back formulation
+    * paid one exchange of the exploded dim stream plus a corpus-sized
+    * equi-join just to re-attach the embeddings (guide §2.4). The kernel
+    * reproduces that formulation's EXACT sign family (parity of Spark's
+    * chained murmur3 hash(t, j, i+1), seed 42) and dim-order double
+    * summation, so every bucket id — and therefore every consumer's
+    * candidate set — is bit-identical (pinned in SimilaritySpec). */
   private[ext] def withBuckets(vecs: DataFrame,
                                numTables: Int = NumTables,
                                planesPerTable: Int = PlanesPerTable): DataFrame = {
-    val pos = vecs.select(col("vec_id"),
-      posexplode(col("embedding")).as(Seq("i", "x")))
-    val aggs = for {
-      t <- 0 until numTables; j <- 0 until planesPerTable
-    } yield sum(col("x").cast("double") *
-      when(pmod(hash(lit(t), lit(j), col("i") + 1), lit(2)) === 0, 1.0)
-        .otherwise(-1.0)).as(s"p_${t}_$j")
-    val projs = pos.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
-    val bvCols = (0 until numTables).map { t =>
-      (0 until planesPerTable).map(j =>
-        when(col(s"p_${t}_$j") > 0, lit(1 << j)).otherwise(lit(0)))
-        .reduce(_ + _).as(s"bv_$t")
-    }
-    val buckets = projs.select(col("vec_id") +: bvCols: _*)
-    vecs.join(buckets, "vec_id")
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    vecs.select(col("vec_id"), col("embedding"),
+        explode(expr(s"lsh_buckets_m3(embedding, $numTables, $planesPerTable)"))
+          .as("tb"))
       .select(col("vec_id"), col("embedding"),
-        explode(array((0 until numTables).map(t =>
-          struct(lit(t).as("tbl"), col(s"bv_$t").as("bv"))): _*)).as("bucket"))
-      .select(col("vec_id"), col("embedding"),
-        col("bucket.tbl").as("tbl"), col("bucket.bv").as("bv"))
+        shiftright(col("tb"), planesPerTable).as("tbl"),
+        (col("tb") bitwiseAND lit((1 << planesPerTable) - 1)).as("bv"))
   }
 
   /** Hard cap on IVF Lloyd refinement iterations — see the contract in

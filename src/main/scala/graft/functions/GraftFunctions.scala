@@ -43,6 +43,16 @@ object GraftFunctions {
     "lsh_buckets(v) - multi-table hyperplane LSH bucket ids for a float array",
     "")
 
+  private def lshM3Builder(args: Seq[Expression]): Expression = {
+    require(args.length == 3, "lsh_buckets_m3 takes exactly 3 arguments")
+    LshBucketsM3(args.head, literalN("lsh_buckets_m3", args(1)),
+      literalN("lsh_buckets_m3", args(2)))
+  }
+
+  private val lshM3Info = new ExpressionInfo(
+    classOf[LshBucketsM3].getName, null, "lsh_buckets_m3",
+    "lsh_buckets_m3(v, tables, planes) - murmur3-sign LSH bucket ids", "")
+
   private def jaccardBuilder(args: Seq[Expression]): Expression = {
     require(args.length == 2, "jaccard_sim takes exactly 2 arguments")
     JaccardSim(args.head, args(1))
@@ -182,6 +192,8 @@ object GraftFunctions {
       intersectBuilder _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("lsh_buckets"), lshInfo, lshBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("lsh_buckets_m3"), lshM3Info, lshM3Builder _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("jaccard_sim"), jaccardInfo, jaccardBuilder _)
     spark.sessionState.functionRegistry.registerFunction(

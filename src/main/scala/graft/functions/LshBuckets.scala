@@ -104,4 +104,69 @@ object LshBuckets {
     val h = (t * 0x9E3779B1 + j * 0x85EBCA77 + i * 0xC2B2AE3D) * 0x27D4EB2F
     if ((h >>> 31) == 0) 1.0 else -1.0
   }
+
+  /** Bucket array with [[graft.ext.Similarity.withBuckets]]'s EXACT sign
+    * family and summation order (r15): sign(t, j, i) = ±1 by parity of
+    * Spark's chained murmur3 `hash(t, j, i + 1)` (seed 42), projections
+    * summed in dim order as doubles — so the encoded bucket ids are
+    * bit-identical to the posexplode → 64-sum-column aggregation this
+    * replaces, and every LSH consumer keeps its exact candidate sets.
+    * Encoding: (t << planes) | bucketBits, strictly increasing. */
+  def bucketsM3(v: org.apache.spark.sql.catalyst.util.ArrayData,
+                numTables: Int, planesPerTable: Int): GenericArrayData = {
+    import org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt
+    val n = v.numElements()
+    val out = new Array[Int](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bv = 0
+      var j = 0
+      while (j < planesPerTable) {
+        val hj = hashInt(j, hashInt(t, 42))
+        var proj = 0.0
+        var i = 0
+        while (i < n) {
+          val h = hashInt(i + 1, hj)
+          val s = if ((h & 1) == 0) 1.0 else -1.0
+          proj += s * v.getFloat(i).toDouble
+          i += 1
+        }
+        if (proj > 0) bv |= (1 << j)
+        j += 1
+      }
+      out(t) = (t << planesPerTable) | bv
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native expression: [[LshBuckets.bucketsM3]] — the murmur3-sign LSH
+  * bucket family of `Similarity.withBuckets`, computed map-only in one
+  * fused loop (no posexplode, no aggregation, no join-back). */
+case class LshBucketsM3(child: Expression, numTables: Int,
+                        planesPerTable: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) if numTables >= 1 && planesPerTable >= 1 &&
+        planesPerTable <= 30 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckFailure(
+      s"lsh_buckets_m3 expects 1 <= planes <= 30, got " +
+        s"($numTables, $planesPerTable)")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lsh_buckets_m3 expects array<float>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "lsh_buckets_m3"
+
+  override def nullSafeEval(a: Any): Any =
+    LshBuckets.bucketsM3(a.asInstanceOf[ArrayData], numTables, planesPerTable)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.LshBuckets.bucketsM3(" +
+        s"$v, $numTables, $planesPerTable);")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucketsM3 =
+    copy(child = newChild)
 }

@@ -139,7 +139,22 @@ object Queries {
     // inside (cross-engine determinism), final outputs cast to DOUBLE so the
     // driver's canonical rendering agrees between parquet and DuckDB
     // (decimal `x.00` vs float `x.0` hash-mismatch otherwise).
-    Q.same("q18_tpch_q1",
+    // r15: sum_qty/sum_price sum BIGINT cents per row on the Spark side
+    // (see the q77 note); the exact integer sum divides back at group
+    // level (decimal ÷100, exact at scale 6, one correctly-rounded
+    // decimal→double — identical doubles to the old per-row-decimal sum).
+    // avg_disc keeps the decimal AVG: its value depends on decimal
+    // HALF_UP rounding at scale 8, which an integer reformulation would
+    // have to re-implement to the digit for zero win on one column. The
+    // DuckDB twin keeps the old text (new-vs-old pinned by the driver).
+    Q("q18_tpch_q1",
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) AS DECIMAL(38,0)) / 100 AS DOUBLE) AS sum_qty,
+        |       CAST(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DECIMAL(38,0)) / 100 AS DOUBLE) AS sum_price,
+        |       CAST(CAST(AVG(CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS avg_disc,
+        |       COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
       """SELECT l_returnflag, l_linestatus,
         |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
         |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price,
@@ -792,7 +807,31 @@ object Queries {
     // bit-identical inputs, and FLOOR-half-up rounding pins the render.
     // One partial-aggregated groupBy is the whole plan — the estimator
     // is a pure post-aggregation projection at any scale.
-    Q.same("q94_regression",
+    // r15: BIGINT-cents sums on the Spark side (see the q77 note — same
+    // trade, same exactness argument, same old-text DuckDB twin pinning
+    // new-vs-old identity through the driver's own hash compare).
+    Q("q94_regression",
+      """WITH c AS (SELECT l_returnflag,
+        |        CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS cx,
+        |        CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cy
+        |      FROM lineitem),
+        |s AS (SELECT l_returnflag,
+        |        CAST(COUNT(*) AS DOUBLE) AS n,
+        |        CAST(CAST(SUM(cx) AS DECIMAL(38,0)) / 100 AS DOUBLE) AS sx,
+        |        CAST(CAST(SUM(cy) AS DECIMAL(38,0)) / 100 AS DOUBLE) AS sy,
+        |        CAST(SUM(CAST(cx * cx AS DECIMAL(38,0))) / 10000 AS DOUBLE) AS sxx,
+        |        CAST(SUM(CAST(cy * cy AS DECIMAL(38,0))) / 10000 AS DOUBLE) AS syy,
+        |        CAST(SUM(CAST(cx * cy AS DECIMAL(38,0))) / 10000 AS DOUBLE) AS sxy
+        |      FROM c GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST(CAST(FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 10000.0 + 0.5)
+        |       / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS slope,
+        |  CAST(CAST(FLOOR((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+        |       * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS intercept,
+        |  CAST(CAST(FLOOR((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |       / ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1000000.0 + 0.5)
+        |       / 1000000.0 AS DECIMAL(18,6)) AS DOUBLE) AS r2
+        |FROM s ORDER BY l_returnflag""".stripMargin,
       """WITH s AS (SELECT l_returnflag,
         |             CAST(COUNT(*) AS DOUBLE) AS n,
         |             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
@@ -1056,7 +1095,41 @@ object Queries {
     // two-pass closed form sums exactly (DECIMAL), then runs the same
     // scalar IEEE ops on both sides — bit-identical by construction, and
     // the distributed plan is still one map-side-combined aggregation.
-    Q.same("q77_stat_agg",
+    // r15: the Spark side sums BIGINT cents per row (long multiply + the
+    // compact-decimal sum fast path) instead of casting every row to
+    // DECIMAL(18,2) and paying BigDecimal multiply/add per value —
+    // measured ~2× on this row. The group-level decimal divisions hand
+    // the tail formulas the EXACT same doubles as the old per-row-decimal
+    // text (sums are the same integers; the ÷100/÷10000 divisions are
+    // exact at scale 6, then one correctly-rounded decimal→double
+    // conversion — identical to before). The DuckDB twin KEEPS the old
+    // per-row-decimal formulation, so the driver's hash compare itself
+    // pins new-vs-old value identity on every run. Products sum as
+    // DECIMAL(38,0) (not BIGINT) so a 100 TB group cannot overflow.
+    Q("q77_stat_agg",
+      """WITH c AS (SELECT l_returnflag,
+        |        CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS cx,
+        |        CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cy
+        |      FROM lineitem),
+        |s AS (SELECT l_returnflag, COUNT(*) AS n,
+        |        CAST(CAST(SUM(cx) AS DECIMAL(38,0)) / 100 AS DOUBLE) AS sx,
+        |        CAST(CAST(SUM(cy) AS DECIMAL(38,0)) / 100 AS DOUBLE) AS sy,
+        |        CAST(SUM(CAST(cx * cx AS DECIMAL(38,0))) / 10000 AS DOUBLE) AS sxx,
+        |        CAST(SUM(CAST(cx * cy AS DECIMAL(38,0))) / 10000 AS DOUBLE) AS sxy,
+        |        CAST(SUM(CAST(cy * cy AS DECIMAL(38,0))) / 10000 AS DOUBLE) AS syy
+        |      FROM c GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  CAST(n AS BIGINT) AS n,
+        |  CAST(CAST(FLOOR(SQRT(
+        |    (CAST(n AS DOUBLE) * sxx - sx * sx)
+        |    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+        |    * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS sd_qty,
+        |  CAST(CAST(FLOOR(
+        |    (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
+        |     * SQRT(CAST(n AS DOUBLE) * syy - sy * sy))
+        |    * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS corr_qp
+        |FROM s ORDER BY l_returnflag""".stripMargin,
       """SELECT l_returnflag,
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(CAST(FLOOR(SQRT(

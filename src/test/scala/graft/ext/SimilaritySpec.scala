@@ -130,4 +130,37 @@ class SimilaritySpec extends SparkSpec {
     // floor_cos is the exact 5th-best cosine per query — positive and <= 1
     rows.foreach(r => assert(r.getDouble(2) > 0 && r.getDouble(2) <= 1.0))
   }
+
+  test("lsh_buckets_m3 kernel reproduces the aggregation formulation's " +
+       "buckets bit-identically") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    Tables.ensure(spark, sfDir)
+    val vecs = spark.table("embeddings")
+      .select(col("vec_id"), col("embedding"))
+    for ((nt, pp) <- Seq((8, 4), (16, 4), (8, 6))) {
+      // the pre-r15 formulation: posexplode -> one SUM column per
+      // (table, plane) with murmur3-parity signs -> bucket bits
+      val pos = vecs.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      val aggs = for { t <- 0 until nt; j <- 0 until pp } yield
+        sum(col("x").cast("double") *
+          when(pmod(hash(lit(t), lit(j), col("i") + 1), lit(2)) === 0, 1.0)
+            .otherwise(-1.0)).as(s"p_${t}_$j")
+      val projs = pos.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+      val bvCols = (0 until nt).map { t =>
+        (0 until pp).map(j =>
+          when(col(s"p_${t}_$j") > 0, lit(1 << j)).otherwise(lit(0)))
+          .reduce(_ + _).as(s"bv_$t")
+      }
+      val oldB = projs.select(col("vec_id") +: bvCols: _*)
+        .select(col("vec_id"), explode(array((0 until nt).map(t =>
+          struct(lit(t).as("tbl"), col(s"bv_$t").as("bv"))): _*)).as("b"))
+        .select(col("vec_id"), col("b.tbl").as("tbl"), col("b.bv").as("bv"))
+      val newB = Similarity.withBuckets(vecs, nt, pp)
+        .select("vec_id", "tbl", "bv")
+      assert(newB.exceptAll(oldB).isEmpty && oldB.exceptAll(newB).isEmpty,
+        s"bucket mismatch at tables=$nt planes=$pp")
+    }
+  }
 }
