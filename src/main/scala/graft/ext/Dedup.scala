@@ -121,7 +121,15 @@ object Dedup {
     * signature, the final pair set is value-identical to banding every doc.
     * The word arrays join back only for pairs that survive the sketch
     * filter — the band shuffle carries (rep_id, band_id, band_hash) alone. */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsRawFor(spark, dir).orderBy("doc_a", "doc_b")
+
+  /** [[minhashPairs]] without the final global sort (r15): the recall
+    * check re-joins and re-sorts the pairs anyway, so the public API's
+    * ordering exchange (plus its range-partitioner sampling job) is pure
+    * waste on that path. The frame is stage-materialized either way. */
+  private[graft] def minhashPairsRawFor(spark: SparkSession,
+                                        dir: String): DataFrame = {
     // hwords: the word set as a sorted xxhash64 array, computed once per
     // doc — the exact-verify join then intersects LONG arrays (codegen
     // OpenHashSet over primitives) instead of string arrays, with identical
@@ -132,13 +140,16 @@ object Dedup {
     val words = docWords(spark, dir)
       .withColumn("hwords", expr("xxhash64_sorted(words)"))
       .cache()
-    minhashPairsOf(words)
+    minhashPairsRaw(words)
   }
 
   /** [[minhashPairs]] over an explicit (doc_id, words, hwords) frame —
     * separated so specs can drive synthetic corpora with planted
     * duplicate clusters. */
-  private[graft] def minhashPairsOf(words: DataFrame): DataFrame = {
+  private[graft] def minhashPairsOf(words: DataFrame): DataFrame =
+    minhashPairsRaw(words).orderBy("doc_a", "doc_b")
+
+  private def minhashPairsRaw(words: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(words.sparkSession)
     // groups is tiny (one row per DISTINCT signature) but feeds four
     // branches — caching stops the 64-column signature aggregation from
@@ -180,12 +191,11 @@ object Dedup {
         (col("inter").cast("double") /
           (size(col("wa")) + size(col("wb")) - col("inter")).cast("double"))
           .as("jaccard"))
-      // materialize before the global sort: the range partitioner's
-      // sampling pass would otherwise re-execute the whole pair-expansion
-      // + verify pipeline (measured: the sort cost 14.5 s unmaterialized
-      // vs ~1 s over checkpointed rows at sf0.1)
+      // materialize before any downstream sort/join: the range
+      // partitioner's sampling pass would otherwise re-execute the whole
+      // pair-expansion + verify pipeline (measured: the sort cost 14.5 s
+      // unmaterialized vs ~1 s over checkpointed rows at sf0.1)
       .stageMaterialize
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Word-SET-equal doc pairs — the deterministic exact-duplicate floor the
@@ -232,7 +242,7 @@ object Dedup {
     * estimate band stays property-tested in DedupSpec (no twin possible). */
   def minhashRecallCheck(spark: SparkSession, dir: String): DataFrame =
     setEqualPairs(spark, dir)
-      .join(minhashPairs(spark, dir), Seq("doc_a", "doc_b"), "left")
+      .join(minhashPairsRawFor(spark, dir), Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"),
         col("est_j").isNotNull.as("found"),
         coalesce(col("est_j") === 1.0, lit(false)).as("est_ok"),
@@ -248,7 +258,7 @@ object Dedup {
     * band stays property-tested in DedupSpec. */
   def simhashRecallCheck(spark: SparkSession, dir: String): DataFrame =
     setEqualPairs(spark, dir)
-      .join(simhashPairs(spark, dir), Seq("doc_a", "doc_b"), "left")
+      .join(simhashPairsRaw(spark, dir), Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"),
         col("hamming").isNotNull.as("found"),
         coalesce(col("hamming") === 0, lit(false)).as("ham_ok"))
@@ -654,7 +664,13 @@ object Dedup {
     * Hamming distance 3 must agree on at least one chunk), then verify with
     * bit_count(xor) ≤ maxHamming. */
   def simhashPairs(spark: SparkSession, dir: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame =
+    simhashPairsRaw(spark, dir, maxHamming).orderBy("doc_a", "doc_b")
+
+  /** [[simhashPairs]] without the final global sort (see
+    * [[minhashPairsRawFor]]). */
+  private[graft] def simhashPairsRaw(spark: SparkSession, dir: String,
+                                     maxHamming: Int = 3): DataFrame = {
     // Dedup identical signatures FIRST: exact duplicates (the dominant
     // case) collapse to one representative per distinct simhash, so the
     // pairwise chunk join runs over representatives — the giant
@@ -699,9 +715,9 @@ object Dedup {
             greatest(col("x"), col("y")).as("doc_b"), col("hamming"))
         zero.unionByName(cross)
       }
-    // materialize before the global sort — the range sampling pass would
-    // re-execute the chunk join + pair expansion (see minhashPairsOf)
-    pairs.stageMaterialize.orderBy("doc_a", "doc_b")
+    // materialize before any downstream sort/join — the range sampling
+    // pass would re-execute the chunk join + pair expansion otherwise
+    pairs.stageMaterialize
   }
 
   /** x75: near-duplicate GROUPS from near-duplicate PAIRS — the retention

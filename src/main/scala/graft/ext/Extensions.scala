@@ -41,6 +41,26 @@ object Extensions {
        |            ELSE 'und' END AS lang_pred
        |FROM h ORDER BY doc_id""".stripMargin
 
+  private def langIdSparkSql =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |             array_remove(split(LOWER(text), ' '), '') AS toks
+       |           FROM documents),
+       |h AS (SELECT doc_id, lang,
+       |        count_in(toks, array($enStops)) AS en_hits,
+       |        count_in(toks, array($esStops)) AS es_hits,
+       |        count_in(toks, array($deStops)) AS de_hits,
+       |        count_in(toks, array($frStops)) AS fr_hits
+       |      FROM t)
+       |SELECT doc_id, lang, en_hits, es_hits, de_hits, fr_hits,
+       |       CASE WHEN en_hits >= es_hits AND en_hits >= de_hits
+       |                 AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+       |            WHEN es_hits >= de_hits AND es_hits >= fr_hits
+       |                 AND es_hits > 0 THEN 'es'
+       |            WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+       |            WHEN fr_hits > 0 THEN 'fr'
+       |            ELSE 'und' END AS lang_pred
+       |FROM h ORDER BY doc_id""".stripMargin
+
   private def qualitySql(sizeFn: String, filterFn: String, splitFn: String,
                          reReplace: String) =
     s"""WITH t AS (SELECT doc_id, text, CAST(LENGTH(text) AS INT) AS nchars,
@@ -49,6 +69,25 @@ object Extensions {
        |m AS (SELECT doc_id, nchars, CAST($sizeFn(toks) AS INT) AS ntoks,
        |        CAST($sizeFn($filterFn(toks,
        |          x -> x IN ($enStops,'a','for'))) AS INT) AS stop_hits,
+       |        CAST(LENGTH($reReplace) AS INT) AS punct
+       |      FROM t)
+       |SELECT doc_id, nchars, ntoks,
+       |  CAST(CAST(FLOOR(CAST(stop_hits AS DOUBLE)/CAST(GREATEST(ntoks,1) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+       |       AS DECIMAL(18,4)) AS DOUBLE) AS stop_ratio,
+       |  CAST(CAST(FLOOR(CAST(punct AS DOUBLE)/CAST(GREATEST(nchars,1) AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+       |       AS DECIMAL(18,4)) AS DOUBLE) AS punct_ratio,
+       |  CAST(CAST(FLOOR((0.4*(CAST(stop_hits AS DOUBLE)/CAST(GREATEST(ntoks,1) AS DOUBLE))
+       |      + 0.3*LEAST(CAST(ntoks AS DOUBLE)/50.0, 1.0)
+       |      + 0.3*(1.0 - CAST(punct AS DOUBLE)/CAST(GREATEST(nchars,1) AS DOUBLE))) * 10000.0 + 0.5) / 10000.0
+       |       AS DECIMAL(18,4)) AS DOUBLE) AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  private def qualitySparkSql(reReplace: String) =
+    s"""WITH t AS (SELECT doc_id, text, CAST(LENGTH(text) AS INT) AS nchars,
+       |             array_remove(split(text, ' '), '') AS toks
+       |           FROM documents),
+       |m AS (SELECT doc_id, nchars, CAST(size(toks) AS INT) AS ntoks,
+       |        count_in(toks, array($enStops,'a','for')) AS stop_hits,
        |        CAST(LENGTH($reReplace) AS INT) AS punct
        |      FROM t)
        |SELECT doc_id, nchars, ntoks,
@@ -359,15 +398,18 @@ object Extensions {
 
     // x49 (B73) language identification via per-language stopword hit counts
     // — pure higher-order-function pipeline, one scan, no shuffle.
+    // r15 Spark side: stop-list hit counting via the codegen count_in
+    // kernel — size(filter(toks, x -> x IN (...))) evaluated its lambda
+    // interpreted per token, four lists deep. Same counts (exact string
+    // equality), pinned in TokenStatsSpec.
     Q("x49_lang_id",
-      langIdSql("size", "filter", "split"),
+      langIdSparkSql,
       langIdSql("len", "list_filter", "string_split")),
 
     // x50 (B73) document quality scoring: length, stopword ratio,
     // punctuation ratio → weighted score.
     Q("x50_quality",
-      qualitySql("size", "filter", "split",
-        "regexp_replace(text, '[a-zA-Z0-9 ]', '')"),
+      qualitySparkSql("regexp_replace(text, '[a-zA-Z0-9 ]', '')"),
       qualitySql("len", "list_filter", "string_split",
         "regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')")),
 
@@ -538,32 +580,23 @@ object Extensions {
     // ~|doc|/w elements — the standard sublinear copy-detection sketch.
     // Outputs are scalar summaries (count/min/modular sum) per the
     // no-nested-output-columns convention.
+    // r15 Spark side: the whole per-doc derivation (char hash -> rolling
+    // k-gram hash -> window-4 minima -> distinct -> count/min/modsum) is
+    // a pure function of the doc's own token array, so it runs MAP-ONLY
+    // in the codegen'd winnow_fp kernel — the previous formulation paid
+    // an interpreted lambda per CHARACTER for the token hash plus two
+    // token-stream exchanges (the LEAD/MIN windows and the
+    // DISTINCT+GROUP BY). Value parity is pinned in WinnowSpec against
+    // the old window formulation; the DuckDB twin keeps the explicit
+    // window shape.
     Q("x64_winnow",
       """WITH d AS (SELECT doc_id, array_remove(split(LOWER(text), ' '), '') AS toks
         |           FROM documents),
-        |tp AS (SELECT doc_id, pos, tok FROM d LATERAL VIEW posexplode(toks) AS pos, tok),
-        |th AS (SELECT doc_id, pos,
-        |         aggregate(transform(sequence(1, length(tok)),
-        |             i -> CAST(ascii(substring(tok, i, 1)) AS BIGINT)),
-        |           CAST(0 AS BIGINT), (a, c) -> (a * 31 + c) % 1000000007) AS h
-        |       FROM tp),
-        |kg AS (SELECT doc_id, pos,
-        |         (((h * 1000003 + LEAD(h, 1) OVER (PARTITION BY doc_id ORDER BY pos)) % 1000000007) * 1000003
-        |           + LEAD(h, 2) OVER (PARTITION BY doc_id ORDER BY pos)) % 1000000007 AS kh,
-        |         LEAD(h, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS h2
-        |       FROM th),
-        |kgv AS (SELECT doc_id, pos, kh FROM kg WHERE h2 IS NOT NULL),
-        |win AS (SELECT doc_id,
-        |          MIN(kh) OVER (PARTITION BY doc_id ORDER BY pos
-        |                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
-        |          COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
-        |                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
-        |        FROM kgv),
-        |sel AS (SELECT DISTINCT doc_id, wmin FROM win WHERE wn = 4)
-        |SELECT doc_id, CAST(COUNT(wmin) AS INT) AS n_fp,
-        |       CAST(MIN(wmin) AS BIGINT) AS min_fp,
-        |       CAST(SUM(wmin) % 1000000007 AS BIGINT) AS fp_modsum
-        |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |w AS (SELECT doc_id, winnow_fp(toks) AS w FROM d)
+        |SELECT doc_id, CAST(w.n_fp AS INT) AS n_fp,
+        |       CAST(w.min_fp AS BIGINT) AS min_fp,
+        |       CAST(w.fp_modsum AS BIGINT) AS fp_modsum
+        |FROM w WHERE w IS NOT NULL ORDER BY doc_id""".stripMargin,
       """WITH d AS (SELECT doc_id, list_filter(string_split(LOWER(text), ' '), t -> t <> '') AS toks
         |           FROM documents),
         |tp AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS tok FROM d),
@@ -1413,7 +1446,7 @@ object Extensions {
         |             array_remove(split(text, ' '), '') AS toks
         |           FROM documents),
         |m AS (SELECT doc_id, lang, nchars, CAST(size(toks) AS INT) AS ntoks,
-        |        CAST(size(filter(toks, x -> x IN ('the','and','of','to','in','is','it','that','a','for'))) AS INT) AS stop_hits,
+        |        count_in(toks, array('the','and','of','to','in','is','it','that','a','for')) AS stop_hits,
         |        CAST(LENGTH(regexp_replace(text, '[a-zA-Z0-9 ]', '')) AS INT) AS punct
         |      FROM t),
         |s AS (SELECT doc_id, lang,
@@ -1461,9 +1494,9 @@ object Extensions {
         |             array_remove(split(LOWER(text), ' '), '') AS toks
         |           FROM documents),
         |m AS (SELECT doc_id, nchars, CAST(size(toks) AS INT) AS n_words,
-        |        AGGREGATE(toks, CAST(0 AS BIGINT), (acc, w) -> acc + length(w)) AS wchars,
-        |        CAST(size(filter(toks, w -> w RLIKE '[a-z]')) AS INT) AS alpha_words,
-        |        CAST(size(filter(toks, w -> w IN ('the','and','of','to','in','is','it','that'))) AS INT) AS stop_hits,
+        |        sum_lengths(toks) AS wchars,
+        |        count_rlike(toks, '[a-z]') AS alpha_words,
+        |        count_in(toks, array('the','and','of','to','in','is','it','that')) AS stop_hits,
         |        CAST(LENGTH(regexp_replace(text, '[a-zA-Z0-9 ]', '')) AS INT) AS punct
         |      FROM t),
         |r AS (SELECT doc_id, n_words,
@@ -1625,13 +1658,11 @@ object Extensions {
     // logit is assembled from integer-derived ratios FLOOR-rounded at 4dp
     // before the sigmoid so both engines see identical inputs; p lands in
     // basis points (integer) and the keep decision compares integers.
+    // r15 Spark side: wchars/alpha_words/stop_hits via the codegen
+    // sum_lengths/count_rlike/count_in kernels (the HOF lambdas evaluated
+    // interpreted per token; parity pinned in TokenStatsSpec).
     Q("x102_quality_score",
-      qualityScoreSql(
-        toksExpr = "array_remove(split(LOWER(text), ' '), '')",
-        sizeFn = "size", filterFn = "filter",
-        wcharsExpr =
-          "AGGREGATE(toks, CAST(0 AS BIGINT), (acc, w) -> acc + length(w))",
-        alphaPred = "w RLIKE '[a-z]'", reFlag = ""),
+      qualityScoreSparkSql,
       qualityScoreSql(
         toksExpr = "list_filter(string_split(LOWER(text), ' '), x -> x <> '')",
         sizeFn = "len", filterFn = "list_filter",
@@ -1891,6 +1922,37 @@ object Extensions {
     * Every ratio feature FLOOR-rounds at fixed scale BEFORE entering the
     * logit so both engines feed the sigmoid identical doubles; p lands in
     * basis points and the keep decision compares integers. */
+  private def qualityScoreSparkSql: String =
+    s"""WITH t AS (SELECT doc_id, text, CAST(LENGTH(text) AS INT) AS nchars,
+       |             array_remove(split(LOWER(text), ' '), '') AS toks
+       |           FROM documents),
+       |m AS (SELECT doc_id, nchars, CAST(size(toks) AS INT) AS n_words,
+       |        sum_lengths(toks) AS wchars,
+       |        count_rlike(toks, '[a-z]') AS alpha_words,
+       |        count_in(toks, array($enStops)) AS stop_hits,
+       |        CAST(LENGTH(regexp_replace(text, '[a-zA-Z0-9 ]', '')) AS INT) AS punct
+       |      FROM t),
+       |r AS (SELECT doc_id, n_words,
+       |        FLOOR(CAST(stop_hits AS DOUBLE) / GREATEST(n_words, 1) * 10000.0 + 0.5) / 10000.0 AS stop_frac,
+       |        FLOOR(CAST(alpha_words AS DOUBLE) / GREATEST(n_words, 1) * 10000.0 + 0.5) / 10000.0 AS alpha_frac,
+       |        FLOOR(CAST(punct AS DOUBLE) / GREATEST(nchars, 1) * 10000.0 + 0.5) / 10000.0 AS sym_ratio,
+       |        FLOOR(CAST(wchars AS DOUBLE) / GREATEST(n_words, 1) * 100.0 + 0.5) / 100.0 AS mean_wlen,
+       |        FLOOR(LN(nchars + 1.0) * 10000.0 + 0.5) / 10000.0 AS log_len
+       |      FROM m),
+       |s AS (SELECT doc_id, n_words, stop_frac, alpha_frac, sym_ratio,
+       |        mean_wlen, log_len,
+       |        -2.0 + 6.0 * stop_frac + 2.0 * alpha_frac - 12.0 * sym_ratio
+       |          + 0.1 * mean_wlen + 0.2 * log_len AS logit
+       |      FROM r)
+       |SELECT doc_id, n_words,
+       |  CAST(CAST(stop_frac AS DECIMAL(18,4)) AS DOUBLE) AS stop_frac,
+       |  CAST(CAST(alpha_frac AS DECIMAL(18,4)) AS DOUBLE) AS alpha_frac,
+       |  CAST(CAST(sym_ratio AS DECIMAL(18,4)) AS DOUBLE) AS sym_ratio,
+       |  CAST(CAST(mean_wlen AS DECIMAL(18,2)) AS DOUBLE) AS mean_wlen,
+       |  CAST(FLOOR(10000.0 / (1.0 + EXP(-logit)) + 0.5) AS INT) AS p_bps,
+       |  CAST(FLOOR(10000.0 / (1.0 + EXP(-logit)) + 0.5) AS INT) >= 8500 AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+
   private def qualityScoreSql(toksExpr: String, sizeFn: String,
                               filterFn: String, wcharsExpr: String,
                               alphaPred: String, reFlag: String): String =

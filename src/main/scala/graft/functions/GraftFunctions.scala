@@ -43,6 +43,60 @@ object GraftFunctions {
     "lsh_buckets(v) - multi-table hyperplane LSH bucket ids for a float array",
     "")
 
+  private def stringArrayLiteral(name: String, e: Expression): Seq[String] = e match {
+    case org.apache.spark.sql.catalyst.expressions.CreateArray(elems, _)
+        if elems.forall(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.Literal]) =>
+      elems.map(_.asInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.Literal].value.toString)
+    case other => throw new IllegalArgumentException(
+      s"$name expects a literal string array, got $other")
+  }
+
+  private def countInBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "count_in takes exactly 2 arguments")
+    CountIn(args.head, stringArrayLiteral("count_in", args(1)))
+  }
+
+  private val countInInfo = new ExpressionInfo(
+    classOf[CountIn].getName, null, "count_in",
+    "count_in(tokens, array(...)) - tokens equal to any of a literal set", "")
+
+  private def countRlikeBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "count_rlike takes exactly 2 arguments")
+    val re = args(1) match {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal
+          if l.dataType == org.apache.spark.sql.types.StringType =>
+        l.value.toString
+      case other => throw new IllegalArgumentException(
+        s"count_rlike expects a literal regex, got $other")
+    }
+    CountRlike(args.head, re)
+  }
+
+  private val countRlikeInfo = new ExpressionInfo(
+    classOf[CountRlike].getName, null, "count_rlike",
+    "count_rlike(tokens, regex) - tokens the regex finds a match in", "")
+
+  private def sumLengthsBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, "sum_lengths takes exactly 1 argument")
+    SumLengths(args.head)
+  }
+
+  private val sumLengthsInfo = new ExpressionInfo(
+    classOf[SumLengths].getName, null, "sum_lengths",
+    "sum_lengths(tokens) - total code-point length of the tokens", "")
+
+  private def winnowBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, "winnow_fp takes exactly 1 argument")
+    WinnowFp(args.head)
+  }
+
+  private val winnowInfo = new ExpressionInfo(
+    classOf[WinnowFp].getName, null, "winnow_fp",
+    "winnow_fp(tokens) - struct(n_fp, min_fp, fp_modsum) winnowing fingerprint summary",
+    "")
+
   private def lshM3Builder(args: Seq[Expression]): Expression = {
     require(args.length == 3, "lsh_buckets_m3 takes exactly 3 arguments")
     LshBucketsM3(args.head, literalN("lsh_buckets_m3", args(1)),
@@ -194,6 +248,14 @@ object GraftFunctions {
       FunctionIdentifier("lsh_buckets"), lshInfo, lshBuilder _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("lsh_buckets_m3"), lshM3Info, lshM3Builder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("winnow_fp"), winnowInfo, winnowBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("count_in"), countInInfo, countInBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("count_rlike"), countRlikeInfo, countRlikeBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("sum_lengths"), sumLengthsInfo, sumLengthsBuilder _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("jaccard_sim"), jaccardInfo, jaccardBuilder _)
     spark.sessionState.functionRegistry.registerFunction(
