@@ -210,6 +210,11 @@ object SparkEntry {
       // value-identical to x76 and shares its DuckDB twin. See ext/Decontam.
       "x95_bloom_decontam" -> ((s: SparkSession, d: String) =>
         graft.ext.Decontam.bloomDecontamQuery(s, d)),
+      // x114: overrides the SQL-text variant — same oracle, but the
+      // 5-gram stream materializes ONCE for its two consumers instead of
+      // being recomputed per CTE reference (see Extensions.boilerplateQuery)
+      "x114_boilerplate" -> ((s: SparkSession, d: String) =>
+        Extensions.boilerplateQuery(s, d)),
       // x105: host-graph PageRank over the mirror graph (edge = two
       // sources serving word-set-identical docs); 5 damped iterations on
       // integer-quantized contributions so both engines carry identical

@@ -699,30 +699,21 @@ object Extensions {
     // Spark generates a DESCENDING range when start > stop, so ntoks = 1
     // must not build bigram indexes; single-token docs take
     // top_bi_frac = 0 via COALESCE.
+    // r15 Spark side: top_uni/top_bi = max_freq (max multiplicity, the
+    // codegen kernel) — identical by definition to the longest equal run
+    // of the SORTED array the interpreted aggregate() scans computed,
+    // without the two array_sort passes or the per-token lambdas; the
+    // bigram array comes from the codegen word_ngrams. Old-vs-new parity
+    // pinned in TokenStatsSpec; the DuckDB twin keeps the explode shape.
     Q("x68_repetition",
       """WITH d AS (SELECT doc_id, array_remove(split(LOWER(text), ' '), '') AS toks
         |           FROM documents),
         |m AS (SELECT doc_id, toks, size(toks) AS ntoks, size(array_distinct(toks)) AS ndist
         |      FROM d WHERE size(toks) > 0),
-        |g AS (SELECT doc_id, ntoks, ndist, array_sort(toks) AS st,
-        |        CASE WHEN ntoks >= 2 THEN array_sort(transform(sequence(1, ntoks - 1),
-        |            i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))) END AS sb
-        |      FROM m),
         |f AS (SELECT doc_id, ntoks, ndist,
-        |        aggregate(st, named_struct('prev', '', 'run', 0, 'best', 0),
-        |          (s, t) -> named_struct('prev', t,
-        |            'run', CASE WHEN t = s.prev THEN s.run + 1 ELSE 1 END,
-        |            'best', GREATEST(s.best,
-        |              CASE WHEN t = s.prev THEN s.run + 1 ELSE 1 END)),
-        |          s -> s.best) AS top_uni,
-        |        CASE WHEN sb IS NOT NULL THEN
-        |          aggregate(sb, named_struct('prev', '', 'run', 0, 'best', 0),
-        |            (s, t) -> named_struct('prev', t,
-        |              'run', CASE WHEN t = s.prev THEN s.run + 1 ELSE 1 END,
-        |              'best', GREATEST(s.best,
-        |                CASE WHEN t = s.prev THEN s.run + 1 ELSE 1 END)),
-        |            s -> s.best) END AS top_bi
-        |      FROM g)
+        |        max_freq(toks) AS top_uni,
+        |        CASE WHEN ntoks >= 2 THEN max_freq(word_ngrams(toks, 2)) END AS top_bi
+        |      FROM m)
         |SELECT doc_id, CAST(ntoks AS INT) AS ntoks,
         |  CAST(CAST(FLOOR((1.0 - CAST(ndist AS DOUBLE) / CAST(ntoks AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS dup_frac,
         |  CAST(CAST(FLOOR(CAST(top_uni AS DOUBLE) / CAST(ntoks AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS top_uni_frac,
@@ -1995,6 +1986,56 @@ object Extensions {
     * any downstream stage, and the q46-family sketches skip empties
     * anyway).
     */
+  /** x114 driver query (r15): the SQL-text formulation's `pos` CTE (the
+    * 5-gram stream) is consumed twice — the df-threshold aggregate AND
+    * the cover join — and CTE inlining recomputes it per use. This
+    * DataFrame form derives the gram stream ONCE through
+    * [[graft.ext.Stages.materialize]] (on a cluster: reliable checkpoint
+    * / intermediate table) and both consumers read the materialized
+    * blocks. Grams come from the codegen word_ngrams kernel; everything
+    * else — the df >= 10 boilerplate set, the covered-position explode,
+    * the (doc, position) anti-join, the position-tagged fingerprint — is
+    * the Q-text shape unchanged, and the DuckDB twin still pins the
+    * exact surviving tokens. */
+  def boilerplateQuery(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): org.apache.spark.sql.DataFrame = {
+    import Stages.StageOps
+    graft.functions.GraftFunctions.register(spark)
+    graft.Tables.ensure(spark, dir)
+    spark.sql(
+      """SELECT doc_id, source,
+        |       array_remove(split(LOWER(text), ' '), '') AS tk
+        |FROM documents""".stripMargin)
+      .createOrReplaceTempView("__x114_toks")
+    spark.sql(
+      """SELECT doc_id, source, p + 1 AS i, gram
+        |FROM __x114_toks
+        |LATERAL VIEW posexplode(word_ngrams(tk, 5)) AS p, gram""".stripMargin)
+      .stageMaterialize
+      .createOrReplaceTempView("__x114_pos")
+    val out = spark.sql(
+      """WITH bp AS (SELECT source, gram
+        |       FROM (SELECT source, gram, COUNT(DISTINCT doc_id) AS df
+        |             FROM __x114_pos GROUP BY source, gram)
+        |       WHERE df >= 10),
+        |cover AS (SELECT DISTINCT p.doc_id, explode(sequence(p.i, p.i + 4)) AS j
+        |          FROM __x114_pos p
+        |          JOIN bp b ON p.source = b.source AND p.gram = b.gram),
+        |tokpos AS (SELECT doc_id, p + 1 AS j, tok
+        |           FROM (SELECT doc_id, posexplode(tk) AS (p, tok)
+        |                 FROM __x114_toks)),
+        |kept AS (SELECT t.doc_id, t.j, t.tok
+        |         FROM tokpos t LEFT JOIN cover c
+        |           ON t.doc_id = c.doc_id AND t.j = c.j
+        |         WHERE c.doc_id IS NULL)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_toks,
+        |  md5(CAST(array_join(sort_array(collect_list(
+        |    concat(tok, ':', CAST(j AS STRING)))), ' ') AS BINARY)) AS clean_fp
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    Seq("__x114_toks", "__x114_pos").foreach(spark.catalog.dropTempView)
+    out
+  }
+
   def stripBoilerplate(docs: org.apache.spark.sql.DataFrame,
                        minDf: Long = 10): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._

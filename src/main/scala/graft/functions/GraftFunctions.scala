@@ -78,6 +78,15 @@ object GraftFunctions {
     classOf[CountRlike].getName, null, "count_rlike",
     "count_rlike(tokens, regex) - tokens the regex finds a match in", "")
 
+  private def maxFreqBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 1, "max_freq takes exactly 1 argument")
+    MaxFreq(args.head)
+  }
+
+  private val maxFreqInfo = new ExpressionInfo(
+    classOf[MaxFreq].getName, null, "max_freq",
+    "max_freq(tokens) - max multiplicity of any token", "")
+
   private def sumLengthsBuilder(args: Seq[Expression]): Expression = {
     require(args.length == 1, "sum_lengths takes exactly 1 argument")
     SumLengths(args.head)
@@ -256,6 +265,8 @@ object GraftFunctions {
       FunctionIdentifier("count_rlike"), countRlikeInfo, countRlikeBuilder _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("sum_lengths"), sumLengthsInfo, sumLengthsBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("max_freq"), maxFreqInfo, maxFreqBuilder _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("jaccard_sim"), jaccardInfo, jaccardBuilder _)
     spark.sessionState.functionRegistry.registerFunction(

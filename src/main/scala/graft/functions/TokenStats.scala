@@ -49,6 +49,25 @@ object TokenStats {
     c
   }
 
+  /** Max multiplicity of any element — equals the longest equal run of
+    * the sorted array (the x68 aggregate()-scan value) without sorting. */
+  def maxFreq(arr: ArrayData): Int = {
+    val n = arr.numElements()
+    if (n == 0) return 0
+    val counts = new java.util.HashMap[UTF8String, Integer](n * 2)
+    var best = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val k = arr.getUTF8String(i)
+        val c = counts.merge(k, 1, (a, b) => a + b)
+        if (c > best) best = c
+      }
+      i += 1
+    }
+    best
+  }
+
   def sumLengths(arr: ArrayData): Long = {
     val n = arr.numElements()
     var s = 0L
@@ -114,6 +133,22 @@ case class CountRlike(child: Expression, regex: String)
   }
 
   override protected def withNewChildInternal(newChild: Expression): CountRlike =
+    copy(child = newChild)
+}
+
+/** `max_freq(tokens)` — max multiplicity of any token. */
+case class MaxFreq(child: Expression) extends TokenArrayExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "max_freq"
+
+  override def nullSafeEval(a: Any): Any =
+    TokenStats.maxFreq(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TokenStats.maxFreq($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): MaxFreq =
     copy(child = newChild)
 }
 

@@ -58,4 +58,21 @@ class TokenStatsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("*(1)") || plan.contains("WholeStageCodegen"), plan)
   }
+
+  test("max_freq equals the sorted-run aggregate() scan") {
+    corpus()
+    val bad = spark.sql(
+      """SELECT COUNT(*) FROM __ts_in WHERE size(toks) > 0 AND
+        |  max_freq(toks) <> aggregate(array_sort(toks),
+        |    named_struct('prev', '', 'run', 0, 'best', 0),
+        |    (s, t) -> named_struct('prev', t,
+        |      'run', CASE WHEN t = s.prev THEN s.run + 1 ELSE 1 END,
+        |      'best', GREATEST(s.best,
+        |        CASE WHEN t = s.prev THEN s.run + 1 ELSE 1 END)),
+        |    s -> s.best)""".stripMargin).head.getLong(0)
+    assert(bad == 0)
+    val r = spark.sql(
+      "SELECT max_freq(CAST(array() AS ARRAY<STRING>)) AS a").head
+    assert(r.getInt(0) == 0)
+  }
 }
