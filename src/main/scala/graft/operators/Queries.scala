@@ -575,14 +575,22 @@ object Queries {
     // the variant a cluster job should use. The sketch's exact interior is
     // engine-specific, so — the x59/x62 recall-check pattern — the driver
     // row asserts the ε-bound as a deterministic boolean next to the
-    // DECIMAL-pinned exact value: rank error ≤ n/accuracy = ~3 rows at
-    // sf0.1's ~30k-row groups, far inside the 1% relative tolerance, and
-    // the bound tightens as sf grows (error ratio is constant in n).
+    // DECIMAL-pinned exact value. The bound covers TWO error sources:
+    // the sketch's rank error (≤ n/accuracy — ~3 rows at sf0.1's
+    // ~30k-row groups, 0 rows below 10k) AND the interpolation gap —
+    // exact `percentile` interpolates between the two middle order
+    // statistics on even-sized groups while the sketch returns an actual
+    // data value, so on SMALL groups the ratio is bounded by the
+    // adjacent-value gap around the median, not by the sketch (measured:
+    // 1.10% on sf0.001's 316-row 2-HIGH group — which is why the
+    // original 1% bound was an inherited sf0.001 red, fixed r15; ≤0.06%
+    // at sf0.01, 0 at sf0.1). 2.5% covers the measured worst case with
+    // 2.3× margin and tightens as n grows on both axes.
     Q("q84_quantile_approx",
       """SELECT o_orderpriority,
         |  CAST(CAST(ROUND(percentile(o_totalprice, 0.5), 2) AS DECIMAL(18,2)) AS DOUBLE) AS p50_exact,
         |  (abs(approx_percentile(o_totalprice, 0.5, 10000)
-        |       / percentile(o_totalprice, 0.5) - 1.0) <= 0.01) AS approx_ok
+        |       / percentile(o_totalprice, 0.5) - 1.0) <= 0.025) AS approx_ok
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
       """SELECT o_orderpriority,
         |  CAST(CAST(ROUND(quantile_cont(o_totalprice, 0.5), 2) AS DECIMAL(18,2)) AS DOUBLE) AS p50_exact,
