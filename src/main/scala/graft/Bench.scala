@@ -3,7 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every SparkEntry query at SPARK_GRAFT_SF_DIR
-  * and prints ONE JSON line. Optional args: comma-separated query names to
+  * and prints the full per-query JSON line (the original contract), then a
+  * SHORT final JSON line (total + failure count + pointer to the per-query
+  * file) sized to survive the driver's 2000-char output tail. The full
+  * per-query JSON is also written to bench_per_query.json (override:
+  * SPARK_GRAFT_BENCH_JSON). Optional args: comma-separated query names to
   * run a subset (dev use); no args = full suite (driver contract).
   */
 object Bench {
@@ -101,13 +105,37 @@ object Bench {
       }.sorted
       name -> times(times.length / 2)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Seconds at millisecond resolution: the timings carry ±30% shared-VM
+    // noise, so sub-ms digits are pure line width (the full-suite line was
+    // ~6 KB with 9 significant decimals, ~3.9 KB at 3).
+    def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val fj = failures.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fj,"reps":$reps,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failures":$fj,"reps":$reps,"sf":"$sfDir"}"""
+    println(fullLine)
+    // The round driver stores only a ~2000-char tail of this process's
+    // output, and the 163-entry line above never fits — every BENCH_r*.json
+    // capture back to round 1 has parsed:null because the line truncates
+    // mid-string. Additions only: persist the full per-query JSON to a file
+    // and END with a short, complete JSON line (total + failure count +
+    // file pointer) that always fits inside the tail.
+    val perQueryFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_JSON",
+      "bench_per_query.json")
+    val filePointer = try {
+      val p = java.nio.file.Paths.get(perQueryFile).toAbsolutePath
+      java.nio.file.Files.write(p,
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      p.toString
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] per-query file write failed: ${e.getMessage}")
+      ""
+    }
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","nqueries":${results.size},"nfailures":${failures.size},"per_query_file":"$filePointer","reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
