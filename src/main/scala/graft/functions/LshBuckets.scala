@@ -126,9 +126,14 @@ object LshBuckets {
         var proj = 0.0
         var i = 0
         while (i < n) {
-          val h = hashInt(i + 1, hj)
-          val s = if ((h & 1) == 0) 1.0 else -1.0
-          proj += s * v.getFloat(i).toDouble
+          // skip null dims (ADVICE r15): the posexplode+SUM formulation this
+          // mirrors ignores null elements, so a null-containing array must
+          // bucket identically
+          if (!v.isNullAt(i)) {
+            val h = hashInt(i + 1, hj)
+            val s = if ((h & 1) == 0) 1.0 else -1.0
+            proj += s * v.getFloat(i).toDouble
+          }
           i += 1
         }
         if (proj > 0) bv |= (1 << j)
@@ -148,11 +153,16 @@ case class LshBucketsM3(child: Expression, numTables: Int,
                         planesPerTable: Int) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    // numTables bound (ADVICE r15): the id encodes (t << planes) | bits, so
+    // (numTables - 1) << planesPerTable must not overflow Int — otherwise
+    // large table counts produce negative ids that decode wrongly
     case ArrayType(FloatType, _) if numTables >= 1 && planesPerTable >= 1 &&
-        planesPerTable <= 30 => TypeCheckResult.TypeCheckSuccess
+        planesPerTable <= 30 &&
+        numTables - 1 <= (Int.MaxValue >> planesPerTable) =>
+      TypeCheckResult.TypeCheckSuccess
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckFailure(
-      s"lsh_buckets_m3 expects 1 <= planes <= 30, got " +
-        s"($numTables, $planesPerTable)")
+      s"lsh_buckets_m3 expects 1 <= planes <= 30 and numTables <= " +
+        s"(Int.MaxValue >> planes) + 1, got ($numTables, $planesPerTable)")
     case other => TypeCheckResult.TypeCheckFailure(
       s"lsh_buckets_m3 expects array<float>, got ${other.simpleString}")
   }

@@ -87,7 +87,12 @@ object Winnow {
 
 /** Native expression: `winnow_fp(tokens)` — struct(n_fp, min_fp,
   * fp_modsum) of the winnowing fingerprint set, NULL when the doc is too
-  * short to carry a full window. */
+  * short to carry a full window.
+  *
+  * Contract (ADVICE r15): a null array ELEMENT is treated as an empty
+  * token (char hash 0) — the graft tokenizers (`array_remove(split(…),
+  * '')`) never produce nulls, so this is only observable when the
+  * registered SQL function is applied to hand-built arrays. */
 case class WinnowFp(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
