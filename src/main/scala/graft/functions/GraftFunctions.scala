@@ -47,8 +47,15 @@ object GraftFunctions {
     case org.apache.spark.sql.catalyst.expressions.CreateArray(elems, _)
         if elems.forall(_.isInstanceOf[
           org.apache.spark.sql.catalyst.expressions.Literal]) =>
-      elems.map(_.asInstanceOf[
-        org.apache.spark.sql.catalyst.expressions.Literal].value.toString)
+      elems.map { el =>
+        val v = el.asInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.Literal].value
+        // reject nulls with the same descriptive error as non-literals
+        // (ADVICE r15: .toString on a null literal NPE'd at analysis time)
+        if (v == null) throw new IllegalArgumentException(
+          s"$name expects a literal string array without nulls, got $e")
+        v.toString
+      }
     case other => throw new IllegalArgumentException(
       s"$name expects a literal string array, got $other")
   }
@@ -198,6 +205,16 @@ object GraftFunctions {
     "ngram_hashes_sorted(words, n) - sorted xxhash64 of distinct word n-grams",
     "")
 
+  private def boilerplateStripBuilder(args: Seq[Expression]): Expression = {
+    require(args.length == 2, "boilerplate_strip takes exactly 2 arguments")
+    BoilerplateStrip(args.head, args(1))
+  }
+
+  private val boilerplateStripInfo = new ExpressionInfo(
+    classOf[BoilerplateStrip].getName, null, "boilerplate_strip",
+    "boilerplate_strip(tokens, matched) - struct(kept_toks, clean_fp) after 5-gram cover removal",
+    "")
+
   private[functions] def levenshteinFastBuilder(args: Seq[Expression]): Expression = {
     require(args.length == 2, "graft_levenshtein takes exactly 2 arguments")
     LevenshteinFast(args.head, args(1))
@@ -288,6 +305,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_levenshtein"), levenshteinFastInfo,
       levenshteinFastBuilder _)
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("boilerplate_strip"), boilerplateStripInfo,
+      boilerplateStripBuilder _)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("bloom_filter_agg"), bloomAggInfo, bloomAggBuilder _)
     spark.sessionState.functionRegistry.registerFunction(
