@@ -2,7 +2,8 @@ package graft.ext
 
 import Stages.StageOps
 import org.apache.spark.sql.{DataFrame, functions => F}
-import org.apache.spark.sql.functions.{coalesce, col, least, lit, min}
+import org.apache.spark.sql.functions.{col, lit, min}
+import org.apache.spark.sql.types.DecimalType
 
 /** Distributed connected components over a near-duplicate pair graph.
   *
@@ -13,11 +14,21 @@ import org.apache.spark.sql.functions.{coalesce, col, least, lit, min}
   *
   *   label(v) <- min(label(v), min over neighbours u of label(u))
   *
-  * run until a fixpoint. Every iteration is one shuffle join + one
-  * partial-aggregated groupBy — fully distributed, no driver-side graph.
-  * The only driver traffic per iteration is a changed-row COUNT (one
-  * scalar) for the convergence test, and `localCheckpoint()` truncates
-  * the lineage so the plan does not grow with the iteration count.
+  * run until a fixpoint. r16 shape (guide §2.4 "remove shuffles/passes
+  * outright"; was 2 joins + 1 aggregate + a separate convergence-count
+  * job per iteration):
+  *  - the symmetrized edge set carries a SELF-LOOP per vertex, so "keep
+  *    your own label" folds into the same grouped `min` as the
+  *    neighbour pull — each iteration is ONE shuffle join + ONE
+  *    partial-aggregated groupBy, no join back to the previous labels;
+  *  - labels only ever DECREASE, so the exact DECIMAL(38,0) sum of all
+  *    labels is strictly decreasing until the fixpoint; the sum rides
+  *    the materialization job via `Dataset.observe` (CollectMetrics
+  *    accumulates in the same tasks that write the checkpoint), and
+  *    sum(k) = sum(k-1) IS convergence — zero extra jobs, one scalar of
+  *    driver traffic per iteration;
+  *  - `localCheckpoint()` (cluster: reliable checkpoint) truncates the
+  *    lineage so the plan does not grow with the iteration count.
   *
   * Convergence: the iteration count is bounded by the eccentricity of the
   * min-id vertex within each component. Near-duplicate graphs are unions
@@ -34,6 +45,22 @@ import org.apache.spark.sql.functions.{coalesce, col, least, lit, min}
   */
 object Components {
 
+  /** Exact label sum: labels are doc ids (longs), so DECIMAL(38,0) can
+    * never overflow at any corpus scale. */
+  private val labelSum =
+    F.sum(col("label").cast(DecimalType(38, 0))).as("lsum")
+
+  private def asBig(v: Any): java.math.BigDecimal = v match {
+    case null => null
+    case b: java.math.BigDecimal => b
+    case b: scala.math.BigDecimal => b.bigDecimal
+    case n: Number => new java.math.BigDecimal(n.toString)
+  }
+
+  private def sumsEqual(a: java.math.BigDecimal,
+                        b: java.math.BigDecimal): Boolean =
+    (a == null && b == null) || (a != null && b != null && a.compareTo(b) == 0)
+
   /** @param nodes one column `id` (every vertex, including singletons)
     * @param edges two columns (undirected pairs; symmetrized internally)
     * @return `id, label` where label = min id reachable (component id)
@@ -42,37 +69,40 @@ object Components {
                           srcCol: String, dstCol: String,
                           maxIters: Int = 50): DataFrame = {
     val e = edges.select(col(srcCol).as("s"), col(dstCol).as("t"))
-    // Symmetrize once: propagation must flow both directions.
+    // Symmetrize + self-loop once: propagation must flow both directions,
+    // and the self edge keeps every vertex (and its current label) in the
+    // grouped min without a second join.
     val sym = e.union(e.select(col("t").as("s"), col("s").as("t")))
+      .union(nodes.select(col("id").as("s"), col("id").as("t")))
       .stageMaterialize
 
+    val obs0 = org.apache.spark.sql.Observation("graft-cc-init")
     var labels = nodes.select(col("id"), col("id").as("label"))
+      .observe(obs0, labelSum)
       .stageMaterialize
+    var prevSum = asBig(obs0.get("lsum"))
     var iter = 0
-    var changed = 1L
-    while (changed > 0) {
+    var changed = true
+    while (changed) {
       if (iter >= maxIters)
         throw new IllegalStateException(
           s"connected components did not converge in $maxIters iterations")
-      // Each vertex pulls the smallest label in its neighbourhood. The
-      // groupBy(min) runs with a map-side partial aggregate, so the
-      // shuffle carries one candidate row per (vertex, map partition).
-      val pulled = sym.join(labels, sym("t") === labels("id"))
-        .groupBy(sym("s").as("nid"))
-        .agg(min("label").as("nlab"))
-      // Carry the previous label through the checkpoint: the convergence
-      // test is then a cheap scan over the materialized blocks — ONE
-      // distributed job per iteration, not a second join against the old
-      // labels.
-      val next = labels.join(pulled, labels("id") === pulled("nid"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlab"), col("label")))
-            .as("label"),
-          col("label").as("prev"))
+      // Each vertex pulls the smallest label in its closed neighbourhood
+      // (self-loop included). The groupBy(min) runs with a map-side
+      // partial aggregate, so the shuffle carries one candidate row per
+      // (vertex, map partition); the label-sum metric is collected by the
+      // same tasks that write the checkpoint.
+      val obs = org.apache.spark.sql.Observation(s"graft-cc-iter-$iter")
+      val next = sym.join(labels, sym("t") === labels("id"))
+        .groupBy(sym("s").as("id"))
+        .agg(min("label").as("label"))
+        .observe(obs, labelSum)
         .stageMaterialize
-      changed = next.filter(col("label") < col("prev")).count()
+      val s = asBig(obs.get("lsum"))
+      changed = !sumsEqual(s, prevSum)
+      prevSum = s
       labels.unpersist()
-      labels = next.drop("prev")
+      labels = next
       iter += 1
     }
     labels

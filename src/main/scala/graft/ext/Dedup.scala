@@ -73,7 +73,17 @@ object Dedup {
     * Factored out so a spec can pin the scale contract: candidate volume
     * through this join depends only on the number of DISTINCT signatures,
     * never on duplicate-cluster sizes. */
-  private[graft] def repCandidates(reps: DataFrame): DataFrame = {
+  private[graft] def repCandidates(reps: DataFrame): DataFrame =
+    repCandidatesCarry(reps, Nil)
+
+  /** [[repCandidates]] with extra per-representative columns carried
+    * through the est_j verify joins (r16: the pipeline previously joined
+    * `groups` back TWICE more just to fetch the member lists the verify
+    * joins already had in hand — two whole broadcast-join stages for
+    * columns sitting in the same cached frame; guide §2.4). Each carried
+    * column `c` surfaces as `c_a` / `c_b`. */
+  private def repCandidatesCarry(reps: DataFrame,
+                                 carry: Seq[String]): DataFrame = {
     // The band join shuffles ONLY (rep_id, band_id, bh) — 20 bytes/row.
     val bands = reps.select(col("rep_id"),
         explode(transform(sequence(lit(0), lit(Bands - 1)),
@@ -98,12 +108,17 @@ object Dedup {
     val estCol = (0 until NumPerms).map(i =>
       when(element_at(col("sa"), i + 1) === element_at(col("sb"), i + 1), 1)
         .otherwise(0)).reduce(_ + _).cast("double") / lit(NumPerms.toDouble)
+    val aSide = reps.select(col("rep_id").as("rep_a") +: col("sig").as("sa") +:
+      carry.map(c => col(c).as(s"${c}_a")): _*)
+    val bSide = reps.select(col("rep_id").as("rep_b") +: col("sig").as("sb") +:
+      carry.map(c => col(c).as(s"${c}_b")): _*)
     cand
-      .join(reps.select(col("rep_id").as("rep_a"), col("sig").as("sa")), "rep_a")
-      .join(reps.select(col("rep_id").as("rep_b"), col("sig").as("sb")), "rep_b")
+      .join(aSide, "rep_a")
+      .join(bSide, "rep_b")
       .withColumn("est_j", estCol)
       .filter(col("est_j") >= 0.9)  // filter on the sketch BEFORE exact work
-      .select(col("rep_a"), col("rep_b"), col("est_j"))
+      .select(col("rep_a") +: col("rep_b") +: col("est_j") +:
+        carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
   }
 
   /** MinHash-LSH candidate pairs ([[Bands]] × [[RowsPerBand]], see the
@@ -166,16 +181,16 @@ object Dedup {
       .select(col("doc_a"), explode(col("docs")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("est_j", lit(1.0))
-    val reps = groups.select(element_at(col("docs"), 1).as("rep_id"), col("sig"))
+    val reps = groups.select(element_at(col("docs"), 1).as("rep_id"),
+      col("sig"), col("docs"))
     // Cross-group pairs: band the representatives, then expand each
     // qualifying representative pair to the full member cross product
     // (est_j is constant across members — they share the reps' signatures).
-    val cross = repCandidates(reps)
-      .join(groups.select(element_at(col("docs"), 1).as("rep_a"),
-        col("docs").as("da")), "rep_a")
-      .join(groups.select(element_at(col("docs"), 1).as("rep_b"),
-        col("docs").as("db")), "rep_b")
-      .select(col("est_j"), col("db"), explode(col("da")).as("x"))
+    // The member lists ride the est_j verify joins (repCandidatesCarry) —
+    // no second pair of groups join-backs (r16, guide §2.4).
+    val cross = repCandidatesCarry(reps, Seq("docs"))
+      .select(col("est_j"), col("docs_b").as("db"),
+        explode(col("docs_a")).as("x"))
       .select(col("est_j"), col("x"), explode(col("db")).as("y"))
       .select(least(col("x"), col("y")).as("doc_a"),
         greatest(col("x"), col("y")).as("doc_b"), col("est_j"))
@@ -456,20 +471,26 @@ object Dedup {
 
   private def unigramPairsBuild(spark: SparkSession,
                                 threshold: Double): DataFrame = {
-    def ckpt(sql: String, view: String): Unit =
-      spark.sql(sql).stageMaterialize.createOrReplaceTempView(view)
-
     spark.sql(tokenSetSql).createOrReplaceTempView("__x54u_tp")
     // per-lang df-ascending dictionary: token → rank (rarest first);
     // the stream is already distinct per doc, so COUNT(*) IS the doc
-    // frequency — no DISTINCT pre-aggregate
-    ckpt(
+    // frequency — no DISTINCT pre-aggregate. The widest-vocabulary scalar
+    // (mask width) rides the dictionary's materialization job via observe
+    // (r16) instead of a separate MAX job over the checkpointed rows.
+    val vObs = org.apache.spark.sql.Observation("graft-x54-maxvocab")
+    spark.sql(
       """SELECT lang, tok,
         |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*), tok) AS rank
         |FROM __x54u_tp
-        |GROUP BY lang, tok""".stripMargin, "__x54_v1")
-    // one scalar job: widest per-lang vocabulary → number of 64-bit words
-    val maxVocab = spark.sql("SELECT MAX(rank) FROM __x54_v1").head.getInt(0)
+        |GROUP BY lang, tok""".stripMargin)
+      .observe(vObs, org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("rank")).as("maxRank"))
+      .stageMaterialize
+      .createOrReplaceTempView("__x54_v1")
+    val maxVocab = vObs.get("maxRank") match {
+      case null => 0 // empty corpus: no ranks at all
+      case n: Number => n.intValue()
+    }
     val nMask = ((maxVocab + 63) / 64).max(1)
     // VOCABULARY-ADAPTIVE verify. The bitset-mask formulation carries
     // vocab/64 longs PER ROW through the candidate join — unbeatable

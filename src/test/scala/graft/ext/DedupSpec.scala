@@ -26,6 +26,10 @@ class DedupSpec extends SparkSpec {
   test("PPJoin ngramJaccard matches the co-occurrence-join formulation") {
     // two structurally independent exact algorithms over the same data:
     // prefix-filter + bitset verify vs token co-occurrence counting
+    // (register the kernel functions: the raw spark.sql below bypasses the
+    // query entry points that normally install them — running this suite
+    // in ISOLATION failed analysis before r16)
+    graft.functions.GraftFunctions.register(spark)
     graft.Tables.ensure(spark, sfDir)
     val ref = spark.sql(Extensions.all
         .find(_.name == "x54_ngram_jaccard").get.spark)
