@@ -215,6 +215,25 @@ object SparkEntry {
       // being recomputed per CTE reference (see Extensions.boilerplateQuery)
       "x114_boilerplate" -> ((s: SparkSession, d: String) =>
         Extensions.boilerplateQuery(s, d)),
+      // x110: overrides the SQL-text variant — same oracle, but the
+      // DISTINCT basket stream materializes ONCE for its four consumers
+      // instead of being recomputed per CTE reference (r16; see
+      // Extensions.assocRulesQuery)
+      "x110_assoc_rules" -> ((s: SparkSession, d: String) =>
+        Extensions.assocRulesQuery(s, d)),
+      // x98: overrides the SQL-text variant — same oracle, but the fused
+      // vocabulary aggregate materializes ONCE for its three consumers
+      // (r16; see Extensions.dsirSampleQuery)
+      "x98_dsir_sample" -> ((s: SparkSession, d: String) =>
+        Extensions.dsirSampleQuery(s, d)),
+      // x78/x106: override the SQL-text variants — same oracles, but the
+      // vocabulary (and x106's bigram stream) materialize ONCE instead of
+      // re-deriving the corpus explode per CTE reference (r16; see
+      // Extensions.unigramLmQuery / bigramLmQuery)
+      "x78_unigram_lm" -> ((s: SparkSession, d: String) =>
+        Extensions.unigramLmQuery(s, d)),
+      "x106_bigram_lm" -> ((s: SparkSession, d: String) =>
+        Extensions.bigramLmQuery(s, d)),
       // x105: host-graph PageRank over the mirror graph (edge = two
       // sources serving word-set-identical docs); 5 damped iterations on
       // integer-quantized contributions so both engines carry identical

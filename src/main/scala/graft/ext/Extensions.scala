@@ -1536,18 +1536,26 @@ object Extensions {
     // (u16 * 10000 < p_bps * 65536) so the sampled booleans hash-compare
     // exactly. Per-token log terms ROUND→DECIMAL before SUM — the suite's
     // order-independent FP-aggregation pattern (see x78).
+    // r16 Spark side: src and tgt fused into ONE token aggregate (tgt's
+    // per-token count rides as a conditional COUNT column — guide §2.3
+    // "aggregate before you shuffle"), removing the second corpus
+    // scan+explode+aggregate AND the src⟕tgt join; COALESCE(g.c, 0) ≡ the
+    // conditional count (0 when the token never appears with lang='en'),
+    // nt ≡ SUM of that column, so every lr double is bit-identical — the
+    // unchanged DuckDB twin (still the two-aggregate shape) pins it.
     Q("x98_dsir_sample",
       """WITH t AS (SELECT doc_id, lang,
         |             explode(array_remove(split(LOWER(text), ' '), '')) AS tok
         |           FROM documents),
-        |src AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
-        |tgt AS (SELECT tok, COUNT(*) AS c FROM t WHERE lang = 'en' GROUP BY tok),
+        |src AS (SELECT tok, COUNT(*) AS c,
+        |          COUNT(CASE WHEN lang = 'en' THEN 1 END) AS ct
+        |        FROM t GROUP BY tok),
         |ns AS (SELECT CAST(SUM(c) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v FROM src),
-        |nt AS (SELECT CAST(COALESCE(SUM(c), 0) AS DOUBLE) AS n FROM tgt),
+        |nt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS DOUBLE) AS n FROM src),
         |r AS (SELECT s.tok,
-        |        CAST(ROUND(LN(((COALESCE(g.c, 0) + 1.0) / (nt.n + ns.v))
+        |        CAST(ROUND(LN(((s.ct + 1.0) / (nt.n + ns.v))
         |                    / ((s.c + 1.0) / (ns.n + ns.v))), 5) AS DECIMAL(18,5)) AS lr
-        |      FROM src s LEFT JOIN tgt g ON s.tok = g.tok
+        |      FROM src s
         |      CROSS JOIN nt CROSS JOIN ns),
         |d AS (SELECT t.doc_id, COUNT(*) AS ntoks, SUM(r.lr) AS slr
         |      FROM t JOIN r ON t.tok = r.tok GROUP BY t.doc_id),
@@ -1841,7 +1849,21 @@ object Extensions {
     * stats payload. At 100 TB the roles invert — the profiler keeps ONLY
     * the sketch column and drops the exact distincts (the aggregation
     * buffer for exact DISTINCT grows with cardinality; HLL stays 4 KB) —
-    * and the anchor's ±10% boolean is exactly what certifies that swap. */
+    * and the anchor's ±10% boolean is exactly what certifies that swap.
+    *
+    * r16 re-examination (VERDICT item 6) — the single-pass unpivot
+    * REFUTED with numbers: `stack` the 5 columns into (col, vnum, vstr),
+    * pre-aggregate to distinct (col, value, cnt), one 5-group rollup.
+    * Oracle-green (HLL over distinct values is register-identical), scans
+    * 5 → 1, exchanges 20 → 3 — but measured SLOWER on this box in both
+    * variants (DevProbe bench-mimic, same session ordering): HLL-in-rollup
+    * 3.38 s first-run / ~1.6 s steady; HLL-as-scalar-subquery + integer
+    * col key 3.59 s / ~2.0-2.5 s; the 5-scan form 1.6-1.8 s bench /
+    * ~1.0 s steady. The unpivot's (col, value)-keyed pre-aggregate pushes
+    * the full 600 k near-unique price values through a WIDER shuffle row
+    * and a second aggregate, while the 5 pruned scans read the same total
+    * bytes (each decodes only its column) with narrow single-column
+    * distinct keys. Kept the 5-scan form. */
   private def profileSparkSql: String = {
     val rows = profileCols.map { case (c, num) =>
       val (mnN, mxN, mnS, mxS) =
@@ -1986,17 +2008,206 @@ object Extensions {
     * any downstream stage, and the q46-family sketches skip empties
     * anyway).
     */
-  /** x114 driver query (r15): the SQL-text formulation's `pos` CTE (the
+  /** x114 driver query (r15/r16): the SQL-text formulation's `pos` CTE (the
     * 5-gram stream) is consumed twice — the df-threshold aggregate AND
-    * the cover join — and CTE inlining recomputes it per use. This
-    * DataFrame form derives the gram stream ONCE through
+    * the matched-position collect — and CTE inlining recomputes it per
+    * use. This DataFrame form derives the gram stream ONCE through
     * [[graft.ext.Stages.materialize]] (on a cluster: reliable checkpoint
     * / intermediate table) and both consumers read the materialized
-    * blocks. Grams come from the codegen word_ngrams kernel; everything
-    * else — the df >= 10 boilerplate set, the covered-position explode,
-    * the (doc, position) anti-join, the position-tagged fingerprint — is
-    * the Q-text shape unchanged, and the DuckDB twin still pins the
-    * exact surviving tokens. */
+    * blocks. Grams come from the codegen word_ngrams kernel; the per-doc
+    * tail (covered-position cover of the matched grams, kept-token count,
+    * position-tagged md5) is the fused boilerplate_strip kernel (r16 —
+    * value parity with the old explode + anti-join + sort-collect shape
+    * pinned in BoilerplateSpec), and the DuckDB twin still pins the exact
+    * surviving tokens. */
+  /** x78 driver query (r16): the SQL-text formulation's token stream `t`
+    * is referenced three times (vocabulary aggregate, global token count,
+    * per-doc scoring join) and CTE inlining re-derived the corpus explode
+    * per reference. This form materializes the VOCABULARY (Zipfian —
+    * broadcast-sized at any corpus scale) once and derives the global
+    * token count from it (SUM of the per-token counts ≡ COUNT(*) of the
+    * stream — exact), so the corpus token stream is exploded once for the
+    * aggregate and once for the scoring join. Expressions unchanged; the
+    * unchanged DuckDB twin pins value identity. */
+  def unigramLmQuery(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): org.apache.spark.sql.DataFrame = {
+    import Stages.StageOps
+    graft.Tables.ensure(spark, dir)
+    spark.sql(
+      """SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c
+        |FROM (SELECT explode(array_remove(split(LOWER(text), ' '), '')) AS tok
+        |      FROM documents)
+        |GROUP BY tok""".stripMargin)
+      .stageMaterialize
+      .createOrReplaceTempView("__x78_v")
+    val out = spark.sql(
+      """WITH t AS (SELECT doc_id,
+        |             explode(array_remove(split(LOWER(text), ' '), '')) AS tok
+        |           FROM documents),
+        |n AS (SELECT CAST(SUM(c) AS DOUBLE) AS nn FROM __x78_v),
+        |s AS (SELECT t.doc_id, COUNT(*) AS ntoks,
+        |        SUM(CAST(ROUND(LN(v.c / n.nn), 5) AS DECIMAL(18,5))) AS slp
+        |      FROM t JOIN __x78_v v ON t.tok = v.tok CROSS JOIN n
+        |      GROUP BY t.doc_id)
+        |SELECT doc_id, CAST(ntoks AS BIGINT) AS ntoks,
+        |  CAST(CAST(FLOOR(CAST(slp AS DOUBLE) / ntoks * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS logp
+        |FROM s ORDER BY doc_id""".stripMargin)
+    spark.catalog.dropTempView("__x78_v")
+    out
+  }
+
+  /** x106 driver query (r16): the SQL-text formulation re-derived the
+    * token frame per reference (unigram aggregate AND bigram stream) and
+    * the bigram stream per reference (bigram aggregate AND scoring join)
+    * — 22 exchanges / 3 corpus scans
+    * (plans/r16/x106_bigram_lm_before.txt). This form materializes the
+    * bigram POSITION stream once (the x114 pos-stage pattern) and the
+    * unigram vocabulary once (Zipfian — broadcast-sized at any scale;
+    * the global token count n derives from the corpus explode exactly as
+    * before). Expressions unchanged; the unchanged DuckDB twin pins
+    * value identity. */
+  def bigramLmQuery(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): org.apache.spark.sql.DataFrame = {
+    import Stages.StageOps
+    graft.functions.GraftFunctions.register(spark)
+    graft.Tables.ensure(spark, dir)
+    spark.sql(
+      """SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c1
+        |FROM (SELECT explode(array_remove(split(LOWER(text), ' '), '')) AS tok
+        |      FROM documents)
+        |GROUP BY tok""".stripMargin)
+      .stageMaterialize
+      .createOrReplaceTempView("__x106_u")
+    spark.sql(
+      """SELECT doc_id, substring_index(g, ' ', 1) AS prev,
+        |       substring_index(g, ' ', -1) AS cur FROM (
+        |  SELECT doc_id, explode(word_ngrams(tk, 2)) AS g
+        |  FROM (SELECT doc_id, array_remove(split(LOWER(text), ' '), '') AS tk
+        |        FROM documents)
+        |  WHERE size(tk) >= 2)""".stripMargin)
+      .stageMaterialize
+      .createOrReplaceTempView("__x106_bp")
+    val out = spark.sql(
+      """WITH n AS (SELECT CAST(SUM(c1) AS DOUBLE) AS nn FROM __x106_u),
+        |b2 AS (SELECT prev, cur, CAST(COUNT(*) AS DOUBLE) AS c2
+        |       FROM __x106_bp GROUP BY prev, cur),
+        |s AS (SELECT bp.doc_id, COUNT(*) AS npairs,
+        |        SUM(CAST(ROUND(LN(0.7 * b2.c2 / up.c1 + 0.3 * uc.c1 / n.nn), 5)
+        |            AS DECIMAL(18,5))) AS slp
+        |      FROM __x106_bp bp
+        |      JOIN b2 ON bp.prev = b2.prev AND bp.cur = b2.cur
+        |      JOIN __x106_u up ON bp.prev = up.tok
+        |      JOIN __x106_u uc ON bp.cur = uc.tok
+        |      CROSS JOIN n
+        |      GROUP BY bp.doc_id)
+        |SELECT doc_id, CAST(npairs AS BIGINT) AS npairs,
+        |  CAST(CAST(FLOOR(CAST(slp AS DOUBLE) / npairs * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS logp
+        |FROM s ORDER BY doc_id""".stripMargin)
+    Seq("__x106_u", "__x106_bp").foreach(spark.catalog.dropTempView)
+    out
+  }
+
+  /** x98 driver query (r16): the SQL-text formulation re-derived the
+    * corpus token aggregate per CTE reference — the before-plan has 12
+    * parquet scans / 6 corpus explodes for what is ONE vocabulary-sized
+    * statistic (plans/r16/x98_dsir_sample_before.txt). This DataFrame
+    * form (a) fuses the src/tgt aggregates (the Q-text r16 change — tgt's
+    * count rides as a conditional COUNT column) and (b) materializes the
+    * fused vocabulary frame once (it is Zipfian-vocabulary-sized — tiny
+    * at any corpus scale); the log-ratio table, the per-doc scoring join
+    * and the md5-uniform sampler are the Q-text shape unchanged, so the
+    * unchanged DuckDB twin pins value identity. */
+  def dsirSampleQuery(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): org.apache.spark.sql.DataFrame = {
+    import Stages.StageOps
+    graft.Tables.ensure(spark, dir)
+    spark.sql(
+      """SELECT tok, COUNT(*) AS c,
+        |       COUNT(CASE WHEN lang = 'en' THEN 1 END) AS ct
+        |FROM (SELECT lang,
+        |        explode(array_remove(split(LOWER(text), ' '), '')) AS tok
+        |      FROM documents)
+        |GROUP BY tok""".stripMargin)
+      .stageMaterialize
+      .createOrReplaceTempView("__x98_src")
+    val out = spark.sql(
+      """WITH t AS (SELECT doc_id, lang,
+        |             explode(array_remove(split(LOWER(text), ' '), '')) AS tok
+        |           FROM documents),
+        |ns AS (SELECT CAST(SUM(c) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v FROM __x98_src),
+        |nt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS DOUBLE) AS n FROM __x98_src),
+        |r AS (SELECT s.tok,
+        |        CAST(ROUND(LN(((s.ct + 1.0) / (nt.n + ns.v))
+        |                    / ((s.c + 1.0) / (ns.n + ns.v))), 5) AS DECIMAL(18,5)) AS lr
+        |      FROM __x98_src s
+        |      CROSS JOIN nt CROSS JOIN ns),
+        |d AS (SELECT t.doc_id, COUNT(*) AS ntoks, SUM(r.lr) AS slr
+        |      FROM t JOIN r ON t.tok = r.tok GROUP BY t.doc_id),
+        |u AS (SELECT doc_id,
+        |        CAST((((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+        |              + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1)) * 16
+        |              + (instr('0123456789abcdef', substr(md5(text), 3, 1)) - 1)) * 16
+        |              + (instr('0123456789abcdef', substr(md5(text), 4, 1)) - 1) AS INT) AS u16
+        |      FROM documents),
+        |f AS (SELECT d.doc_id, d.ntoks,
+        |        CAST(d.slr AS DOUBLE) / d.ntoks AS score, u.u16
+        |      FROM d JOIN u ON d.doc_id = u.doc_id)
+        |SELECT doc_id, CAST(ntoks AS BIGINT) AS ntoks,
+        |  CAST(CAST(FLOOR(score * 10000.0 + 0.5) / 10000.0 AS DECIMAL(18,4)) AS DOUBLE) AS lr_score,
+        |  CAST(FLOOR(10000.0 / (1.0 + EXP(-score)) + 0.5) AS INT) AS p_bps,
+        |  u16,
+        |  CAST(u16 AS BIGINT) * 10000
+        |    < CAST(FLOOR(10000.0 / (1.0 + EXP(-score)) + 0.5) AS BIGINT) * 65536 AS sampled
+        |FROM f ORDER BY doc_id""".stripMargin)
+    spark.catalog.dropTempView("__x98_src")
+    out
+  }
+
+  /** x110 driver query (r16): the SQL-text formulation's `b` CTE (the
+    * DISTINCT (user, day, event_type) basket stream) is referenced FOUR
+    * times — the basket count, the per-item counts, and both sides of the
+    * pair self-join — and Spark's CTE inlining recomputed it per
+    * reference: four events scans + four DISTINCT aggregates
+    * (plans/r16/x110_assoc_rules_before.txt). This DataFrame form
+    * materializes `b` once (guide §2.4; on a cluster: reliable checkpoint
+    * / intermediate table); every expression downstream is the Q-text
+    * unchanged, so the DuckDB twin pins value identity. */
+  def assocRulesQuery(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): org.apache.spark.sql.DataFrame = {
+    import Stages.StageOps
+    graft.Tables.ensure(spark, dir)
+    spark.sql(
+      """SELECT DISTINCT user_id,
+        |       CAST(date_trunc('day', ts) AS DATE) AS d, event_type
+        |FROM events""".stripMargin)
+      .stageMaterialize
+      .createOrReplaceTempView("__x110_b")
+    val out = spark.sql(
+      """WITH nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n
+        |       FROM (SELECT DISTINCT user_id, d FROM __x110_b)),
+        |i AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ni
+        |      FROM __x110_b GROUP BY event_type),
+        |p AS (SELECT x.event_type AS ante, y.event_type AS cons,
+        |        CAST(COUNT(*) AS BIGINT) AS nab
+        |      FROM __x110_b x JOIN __x110_b y
+        |        ON x.user_id = y.user_id AND x.d = y.d
+        |       AND x.event_type <> y.event_type
+        |      GROUP BY x.event_type, y.event_type)
+        |SELECT p.ante, p.cons, p.nab,
+        |  CAST(CAST(FLOOR(p.nab / (SELECT n FROM nb) * 1000000.0 + 0.5)
+        |       / 1000000.0 AS DECIMAL(18,6)) AS DOUBLE) AS support,
+        |  CAST(CAST(FLOOR(CAST(p.nab AS DOUBLE) / ia.ni * 1000000.0 + 0.5)
+        |       / 1000000.0 AS DECIMAL(18,6)) AS DOUBLE) AS confidence,
+        |  CAST(CAST(FLOOR(CAST(p.nab AS DOUBLE) / ia.ni
+        |       / (ic.ni / (SELECT n FROM nb)) * 1000000.0 + 0.5)
+        |       / 1000000.0 AS DECIMAL(18,6)) AS DOUBLE) AS lift
+        |FROM p JOIN i ia ON p.ante = ia.event_type
+        |       JOIN i ic ON p.cons = ic.event_type
+        |ORDER BY ante, cons""".stripMargin)
+    spark.catalog.dropTempView("__x110_b")
+    out
+  }
+
   def boilerplateQuery(spark: org.apache.spark.sql.SparkSession,
                        dir: String): org.apache.spark.sql.DataFrame = {
     import Stages.StageOps
@@ -2013,25 +2224,29 @@ object Extensions {
         |LATERAL VIEW posexplode(word_ngrams(tk, 5)) AS p, gram""".stripMargin)
       .stageMaterialize
       .createOrReplaceTempView("__x114_pos")
+    // r16: everything after the df-threshold decision is a pure function of
+    // (doc's token array, its matched gram start positions), so the old
+    // covered-position explode (5× gram-stream blowup) + DISTINCT + the
+    // full corpus token-position anti-join + the per-doc sort-collect md5
+    // collapse into ONE map-side boilerplate_strip kernel call per doc
+    // (guide §2.4 remove shuffles outright + §4; value parity pinned in
+    // BoilerplateSpec and by the unchanged DuckDB twin). The only shuffles
+    // left are the df aggregate and the per-doc matched-position collect.
     val out = spark.sql(
       """WITH bp AS (SELECT source, gram
         |       FROM (SELECT source, gram, COUNT(DISTINCT doc_id) AS df
         |             FROM __x114_pos GROUP BY source, gram)
         |       WHERE df >= 10),
-        |cover AS (SELECT DISTINCT p.doc_id, explode(sequence(p.i, p.i + 4)) AS j
-        |          FROM __x114_pos p
-        |          JOIN bp b ON p.source = b.source AND p.gram = b.gram),
-        |tokpos AS (SELECT doc_id, p + 1 AS j, tok
-        |           FROM (SELECT doc_id, posexplode(tk) AS (p, tok)
-        |                 FROM __x114_toks)),
-        |kept AS (SELECT t.doc_id, t.j, t.tok
-        |         FROM tokpos t LEFT JOIN cover c
-        |           ON t.doc_id = c.doc_id AND t.j = c.j
-        |         WHERE c.doc_id IS NULL)
-        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_toks,
-        |  md5(CAST(array_join(sort_array(collect_list(
-        |    concat(tok, ':', CAST(j AS STRING)))), ' ') AS BINARY)) AS clean_fp
-        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |mi AS (SELECT p.doc_id, collect_list(p.i) AS mpos
+        |       FROM __x114_pos p
+        |       JOIN bp b ON p.source = b.source AND p.gram = b.gram
+        |       GROUP BY p.doc_id),
+        |s AS (SELECT t.doc_id,
+        |        boilerplate_strip(t.tk,
+        |          COALESCE(m.mpos, CAST(array() AS ARRAY<INT>))) AS st
+        |      FROM __x114_toks t LEFT JOIN mi m ON t.doc_id = m.doc_id)
+        |SELECT doc_id, st.kept_toks AS kept_toks, st.clean_fp AS clean_fp
+        |FROM s WHERE st IS NOT NULL ORDER BY doc_id""".stripMargin)
     Seq("__x114_toks", "__x114_pos").foreach(spark.catalog.dropTempView)
     out
   }
