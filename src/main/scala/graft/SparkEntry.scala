@@ -234,6 +234,14 @@ object SparkEntry {
         Extensions.unigramLmQuery(s, d)),
       "x106_bigram_lm" -> ((s: SparkSession, d: String) =>
         Extensions.bigramLmQuery(s, d)),
+      // x79/x85: same pattern — the (doc, token, tf) frame / the two
+      // count vocabularies materialize once, and x85's bigrams come from
+      // the map-only word_ngrams kernel instead of a per-doc lead window
+      // (r16; see Extensions.tfidfQuery / collocationsQuery)
+      "x79_tfidf" -> ((s: SparkSession, d: String) =>
+        Extensions.tfidfQuery(s, d)),
+      "x85_collocations" -> ((s: SparkSession, d: String) =>
+        Extensions.collocationsQuery(s, d)),
       // x105: host-graph PageRank over the mirror graph (edge = two
       // sources serving word-set-identical docs); 5 damped iterations on
       // integer-quantized contributions so both engines carry identical

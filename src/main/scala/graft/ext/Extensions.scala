@@ -2107,6 +2107,103 @@ object Extensions {
     out
   }
 
+  /** x79 driver query (r16): the SQL-text formulation's token stream `t`
+    * is referenced three times (tf, df, and the doc-count scalar) and CTE
+    * inlining re-derived the corpus explode per reference. This form
+    * materializes the (doc, token, tf) frame once — the same rows the tf
+    * aggregate already shuffles — and derives df and the doc count FROM
+    * it (tf has exactly one row per (doc, token), so COUNT(*) per token ≡
+    * COUNT(DISTINCT doc_id) over the stream, and COUNT(DISTINCT doc_id)
+    * over tf ≡ over the stream). One corpus explode instead of three;
+    * expressions unchanged; the unchanged DuckDB twin pins value
+    * identity. */
+  def tfidfQuery(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): org.apache.spark.sql.DataFrame = {
+    import Stages.StageOps
+    graft.Tables.ensure(spark, dir)
+    spark.sql(
+      """SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+        |FROM (SELECT doc_id,
+        |        explode(array_remove(split(LOWER(text), ' '), '')) AS tok
+        |      FROM documents)
+        |GROUP BY doc_id, tok""".stripMargin)
+      .stageMaterialize
+      .createOrReplaceTempView("__x79_tf")
+    val out = spark.sql(
+      """WITH df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df
+        |       FROM __x79_tf GROUP BY tok),
+        |n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS nd FROM __x79_tf),
+        |s AS (SELECT tf.doc_id, tf.tok,
+        |        tf.tf * LN((n.nd + 1.0) / (df.df + 1.0)) AS score
+        |      FROM __x79_tf tf JOIN df ON tf.tok = df.tok CROSS JOIN n),
+        |w AS (SELECT doc_id, tok, score,
+        |        ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                           ORDER BY ROUND(score, 6) DESC, tok) AS rn
+        |      FROM s)
+        |SELECT doc_id, CAST(rn AS INT) AS rn, tok,
+        |  CAST(CAST(ROUND(score, 4) AS DECIMAL(18,4)) AS DOUBLE) AS score
+        |FROM w WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin)
+    spark.catalog.dropTempView("__x79_tf")
+    out
+  }
+
+  /** x85 driver query (r16): the SQL-text formulation derived the token
+    * position stream three times and the bigram stream twice (CTE
+    * inlining), and built bigrams through a per-doc `lead` WINDOW — a
+    * full exchange + sort of the corpus token stream predating the
+    * word_ngrams kernel. This form materializes the two vocabulary-sized
+    * count frames (unigram c1, bigram c2) once each — bigrams come from
+    * the map-only word_ngrams kernel, the same pairs the lead window
+    * produced (the x106 equivalence) — and the two scalar totals are the
+    * SUMs of those counts (≡ the stream COUNT(*)s, exact BIGINT).
+    * Downstream lift/ranking SQL unchanged; the unchanged DuckDB twin
+    * pins value identity. */
+  def collocationsQuery(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): org.apache.spark.sql.DataFrame = {
+    import Stages.StageOps
+    graft.functions.GraftFunctions.register(spark)
+    graft.Tables.ensure(spark, dir)
+    spark.sql(
+      """SELECT tok, COUNT(*) AS c1
+        |FROM (SELECT explode(array_remove(split(LOWER(text), ' '), '')) AS tok
+        |      FROM documents)
+        |GROUP BY tok""".stripMargin)
+      .stageMaterialize
+      .createOrReplaceTempView("__x85_c1")
+    spark.sql(
+      """SELECT substring_index(g, ' ', 1) AS w1,
+        |       substring_index(g, ' ', -1) AS w2, COUNT(*) AS c2
+        |FROM (SELECT explode(word_ngrams(
+        |        array_remove(split(LOWER(text), ' '), ''), 2)) AS g
+        |      FROM documents)
+        |GROUP BY w1, w2""".stripMargin)
+      .stageMaterialize
+      .createOrReplaceTempView("__x85_cb")
+    val out = spark.sql(
+      """WITH tot AS (SELECT (SELECT SUM(c1) FROM __x85_c1) AS n,
+        |              (SELECT SUM(c2) FROM __x85_cb) AS m),
+        |s AS (SELECT concat_ws(' ', cb.w1, cb.w2) AS bigram, cb.c2,
+        |        (CAST(cb.c2 AS DOUBLE) * CAST(tot.n AS DOUBLE)
+        |           * CAST(tot.n AS DOUBLE))
+        |        / (CAST(tot.m AS DOUBLE) * CAST(a.c1 AS DOUBLE)
+        |           * CAST(b.c1 AS DOUBLE)) AS lift
+        |      FROM __x85_cb cb
+        |      JOIN __x85_c1 a ON cb.w1 = a.tok
+        |      JOIN __x85_c1 b ON cb.w2 = b.tok
+        |      CROSS JOIN tot WHERE cb.c2 >= 5),
+        |t20 AS (SELECT bigram, c2, lift FROM s
+        |        ORDER BY ROUND(lift, 6) DESC, bigram LIMIT 20),
+        |w AS (SELECT bigram, c2, lift,
+        |        ROW_NUMBER() OVER (ORDER BY ROUND(lift, 6) DESC, bigram) AS rn
+        |      FROM t20)
+        |SELECT CAST(rn AS INT) AS rn, bigram, CAST(c2 AS BIGINT) AS c2,
+        |  CAST(CAST(FLOOR(lift * 10000.0 + 0.5) / 10000.0
+        |       AS DECIMAL(18,4)) AS DOUBLE) AS lift
+        |FROM w ORDER BY rn""".stripMargin)
+    Seq("__x85_c1", "__x85_cb").foreach(spark.catalog.dropTempView)
+    out
+  }
+
   /** x98 driver query (r16): the SQL-text formulation re-derived the
     * corpus token aggregate per CTE reference — the before-plan has 12
     * parquet scans / 6 corpus explodes for what is ONE vocabulary-sized
